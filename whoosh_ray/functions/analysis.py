@@ -1,0 +1,213 @@
+"""Vectorized analysis chain — StandardAnalyzer parity over Arrow batches.
+
+The reference analyzes text with a generator-of-tokens chain; the flagship
+``StandardAnalyzer`` is RegexTokenizer | LowercaseFilter | StopFilter
+(/root/reference/src/whoosh/analysis/analyzers.py:171-194) with
+
+- token pattern ``\\w+(\\.?\\w+)*``  (analysis/tokenizers.py:33),
+- the default STOP_WORDS set        (analysis/filters.py:41-45),
+- ``minsize=2`` minimum token length (analysis/filters.py:259),
+- positions renumbered over surviving tokens (analysis/filters.py:300-311).
+
+This module reproduces those semantics as *batch* transforms: one call
+tokenizes every row of an Arrow/pandas batch and returns flat numpy arrays
+(row id, term, position) ready to explode into posting rows.  The only hot
+Python-level loop is the per-row ``findall`` (regex iteration is inherently
+per-string); everything downstream — stopword masking, position
+renumbering, (row, term) tf aggregation — is numpy/pandas vectorized.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+
+# Reference parity: analysis/filters.py:41-45
+STOP_WORDS = frozenset(
+    (
+        "a", "an", "and", "are", "as", "at", "be", "by", "can", "for", "from",
+        "have", "if", "in", "is", "it", "may", "not", "of", "on", "or", "tbd",
+        "that", "the", "this", "to", "us", "we", "when", "will", "with",
+        "yet", "you", "your",
+    )
+)
+
+# Reference parity: analysis/tokenizers.py:33 — ``\w+(\.?\w+)*``; the group is
+# made non-capturing (identical match semantics) so ``findall`` yields whole
+# matches.
+DEFAULT_PATTERN = re.compile(r"\w+(?:\.?\w+)*", re.UNICODE)
+
+
+@dataclass(frozen=True)
+class AnalyzerSpec:
+    """Configuration of a vectorized analyzer chain (standard preset).
+
+    ``lowercase``/``stopwords``/``minsize``/``maxsize`` mirror the
+    LowercaseFilter/StopFilter stages; setting ``stopwords=None`` and
+    ``minsize=0`` yields SimpleAnalyzer (analyzers.py:131-143) semantics.
+    """
+
+    pattern: str = r"\w+(?:\.?\w+)*"
+    lowercase: bool = True
+    stopwords: frozenset[str] | None = STOP_WORDS
+    minsize: int = 2
+    maxsize: int | None = None
+    gaps: bool = False  # RegexTokenizer(gaps=True): pattern splits instead
+
+    def compile(self) -> "VectorAnalyzer":
+        return VectorAnalyzer(self)
+
+
+STANDARD = AnalyzerSpec()
+SIMPLE = AnalyzerSpec(stopwords=None, minsize=0)
+ID_ANALYZER = AnalyzerSpec(pattern=None, stopwords=None, minsize=0)  # whole value
+
+
+@dataclass
+class TokenizedBatch:
+    """Flat token arrays for one batch of documents."""
+
+    row_ids: np.ndarray   # int64, index into the batch, one per surviving token
+    terms: np.ndarray     # object array of str
+    positions: np.ndarray  # int32, renumbered position within its row
+    row_lengths: np.ndarray  # int64 per input row: surviving token count
+
+
+class VectorAnalyzer:
+    """Compiled analyzer: texts column -> flat (row, term, pos) arrays.
+
+    Stateless and picklable; compiled once per actor/worker process when
+    used inside ``map_batches`` callable classes.
+    """
+
+    def __init__(self, spec: AnalyzerSpec = STANDARD):
+        self.spec = spec
+        self._re = re.compile(spec.pattern, re.UNICODE) if spec.pattern else None
+
+    def token_lists(self, texts) -> list[list[str]]:
+        """Per-row surviving token lists (lowercased, stopped)."""
+        tb = self(texts)
+        out: list[list[str]] = []
+        cuts = np.concatenate(([0], np.cumsum(tb.row_lengths)))
+        terms = tb.terms
+        for i in range(len(cuts) - 1):
+            out.append(list(terms[cuts[i]: cuts[i + 1]]))
+        return out
+
+    def __call__(self, texts) -> TokenizedBatch:
+        spec = self.spec
+        if isinstance(texts, pd.Series):
+            texts = texts.to_numpy()
+        n = len(texts)
+        token_lists: list[list[str]] = []
+        counts = np.empty(n, dtype=np.int64)
+        if self._re is None:
+            # IDTokenizer semantics: whole value is one token
+            for i, t in enumerate(texts):
+                toks = [] if t is None or t == "" else [str(t)]
+                token_lists.append(toks)
+                counts[i] = len(toks)
+        elif spec.gaps:
+            split = self._re.split
+            for i, t in enumerate(texts):
+                toks = [w for w in split(t or "") if w]
+                token_lists.append(toks)
+                counts[i] = len(toks)
+        else:
+            findall = self._re.findall
+            for i, t in enumerate(texts):
+                toks = findall(t) if t else []
+                token_lists.append(toks)
+                counts[i] = len(toks)
+
+        if n == 0 or counts.sum() == 0:
+            empty = np.empty(0, dtype=np.int64)
+            return TokenizedBatch(empty, np.empty(0, dtype=object),
+                                  empty.astype(np.int32), np.zeros(n, dtype=np.int64))
+
+        flat = np.concatenate([np.asarray(t, dtype=object) for t in token_lists if t])
+        row_ids = np.repeat(np.arange(n, dtype=np.int64), counts)
+        # original (pre-filter) position of each token within its row
+        pre_cuts = np.concatenate(([np.int64(0)], np.cumsum(counts)))
+        orig_pos = np.arange(len(flat), dtype=np.int64) - pre_cuts[row_ids]
+
+        s = pd.Series(flat, dtype=object)
+        if spec.lowercase:
+            s = s.str.lower()
+        keep = np.ones(len(s), dtype=bool)
+        if spec.minsize > 1:
+            keep &= (s.str.len() >= spec.minsize).to_numpy()
+        if spec.maxsize is not None:
+            keep &= (s.str.len() <= spec.maxsize).to_numpy()
+        if spec.stopwords:
+            keep &= ~s.isin(spec.stopwords).to_numpy()
+
+        terms = s.to_numpy()[keep]
+        row_ids = row_ids[keep]
+        orig_pos = orig_pos[keep]
+        # surviving token count per row
+        row_lengths = np.bincount(row_ids, minlength=n).astype(np.int64)
+        # Renumbered positions (StopFilter renumber=True, filters.py:300-311):
+        # the FIRST surviving token keeps its original position; subsequent
+        # survivors increment from there.
+        cuts = np.concatenate(([np.int64(0)], np.cumsum(row_lengths)))
+        rank_in_row = np.arange(len(row_ids), dtype=np.int64) - cuts[row_ids]
+        first_orig = np.zeros(n, dtype=np.int64)
+        has_any = row_lengths > 0
+        first_orig[has_any] = orig_pos[cuts[:-1][has_any]]
+        positions = (first_orig[row_ids] + rank_in_row).astype(np.int32)
+        return TokenizedBatch(row_ids, terms, positions, row_lengths)
+
+    def aggregate(self, texts, with_positions: bool = False):
+        """Per-(row, term) aggregation — the Format.word_values analogue.
+
+        The reference folds the token stream of each field value into
+        ``(term, freq, weight, payload)`` per unique term
+        (/root/reference/src/whoosh/formats.py:78-92, Frequency at :182-196,
+        Positions at :217-229).  Vectorized equivalent: a pandas groupby over
+        the flat (row, term) arrays.
+
+        Returns a dict of flat numpy arrays:
+          row_ids, terms, tfs[, positions (object array of int32 arrays)]
+        plus ``row_lengths`` (per input row surviving token count).
+        """
+        tb = self(texts)
+        if len(tb.terms) == 0:
+            out = dict(
+                row_ids=np.empty(0, dtype=np.int64),
+                terms=np.empty(0, dtype=object),
+                tfs=np.empty(0, dtype=np.int64),
+                row_lengths=tb.row_lengths,
+            )
+            if with_positions:
+                out["positions"] = np.empty(0, dtype=object)
+            return out
+
+        df = pd.DataFrame({"row": tb.row_ids, "term": tb.terms})
+        if with_positions:
+            df["pos"] = tb.positions
+            g = df.groupby(["row", "term"], sort=True)["pos"]
+            agg = g.agg(list)
+            idx = agg.index
+            out_positions = np.array(
+                [np.asarray(p, dtype=np.int32) for p in agg.to_numpy()],
+                dtype=object,
+            )
+            tfs = np.array([len(p) for p in agg.to_numpy()], dtype=np.int64)
+            rows = idx.get_level_values(0).to_numpy()
+            terms = idx.get_level_values(1).to_numpy()
+            return dict(
+                row_ids=rows, terms=terms, tfs=tfs, positions=out_positions,
+                row_lengths=tb.row_lengths,
+            )
+        g = df.groupby(["row", "term"], sort=True).size()
+        idx = g.index
+        return dict(
+            row_ids=idx.get_level_values(0).to_numpy(),
+            terms=idx.get_level_values(1).to_numpy(),
+            tfs=g.to_numpy().astype(np.int64),
+            row_lengths=tb.row_lengths,
+        )

@@ -1,0 +1,262 @@
+"""Posting-list block codec: varint/delta blocks with skip (block-max) info.
+
+Reproduces the *capabilities* of the reference's W3 posting blocks —
+<=128 postings per block, delta-encoded docids, per-block
+(count, last_docid, max_weight, min/max length-byte) skip info enabling
+block-max WAND pruning (/root/reference/src/whoosh/codec/whoosh3.py:650-869,
+block info :788-799, skip usage :1018-1051) — with a layout designed for
+vectorized decode instead of pickled per-block payloads:
+
+Blob layout (one blob per (field, term) per segment)::
+
+    header    : varint npostings, varint nblocks
+    block dir : varint counts[nblocks]
+                varint last_docid deltas[nblocks]
+                varint docid_stream byte-offset deltas[nblocks]  (end offsets)
+                varint tf_stream byte-offset deltas[nblocks]     (end offsets)
+                f32    block max_weight[nblocks]        (raw little-endian)
+                u8     block min_length_byte[nblocks]
+                u8     block max_length_byte[nblocks]
+    streams   : varint docid deltas  (contiguous across blocks)
+                varint tfs           (contiguous across blocks)
+                u8     per-posting quantized doc-length byte
+
+Because the docid delta stream is contiguous across block boundaries
+(each block's first delta is relative to the previous block's last docid),
+a full decode is ONE vectorized varint pass + cumsum; a pruned decode
+slices streams using the per-block end offsets and seeds the cumsum with
+the previous block's last docid.  Per-posting length bytes are stored
+in-line so BM25 scoring is a single numpy expression with no doc-length
+lookup join (the reference instead reads a per-doc length column,
+whoosh3.py:420-433 — same quantized values, different layout).
+
+Weights: the engine stores integer term frequencies; ``weight`` is
+reconstructed per the field format (frequency: tf * boost; existence:
+boost — formats.py:129-206).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from whoosh_ray.functions import varint
+
+BLOCK_SIZE = 128  # reference parity: whoosh3.py:77 blocklimit=128
+
+
+@dataclass
+class BlockDir:
+    """Decoded block directory (skip info) for one term."""
+
+    npostings: int
+    counts: np.ndarray        # int64[nblocks]
+    last_docids: np.ndarray   # int64[nblocks]
+    docid_ends: np.ndarray    # int64[nblocks] byte end-offsets into docid stream
+    tf_ends: np.ndarray       # int64[nblocks]
+    max_weights: np.ndarray   # float32[nblocks] (tf-based; boost applied by scorer)
+    min_len_bytes: np.ndarray  # uint8[nblocks]
+    max_len_bytes: np.ndarray  # uint8[nblocks]
+
+    @property
+    def nblocks(self) -> int:
+        return len(self.counts)
+
+
+@dataclass
+class Postings:
+    """Fully or partially decoded postings of one term (docid-ascending)."""
+
+    docids: np.ndarray     # int64
+    tfs: np.ndarray        # int64
+    len_bytes: np.ndarray  # uint8
+
+
+def encode_postings(docids: np.ndarray, tfs: np.ndarray,
+                    len_bytes: np.ndarray) -> bytes:
+    """Encode one term's postings (already docid-sorted) into a blob."""
+    n = len(docids)
+    docids = np.asarray(docids, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    len_bytes = np.asarray(len_bytes, dtype=np.uint8)
+    nblocks = (n + BLOCK_SIZE - 1) // BLOCK_SIZE
+
+    # Per-block stats, vectorized via reduceat on block starts.
+    starts = np.arange(0, n, BLOCK_SIZE, dtype=np.int64)
+    ends = np.minimum(starts + BLOCK_SIZE, n)
+    counts = ends - starts
+    last_docids = docids[ends - 1]
+    max_tfs = np.maximum.reduceat(tfs, starts)
+    min_lens = np.minimum.reduceat(len_bytes, starts)
+    max_lens = np.maximum.reduceat(len_bytes, starts)
+
+    # Streams: contiguous delta/varint encodes.
+    docid_stream = varint.encode_deltas(docids)
+    tf_stream = varint.encode(tfs)
+
+    # Byte end-offset of each block inside each stream: encode per-value byte
+    # sizes once and reduce.  varint byte size = ceil(bit_length/7).
+    deltas = np.empty_like(docids)
+    deltas[0] = docids[0]
+    np.subtract(docids[1:], docids[:-1], out=deltas[1:])
+    docid_sizes = _varint_sizes(deltas)
+    tf_sizes = _varint_sizes(tfs)
+    docid_ends = np.add.reduceat(docid_sizes, starts).cumsum()
+    tf_ends = np.add.reduceat(tf_sizes, starts).cumsum()
+
+    header = varint.encode(np.array([n, nblocks], dtype=np.int64))
+    dir_parts = [
+        varint.encode(counts),
+        varint.encode_deltas(last_docids),
+        varint.encode_deltas(docid_ends),
+        varint.encode_deltas(tf_ends),
+        max_tfs.astype(np.float32).tobytes(),
+        min_lens.astype(np.uint8).tobytes(),
+        max_lens.astype(np.uint8).tobytes(),
+    ]
+    return b"".join([header, *dir_parts, docid_stream, tf_stream,
+                     len_bytes.tobytes()])
+
+
+def _varint_sizes(values: np.ndarray) -> np.ndarray:
+    v = np.asarray(values, dtype=np.uint64)
+    sizes = np.ones(v.shape, dtype=np.int64)
+    shifted = v >> np.uint64(7)
+    while shifted.any():
+        sizes += shifted > 0
+        shifted = shifted >> np.uint64(7)
+    return sizes
+
+
+class BlobReader:
+    """Lazy reader over one term's blob: block dir first, streams on demand."""
+
+    def __init__(self, blob: bytes | memoryview):
+        self._buf = memoryview(blob)
+        b = np.frombuffer(self._buf, dtype=np.uint8)
+        self._bytes = b
+        # Parse header + dir with a single bounded varint scan.
+        # Count varints needed: 2 header + 4*nblocks (known after header).
+        pos, (n, nblocks) = self._read_varints(0, 2)
+        self.npostings = int(n)
+        nblocks = int(nblocks)
+        pos, counts = self._read_varints(pos, nblocks)
+        pos, ld = self._read_varints(pos, nblocks)
+        pos, de = self._read_varints(pos, nblocks)
+        pos, te = self._read_varints(pos, nblocks)
+        maxw = np.frombuffer(self._buf[pos:pos + 4 * nblocks],
+                             dtype=np.float32).copy()
+        pos += 4 * nblocks
+        minl = np.frombuffer(self._buf[pos:pos + nblocks], dtype=np.uint8)
+        pos += nblocks
+        maxl = np.frombuffer(self._buf[pos:pos + nblocks], dtype=np.uint8)
+        pos += nblocks
+        self.dir = BlockDir(
+            npostings=self.npostings,
+            counts=counts,
+            last_docids=np.cumsum(ld),
+            docid_ends=np.cumsum(de),
+            tf_ends=np.cumsum(te),
+            max_weights=maxw,
+            min_len_bytes=minl,
+            max_len_bytes=maxl,
+        )
+        self._docid0 = pos
+        self._tf0 = pos + int(self.dir.docid_ends[-1]) if nblocks else pos
+        self._len0 = self._tf0 + (int(self.dir.tf_ends[-1]) if nblocks else 0)
+
+    def _read_varints(self, pos: int, count: int):
+        """Scan exactly ``count`` varints starting at byte ``pos``."""
+        if count == 0:
+            return pos, np.empty(0, dtype=np.int64)
+        b = self._bytes
+        # find the end: the count-th terminator byte from pos
+        is_last = (b[pos:] & 0x80) == 0
+        term_idx = np.flatnonzero(is_last[: self._scan_limit(count)])
+        if len(term_idx) < count:
+            term_idx = np.flatnonzero(is_last)
+        end = pos + int(term_idx[count - 1]) + 1
+        vals = varint.decode(self._buf[pos:end], count)
+        return end, vals
+
+    @staticmethod
+    def _scan_limit(count: int) -> int:
+        return count * 9  # varints here are <= 8 bytes
+
+    # ---- decode paths ----
+
+    def decode_all(self) -> Postings:
+        d = self.dir
+        n = self.npostings
+        docids = np.cumsum(varint.decode(
+            self._buf[self._docid0:self._docid0 + int(d.docid_ends[-1])], n))
+        tfs = varint.decode(self._buf[self._tf0:self._tf0 + int(d.tf_ends[-1])], n)
+        lens = np.frombuffer(self._buf[self._len0:self._len0 + n], dtype=np.uint8)
+        return Postings(docids, tfs, lens)
+
+    def decode_blocks(self, block_mask: np.ndarray) -> Postings:
+        """Decode only the selected blocks (block-max WAND skip path)."""
+        d = self.dir
+        if block_mask.all():
+            return self.decode_all()
+        sel = np.flatnonzero(block_mask)
+        if len(sel) == 0:
+            e = np.empty(0, dtype=np.int64)
+            return Postings(e, e.copy(), np.empty(0, dtype=np.uint8))
+        docid_starts = np.concatenate(([0], d.docid_ends[:-1]))
+        tf_starts = np.concatenate(([0], d.tf_ends[:-1]))
+        post_ends = np.cumsum(d.counts)
+        post_starts = post_ends - d.counts
+        doc_parts, tf_parts, len_parts = [], [], []
+        for i in sel:
+            i = int(i)
+            deltas = varint.decode(
+                self._buf[self._docid0 + int(docid_starts[i]):
+                          self._docid0 + int(d.docid_ends[i])], int(d.counts[i]))
+            base = int(d.last_docids[i - 1]) if i > 0 else 0
+            ids = np.cumsum(deltas)
+            ids[0] += base  # first delta is relative to prev block's last docid
+            if len(ids) > 1:
+                ids[1:] += base
+            doc_parts.append(ids)
+            tf_parts.append(varint.decode(
+                self._buf[self._tf0 + int(tf_starts[i]):
+                          self._tf0 + int(d.tf_ends[i])], int(d.counts[i])))
+            len_parts.append(np.frombuffer(
+                self._buf[self._len0 + int(post_starts[i]):
+                          self._len0 + int(post_ends[i])], dtype=np.uint8))
+        return Postings(np.concatenate(doc_parts), np.concatenate(tf_parts),
+                        np.concatenate(len_parts))
+
+
+def encode_positions(positions_per_posting: list[np.ndarray]) -> bytes:
+    """Position payload stream for one term: varint deltas, split by tf.
+
+    Reference analogue: Positions format payloads (formats.py:209-263).  The
+    per-posting position count equals tf, so the stream needs no explicit
+    counts — decode splits by the tf array.
+    """
+    if not positions_per_posting:
+        return b""
+    parts = []
+    for pos in positions_per_posting:
+        p = np.asarray(pos, dtype=np.int64)
+        d = np.empty_like(p)
+        d[0] = p[0]
+        np.subtract(p[1:], p[:-1], out=d[1:])
+        parts.append(d)
+    return varint.encode(np.concatenate(parts))
+
+
+def decode_positions(blob: bytes | memoryview, tfs: np.ndarray) -> list[np.ndarray]:
+    """Inverse of :func:`encode_positions` for the whole term."""
+    total = int(np.sum(tfs))
+    flat = varint.decode(blob, total)
+    out = []
+    off = 0
+    for tf in tfs:
+        tf = int(tf)
+        out.append(np.cumsum(flat[off:off + tf]))
+        off += tf
+    return out

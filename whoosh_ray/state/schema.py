@@ -1,0 +1,141 @@
+"""Index schema: engine-side field specs over an Arrow input table.
+
+The reference's Schema maps fieldname -> FieldType carrying the analyzer,
+posting format, scorability and storage flags
+(/root/reference/src/whoosh/fields.py:60-124, Schema fields.py:1315-1535).
+Here the *data* schema is the input Parquet/Arrow schema; ``FieldSpec``
+carries only engine semantics per indexed field.
+
+Field kinds and their posting formats (reference parity):
+
+- ``text``: TEXT — StandardAnalyzer, Frequency format (weight = tf * boost),
+  scorable (length byte stored), optional positions for phrase queries
+  (fields.py:1055-1180, formats.py:162-263).
+- ``id``: ID — whole value is one token, Existence format (weight = boost,
+  independent of freq), not scorable (fields.py:458-478, formats.py:129-159).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, asdict
+
+from whoosh_ray.functions.analysis import (
+    ID_ANALYZER,
+    STANDARD,
+    AnalyzerSpec,
+)
+
+
+@dataclass(frozen=True)
+class FieldSpec:
+    name: str                      # source column name == logical field name
+    kind: str = "text"             # "text" | "id"
+    analyzer: AnalyzerSpec = STANDARD
+    stored: bool = True
+    scorable: bool = True          # store per-doc quantized length; BM25-scored
+    positions: bool = False        # store position payloads (phrase support)
+    boost: float = 1.0
+    fmt: str = "frequency"         # "frequency" | "existence"
+
+    @staticmethod
+    def text(name: str, *, stored: bool = True, positions: bool = False,
+             boost: float = 1.0, analyzer: AnalyzerSpec = STANDARD) -> "FieldSpec":
+        return FieldSpec(name=name, kind="text", analyzer=analyzer, stored=stored,
+                         scorable=True, positions=positions, boost=boost,
+                         fmt="frequency")
+
+    @staticmethod
+    def id(name: str, *, stored: bool = True, boost: float = 1.0) -> "FieldSpec":
+        return FieldSpec(name=name, kind="id", analyzer=ID_ANALYZER, stored=stored,
+                         scorable=False, positions=False, boost=boost,
+                         fmt="existence")
+
+    def to_json(self) -> dict:
+        d = asdict(self)
+        d["analyzer"] = asdict(self.analyzer)
+        return d
+
+    @staticmethod
+    def from_json(d: dict) -> "FieldSpec":
+        a = d.pop("analyzer")
+        a["stopwords"] = frozenset(a["stopwords"]) if a.get("stopwords") else None
+        return FieldSpec(analyzer=AnalyzerSpec(**a), **d)
+
+
+@dataclass(frozen=True)
+class IndexSchema:
+    """Indexed fields + stored (non-indexed) passthrough columns."""
+
+    fields: tuple[FieldSpec, ...]
+    stored_columns: tuple[str, ...] = ()   # extra columns copied into docs.parquet
+
+    def __post_init__(self):
+        object.__setattr__(self, "fields", tuple(self.fields))
+        object.__setattr__(self, "stored_columns", tuple(self.stored_columns))
+
+    def field(self, name: str) -> FieldSpec:
+        for f in self.fields:
+            if f.name == name:
+                return f
+        raise KeyError(name)
+
+    @property
+    def field_names(self) -> list[str]:
+        return [f.name for f in self.fields]
+
+    @property
+    def scorable_fields(self) -> list[FieldSpec]:
+        return [f for f in self.fields if f.scorable]
+
+    def input_columns(self) -> list[str]:
+        cols: list[str] = []
+        for f in self.fields:
+            if f.name not in cols:
+                cols.append(f.name)
+        for c in self.stored_columns:
+            if c not in cols:
+                cols.append(c)
+        return cols
+
+    def to_json(self) -> dict:
+        return {
+            "fields": [f.to_json() for f in self.fields],
+            "stored_columns": list(self.stored_columns),
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "IndexSchema":
+        return IndexSchema(
+            fields=tuple(FieldSpec.from_json(f) for f in d["fields"]),
+            stored_columns=tuple(d.get("stored_columns", ())),
+        )
+
+
+def transcripts_schema(*, positions: bool = True) -> IndexSchema:
+    """Flagship schema over the driver's transcript table.
+
+    Mirrors the whoosh-oracle schema in FIXTURES.md F1:
+    ``text`` TEXT(StandardAnalyzer, stored, phrase) plus ``role``/``tool``/
+    ``conv_id`` ID fields; ``turn_idx``/``ts`` stored passthrough.
+    """
+    return IndexSchema(
+        fields=(
+            FieldSpec.text("text", stored=True, positions=positions),
+            FieldSpec.id("role", stored=True),
+            FieldSpec.id("tool", stored=True),
+            FieldSpec.id("conv_id", stored=True),
+        ),
+        stored_columns=("turn_idx", "ts"),
+    )
+
+
+def documents_schema(*, positions: bool = True) -> IndexSchema:
+    """Secondary corpus: /root/testdata/sf*/documents.parquet."""
+    return IndexSchema(
+        fields=(
+            FieldSpec.text("text", stored=True, positions=positions),
+            FieldSpec.id("lang", stored=True),
+            FieldSpec.id("source", stored=True),
+        ),
+        stored_columns=("doc_id", "n_chars"),
+    )

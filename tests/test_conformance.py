@@ -1,0 +1,196 @@
+"""Rank/score-identity conformance vs the reference engine (whoosh oracle).
+
+Mirrors the query behaviors of the reference's tests/test_searching.py,
+test_results.py (stability/tie-break) on the F1 transcripts fixture —
+the correctness gate of BASELINE.json (rank-identical BM25 top-k)."""
+
+import numpy as np
+import pytest
+
+from tests.oracle import build_oracle_index, oracle_search
+from whoosh_ray.pipelines.build import build_index
+from whoosh_ray.search import (
+    And,
+    AndMaybe,
+    AndNot,
+    DisjunctionMax,
+    Every,
+    FuzzyTerm,
+    Not,
+    Or,
+    Phrase,
+    Prefix,
+    Require,
+    Searcher,
+    Term,
+    TermRange,
+    Wildcard,
+)
+from whoosh_ray.sources.transcripts import generate_transcripts
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    t = generate_transcripts(n_convs=30, seed=42)
+    return t
+
+
+@pytest.fixture(scope="module")
+def engine(corpus, tmp_path_factory):
+    import ray.data
+
+    from whoosh_ray.state.schema import transcripts_schema
+
+    d = tmp_path_factory.mktemp("ix")
+    src_dir = d / "src"
+    src_dir.mkdir()
+    import pyarrow.parquet as pq
+
+    pq.write_table(corpus, str(src_dir / "part0.parquet"))
+    # several small segments to exercise multi-segment global stats
+    manifest = build_index(str(src_dir), str(d / "index"),
+                           transcripts_schema(), seg_size=64)
+    return Searcher(str(d / "index"))
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus):
+    return build_oracle_index(corpus, text_fields=("text",),
+                              id_fields=("role", "tool", "conv_id"))
+
+
+def both(engine, oracle, myq, wq, limit=10):
+    mine = [(int(d), float(s)) for d, s in engine.search(myq, limit=limit)]
+    ref = [(int(d), float(s)) for d, s in oracle_search(oracle, wq, limit=limit)]
+    return mine, ref
+
+
+def assert_rank_identical(mine, ref):
+    assert [d for d, _ in mine] == [d for d, _ in ref]
+    np.testing.assert_allclose([s for _, s in mine], [s for _, s in ref],
+                               rtol=1e-9, atol=1e-12)
+
+
+WQ = None
+
+
+def wq():
+    global WQ
+    if WQ is None:
+        from whoosh import query as WQ_
+
+        WQ = WQ_
+    return WQ
+
+
+TERMS = ["deploy", "render", "cluster", "error", "parquet", "alpha",
+         "camelcase", "big-time", "under_score", "3.141", "the", "absentterm",
+         "a", "user"]
+
+
+def test_single_terms(engine, oracle):
+    w = wq()
+    for t in TERMS:
+        mine, ref = both(engine, oracle, Term("text", t), w.Term("text", t))
+        assert_rank_identical(mine, ref)
+
+
+def test_limits_and_stability(engine, oracle):
+    w = wq()
+    for lim in [1, 3, 5, 20, 100, None]:
+        mine, ref = both(engine, oracle, Term("text", "deploy"),
+                         w.Term("text", "deploy"), limit=lim)
+        assert_rank_identical(mine, ref)
+
+
+def test_boolean_combinations(engine, oracle):
+    w = wq()
+    cases = [
+        (And([Term("text", "deploy"), Term("text", "render")]),
+         w.And([w.Term("text", "deploy"), w.Term("text", "render")])),
+        (Or([Term("text", "deploy"), Term("text", "render")]),
+         w.Or([w.Term("text", "deploy"), w.Term("text", "render")])),
+        (Or([Term("text", "deploy"), Term("text", "absent")]),
+         w.Or([w.Term("text", "deploy"), w.Term("text", "absent")])),
+        (And([Term("text", "deploy"), Not(Term("text", "render"))]),
+         w.And([w.Term("text", "deploy"), w.Not(w.Term("text", "render"))])),
+        (AndNot(Term("text", "deploy"), Term("text", "render")),
+         w.AndNot(w.Term("text", "deploy"), w.Term("text", "render"))),
+        (Require(Term("text", "deploy"), Term("text", "render")),
+         w.Require(w.Term("text", "deploy"), w.Term("text", "render"))),
+        (AndMaybe(Term("text", "deploy"), Term("text", "render")),
+         w.AndMaybe(w.Term("text", "deploy"), w.Term("text", "render"))),
+        (DisjunctionMax([Term("text", "deploy"), Term("text", "render")]),
+         w.DisjunctionMax([w.Term("text", "deploy"), w.Term("text", "render")])),
+        (And([Or([Term("text", "deploy"), Term("text", "cluster")]),
+              Term("text", "error")]),
+         w.And([w.Or([w.Term("text", "deploy"), w.Term("text", "cluster")]),
+                w.Term("text", "error")])),
+        (Not(Term("text", "deploy")), w.Not(w.Term("text", "deploy"))),
+    ]
+    for myq, refq in cases:
+        mine, ref = both(engine, oracle, myq, refq, limit=None)
+        assert_rank_identical(mine, ref)
+
+
+def test_boosts(engine, oracle):
+    w = wq()
+    mine, ref = both(engine, oracle, Term("text", "deploy", boost=2.5),
+                     w.Term("text", "deploy", boost=2.5))
+    assert_rank_identical(mine, ref)
+    mine, ref = both(
+        engine, oracle,
+        Or([Term("text", "deploy", boost=3.0), Term("text", "render")]),
+        w.Or([w.Term("text", "deploy", boost=3.0), w.Term("text", "render")]))
+    assert_rank_identical(mine, ref)
+
+
+def test_phrases(engine, oracle):
+    w = wq()
+    phrases = [
+        ["deploy", "render"], ["render", "deploy"],
+        ["cluster", "error", "retry"], ["deploy", "deploy"],
+        ["absent", "deploy"],
+    ]
+    for ph in phrases:
+        mine, ref = both(engine, oracle, Phrase("text", ph),
+                         w.Phrase("text", ph), limit=None)
+        assert_rank_identical(mine, ref)
+
+
+def test_phrase_with_slop(engine, oracle):
+    w = wq()
+    mine, ref = both(engine, oracle, Phrase("text", ["deploy", "render"], slop=3),
+                     w.Phrase("text", ["deploy", "render"], slop=3), limit=None)
+    assert_rank_identical(mine, ref)
+
+
+def test_expansions(engine, oracle):
+    w = wq()
+    cases = [
+        (Prefix("text", "rend"), w.Prefix("text", "rend")),
+        (Prefix("text", "rend", constantscore=False),
+         w.Prefix("text", "rend", constantscore=False)),
+        (Wildcard("text", "ren*er"), w.Wildcard("text", "ren*er")),
+        (Wildcard("text", "?eploy"), w.Wildcard("text", "?eploy")),
+        (TermRange("text", "deploy", "error"),
+         w.TermRange("text", "deploy", "error")),
+        (FuzzyTerm("text", "deplou"), w.FuzzyTerm("text", "deplou")),
+        (Every("text"), w.Every("text")),
+    ]
+    for myq, refq in cases:
+        mine, ref = both(engine, oracle, myq, refq, limit=None)
+        assert_rank_identical(mine, ref)
+
+
+def test_id_field_terms(engine, oracle):
+    w = wq()
+    for f, v in [("role", "user"), ("role", "assistant"), ("tool", "bash"),
+                 ("conv_id", "conv000003")]:
+        mine, ref = both(engine, oracle, Term(f, v), w.Term(f, v), limit=None)
+        assert_rank_identical(mine, ref)
+    mine, ref = both(
+        engine, oracle,
+        And([Term("text", "deploy"), Term("role", "user")]),
+        w.And([w.Term("text", "deploy"), w.Term("role", "user")]), limit=None)
+    assert_rank_identical(mine, ref)

@@ -1,0 +1,99 @@
+"""Unit tests for the vectorized kernels (varint, lengths, codec, analyzer)."""
+
+import numpy as np
+import pytest
+
+from whoosh_ray.functions import varint
+from whoosh_ray.functions.analysis import STANDARD, VectorAnalyzer
+from whoosh_ray.functions.lengths import BYTE_TO_LENGTH, byte_to_length, length_to_byte
+from whoosh_ray.state import codec
+
+
+def test_varint_roundtrip():
+    rng = np.random.default_rng(0)
+    for n in [0, 1, 5, 1000, 100000]:
+        v = rng.integers(0, 2 ** 40, n)
+        assert np.array_equal(varint.decode(varint.encode(v), n), v)
+
+
+def test_varint_deltas():
+    rng = np.random.default_rng(1)
+    v = np.sort(rng.choice(10 ** 9, 5000, replace=False))
+    assert np.array_equal(varint.decode_deltas(varint.encode_deltas(v), 5000), v)
+
+
+def test_length_table_matches_reference():
+    from tests.conftest import load_whoosh_oracle
+
+    load_whoosh_oracle()
+    from whoosh.util.numeric import _length_byte_cache
+    from whoosh.util.numeric import length_to_byte as w_l2b
+
+    assert np.array_equal(BYTE_TO_LENGTH, np.asarray(_length_byte_cache))
+    ls = np.concatenate([np.arange(0, 2000),
+                         np.array([106373, 106374, 106375, 10 ** 7])])
+    assert np.array_equal(length_to_byte(ls),
+                          np.array([w_l2b(int(x)) for x in ls]))
+    assert byte_to_length(np.array([0, 255])).tolist() == [0, 106374]
+
+
+def test_codec_roundtrip_and_block_decode():
+    rng = np.random.default_rng(2)
+    for n in [1, 127, 128, 129, 1000, 50000]:
+        ids = np.sort(rng.choice(10 ** 9, n, replace=False))
+        tfs = rng.integers(1, 50, n)
+        lens = rng.integers(0, 256, n).astype(np.uint8)
+        r = codec.BlobReader(codec.encode_postings(ids, tfs, lens))
+        p = r.decode_all()
+        assert np.array_equal(p.docids, ids)
+        assert np.array_equal(p.tfs, tfs)
+        assert np.array_equal(p.len_bytes, lens)
+        # per-block stats
+        d = r.dir
+        starts = np.arange(0, n, codec.BLOCK_SIZE)
+        assert np.array_equal(d.last_docids,
+                              ids[np.minimum(starts + codec.BLOCK_SIZE, n) - 1])
+        mask = rng.random(d.nblocks) < 0.5
+        sel = np.zeros(n, bool)
+        for bi in np.flatnonzero(mask):
+            sel[starts[bi]: starts[bi] + codec.BLOCK_SIZE] = True
+        p2 = r.decode_blocks(mask)
+        assert np.array_equal(p2.docids, ids[sel])
+        assert np.array_equal(p2.tfs, tfs[sel])
+
+
+def test_positions_roundtrip():
+    rng = np.random.default_rng(3)
+    tfs = rng.integers(1, 10, 200)
+    pos = [np.sort(rng.choice(500, int(t), replace=False)) for t in tfs]
+    back = codec.decode_positions(codec.encode_positions(pos), tfs)
+    assert all(np.array_equal(a, b) for a, b in zip(pos, back))
+
+
+def test_analyzer_matches_reference_standard_analyzer():
+    from tests.conftest import load_whoosh_oracle
+
+    load_whoosh_oracle()
+    from whoosh.analysis import StandardAnalyzer
+
+    wa = StandardAnalyzer()
+    va = VectorAnalyzer(STANDARD)
+    import random
+
+    random.seed(7)
+    vocab = ["the", "a", "deploy", "render", "Alpha", "beta-3", "x", "of",
+             "TBD", "t.b.d", "Big-Time", "under_score", "3.141", "naïve"]
+    texts = [
+        "Hello, World! The quick fox 3.141 big-time under_score a I xy",
+        "THE the To tO TBD us YOUR rendering e-mail user@example.com",
+        "", "a", "multi.part.token    spaces\ttabs\nnewlines",
+    ] + [" ".join(random.choices(vocab, k=random.randint(0, 30)))
+         for _ in range(100)]
+    tb = va(texts)
+    cuts = np.concatenate(([0], np.cumsum(tb.row_lengths)))
+    for i, t in enumerate(texts):
+        ref = [(tok.text, tok.pos) for tok in wa(t, positions=True)]
+        mine = [(str(x), int(p))
+                for x, p in zip(tb.terms[cuts[i]: cuts[i + 1]],
+                                tb.positions[cuts[i]: cuts[i + 1]])]
+        assert mine == ref, t

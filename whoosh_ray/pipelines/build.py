@@ -1,0 +1,221 @@
+"""Distributed index build: the flagship Ray Data pipeline.
+
+End-to-end (reference lifecycle analogue: SURVEY.md §3.1/§3.2 —
+create_in → add_document* → commit, and MpWriter's process fan-out)::
+
+    read_parquet(columns pruned)
+      → with_docids            (broadcast conv bases — no shuffle)
+      → [resume filter]        (drop rows of already-committed segments)
+      ├─ docs branch:    groupby("seg") → DocsFileWriter   → stats rows
+      └─ posting branch: map_batches(TokenizePostings)     (actor pool)
+                         → groupby("seg") → EncodeSegmentTerms → stats rows
+      → per-segment meta.json commits → manifest seal
+
+Shuffle inventory (each is an all-to-all exchange — kept to the minimum):
+  1. groupby("seg") over stored-doc rows      (range partition by docid)
+  2. groupby("seg") over posting rows         (THE wide step; the docid
+     -range bucket in the key is the hot-term salt — see write_seg.py)
+plus one tiny aggregate (conv bases) materialized driver-side and
+broadcast.  Both branches re-read the input (read + docid-assign is
+cheaper than pinning the whole input in the object store); tokenization
+runs once, in the posting branch only — doc lengths are derived from the
+posting stream (sum tf == surviving token count).
+
+Checkpoint/resume: each segment commits independently (atomic renames +
+meta.json with lineage fingerprint + metrics); a re-run with the same
+input fingerprint skips committed segments before tokenization and
+reseals the manifest (the reference's all-or-nothing TOC commit,
+index.py:567-712, does not scale to this).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from whoosh_ray.stages.docids import with_docids
+from whoosh_ray.stages.tokenize import TokenizePostings
+from whoosh_ray.stages.write_seg import (
+    DocsFileWriter,
+    EncodeSegmentTerms,
+    commit_segment_meta,
+)
+from whoosh_ray.state.manifest import (
+    Manifest,
+    completed_segments,
+    read_manifest,
+    write_manifest,
+)
+from whoosh_ray.state.schema import IndexSchema
+
+DEFAULT_SEG_SIZE = 65536  # docs per segment; one segment's postings must fit a worker
+
+
+def _input_fingerprint(source, schema: IndexSchema) -> str:
+    """Cheap deterministic lineage fingerprint of (input, schema)."""
+    h = hashlib.sha256()
+    h.update(json.dumps(schema.to_json(), sort_keys=True, default=str).encode())
+    if isinstance(source, (list, tuple)):
+        for p in source:
+            h.update(str(p).encode())
+            try:
+                st = os.stat(p)
+                h.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
+            except OSError:
+                pass
+    elif isinstance(source, str):
+        h.update(source.encode())
+        try:
+            st = os.stat(source)
+            h.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
+        except OSError:
+            pass
+    else:
+        h.update(b"<dataset>")
+    return h.hexdigest()[:16]
+
+
+def build_index(
+    source,
+    index_dir: str,
+    schema: IndexSchema,
+    *,
+    seg_size: int = DEFAULT_SEG_SIZE,
+    docid_col: str | None = None,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    tokenize_concurrency: int | tuple[int, int] | None = None,
+    tokenize_batch_size: int = 8192,
+    resume: bool = True,
+) -> Manifest:
+    """Build (or resume) an index at ``index_dir`` over ``source``.
+
+    ``source`` is a parquet path / list of paths, or a ray Dataset.
+    Returns the sealed :class:`Manifest`.
+    """
+    t_start = time.time()
+    os.makedirs(os.path.join(index_dir, "segments"), exist_ok=True)
+
+    fingerprint = _input_fingerprint(source, schema)
+    if isinstance(source, ray.data.Dataset):
+        ds = source.select_columns(
+            [c for c in schema.input_columns()
+             if c in source.schema().names] +
+            ([conv_col, turn_col] if docid_col is None else [docid_col]))
+    else:
+        cols = list(dict.fromkeys(
+            schema.input_columns()
+            + ([conv_col, turn_col] if docid_col is None else [docid_col])))
+        ds = ray.data.read_parquet(source, columns=cols)
+
+    ds, span = with_docids(ds, conv_col=conv_col, turn_col=turn_col,
+                           docid_col=docid_col)
+
+    def add_seg(batch: pa.Table) -> pa.Table:
+        seg = pa.compute.divide(batch["docid"], seg_size).cast(pa.int64())
+        return batch.append_column("seg", seg)
+
+    ds = ds.map_batches(add_seg, batch_format="pyarrow")
+
+    # ---- resume: skip committed segments ----
+    done = completed_segments(index_dir) if resume else {}
+    done_ids = sorted(
+        s for s, m in done.items()
+        if m.lineage.get("fingerprint") == fingerprint
+        and m.metrics.get("complete")
+    )
+    if done_ids:
+        done_arr = np.array(done_ids, dtype=np.int64)
+
+        def drop_done(batch: pa.Table) -> pa.Table:
+            seg = batch["seg"].to_numpy()
+            keep = ~np.isin(seg, done_arr)
+            return batch.filter(pa.array(keep))
+
+        ds = ds.map_batches(drop_done, batch_format="pyarrow")
+
+    # ---- docs branch ----
+    stored_cols = list(dict.fromkeys(
+        [f.name for f in schema.fields if f.stored] + list(schema.stored_columns)))
+    docs_ds = ds.select_columns(["seg", "docid"] + stored_cols)
+    doc_stats = (
+        docs_ds.groupby("seg")
+        .map_groups(DocsFileWriter(index_dir, schema), batch_format="pyarrow")
+        .to_pandas()
+    )
+
+    # ---- posting branch ----
+    tok = TokenizePostings(schema, seg_size)
+    post_ds = ds.map_batches(
+        tok,
+        batch_format="pyarrow",
+        batch_size=tokenize_batch_size,
+        **({"concurrency": tokenize_concurrency}
+           if tokenize_concurrency is not None else {}),
+    )
+    term_stats = (
+        post_ds.groupby("seg")
+        .map_groups(EncodeSegmentTerms(index_dir, schema), batch_format="pyarrow")
+        .to_pandas()
+    )
+
+    # ---- per-segment lineage commits ----
+    build_secs = time.time() - t_start
+    term_by_seg = term_stats.set_index("seg") if len(term_stats) else None
+    new_metas = []
+    for _, row in doc_stats.iterrows():
+        seg_id = int(row["seg"])
+        if term_by_seg is not None and seg_id in term_by_seg.index:
+            trow = term_by_seg.loc[seg_id]
+            field_lengths = json.loads(trow["field_lengths"])
+            metrics = {
+                "complete": True,
+                "n_terms": int(trow["n_terms"]),
+                "n_postings": int(trow["n_postings"]),
+                "terms_secs": float(trow["terms_secs"]),
+                "docs_secs": float(row["docs_secs"]),
+            }
+        else:  # segment had docs but zero surviving tokens
+            field_lengths = {}
+            metrics = {"complete": True, "n_terms": 0, "n_postings": 0,
+                       "docs_secs": float(row["docs_secs"])}
+        meta = commit_segment_meta(
+            index_dir, seg_id,
+            docid_base=seg_id * seg_size,
+            doc_count=int(row["doc_count"]),
+            field_lengths=field_lengths,
+            lineage={"fingerprint": fingerprint,
+                     "docid_range": [seg_id * seg_size, (seg_id + 1) * seg_size],
+                     "source": source if isinstance(source, str) else "<dataset>"},
+            metrics=metrics,
+        )
+        new_metas.append(meta)
+
+    # ---- manifest seal: resumed segments + new segments ----
+    all_metas = {m.seg_id: m for m in done.values()
+                 if m.lineage.get("fingerprint") == fingerprint}
+    for m in new_metas:
+        all_metas[m.seg_id] = m
+    manifest = Manifest(
+        schema=schema,
+        segments=sorted(all_metas.values(), key=lambda m: m.seg_id),
+        settings={
+            "seg_size": seg_size,
+            "docid_span": span,
+            "fingerprint": fingerprint,
+            "build_secs": build_secs,
+            "resumed_segments": len(done_ids),
+        },
+    )
+    write_manifest(index_dir, manifest)
+    return manifest
+
+
+def open_index(index_dir: str) -> Manifest:
+    return read_manifest(index_dir)

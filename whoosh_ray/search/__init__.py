@@ -1,0 +1,17 @@
+from whoosh_ray.search.query import (  # noqa: F401
+    And,
+    AndMaybe,
+    AndNot,
+    DisjunctionMax,
+    Every,
+    FuzzyTerm,
+    Not,
+    Or,
+    Phrase,
+    Prefix,
+    Require,
+    Term,
+    TermRange,
+    Wildcard,
+)
+from whoosh_ray.search.searcher import Searcher  # noqa: F401

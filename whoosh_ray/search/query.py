@@ -1,0 +1,506 @@
+"""Query AST — per-operator semantics matching the reference.
+
+Reference: /root/reference/src/whoosh/query/ (Term terms.py:40-142,
+And/Or compound.py:242-489, Not wrappers.py:77-151, AndNot/Require/
+AndMaybe compound.py:546-653, Prefix/Wildcard terms.py:232-404, FuzzyTerm
+terms.py:420-486, TermRange ranges.py:134-347, Phrase positional.py:121-249,
+Every qcore.py:650-738).
+
+Each node implements ``docs_scores(searcher, seg) -> (docids, scores)``
+over ONE segment — numpy arrays, docids ascending — using the vectorized
+kernels in matching.py.  Global statistics (idf, avgfl) come from the
+searcher, exactly as the reference's per-segment matchers score with the
+parent (multi-reader) searcher's stats (searching.py:285-316).
+
+Scoring semantics pinned against the oracle (see tests/test_conformance):
+Or sums; DisjunctionMax maxes; Not/Every score ``boost`` (1.0); a Not
+child inside And *adds* its boost to the intersection score; Phrase
+scores the sum of its terms' BM25 scores on matching docs; constantscore
+expansions (Prefix/Wildcard/TermRange/Fuzzy default) score ``boost``.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field as dfield
+
+import numpy as np
+
+from whoosh_ray.search import matching
+
+
+class Query:
+    boost: float = 1.0
+
+    def docs_scores(self, searcher, seg):
+        """Evaluate over ONE segment -> (docids asc, scores)."""
+        raise NotImplementedError
+
+    def global_docs_scores(self, searcher):
+        """Evaluate over the whole index.  Default: concatenate per-segment
+        results (segments are disjoint ascending docid ranges, so the
+        concatenation is globally sorted).  Compound nodes override this to
+        combine their children's *global* arrays — required for exact parity
+        of operators whose reference matchers leak state across the whole
+        docid space (DisjunctionMax cursor scores, AndNot first-doc quirk),
+        which a per-segment decomposition would cut at segment boundaries."""
+        import numpy as np
+        ids_parts, score_parts = [], []
+        for seg in searcher.segments:
+            ids, scores = searcher.eval(self, seg)
+            if len(ids):
+                ids_parts.append(ids)
+                score_parts.append(scores)
+        if not ids_parts:
+            return matching.empty()
+        return np.concatenate(ids_parts), np.concatenate(score_parts)
+
+    def terms(self) -> list[tuple[str, str]]:
+        """(field, term) leaves needing global stats (df/idf)."""
+        return []
+
+    def expansion_queries(self, searcher) -> list["Query"]:
+        """Resolve lexicon expansions (global, so stats are consistent)."""
+        return [self]
+
+    def normalize(self) -> "Query":
+        return self
+
+
+@dataclass
+class Term(Query):
+    fieldname: str
+    text: str
+    boost: float = 1.0
+
+    def terms(self):
+        return [(self.fieldname, self.text)]
+
+    def docs_scores(self, searcher, seg):
+        p = seg.postings(self.fieldname, self.text)
+        if p is None:
+            return matching.empty()
+        scorer = searcher.scorer(self.fieldname, self.text)
+        scores = scorer.score_array(p.tfs, p.len_bytes)
+        if self.boost != 1.0:
+            scores = scores * self.boost
+        return p.docids, scores
+
+
+class _Compound(Query):
+    def __init__(self, subqueries, boost: float = 1.0):
+        self.subqueries = list(subqueries)
+        self.boost = boost
+
+    def terms(self):
+        out = []
+        for q in self.subqueries:
+            out.extend(q.terms())
+        return out
+
+    def expansion_queries(self, searcher):
+        return [type(self)([q2 for q in self.subqueries
+                            for q2 in q.expansion_queries(searcher)],
+                           boost=self.boost)]
+
+    def _apply_boost(self, res):
+        if self.boost != 1.0:
+            return res[0], res[1] * self.boost
+        return res
+
+
+class And(_Compound):
+    def _combine(self, evalfn):
+        pos = [q for q in self.subqueries if not isinstance(q, Not)]
+        neg = [q for q in self.subqueries if isinstance(q, Not)]
+        if not pos:
+            # pure-negative And degenerates to intersected complements
+            res = evalfn(neg[0])
+            for n in neg[1:]:
+                res = matching.require(res, evalfn(n)[0])
+            return self._apply_boost(res)
+        parts = [evalfn(q) for q in pos]
+        if any(len(p[0]) == 0 for p in parts):
+            return matching.empty()
+        res = matching.intersect_sum(parts)
+        for n in neg:
+            ex = evalfn(n.subquery)[0]
+            res = matching.diff(res, ex)
+            # oracle-pinned: surviving docs gain the Not's boost
+            res = (res[0], res[1] + n.boost)
+        return self._apply_boost(res)
+
+    def docs_scores(self, searcher, seg):
+        return self._combine(lambda q: searcher.eval(q, seg))
+
+    def global_docs_scores(self, searcher):
+        return self._combine(lambda q: searcher.global_eval(q))
+
+
+class Or(_Compound):
+    def __init__(self, subqueries, boost: float = 1.0, minmatch: int = 0):
+        super().__init__(subqueries, boost)
+        self.minmatch = minmatch
+
+    def _combine(self, evalfn):
+        parts = [evalfn(q) for q in self.subqueries]
+        res = matching.union_sum(parts)
+        if self.minmatch > 1:
+            counts = matching.union_sum(
+                [(p[0], np.ones(len(p[0]))) for p in parts])
+            keep = counts[1][np.searchsorted(counts[0], res[0])] >= self.minmatch
+            res = (res[0][keep], res[1][keep])
+        return self._apply_boost(res)
+
+    def docs_scores(self, searcher, seg):
+        return self._combine(lambda q: searcher.eval(q, seg))
+
+    def global_docs_scores(self, searcher):
+        return self._combine(lambda q: searcher.global_eval(q))
+
+
+class DisjunctionMax(_Compound):
+    def __init__(self, subqueries, boost: float = 1.0, tiebreak: float = 0.0):
+        super().__init__(subqueries, boost)
+        self.tiebreak = tiebreak
+
+    def docs_scores(self, searcher, seg):
+        # per-segment form: cursor leaks are cut at segment boundaries
+        # (used by the distributed fan-out; exact parity needs the global
+        # form below because the reference's leak spans the whole index)
+        parts = [searcher.eval(q, seg) for q in self.subqueries]
+        return self._apply_boost(matching.union_max_cursor(parts))
+
+    def global_docs_scores(self, searcher):
+        parts = [searcher.global_eval(q) for q in self.subqueries]
+        return self._apply_boost(matching.union_max_cursor(parts))
+
+
+@dataclass
+class Not(Query):
+    subquery: Query
+    boost: float = 1.0
+
+    def terms(self):
+        return self.subquery.terms()
+
+    def expansion_queries(self, searcher):
+        return [Not(self.subquery.expansion_queries(searcher)[0], self.boost)]
+
+    def docs_scores(self, searcher, seg):
+        child = searcher.eval(self.subquery, seg)[0]
+        return matching.inverse(seg.all_docids(), child, self.boost)
+
+    def global_docs_scores(self, searcher):
+        child = searcher.global_eval(self.subquery)[0]
+        return matching.inverse(searcher.all_docids(), child, self.boost)
+
+
+class AndNot(Query):
+    """Matches a's documents not matched by b, with a's scores
+    (compound.py:546-580).
+
+    Bug-parity: the reference's ``AndNotMatcher._find_first`` only advances
+    past a's first doc when ``a.id() == b.id()`` at construction
+    (binary.py:577-581), so a's (globally) first matching doc escapes
+    exclusion unless it is also b's first matching doc.  Reproduced here so
+    top-k lists are identical."""
+
+    def __init__(self, a: Query, b: Query, boost: float = 1.0):
+        self.a, self.b, self.boost = a, b, boost
+
+    def terms(self):
+        return self.a.terms() + self.b.terms()
+
+    def expansion_queries(self, searcher):
+        return [AndNot(self.a.expansion_queries(searcher)[0],
+                       self.b.expansion_queries(searcher)[0], self.boost)]
+
+    def docs_scores(self, searcher, seg):
+        res = matching.diff(searcher.eval(self.a, seg),
+                            searcher.eval(self.b, seg)[0])
+        return (res[0], res[1] * self.boost) if self.boost != 1.0 else res
+
+    def global_docs_scores(self, searcher):
+        a_ids, a_scores = searcher.global_eval(self.a)
+        b_ids = searcher.global_eval(self.b)[0]
+        res = matching.diff((a_ids, a_scores), b_ids)
+        if (len(a_ids) and len(b_ids) and int(a_ids[0]) != int(b_ids[0])
+                and (len(res[0]) == 0 or int(res[0][0]) != int(a_ids[0]))):
+            # first-doc escape (see class docstring)
+            res = (np.concatenate(([a_ids[0]], res[0])),
+                   np.concatenate(([a_scores[0]], res[1])))
+        return (res[0], res[1] * self.boost) if self.boost != 1.0 else res
+
+
+class Require(Query):
+    """Semi-join: a's docs also matching b, scored by a only
+    (compound.py:582-620, wrappers.py:423-486)."""
+
+    def __init__(self, a: Query, b: Query, boost: float = 1.0):
+        self.a, self.b, self.boost = a, b, boost
+
+    def terms(self):
+        return self.a.terms() + self.b.terms()
+
+    def expansion_queries(self, searcher):
+        return [Require(self.a.expansion_queries(searcher)[0],
+                        self.b.expansion_queries(searcher)[0], self.boost)]
+
+    def docs_scores(self, searcher, seg):
+        res = matching.require(searcher.eval(self.a, seg),
+                               searcher.eval(self.b, seg)[0])
+        return (res[0], res[1] * self.boost) if self.boost != 1.0 else res
+
+    def global_docs_scores(self, searcher):
+        res = matching.require(searcher.global_eval(self.a),
+                               searcher.global_eval(self.b)[0])
+        return (res[0], res[1] * self.boost) if self.boost != 1.0 else res
+
+
+class AndMaybe(Query):
+    """Left outer: a's docs; b's score added where b also matches
+    (compound.py:622-653, binary.py:686-803)."""
+
+    def __init__(self, a: Query, b: Query, boost: float = 1.0):
+        self.a, self.b, self.boost = a, b, boost
+
+    def terms(self):
+        return self.a.terms() + self.b.terms()
+
+    def expansion_queries(self, searcher):
+        return [AndMaybe(self.a.expansion_queries(searcher)[0],
+                         self.b.expansion_queries(searcher)[0], self.boost)]
+
+    def docs_scores(self, searcher, seg):
+        res = matching.and_maybe(searcher.eval(self.a, seg),
+                                 searcher.eval(self.b, seg))
+        return (res[0], res[1] * self.boost) if self.boost != 1.0 else res
+
+    def global_docs_scores(self, searcher):
+        res = matching.and_maybe(searcher.global_eval(self.a),
+                                 searcher.global_eval(self.b))
+        return (res[0], res[1] * self.boost) if self.boost != 1.0 else res
+
+
+@dataclass
+class Every(Query):
+    """All documents (fieldname=None) or all documents with >=1 posting in
+    the field — the reference reads every posting list for the latter
+    (qcore.py:650-738); we take the same cost."""
+
+    fieldname: str | None = None
+    boost: float = 1.0
+
+    def docs_scores(self, searcher, seg):
+        if self.fieldname is None:
+            ids = seg.all_docids()
+        else:
+            parts = []
+            for t in seg.all_terms(self.fieldname):
+                p = seg.postings(self.fieldname, t)
+                if p is not None:
+                    parts.append(p.docids)
+            ids = np.unique(np.concatenate(parts)) if parts else matching.EMPTY_IDS
+        return ids, np.full(len(ids), self.boost, dtype=np.float64)
+
+
+class _MultiTerm(Query):
+    """Base for lexicon-expansion queries.  ``constantscore=True`` (the
+    reference default for Prefix/Wildcard/TermRange/Fuzzy) scores every
+    matching doc ``boost``; otherwise expands to a scored Or of Terms
+    (terms.py:203-229)."""
+
+    fieldname: str
+    boost: float = 1.0
+    constantscore: bool = True
+
+    def _expand(self, searcher) -> list[str]:
+        raise NotImplementedError
+
+    def expansion_queries(self, searcher):
+        words = self._expand(searcher)
+        if not words:
+            return [_NullQuery()]
+        if len(words) == 1:
+            # reference parity: a single-term expansion bypasses
+            # constantscore and is fully scored (terms.py:215-217)
+            return [Term(self.fieldname, words[0], self.boost)]
+        if self.constantscore:
+            return [_ConstantTermSet(self.fieldname, words, self.boost)]
+        return [Or([Term(self.fieldname, w) for w in words], boost=self.boost)]
+
+    def docs_scores(self, searcher, seg):
+        return self.expansion_queries(searcher)[0].docs_scores(searcher, seg)
+
+
+class _NullQuery(Query):
+    def docs_scores(self, searcher, seg):
+        return matching.empty()
+
+
+class _ConstantTermSet(Query):
+    """Union of several terms' postings with constant score = boost."""
+
+    def __init__(self, fieldname: str, words: list[str], boost: float):
+        self.fieldname = fieldname
+        self.words = words
+        self.boost = boost
+
+    def terms(self):
+        return [(self.fieldname, w) for w in self.words]
+
+    def docs_scores(self, searcher, seg):
+        parts = []
+        for w in self.words:
+            p = seg.postings(self.fieldname, w)
+            if p is not None:
+                parts.append(p.docids)
+        if not parts:
+            return matching.empty()
+        ids = np.unique(np.concatenate(parts))
+        return ids, np.full(len(ids), self.boost, dtype=np.float64)
+
+
+class Prefix(_MultiTerm):
+    def __init__(self, fieldname, text, boost: float = 1.0,
+                 constantscore: bool = True):
+        self.fieldname, self.text = fieldname, text
+        self.boost, self.constantscore = boost, constantscore
+
+    def _expand(self, searcher):
+        return searcher.expand_prefix(self.fieldname, self.text)
+
+
+class Wildcard(_MultiTerm):
+    """``*`` and ``?`` patterns, expanded via the longest literal prefix
+    then regex-filtered (terms.py:357-404)."""
+
+    def __init__(self, fieldname, text, boost: float = 1.0,
+                 constantscore: bool = True):
+        self.fieldname, self.text = fieldname, text
+        self.boost, self.constantscore = boost, constantscore
+
+    def _expand(self, searcher):
+        text = self.text
+        i = min([text.find(c) if text.find(c) >= 0 else len(text)
+                 for c in "*?"])
+        prefix = text[:i]
+        pat = re.compile(
+            "^" + "".join(
+                ".*" if c == "*" else "." if c == "?" else re.escape(c)
+                for c in text) + "$")
+        cand = (searcher.expand_prefix(self.fieldname, prefix) if prefix
+                else searcher.lexicon(self.fieldname))
+        return [w for w in cand if pat.match(w)]
+
+
+class TermRange(_MultiTerm):
+    """Lexicographic term range (ranges.py:134-218); constantscore=True by
+    default (ranges.py:66, pinned by conformance tests)."""
+
+    def __init__(self, fieldname, start, end, startexcl: bool = False,
+                 endexcl: bool = False, boost: float = 1.0,
+                 constantscore: bool = True):
+        self.fieldname = fieldname
+        self.start, self.end = start, end
+        self.startexcl, self.endexcl = startexcl, endexcl
+        self.boost, self.constantscore = boost, constantscore
+
+    def _expand(self, searcher):
+        return searcher.term_range(self.fieldname, self.start, self.end,
+                                   include_lo=not self.startexcl,
+                                   include_hi=not self.endexcl)
+
+
+class FuzzyTerm(_MultiTerm):
+    """Terms within Damerau-Levenshtein ``maxdist`` sharing ``prefixlength``
+    initial chars (terms.py:420-486; automaton intersection in the
+    reference, reading.py:522-568 — here a vectorized DL distance over the
+    prefix-pruned lexicon slice, same result set)."""
+
+    def __init__(self, fieldname, text, boost: float = 1.0, maxdist: int = 1,
+                 prefixlength: int = 1, constantscore: bool = True):
+        self.fieldname, self.text = fieldname, text
+        self.boost, self.maxdist = boost, maxdist
+        self.prefixlength = prefixlength
+        self.constantscore = constantscore
+
+    def _expand(self, searcher):
+        from whoosh_ray.functions.spelling import damerau_levenshtein
+
+        prefix = self.text[: self.prefixlength]
+        cand = (searcher.expand_prefix(self.fieldname, prefix) if prefix
+                else searcher.lexicon(self.fieldname))
+        return [w for w in cand
+                if damerau_levenshtein(self.text, w, self.maxdist) <= self.maxdist]
+
+
+class Phrase(Query):
+    """Exact/sloppy ordered phrase over position payloads
+    (positional.py:121-249; matching via SpanNear2 semantics: successive
+    term positions within [1, slop]).  Scores the sum of the constituent
+    terms' scores on matching docs (oracle-pinned)."""
+
+    def __init__(self, fieldname: str, words: list[str], slop: int = 1,
+                 boost: float = 1.0):
+        self.fieldname = fieldname
+        self.words = list(words)
+        self.slop = slop
+        self.boost = boost
+
+    def terms(self):
+        return [(self.fieldname, w) for w in self.words]
+
+    def docs_scores(self, searcher, seg):
+        f = self.fieldname
+        plists = []
+        for w in self.words:
+            p = seg.postings(f, w)
+            if p is None:
+                return matching.empty()
+            plists.append(p)
+        # candidate docs = intersection
+        cand = plists[0].docids
+        for p in plists[1:]:
+            cand = np.intersect1d(cand, p.docids, assume_unique=True)
+            if len(cand) == 0:
+                return matching.empty()
+        # positional verification per candidate doc
+        pos_by_term = []
+        for w, p in zip(self.words, plists):
+            pos = seg.positions(f, w)
+            if pos is None:
+                return matching.empty()  # field indexed without positions
+            idx = np.searchsorted(p.docids, cand)
+            pos_by_term.append([pos[i] for i in idx])
+        ok = np.zeros(len(cand), dtype=bool)
+        slop = self.slop
+        for d in range(len(cand)):
+            current = pos_by_term[0][d]
+            for t in range(1, len(self.words)):
+                nxt = pos_by_term[t][d]
+                if slop == 1:
+                    current = np.intersect1d(current + 1, nxt,
+                                             assume_unique=True)
+                else:
+                    hits = []
+                    for delta in range(1, slop + 1):
+                        hits.append(np.intersect1d(current + delta, nxt,
+                                                   assume_unique=True))
+                    current = np.unique(np.concatenate(hits)) if hits else current
+                if len(current) == 0:
+                    break
+            ok[d] = len(current) > 0
+        match_ids = cand[ok]
+        if len(match_ids) == 0:
+            return matching.empty()
+        # score: sum of term scores on the matching docs
+        scores = np.zeros(len(match_ids), dtype=np.float64)
+        for w, p in zip(self.words, plists):
+            scorer = searcher.scorer(f, w)
+            idx = np.searchsorted(p.docids, match_ids)
+            scores += scorer.score_array(p.tfs[idx], p.len_bytes[idx])
+        if self.boost != 1.0:
+            scores = scores * self.boost
+        return match_ids, scores

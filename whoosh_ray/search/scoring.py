@@ -1,0 +1,153 @@
+"""Scoring models — rank- and score-identical to the reference.
+
+Reference formulas (/root/reference/src/whoosh/scoring.py):
+
+- idf: ``log(doc_count_all / (df + 1)) + 1``            (:53-60)
+- BM25: ``idf * tf*(K1+1) / (tf + K1*((1-B) + B*fl/avgfl))``  (:266-279)
+  with B=0.75, K1=1.2, per-field ``<field>_B`` overrides (:281-305);
+- doc length ``fl`` is the *dequantized* stored byte
+  (codec/whoosh3.py:420-433 + util/numeric.py:288-317);
+- ``avgfl`` = exact total field length / doc_count_all (searching.py:259-262);
+- non-scorable fields fall back to WeightScorer (score == weight)
+  (:317-320, :92-124);
+- TF_IDF: ``weight * idf`` (:449-474); Frequency: raw weight (:443-446).
+
+All scorers are vectorized: one numpy expression over a decoded posting
+array.  ``max_quality``/``block_quality`` mirror the reference's
+block-max machinery (scoring.py:199-217) for WAND pruning.
+"""
+
+from __future__ import annotations
+
+from math import log
+
+import numpy as np
+
+from whoosh_ray.functions.lengths import byte_to_length
+
+
+def idf(doc_count_all: int, df: int) -> float:
+    return log(doc_count_all / (df + 1)) + 1
+
+
+class WeightingModel:
+    """Factory for per-(field, term) vectorized scorers."""
+
+    def scorer(self, searcher, fieldname: str, text: str, qf: int = 1):
+        raise NotImplementedError
+
+
+class Scorer:
+    def score_array(self, tfs: np.ndarray, len_bytes: np.ndarray) -> np.ndarray:
+        raise NotImplementedError
+
+    def max_quality(self) -> float:
+        raise NotImplementedError
+
+    def block_quality(self, max_weight: float, min_len_byte: int) -> float:
+        raise NotImplementedError
+
+
+class BM25F(WeightingModel):
+    def __init__(self, B: float = 0.75, K1: float = 1.2, **kwargs):
+        self.B = B
+        self.K1 = K1
+        self._field_B = {k[:-2]: v for k, v in kwargs.items() if k.endswith("_B")}
+
+    def scorer(self, searcher, fieldname: str, text: str, qf: int = 1):
+        spec = searcher.schema.field(fieldname)
+        if not spec.scorable:
+            return WeightScorer(searcher, fieldname, text)
+        B = self._field_B.get(fieldname, self.B)
+        return BM25FScorer(searcher, fieldname, text, B, self.K1)
+
+
+class BM25FScorer(Scorer):
+    def __init__(self, searcher, fieldname, text, B, K1):
+        self.idf = searcher.idf(fieldname, text)
+        self.avgfl = searcher.avg_field_length(fieldname) or 1
+        self.B = B
+        self.K1 = K1
+        self.boost = searcher.schema.field(fieldname).boost
+        # stats for quality bounds
+        ti = searcher.global_term_info(fieldname, text)
+        self._maxw = ti["max_weight"] * self.boost if ti else 0.0
+        self._minlen = ti["min_length"] if ti else 0
+
+    def _bm25(self, weight, fl):
+        B, K1 = self.B, self.K1
+        return self.idf * ((weight * (K1 + 1)) / (weight + K1 * ((1 - B) + B * fl / self.avgfl)))
+
+    def score_array(self, tfs, len_bytes):
+        weight = tfs.astype(np.float64) * self.boost
+        fl = byte_to_length(len_bytes).astype(np.float64)
+        return self._bm25(weight, fl)
+
+    def max_quality(self):
+        return float(self._bm25(self._maxw, float(byte_to_length(np.array([self._minlen]))[0])))
+
+    def block_quality(self, max_weight, min_len_byte):
+        fl = float(byte_to_length(np.array([min_len_byte]))[0])
+        return float(self._bm25(max_weight * self.boost, fl))
+
+
+class WeightScorer(Scorer):
+    """score == weight; for non-scorable (existence-format) fields the
+    weight is the field boost, independent of tf (formats.py:129-159)."""
+
+    def __init__(self, searcher, fieldname, text):
+        spec = searcher.schema.field(fieldname)
+        self.fmt = spec.fmt
+        self.boost = spec.boost
+
+    def score_array(self, tfs, len_bytes):
+        if self.fmt == "existence":
+            return np.full(len(tfs), self.boost, dtype=np.float64)
+        return tfs.astype(np.float64) * self.boost
+
+    def max_quality(self):
+        return self.boost
+
+    def block_quality(self, max_weight, min_len_byte):
+        if self.fmt == "existence":
+            return self.boost
+        return max_weight * self.boost
+
+
+class TF_IDF(WeightingModel):
+    def scorer(self, searcher, fieldname, text, qf=1):
+        return TFIDFScorer(searcher, fieldname, text)
+
+
+class TFIDFScorer(Scorer):
+    def __init__(self, searcher, fieldname, text):
+        self.idf = searcher.idf(fieldname, text)
+        self.boost = searcher.schema.field(fieldname).boost
+
+    def score_array(self, tfs, len_bytes):
+        return tfs.astype(np.float64) * self.boost * self.idf
+
+    def max_quality(self):
+        return float("inf")
+
+    def block_quality(self, max_weight, min_len_byte):
+        return max_weight * self.boost * self.idf
+
+
+class Frequency(WeightingModel):
+    def scorer(self, searcher, fieldname, text, qf=1):
+        return FrequencyScorer(searcher, fieldname, text)
+
+
+class FrequencyScorer(Scorer):
+    def __init__(self, searcher, fieldname, text):
+        self.boost = searcher.schema.field(fieldname).boost
+
+    def score_array(self, tfs, len_bytes):
+        return tfs.astype(np.float64) * self.boost
+
+    def max_quality(self):
+        return float("inf")
+
+    def block_quality(self, max_weight, min_len_byte):
+        return max_weight * self.boost

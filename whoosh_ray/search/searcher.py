@@ -1,0 +1,223 @@
+"""Searcher: multi-segment BM25F top-k with global statistics.
+
+Reference lifecycle analogue (SURVEY.md §3.3): open latest TOC → one
+reader per segment (MultiReader with doc offsets, index.py:496-562) →
+per-segment matcher trees scored with the PARENT searcher's global
+idf/avgfl (searching.py:285-316, scoring.py:317-332) → bounded top-k
+with the (−score, docid) tie-break (collectors.py:465-480).
+
+Here: manifest → SegmentReader per partition → vectorized per-segment
+(docids, scores) → concatenate → one argsort.  Global docids need no
+offset arithmetic — they are stable ranks assigned at build time.  The
+distributed path (search/dist.py) fans the same per-segment evaluation
+out over an actor pool and merges per-segment top-k.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from whoosh_ray.search import scoring
+from whoosh_ray.search.query import Query
+from whoosh_ray.state.manifest import Manifest, read_manifest
+from whoosh_ray.state.segment import SegmentReader
+
+
+class Results:
+    """Ranked hits: global docids + float64 scores (+ lazy stored fields)."""
+
+    def __init__(self, searcher: "Searcher", docids: np.ndarray,
+                 scores: np.ndarray):
+        self.searcher = searcher
+        self.docids = docids
+        self.scores = scores
+
+    def __len__(self):
+        return len(self.docids)
+
+    def __iter__(self):
+        return iter(zip(self.docids.tolist(), self.scores.tolist()))
+
+    def to_arrow(self, columns: list[str] | None = None) -> pa.Table:
+        """(rank, docid, score) + stored fields, in rank order."""
+        stored = self.searcher.stored(self.docids, columns=columns)
+        rank = pa.array(np.arange(len(self.docids)), type=pa.int64())
+        out = pa.table(
+            {
+                "rank": rank,
+                "docid": pa.array(self.docids, type=pa.int64()),
+                "score": pa.array(self.scores, type=pa.float64()),
+            }
+        )
+        for name in stored.column_names:
+            if name != "docid":
+                out = out.append_column(name, stored[name])
+        return out
+
+
+class Searcher:
+    def __init__(self, index_dir: str, manifest: Manifest | None = None,
+                 weighting: scoring.WeightingModel | None = None):
+        self.index_dir = index_dir
+        self.manifest = manifest or read_manifest(index_dir)
+        self.schema = self.manifest.schema
+        self.weighting = weighting or scoring.BM25F()
+        self.segments = [
+            SegmentReader(index_dir, m, self.schema)
+            for m in sorted(self.manifest.segments, key=lambda m: m.seg_id)
+        ]
+        self._ti_cache: dict[tuple[str, str], dict | None] = {}
+        self._idf_cache: dict[tuple[str, str], float] = {}
+        self._scorer_cache: dict[tuple[str, str], scoring.Scorer] = {}
+        self._eval_cache: dict[tuple[int, int], tuple] = {}
+        self._global_cache: dict[int, tuple] = {}
+        self._all_docids = None
+
+    # ---- global statistics ----
+
+    @property
+    def doc_count_all(self) -> int:
+        return self.manifest.doc_count_all
+
+    def avg_field_length(self, fieldname: str) -> float:
+        return self.manifest.avg_field_length(fieldname)
+
+    def global_term_info(self, fieldname: str, text: str) -> dict | None:
+        """TermInfo merged across segments (MultiReader semantics,
+        reading.py:1218-1260)."""
+        key = (fieldname, text)
+        if key in self._ti_cache:
+            return self._ti_cache[key]
+        merged: dict | None = None
+        for seg in self.segments:
+            ti = seg.term_info(fieldname, text)
+            if ti is None:
+                continue
+            if merged is None:
+                merged = dict(ti)
+            else:
+                merged["df"] += ti["df"]
+                merged["sum_tf"] += ti["sum_tf"]
+                merged["total_weight"] += ti["total_weight"]
+                merged["max_weight"] = max(merged["max_weight"], ti["max_weight"])
+                merged["min_length"] = min(merged["min_length"], ti["min_length"])
+                merged["max_length"] = max(merged["max_length"], ti["max_length"])
+                merged["min_docid"] = min(merged["min_docid"], ti["min_docid"])
+                merged["max_docid"] = max(merged["max_docid"], ti["max_docid"])
+        self._ti_cache[key] = merged
+        return merged
+
+    def doc_frequency(self, fieldname: str, text: str) -> int:
+        ti = self.global_term_info(fieldname, text)
+        return ti["df"] if ti else 0
+
+    def frequency(self, fieldname: str, text: str) -> float:
+        ti = self.global_term_info(fieldname, text)
+        return ti["total_weight"] if ti else 0.0
+
+    def idf(self, fieldname: str, text: str) -> float:
+        """Parity: scoring.py:53-60 + per-searcher cache searching.py:318-334."""
+        key = (fieldname, text)
+        if key not in self._idf_cache:
+            self._idf_cache[key] = scoring.idf(
+                self.doc_count_all, self.doc_frequency(fieldname, text))
+        return self._idf_cache[key]
+
+    def scorer(self, fieldname: str, text: str) -> scoring.Scorer:
+        key = (fieldname, text)
+        if key not in self._scorer_cache:
+            self._scorer_cache[key] = self.weighting.scorer(self, fieldname, text)
+        return self._scorer_cache[key]
+
+    # ---- lexicon ----
+
+    def expand_prefix(self, fieldname: str, prefix: str) -> list[str]:
+        out: set[str] = set()
+        for seg in self.segments:
+            out.update(seg.expand_prefix(fieldname, prefix))
+        return sorted(out)
+
+    def lexicon(self, fieldname: str) -> list[str]:
+        out: set[str] = set()
+        for seg in self.segments:
+            out.update(seg.all_terms(fieldname))
+        return sorted(out)
+
+    def term_range(self, fieldname: str, lo, hi, *, include_lo=True,
+                   include_hi=False) -> list[str]:
+        out: set[str] = set()
+        for seg in self.segments:
+            out.update(seg.term_range(fieldname, lo, hi,
+                                      include_lo=include_lo,
+                                      include_hi=include_hi))
+        return sorted(out)
+
+    # ---- evaluation helpers ----
+
+    def eval(self, q: Query, seg) -> tuple[np.ndarray, np.ndarray]:
+        """Per-(query-node, segment) memoized evaluation within one search."""
+        key = (id(q), seg.meta.seg_id)
+        if key not in self._eval_cache:
+            self._eval_cache[key] = q.docs_scores(self, seg)
+        return self._eval_cache[key]
+
+    def global_eval(self, q: Query) -> tuple[np.ndarray, np.ndarray]:
+        """Whole-index memoized evaluation (global arrays)."""
+        key = id(q)
+        if key not in self._global_cache:
+            self._global_cache[key] = q.global_docs_scores(self)
+        return self._global_cache[key]
+
+    def all_docids(self) -> np.ndarray:
+        if self._all_docids is None:
+            parts = [seg.all_docids() for seg in self.segments]
+            self._all_docids = (np.concatenate(parts) if parts
+                                else np.empty(0, dtype=np.int64))
+        return self._all_docids
+
+    # ---- search ----
+
+    def search(self, q: Query, limit: int | None = 10) -> Results:
+        self._eval_cache.clear()
+        self._global_cache.clear()
+        q = q.expansion_queries(self)[0]
+        docids, scores = q.global_docs_scores(self)
+        if not len(docids):
+            return Results(self, np.empty(0, dtype=np.int64),
+                           np.empty(0, dtype=np.float64))
+        order = np.lexsort((docids, -scores))
+        if limit is not None:
+            order = order[:limit]
+        return Results(self, docids[order], scores[order])
+
+    # ---- stored fields ----
+
+    def seg_of(self, docid: int) -> SegmentReader:
+        seg_size = int(self.manifest.settings["seg_size"])
+        target = docid // seg_size
+        for s in self.segments:
+            if s.meta.seg_id == target:
+                return s
+        raise KeyError(docid)
+
+    def stored(self, docids: np.ndarray, columns: list[str] | None = None) -> pa.Table:
+        seg_size = int(self.manifest.settings["seg_size"])
+        segs = np.asarray(docids) // seg_size
+        parts = []
+        for s in self.segments:
+            sel = np.asarray(docids)[segs == s.meta.seg_id]
+            if len(sel):
+                t = s.stored(np.sort(sel))
+                if columns is not None:
+                    t = t.select([c for c in ["docid"] + columns
+                                  if c in t.column_names])
+                parts.append(t)
+        if not parts:
+            return pa.table({"docid": pa.array([], type=pa.int64())})
+        t = pa.concat_tables(parts)
+        # restore requested (rank) order
+        all_ids = t["docid"].to_numpy()
+        lookup = {int(d): i for i, d in enumerate(all_ids)}
+        idx = [lookup[int(d)] for d in docids if int(d) in lookup]
+        return t.take(pa.array(idx))

@@ -1,0 +1,145 @@
+"""Index manifest: commit protocol, per-partition lineage, checkpoint-resume.
+
+The reference commits an index generation by atomically writing a TOC file
+naming the live segments (/root/reference/src/whoosh/index.py:567-712,
+atomic temp-file rename :673-712).  That all-or-nothing commit doesn't
+scale to a 100 TB build, so this engine commits *per partition*:
+
+- every segment directory ``segments/seg=NNNNN/`` is written under a temp
+  name and atomically renamed into place, with a ``meta.json`` lineage
+  entry (input fingerprint, docid range, doc count, exact per-field token
+  totals, build metrics) written last inside it;
+- a final ``manifest.json`` seal aggregates the segment entries plus the
+  global stats BM25 needs (doc_count_all, per-field total lengths →
+  avg_field_length, searching.py:259-262);
+- resume = re-run the build; segments whose ``meta.json`` exists with a
+  matching lineage fingerprint are skipped before tokenization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+from whoosh_ray.state.schema import IndexSchema
+
+FORMAT_VERSION = 1
+
+
+def seg_dirname(seg_id: int) -> str:
+    return f"seg={seg_id:05d}"
+
+
+@dataclass
+class SegmentMeta:
+    seg_id: int
+    docid_base: int
+    doc_count: int
+    field_lengths: dict[str, int] = field(default_factory=dict)  # exact totals
+    lineage: dict = field(default_factory=dict)
+    metrics: dict = field(default_factory=dict)
+
+    def to_json(self) -> dict:
+        return {
+            "seg_id": self.seg_id,
+            "docid_base": self.docid_base,
+            "doc_count": self.doc_count,
+            "field_lengths": self.field_lengths,
+            "lineage": self.lineage,
+            "metrics": self.metrics,
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "SegmentMeta":
+        return SegmentMeta(
+            seg_id=d["seg_id"], docid_base=d["docid_base"],
+            doc_count=d["doc_count"],
+            field_lengths={k: int(v) for k, v in d["field_lengths"].items()},
+            lineage=d.get("lineage", {}), metrics=d.get("metrics", {}),
+        )
+
+
+@dataclass
+class Manifest:
+    schema: IndexSchema
+    segments: list[SegmentMeta]
+    settings: dict = field(default_factory=dict)
+
+    @property
+    def doc_count_all(self) -> int:
+        return sum(s.doc_count for s in self.segments)
+
+    def field_length(self, fieldname: str) -> int:
+        return sum(s.field_lengths.get(fieldname, 0) for s in self.segments)
+
+    def avg_field_length(self, fieldname: str) -> float:
+        """Parity: searching.py:259-262 — total exact length / doc_count_all."""
+        dc = self.doc_count_all
+        if not dc:
+            return 1.0
+        return self.field_length(fieldname) / dc
+
+    def to_json(self) -> dict:
+        return {
+            "version": FORMAT_VERSION,
+            "schema": self.schema.to_json(),
+            "settings": self.settings,
+            "segments": [s.to_json() for s in sorted(self.segments,
+                                                     key=lambda s: s.seg_id)],
+            "global": {
+                "doc_count_all": self.doc_count_all,
+                "field_lengths": {
+                    f.name: self.field_length(f.name)
+                    for f in self.schema.fields
+                },
+            },
+        }
+
+
+def atomic_write_json(path: str, obj: dict) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, indent=1, default=str)
+    os.replace(tmp, path)
+
+
+def write_manifest(index_dir: str, manifest: Manifest) -> str:
+    path = os.path.join(index_dir, "manifest.json")
+    atomic_write_json(path, manifest.to_json())
+    return path
+
+
+def read_manifest(index_dir: str) -> Manifest:
+    with open(os.path.join(index_dir, "manifest.json")) as f:
+        d = json.load(f)
+    return Manifest(
+        schema=IndexSchema.from_json(d["schema"]),
+        segments=[SegmentMeta.from_json(s) for s in d["segments"]],
+        settings=d.get("settings", {}),
+    )
+
+
+def read_segment_meta(index_dir: str, seg_id: int) -> SegmentMeta | None:
+    p = os.path.join(index_dir, "segments", seg_dirname(seg_id), "meta.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return SegmentMeta.from_json(json.load(f))
+
+
+def completed_segments(index_dir: str) -> dict[int, SegmentMeta]:
+    """Scan for committed segment partitions (the resume set)."""
+    segroot = os.path.join(index_dir, "segments")
+    out: dict[int, SegmentMeta] = {}
+    if not os.path.isdir(segroot):
+        return out
+    for name in os.listdir(segroot):
+        if not name.startswith("seg="):
+            continue
+        p = os.path.join(segroot, name, "meta.json")
+        if os.path.exists(p):
+            with open(p) as f:
+                m = SegmentMeta.from_json(json.load(f))
+            out[m.seg_id] = m
+    return out

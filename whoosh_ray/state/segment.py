@@ -1,0 +1,191 @@
+"""Immutable segment: terms table + docs table under one directory.
+
+Reference analogue: the W3 segment — terms file, postings file, per-doc
+columns, assembled per commit (/root/reference/src/whoosh/codec/whoosh3.py:70-141,
+W3Segment :1254-1296).  Here a segment covers one contiguous docid range
+(the build partition) and is two Parquet files plus a lineage entry:
+
+- ``terms.parquet`` — one row per (field, term), sorted by (field, term):
+  TermInfo stats (df, total_weight, max_weight, min/max length-byte,
+  min/max docid — reading.py:62-137) + the posting blob (codec.py) +
+  optional positions blob.  Parquet row-group statistics on the sorted
+  ``term`` column give block-range pruning for term lookups and prefix
+  scans without loading the blobs.
+- ``docs.parquet`` — one row per document, sorted by docid: stored fields
+  (the reference's stored-field column, whoosh3.py:156-277).
+- ``meta.json`` — lineage + metrics (manifest.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from whoosh_ray.state import codec
+from whoosh_ray.state.manifest import SegmentMeta, seg_dirname
+from whoosh_ray.state.schema import IndexSchema
+
+TERM_STAT_COLS = [
+    "field", "term", "df", "sum_tf", "total_weight", "max_weight",
+    "min_length", "max_length", "min_docid", "max_docid",
+]
+
+TERMS_ARROW_SCHEMA = pa.schema(
+    [
+        ("field", pa.string()),
+        ("term", pa.string()),
+        ("df", pa.int64()),
+        ("sum_tf", pa.int64()),
+        ("total_weight", pa.float64()),
+        ("max_weight", pa.float32()),
+        ("min_length", pa.uint8()),
+        ("max_length", pa.uint8()),
+        ("min_docid", pa.int64()),
+        ("max_docid", pa.int64()),
+        ("postings", pa.large_binary()),
+        ("positions", pa.large_binary()),
+    ]
+)
+
+
+class SegmentReader:
+    """Reads one segment's terms/postings/stored docs.
+
+    Cheap to construct; loads the stats columns (no blobs) lazily and keeps
+    them cached — this is the per-actor state of query actor pools.
+    """
+
+    def __init__(self, index_dir: str, meta: SegmentMeta, schema: IndexSchema):
+        self.meta = meta
+        self.schema = schema
+        self.dir = os.path.join(index_dir, "segments", seg_dirname(meta.seg_id))
+        self._terms_path = os.path.join(self.dir, "terms.parquet")
+        self._docs_path = os.path.join(self.dir, "docs.parquet")
+        self._stats: pa.Table | None = None
+        self._blob_cache: dict[tuple[str, str], tuple[bytes, bytes | None]] = {}
+
+    # ---- terms ----
+
+    @property
+    def stats(self) -> pa.Table:
+        if self._stats is None:
+            self._stats = pq.read_table(self._terms_path, columns=TERM_STAT_COLS)
+        return self._stats
+
+    def term_info(self, field: str, term: str) -> dict | None:
+        t = self.stats
+        idx = self._find(field, term)
+        if idx is None:
+            return None
+        return {c: t[c][idx].as_py() for c in TERM_STAT_COLS}
+
+    def _find(self, field: str, term: str) -> int | None:
+        """Binary search the (field, term)-sorted stats table."""
+        t = self.stats
+        fields = t["field"].to_numpy(zero_copy_only=False)
+        terms = t["term"].to_numpy(zero_copy_only=False)
+        lo = np.searchsorted(fields, field, side="left")
+        hi = np.searchsorted(fields, field, side="right")
+        if lo == hi:
+            return None
+        j = lo + np.searchsorted(terms[lo:hi], term, side="left")
+        if j < hi and terms[j] == term:
+            return int(j)
+        return None
+
+    def term_range(self, field: str, lo: str | None, hi: str | None,
+                   *, include_lo: bool = True, include_hi: bool = False) -> list[str]:
+        """Sorted terms of ``field`` in [lo, hi) (lexicon range scan).
+
+        Reference analogue: OrderedHashReader range scans over the terms
+        dictionary (filedb/filetables.py:440-570) used by Prefix/TermRange
+        expansion (query/terms.py:274-288)."""
+        t = self.stats
+        fields = t["field"].to_numpy(zero_copy_only=False)
+        terms = t["term"].to_numpy(zero_copy_only=False)
+        flo = np.searchsorted(fields, field, side="left")
+        fhi = np.searchsorted(fields, field, side="right")
+        sub = terms[flo:fhi]
+        a = 0 if lo is None else np.searchsorted(sub, lo, side="left" if include_lo else "right")
+        b = len(sub) if hi is None else np.searchsorted(sub, hi, side="right" if include_hi else "left")
+        return [str(x) for x in sub[a:b]]
+
+    def expand_prefix(self, field: str, prefix: str) -> list[str]:
+        return self.term_range(field, prefix, prefix + "￿", include_hi=True)
+
+    def all_terms(self, field: str) -> list[str]:
+        return self.term_range(field, None, None)
+
+    def _load_blobs(self, field: str, term: str) -> tuple[bytes, bytes | None] | None:
+        key = (field, term)
+        if key in self._blob_cache:
+            return self._blob_cache[key]
+        # Row-group-pruned selective read of the blob columns.
+        t = pq.read_table(
+            self._terms_path,
+            columns=["field", "term", "postings", "positions"],
+            filters=[("field", "=", field), ("term", "=", term)],
+        )
+        if t.num_rows == 0:
+            return None
+        blob = t["postings"][0].as_py()
+        posblob = t["positions"][0].as_py()
+        out = (blob, posblob)
+        if len(self._blob_cache) > 256:
+            self._blob_cache.clear()
+        self._blob_cache[key] = out
+        return out
+
+    def blob_reader(self, field: str, term: str) -> codec.BlobReader | None:
+        blobs = self._load_blobs(field, term)
+        if blobs is None:
+            return None
+        return codec.BlobReader(blobs[0])
+
+    def postings(self, field: str, term: str) -> codec.Postings | None:
+        r = self.blob_reader(field, term)
+        return None if r is None else r.decode_all()
+
+    def positions(self, field: str, term: str) -> list[np.ndarray] | None:
+        blobs = self._load_blobs(field, term)
+        if blobs is None or blobs[1] is None or len(blobs[1]) == 0:
+            return None
+        tfs = codec.BlobReader(blobs[0]).decode_all().tfs
+        return codec.decode_positions(blobs[1], tfs)
+
+    # ---- docs ----
+
+    def all_docids(self) -> np.ndarray:
+        t = pq.read_table(self._docs_path, columns=["docid"])
+        return t["docid"].to_numpy()
+
+    def stored(self, docids: np.ndarray) -> pa.Table:
+        """Stored-field rows for the given (segment-resident) docids,
+        returned in the order requested."""
+        t = pq.read_table(self._docs_path)
+        all_ids = t["docid"].to_numpy()
+        idx = np.searchsorted(all_ids, docids)
+        idx = np.clip(idx, 0, len(all_ids) - 1)
+        ok = all_ids[idx] == docids
+        return t.take(pa.array(idx[ok]))
+
+    def docs_table(self, columns: list[str] | None = None) -> pa.Table:
+        return pq.read_table(self._docs_path, columns=columns)
+
+
+def write_terms_file(seg_dir: str, table: pa.Table) -> None:
+    """Write the (field, term)-sorted terms table with small row groups so
+    parquet statistics give fine-grained term-range pruning."""
+    pq.write_table(table, os.path.join(seg_dir, "terms.parquet"),
+                   row_group_size=4096,
+                   sorting_columns=[pq.SortingColumn(0), pq.SortingColumn(1)])
+
+
+def write_docs_file(seg_dir: str, table: pa.Table) -> None:
+    pq.write_table(table, os.path.join(seg_dir, "docs.parquet"),
+                   row_group_size=16384,
+                   sorting_columns=[pq.SortingColumn(0)])

@@ -1,44 +1,451 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+`entry()` runs the flagship pipeline (transcript index build + BM25F
+query set) at sf0.001 scale; `queries()` exposes one callable per
+implemented operator family; `oracle_sql()` gives the DuckDB-equivalent
+SQL for every SQL-expressible entry (column names match exactly; BM25
+scores are bit-identical — the SQL embeds the same length-quantization
+table and uses `::DOUBLE` literals so DuckDB's decimal literals don't
+diverge from float64 arithmetic).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+
+# ---------------------------------------------------------------- helpers
+
+_STOPS_SQL = ("'a','an','and','are','as','at','be','by','can','for','from',"
+              "'have','if','in','is','it','may','not','of','on','or','tbd',"
+              "'that','the','this','to','us','we','when','will','with','yet',"
+              "'you','your'")
+
+
+def _quant_sql() -> str:
+    from whoosh_ray.functions.lengths import BYTE_TO_LENGTH
+
+    return ",".join(str(int(x)) for x in BYTE_TO_LENGTH)
+
+
+def _base_ctes() -> str:
+    """Shared CTEs: tokenization (StandardAnalyzer parity), quantized
+    lengths, postings, global stats."""
+    return rf"""
+quant AS (SELECT unnest([{_quant_sql()}]) AS l),
+tok AS (
+  SELECT doc_id, list_filter(regexp_extract_all(lower(text), '\w+(\.?\w+)*'),
+    t -> length(t) >= 2 AND t NOT IN ({_STOPS_SQL})) AS toks
+  FROM documents
+),
+lens AS (
+  SELECT doc_id, len(toks) AS fl_exact,
+    (SELECT min(l) FROM quant WHERE l >= least(len(toks), 106374)) AS fl_q
+  FROM tok
+),
+postings AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM tok, unnest(toks) AS u(term) GROUP BY doc_id, term
+),
+stats AS (SELECT (SELECT count(*) FROM lens)::DOUBLE AS dc,
+                 (SELECT sum(fl_exact) FROM lens)::DOUBLE AS total_len),
+ts AS (SELECT term, count(*)::BIGINT AS df FROM postings GROUP BY term)
+"""
+
+
+_BM25_EXPR = ("(ln(dc / (df + 1)) + 1) * ((tf * (1.2::DOUBLE + 1)) / "
+              "(tf + 1.2::DOUBLE * ((1 - 0.75::DOUBLE) + 0.75::DOUBLE * fl_q "
+              "/ (total_len / dc))))")
+
+
+def _bm25_single_sql(term: str, limit: int = 10) -> str:
+    return rf"""
+WITH {_base_ctes()},
+scored AS (
+  SELECT p.doc_id AS docid, {_BM25_EXPR} AS score
+  FROM postings p JOIN lens USING (doc_id), stats, ts
+  WHERE p.term = '{term}' AND ts.term = '{term}'
+)
+SELECT (row_number() OVER (ORDER BY score DESC, docid) - 1) AS rank,
+       docid, score
+FROM scored ORDER BY score DESC, docid LIMIT {limit}
+"""
+
+
+def _bm25_pair_sql(term_a: str, term_b: str, op: str, limit: int = 10) -> str:
+    """op = 'and' (intersection, sum) or 'or' (union, sum)."""
+    join = "JOIN" if op == "and" else "FULL OUTER JOIN"
+    return rf"""
+WITH {_base_ctes()},
+sa AS (
+  SELECT p.doc_id AS docid, {_BM25_EXPR} AS score
+  FROM postings p JOIN lens USING (doc_id), stats, ts
+  WHERE p.term = '{term_a}' AND ts.term = '{term_a}'
+),
+sb AS (
+  SELECT p.doc_id AS docid, {_BM25_EXPR} AS score
+  FROM postings p JOIN lens USING (doc_id), stats, ts
+  WHERE p.term = '{term_b}' AND ts.term = '{term_b}'
+),
+scored AS (
+  SELECT coalesce(sa.docid, sb.docid) AS docid,
+         coalesce(sa.score, 0) + coalesce(sb.score, 0) AS score
+  FROM sa {join} sb ON sa.docid = sb.docid
+)
+SELECT (row_number() OVER (ORDER BY score DESC, docid) - 1) AS rank,
+       docid, score
+FROM scored ORDER BY score DESC, docid LIMIT {limit}
+"""
+
+
+def _phrase_sql(word1: str, word2: str, limit: int = 10) -> str:
+    """Adjacent-pair phrase over analyzer positions + sum-of-term-scores."""
+    return rf"""
+WITH {_base_ctes()},
+positions AS (
+  SELECT doc_id, unnest(toks) AS term,
+         generate_subscripts(toks, 1) AS pos
+  FROM tok
+),
+phrase_docs AS (
+  SELECT DISTINCT p1.doc_id AS doc_id
+  FROM positions p1 JOIN positions p2
+    ON p1.doc_id = p2.doc_id AND p2.pos = p1.pos + 1
+  WHERE p1.term = '{word1}' AND p2.term = '{word2}'
+),
+sa AS (
+  SELECT p.doc_id AS docid, {_BM25_EXPR} AS score
+  FROM postings p JOIN lens USING (doc_id), stats, ts
+  WHERE p.term = '{word1}' AND ts.term = '{word1}'
+),
+sb AS (
+  SELECT p.doc_id AS docid, {_BM25_EXPR} AS score
+  FROM postings p JOIN lens USING (doc_id), stats, ts
+  WHERE p.term = '{word2}' AND ts.term = '{word2}'
+),
+scored AS (
+  SELECT sa.docid AS docid, sa.score + sb.score AS score
+  FROM sa JOIN sb USING (docid)
+  WHERE docid IN (SELECT doc_id FROM phrase_docs)
+)
+SELECT (row_number() OVER (ORDER BY score DESC, docid) - 1) AS rank,
+       docid, score
+FROM scored ORDER BY score DESC, docid LIMIT {limit}
+"""
+
+
+# engine-side query constructors (lazy imports keep module import cheap)
+
+def _searcher(sf_dir: str):
+    from whoosh_ray.pipelines.ir import documents_searcher
+
+    return documents_searcher(sf_dir)
+
+
+def _read_docs(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+# ---------------------------------------------------------------- contract
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: build the transcript index with the Ray pipeline and run
+    a BM25F query set; returns the concatenated top-k result table."""
+    import shutil
+
+    from whoosh_ray.pipelines.build import build_index
+    from whoosh_ray.pipelines.ir import topk_table
+    from whoosh_ray.search import And, Or, Phrase, Searcher, Term
+    from whoosh_ray.sources.transcripts import write_transcripts
+    from whoosh_ray.state.schema import transcripts_schema
+
+    work = "/tmp/whoosh_ray_entry"
+    shutil.rmtree(work, ignore_errors=True)
+    src = write_transcripts(os.path.join(work, "src"), n_convs=30)
+    manifest = build_index(src, os.path.join(work, "ix"),
+                           transcripts_schema(), seg_size=64)
+    s = Searcher(os.path.join(work, "ix"), manifest)
+    queryset = {
+        "term": Term("text", "deploy"),
+        "and": And([Term("text", "deploy"), Term("text", "render")]),
+        "or": Or([Term("text", "cluster"), Term("text", "error")]),
+        "phrase": Phrase("text", ["deploy", "render"]),
+        "role": And([Term("text", "deploy"), Term("role", "user")]),
+    }
+    parts = []
+    for name, q in queryset.items():
+        t = topk_table(s, q, limit=10)
+        parts.append(t.append_column(
+            "query", pa.array([name] * t.num_rows, type=pa.string())))
+    return pa.concat_tables(parts)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from whoosh_ray.pipelines import ir
+    from whoosh_ray.search import And, Or, Phrase, Prefix, Term
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def ir_term_stats(sf_dir):
+        return ir.term_stats_table(_searcher(sf_dir))
+
+    def ir_bm25_spark(sf_dir):
+        return ir.topk_table(_searcher(sf_dir), Term("text", "spark"))
+
+    def ir_bm25_window(sf_dir):
+        return ir.topk_table(_searcher(sf_dir), Term("text", "window"))
+
+    def ir_bm25_and(sf_dir):
+        return ir.topk_table(
+            _searcher(sf_dir), And([Term("text", "spark"), Term("text", "hash")]))
+
+    def ir_bm25_or(sf_dir):
+        return ir.topk_table(
+            _searcher(sf_dir), Or([Term("text", "spark"), Term("text", "hash")]))
+
+    def ir_phrase(sf_dir):
+        return ir.topk_table(_searcher(sf_dir),
+                             Phrase("text", ["table", "hash"]))
+
+    def ir_prefix(sf_dir):
+        s = _searcher(sf_dir)
+        r = s.search(Prefix("text", "s"), limit=None)
+        return pa.table({
+            "docid": pa.array(np.sort(r.docids), type=pa.int64()),
+        })
+
+    def ir_facet_source(sf_dir):
+        return ir.facet_count(_searcher(sf_dir), Term("text", "spark"),
+                              "source")
+
+    def ir_sorted_nchars(sf_dir):
+        return ir.sorted_by(_searcher(sf_dir), Term("text", "spark"),
+                            "n_chars", limit=20)
+
+    def ir_collapse_lang(sf_dir):
+        return ir.collapse_best_per_key(_searcher(sf_dir),
+                                        Term("text", "spark"), "lang")
+
+    def dedup_exact_q(sf_dir):
+        from whoosh_ray.pipelines.dedup import dedup_exact
+
+        out = dedup_exact(_read_docs(sf_dir)).to_pandas()
+        return pa.table({"doc_id": pa.array(np.sort(out["doc_id"].to_numpy()),
+                                            type=pa.int64())})
+
+    def dedup_jaccard_pairs(sf_dir):
+        from whoosh_ray.pipelines.dedup import jaccard_pairs_exact
+
+        pdf = jaccard_pairs_exact(_read_docs(sf_dir), threshold=0.5)
+        pdf = pdf.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+        return pa.table({
+            "doc_a": pa.array(pdf["doc_a"], type=pa.int64()),
+            "doc_b": pa.array(pdf["doc_b"], type=pa.int64()),
+            "jaccard": pa.array(pdf["jaccard"], type=pa.float64()),
+        })
+
+    def dedup_minhash_pairs(sf_dir):
+        """MinHash-LSH candidates + Jaccard verification (rows-only oracle:
+        the banding uses process-stable SipHash signatures)."""
+        from whoosh_ray.pipelines.dedup import (minhash_candidate_pairs,
+                                                verify_jaccard)
+
+        ds = _read_docs(sf_dir)
+        cand = minhash_candidate_pairs(ds).to_pandas()
+        pdf = verify_jaccard(ds, cand, threshold=0.5)
+        pdf = pdf.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+        return pa.Table.from_pandas(pdf, preserve_index=False)
+
+    def knn_top10(sf_dir):
+        import pyarrow.parquet as pq
+
+        from whoosh_ray.pipelines.knn import knn_bruteforce
+        import ray.data
+
+        emb_path = os.path.join(sf_dir, "embeddings.parquet")
+        head = pq.read_table(emb_path).slice(0, 5)
+        qids = head["vec_id"].to_numpy()
+        qmat = np.array(head["embedding"].to_pylist(), dtype=np.float64)
+        ds = ray.data.read_parquet(emb_path)
+        out = knn_bruteforce(ds, qids, qmat, k=10)
+        return pa.table({
+            "query_id": pa.array(out["query_id"], type=pa.int64()),
+            "neighbor_id": pa.array(out["neighbor_id"], type=pa.int64()),
+            "rank": pa.array(out["rank"], type=pa.int64()),
+        })
+
+    def text_token_stats(sf_dir):
+        from whoosh_ray.pipelines.textstats import token_stats
+
+        ds = token_stats(_read_docs(sf_dir))
+        agg = ds.groupby("lang").sum(
+            ["n_tokens", "n_tokens_all", "n_stopwords"])
+        pdf = agg.to_pandas().sort_values("lang").reset_index(drop=True)
+        pdf.columns = ["lang", "total_tokens", "total_tokens_all",
+                       "total_stopwords"]
+        return pa.Table.from_pandas(pdf, preserve_index=False)
+
+    def text_fingerprints(sf_dir):
+        """Rows-only: SipHash-based order-insensitive doc fingerprints."""
+        from whoosh_ray.pipelines.textstats import Fingerprint
+
+        ds = _read_docs(sf_dir).map_batches(Fingerprint(),
+                                            batch_format="pyarrow")
+        return ds.select_columns(["doc_id", "fingerprint"])
+
+    def text_langid(sf_dir):
+        """Rows-only: heuristic stopword-profile language ID."""
+        from whoosh_ray.pipelines.textstats import LangId
+
+        ds = _read_docs(sf_dir).map_batches(LangId(), batch_format="pyarrow")
+        return ds.select_columns(["doc_id", "lang_pred"])
+
+    def text_simhash(sf_dir):
+        """Rows-only: 64-bit simhash fingerprints."""
+        from whoosh_ray.pipelines.dedup import SimHasher
+
+        ds = _read_docs(sf_dir).map_batches(SimHasher(),
+                                            batch_format="pyarrow")
+        return ds.select_columns(["doc_id", "simhash"])
+
+    def transcripts_queryset(sf_dir):
+        """Rows-only: the flagship transcript pipeline (entry()) — its
+        rank/score parity with the reference is pinned by pytest."""
+        return entry()
+
+    return {
+        "ir_term_stats": ir_term_stats,
+        "ir_bm25_spark": ir_bm25_spark,
+        "ir_bm25_window": ir_bm25_window,
+        "ir_bm25_and": ir_bm25_and,
+        "ir_bm25_or": ir_bm25_or,
+        "ir_phrase": ir_phrase,
+        "ir_prefix": ir_prefix,
+        "ir_facet_source": ir_facet_source,
+        "ir_sorted_nchars": ir_sorted_nchars,
+        "ir_collapse_lang": ir_collapse_lang,
+        "dedup_exact": dedup_exact_q,
+        "dedup_jaccard_pairs": dedup_jaccard_pairs,
+        "dedup_minhash_pairs": dedup_minhash_pairs,
+        "knn_top10": knn_top10,
+        "text_token_stats": text_token_stats,
+        "text_fingerprints": text_fingerprints,
+        "text_langid": text_langid,
+        "text_simhash": text_simhash,
+        "transcripts_queryset": transcripts_queryset,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "ir_term_stats": rf"""
+WITH {_base_ctes()}
+SELECT p.term AS term, count(*)::BIGINT AS df, sum(p.tf)::BIGINT AS total_tf
+FROM postings p GROUP BY p.term
+""",
+        "ir_bm25_spark": _bm25_single_sql("spark"),
+        "ir_bm25_window": _bm25_single_sql("window"),
+        "ir_bm25_and": _bm25_pair_sql("spark", "hash", "and"),
+        "ir_bm25_or": _bm25_pair_sql("spark", "hash", "or"),
+        "ir_phrase": _phrase_sql("table", "hash"),
+        "ir_prefix": rf"""
+WITH {_base_ctes()}
+SELECT DISTINCT p.doc_id AS docid FROM postings p
+WHERE p.term LIKE 's%' ORDER BY docid
+""",
+        "ir_facet_source": rf"""
+WITH {_base_ctes()}
+SELECT d.source AS source, count(*)::BIGINT AS n
+FROM documents d WHERE d.doc_id IN
+  (SELECT doc_id FROM postings WHERE term = 'spark')
+GROUP BY d.source ORDER BY d.source
+""",
+        "ir_sorted_nchars": rf"""
+WITH {_base_ctes()}
+SELECT d.doc_id AS docid, d.n_chars AS n_chars
+FROM documents d WHERE d.doc_id IN
+  (SELECT doc_id FROM postings WHERE term = 'spark')
+ORDER BY d.n_chars DESC, d.doc_id LIMIT 20
+""",
+        "ir_collapse_lang": rf"""
+WITH {_base_ctes()},
+scored AS (
+  SELECT p.doc_id AS docid, {_BM25_EXPR} AS score
+  FROM postings p JOIN lens USING (doc_id), stats, ts
+  WHERE p.term = 'spark' AND ts.term = 'spark'
+)
+SELECT lang, docid, score FROM (
+  SELECT d.lang AS lang, s.docid AS docid, s.score AS score,
+         row_number() OVER (PARTITION BY d.lang
+                            ORDER BY s.score DESC, s.docid) AS rn
+  FROM scored s JOIN documents d ON d.doc_id = s.docid)
+WHERE rn = 1 ORDER BY lang
+""",
+        "dedup_exact": """
+SELECT min(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id
+""",
+        "dedup_jaccard_pairs": rf"""
+WITH tok AS (
+  SELECT doc_id, list_filter(regexp_extract_all(lower(text), '\w+(\.?\w+)*'),
+    t -> length(t) >= 2 AND t NOT IN ({_STOPS_SQL})) AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) >= 3 THEN
+      list_distinct(list_transform(range(1, len(toks) - 1),
+        i -> concat_ws(' ', list_extract(toks, i), list_extract(toks, i + 1),
+                       list_extract(toks, i + 2))))
+    WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+    ELSE []::VARCHAR[] END AS shingles
+  FROM tok
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+  len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(list_distinct(list_concat(a.shingles, b.shingles))) > 0
+  AND len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+      len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5
+ORDER BY doc_a, doc_b
+""",
+        "knn_top10": """
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+pairs AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+    list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) AS cosine
+  FROM q, embeddings e WHERE e.vec_id != q.vec_id
+)
+SELECT query_id, neighbor_id,
+  (row_number() OVER (PARTITION BY query_id
+                      ORDER BY cosine DESC, neighbor_id) - 1) AS rank
+FROM pairs
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY cosine DESC, neighbor_id) <= 10
+ORDER BY query_id, rank
+""",
+        "text_token_stats": rf"""
+WITH tokall AS (
+  SELECT doc_id,
+    regexp_extract_all(lower(text), '\w+(\.?\w+)*') AS toks_all,
+    list_filter(regexp_extract_all(lower(text), '\w+(\.?\w+)*'),
+      t -> length(t) >= 2 AND t NOT IN ({_STOPS_SQL})) AS toks
+  FROM documents
+)
+SELECT d.lang AS lang,
+  sum(len(t.toks))::BIGINT AS total_tokens,
+  sum(len(t.toks_all))::BIGINT AS total_tokens_all,
+  sum(len(list_filter(t.toks_all, x -> x IN ({_STOPS_SQL}))))::BIGINT
+    AS total_stopwords
+FROM documents d JOIN tokall t USING (doc_id)
+GROUP BY d.lang ORDER BY d.lang
+""",
+    }

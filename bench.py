@@ -1,0 +1,171 @@
+"""Headline benchmark: transcript index build + BM25 query set (+ extras).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {...per-stage sec + throughputs...}, "sf": ..., "num_cpus": N}
+
+`--scaling` runs the same benchmark in two fresh subprocesses at
+RAY_GRAFT_CPUS=8 and =32 and reports build-throughput scaling efficiency
+(the sandbox evidence for the north rule's N vs 4N cluster criterion).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+# transcripts scale with sf: ~500k turns at sf=0.1 (7.5 turns/conv avg)
+TURNS_PER_SF = 5_000_000
+
+
+def _sf_value(sf_dir: str) -> float:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    try:
+        return _run_inner()
+    finally:
+        ray.shutdown()
+
+
+def _run_inner() -> dict:
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from whoosh_ray.pipelines.build import build_index
+    from whoosh_ray.search import And, Or, Phrase, Prefix, Searcher, Term
+    from whoosh_ray.search.dist import batch_search
+    from whoosh_ray.sources.transcripts import write_transcripts
+    from whoosh_ray.state.schema import documents_schema, transcripts_schema
+
+    sf = _sf_value(SF_DIR)
+    n_convs = max(50, int(TURNS_PER_SF * sf / 7.5))
+    queries: dict[str, float] = {}
+
+    # -------- corpus generation (cached, untimed) + page-cache warm
+    src = f"/tmp/wr_bench/src-sf{sf}"
+    marker = os.path.join(src, "_DONE")
+    if not os.path.exists(marker):
+        shutil.rmtree(src, ignore_errors=True)
+        write_transcripts(src, n_convs=n_convs)
+        open(marker, "w").write("ok")
+    n_turns = sum(pq.ParquetFile(os.path.join(src, f)).metadata.num_rows
+                  for f in os.listdir(src) if f.endswith(".parquet"))
+    for f in os.listdir(src):  # warm
+        with open(os.path.join(src, f), "rb") as fh:
+            fh.read()
+
+    # -------- headline: transcript index build (timed)
+    ix = f"/tmp/wr_bench/ix-sf{sf}-{NUM_CPUS}"
+    shutil.rmtree(ix, ignore_errors=True)
+    t0 = time.time()
+    build_index(src, ix, transcripts_schema(),
+                seg_size=65536, tokenize_batch_size=4096)
+    t_build = time.time() - t0
+    queries["build_transcripts_sec"] = round(t_build, 3)
+    queries["build_turns_per_sec"] = round(n_turns / t_build, 1)
+    queries["n_turns"] = n_turns
+
+    # -------- query set latency (local searcher, timed per set)
+    s = Searcher(ix)
+    qset = [
+        Term("text", "deploy"),
+        Term("text", "november"),
+        And([Term("text", "deploy"), Term("text", "render")]),
+        Or([Term("text", "cluster"), Term("text", "error")]),
+        Or([Term("text", "deploy"), Term("text", "the")]),
+        Phrase("text", ["deploy", "render"]),
+        Prefix("text", "rend"),
+        And([Term("text", "deploy"), Term("role", "user")]),
+    ]
+    t0 = time.time()
+    for q in qset:
+        s.search_topk(q, limit=10)
+    queries["queryset_local_sec"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    batch_search(ix, qset, limit=10, concurrency=min(4, NUM_CPUS))
+    queries["queryset_dist_sec"] = round(time.time() - t0, 3)
+
+    # -------- documents corpus: build + extras (timed)
+    docs_path = os.path.join(SF_DIR, "documents.parquet")
+    ix_docs = f"/tmp/wr_bench/ixdocs-sf{sf}-{NUM_CPUS}"
+    shutil.rmtree(ix_docs, ignore_errors=True)
+    t0 = time.time()
+    build_index(docs_path, ix_docs, documents_schema(), seg_size=65536,
+                docid_col="doc_id")
+    queries["build_documents_sec"] = round(time.time() - t0, 3)
+
+    from whoosh_ray.pipelines.dedup import minhash_candidate_pairs
+    t0 = time.time()
+    minhash_candidate_pairs(ray.data.read_parquet(docs_path)).to_pandas()
+    queries["dedup_minhash_sec"] = round(time.time() - t0, 3)
+
+    from whoosh_ray.pipelines.knn import knn_bruteforce
+    emb_path = os.path.join(SF_DIR, "embeddings.parquet")
+    head = pq.read_table(emb_path).slice(0, 16)
+    t0 = time.time()
+    knn_bruteforce(ray.data.read_parquet(emb_path),
+                   head["vec_id"].to_numpy(),
+                   np.array(head["embedding"].to_pylist(), dtype=np.float64),
+                   k=10)
+    queries["knn_sec"] = round(time.time() - t0, 3)
+
+    total = sum(v for k, v in queries.items()
+                if k.endswith("_sec") and not k.endswith("per_sec"))
+    return {
+        "metric": "transcript index build + BM25 query set + extras wall sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "num_cpus": NUM_CPUS,
+    }
+
+
+def run_scaling():
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             check=True, cwd=os.path.dirname(os.path.abspath(__file__)))
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    lo_cpus, hi_cpus = 8, 32
+    lo = run(lo_cpus)
+    hi = run(hi_cpus)
+    tp_lo = lo["queries"]["build_turns_per_sec"]
+    tp_hi = hi["queries"]["build_turns_per_sec"]
+    eff = (tp_hi / tp_lo) / (hi_cpus / lo_cpus)
+    print(json.dumps({
+        "metric": "index-build scaling efficiency (8 -> 32 cpus)",
+        "turns_per_sec_8": tp_lo,
+        "turns_per_sec_32": tp_hi,
+        "speedup": round(tp_hi / tp_lo, 3),
+        "scaling_efficiency": round(eff, 3),
+        "sec_8": lo["queries"]["build_transcripts_sec"],
+        "sec_32": hi["queries"]["build_transcripts_sec"],
+        "sf": lo["sf"],
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_bench()))

@@ -1,0 +1,54 @@
+"""Distributed query paths must match the local searcher exactly."""
+
+import numpy as np
+import pytest
+
+from whoosh_ray.pipelines.build import build_index
+from whoosh_ray.search import And, Or, Phrase, Prefix, Searcher, Term
+from whoosh_ray.search.dist import FanoutSearcher, batch_search
+from whoosh_ray.sources.transcripts import generate_transcripts
+from whoosh_ray.state.schema import transcripts_schema
+
+
+@pytest.fixture(scope="module")
+def index_dir(tmp_path_factory):
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("dist")
+    (d / "src").mkdir()
+    pq.write_table(generate_transcripts(n_convs=80, seed=3),
+                   str(d / "src" / "p.parquet"))
+    build_index(str(d / "src"), str(d / "index"), transcripts_schema(),
+                seg_size=64)
+    return str(d / "index")
+
+
+QUERIES = [
+    Term("text", "deploy"),
+    And([Term("text", "deploy"), Term("text", "render")]),
+    Or([Term("text", "cluster"), Term("text", "error")]),
+    Phrase("text", ["deploy", "render"]),
+    Prefix("text", "rend"),
+    And([Term("text", "deploy"), Term("role", "user")]),
+]
+
+
+def test_batch_search_matches_local(index_dir):
+    local = Searcher(index_dir)
+    out = batch_search(index_dir, QUERIES, limit=10, concurrency=2)
+    pdf = out.to_pandas()
+    for i, q in enumerate(QUERIES):
+        r = local.search(q, limit=10)
+        sub = pdf[pdf["query_id"] == i]
+        assert sub["docid"].tolist() == r.docids.tolist()
+        np.testing.assert_array_equal(sub["score"].to_numpy(), r.scores)
+
+
+def test_fanout_matches_local(index_dir):
+    local = Searcher(index_dir)
+    fan = FanoutSearcher(index_dir, num_shards=3)
+    for q in QUERIES:
+        r1 = local.search(q, limit=10)
+        r2 = fan.search(q, limit=10)
+        assert r1.docids.tolist() == r2.docids.tolist(), q
+        np.testing.assert_array_equal(r1.scores, r2.scores)

@@ -62,6 +62,39 @@ def test_codec_roundtrip_and_block_decode():
         assert np.array_equal(p2.tfs, tfs[sel])
 
 
+def test_batch_encode_matches_per_term():
+    rng = np.random.default_rng(5)
+    # synthesize a sorted multi-term posting stream
+    n_terms = 57
+    dfs = rng.integers(1, 400, n_terms)
+    parts_ids, parts_tfs, parts_lens, starts = [], [], [], []
+    pos = 0
+    for df in dfs:
+        starts.append(pos)
+        parts_ids.append(np.sort(rng.choice(10 ** 7, int(df), replace=False)))
+        parts_tfs.append(rng.integers(1, 9, int(df)))
+        parts_lens.append(rng.integers(0, 256, int(df)).astype(np.uint8))
+        pos += int(df)
+    ids = np.concatenate(parts_ids)
+    tfs = np.concatenate(parts_tfs)
+    lens = np.concatenate(parts_lens)
+    starts = np.array(starts)
+    batch = codec.encode_postings_batch(ids, tfs, lens, starts)
+    for i, df in enumerate(dfs):
+        one = codec.encode_postings(parts_ids[i], parts_tfs[i], parts_lens[i])
+        assert batch[i] == one, f"term {i} blob differs"
+    # positions batch vs per-posting
+    pos_lists = [np.sort(rng.choice(1000, int(t), replace=False)) for t in tfs]
+    pos_flat = np.concatenate(pos_lists)
+    offs = np.concatenate(([0], np.cumsum([len(p) for p in pos_lists])))
+    ends = np.append(starts[1:], len(ids))
+    pbatch = codec.encode_positions_batch(pos_flat, offs, starts, ends)
+    for i in range(n_terms):
+        s, e = int(starts[i]), int(ends[i])
+        one = codec.encode_positions(pos_lists[s:e])
+        assert pbatch[i] == one, f"term {i} positions differ"
+
+
 def test_positions_roundtrip():
     rng = np.random.default_rng(3)
     tfs = rng.integers(1, 10, 200)

@@ -1,0 +1,74 @@
+"""Segment-merge equivalence (FIXTURES.md F8, mirroring the reference's
+serial-vs-multiprocess identity tests, tests/test_mpwriter.py:105-272):
+merging partition segments must not change term stats or any query
+result."""
+
+import numpy as np
+import pytest
+
+from whoosh_ray.pipelines.build import build_index
+from whoosh_ray.pipelines.merge import merge_segments, plan_merge_small
+from whoosh_ray.search import And, Or, Phrase, Prefix, Searcher, Term
+from whoosh_ray.sources.transcripts import generate_transcripts
+from whoosh_ray.state.manifest import SegmentMeta
+from whoosh_ray.state.schema import transcripts_schema
+
+QUERIES = [
+    Term("text", "deploy"),
+    And([Term("text", "deploy"), Term("text", "render")]),
+    Or([Term("text", "cluster"), Term("text", "error")]),
+    Phrase("text", ["deploy", "render"]),
+    Prefix("text", "rend"),
+]
+
+
+@pytest.fixture(scope="module")
+def built(tmp_path_factory):
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("merge")
+    (d / "src").mkdir()
+    pq.write_table(generate_transcripts(n_convs=60, seed=9),
+                   str(d / "src" / "p.parquet"))
+    build_index(str(d / "src"), str(d / "index"), transcripts_schema(),
+                seg_size=64)
+    return str(d / "index")
+
+
+def snapshot(index_dir):
+    s = Searcher(index_dir)
+    results = {}
+    for i, q in enumerate(QUERIES):
+        r = s.search(q, limit=None)
+        results[i] = (r.docids.tolist(), r.scores.tolist())
+    stats = {
+        "dc": s.doc_count_all,
+        "avgfl": s.avg_field_length("text"),
+        "df_deploy": s.doc_frequency("text", "deploy"),
+        "ti": s.global_term_info("text", "render"),
+    }
+    return results, stats
+
+
+def test_optimize_merge_preserves_everything(built):
+    before_r, before_s = snapshot(built)
+    m = merge_segments(built, policy="OPTIMIZE")
+    assert len(m.segments) == 1
+    after_r, after_s = snapshot(built)
+    assert before_s == after_s
+    for k in before_r:
+        assert before_r[k][0] == after_r[k][0]
+        np.testing.assert_array_equal(before_r[k][1], after_r[k][1])
+    # stored-field fetch still resolves docids through the merged range
+    s = Searcher(built)
+    r = s.search(Term("text", "deploy"), limit=5)
+    t = r.to_arrow(columns=["conv_id", "turn_idx"])
+    assert t.num_rows == len(r.docids)
+
+
+def test_merge_small_policy_shape():
+    metas = [SegmentMeta(seg_id=i, docid_base=i * 100, doc_count=c)
+             for i, c in enumerate([1, 1, 2, 500, 1000])]
+    plan = plan_merge_small(metas)
+    # the three tiny segments fold; the big ones stay
+    assert plan and set(plan[0]) == {0, 1, 2}

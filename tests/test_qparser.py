@@ -1,0 +1,85 @@
+"""Parser conformance: parse with both engines' parsers, run both
+searches, assert rank/score-identical results."""
+
+import numpy as np
+import pytest
+
+from tests.oracle import build_oracle_index
+from whoosh_ray.pipelines.build import build_index
+from whoosh_ray.search import Searcher
+from whoosh_ray.search.qparser import QueryParser
+from whoosh_ray.sources.transcripts import generate_transcripts
+from whoosh_ray.state.schema import transcripts_schema
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return generate_transcripts(n_convs=30, seed=42)
+
+
+@pytest.fixture(scope="module")
+def engine(corpus, tmp_path_factory):
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("qp")
+    (d / "src").mkdir()
+    pq.write_table(corpus, str(d / "src" / "p.parquet"))
+    build_index(str(d / "src"), str(d / "index"), transcripts_schema(),
+                seg_size=64)
+    return Searcher(str(d / "index"))
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus):
+    return build_oracle_index(corpus, text_fields=("text",),
+                              id_fields=("role", "tool", "conv_id"))
+
+
+QUERY_STRINGS = [
+    "deploy",
+    "deploy render",
+    "deploy OR render",
+    "deploy AND render",
+    "deploy NOT render",
+    "deploy ANDNOT render",
+    "deploy ANDMAYBE render",
+    "deploy REQUIRE render",
+    '"deploy render"',
+    '"cluster error retry"',
+    '"deploy render"~3',
+    "(deploy OR cluster) error",
+    "deploy (render OR cluster)",
+    "rend*",
+    "?eploy",
+    "role:user deploy",
+    "tool:bash",
+    "conv_id:conv000003",
+    "deploy^2.5 render",
+    "the deploy",        # stopword vanishes from the And group
+    "a",                 # all-stopword query
+    "[deploy TO error]",
+    "{deploy TO error}",
+    "text:deploy",
+    "The RENDER",        # analyzer lowercases
+    "deploy OR",         # trailing operator
+]
+
+
+def test_parsed_queries_match_oracle(engine, oracle, whoosh_oracle):
+    from whoosh.qparser import QueryParser as WQP
+
+    my_parser = QueryParser("text", transcripts_schema())
+    with oracle.searcher() as os_:
+        ref_parser = WQP("text", schema=oracle.schema)
+        for qs in QUERY_STRINGS:
+            myq = my_parser.parse(qs)
+            refq = ref_parser.parse(qs)
+            mine = [(int(d), float(s))
+                    for d, s in engine.search(myq, limit=None)]
+            r = os_.search(refq, limit=None)
+            ref = [(int(h.docnum), float(h.score)) for h in r]
+            assert [d for d, _ in mine] == [d for d, _ in ref], (
+                f"{qs!r}: mine={myq!r} ref={refq!r}")
+            np.testing.assert_allclose([s for _, s in mine],
+                                       [s for _, s in ref], rtol=1e-9,
+                                       err_msg=qs)

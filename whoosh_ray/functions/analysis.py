@@ -167,47 +167,50 @@ class VectorAnalyzer:
         The reference folds the token stream of each field value into
         ``(term, freq, weight, payload)`` per unique term
         (/root/reference/src/whoosh/formats.py:78-92, Frequency at :182-196,
-        Positions at :217-229).  Vectorized equivalent: a pandas groupby over
-        the flat (row, term) arrays.
+        Positions at :217-229).  Fully vectorized: hash-factorize the flat
+        term stream, one stable integer lexsort by (row, term-code) — which
+        keeps positions ascending within each group — then boundary
+        detection; no per-group Python.
 
-        Returns a dict of flat numpy arrays:
-          row_ids, terms, tfs[, positions (object array of int32 arrays)]
-        plus ``row_lengths`` (per input row surviving token count).
+        Returns a dict of flat numpy arrays: ``row_ids``, ``term_codes``,
+        ``term_dict`` (codes index into it), ``tfs``, ``row_lengths``, and
+        with positions ``pos_values``/``pos_offsets`` (flat int32 + group
+        offsets, ready for ``pa.ListArray.from_arrays``).
         """
         tb = self(texts)
-        if len(tb.terms) == 0:
+        n_tok = len(tb.terms)
+        if n_tok == 0:
             out = dict(
                 row_ids=np.empty(0, dtype=np.int64),
-                terms=np.empty(0, dtype=object),
+                term_codes=np.empty(0, dtype=np.int32),
+                term_dict=np.empty(0, dtype=object),
                 tfs=np.empty(0, dtype=np.int64),
                 row_lengths=tb.row_lengths,
             )
             if with_positions:
-                out["positions"] = np.empty(0, dtype=object)
+                out["pos_values"] = np.empty(0, dtype=np.int32)
+                out["pos_offsets"] = np.zeros(1, dtype=np.int32)
             return out
 
-        df = pd.DataFrame({"row": tb.row_ids, "term": tb.terms})
-        if with_positions:
-            df["pos"] = tb.positions
-            g = df.groupby(["row", "term"], sort=True)["pos"]
-            agg = g.agg(list)
-            idx = agg.index
-            out_positions = np.array(
-                [np.asarray(p, dtype=np.int32) for p in agg.to_numpy()],
-                dtype=object,
-            )
-            tfs = np.array([len(p) for p in agg.to_numpy()], dtype=np.int64)
-            rows = idx.get_level_values(0).to_numpy()
-            terms = idx.get_level_values(1).to_numpy()
-            return dict(
-                row_ids=rows, terms=terms, tfs=tfs, positions=out_positions,
-                row_lengths=tb.row_lengths,
-            )
-        g = df.groupby(["row", "term"], sort=True).size()
-        idx = g.index
-        return dict(
-            row_ids=idx.get_level_values(0).to_numpy(),
-            terms=idx.get_level_values(1).to_numpy(),
-            tfs=g.to_numpy().astype(np.int64),
+        tcode, term_dict = pd.factorize(tb.terms, sort=False)
+        order = np.lexsort((tcode, tb.row_ids))  # stable: positions ascend
+        r = tb.row_ids[order]
+        t = tcode[order]
+        boundary = np.empty(n_tok, dtype=bool)
+        boundary[0] = True
+        np.not_equal(r[1:], r[:-1], out=boundary[1:])
+        boundary[1:] |= t[1:] != t[:-1]
+        starts = np.flatnonzero(boundary)
+        tfs = np.diff(np.append(starts, n_tok))
+        out = dict(
+            row_ids=r[starts],
+            term_codes=t[starts].astype(np.int32),
+            term_dict=np.asarray(term_dict, dtype=object),
+            tfs=tfs.astype(np.int64),
             row_lengths=tb.row_lengths,
         )
+        if with_positions:
+            p = tb.positions[order]
+            out["pos_values"] = p.astype(np.int32)
+            out["pos_offsets"] = np.append(starts, n_tok).astype(np.int32)
+        return out

@@ -86,7 +86,7 @@ def build_index(
     index_dir: str,
     schema: IndexSchema,
     *,
-    seg_size: int = DEFAULT_SEG_SIZE,
+    seg_size: int | None = None,
     docid_col: str | None = None,
     conv_col: str = "conv_id",
     turn_col: str = "turn_idx",
@@ -114,8 +114,23 @@ def build_index(
             + ([conv_col, turn_col] if docid_col is None else [docid_col])))
         ds = ray.data.read_parquet(source, columns=cols)
 
+    bases_ds = None
+    if not isinstance(source, ray.data.Dataset) and docid_col is None:
+        # dedicated column-pruned read for the conv-span aggregate so the
+        # stats pass never pulls the text column off storage
+        bases_ds = ray.data.read_parquet(source, columns=[conv_col, turn_col])
+
     ds, span = with_docids(ds, conv_col=conv_col, turn_col=turn_col,
-                           docid_col=docid_col)
+                           docid_col=docid_col, bases_ds=bases_ds)
+
+    if seg_size is None:
+        # segments are the unit of encode/write parallelism AND the memory
+        # bound (one segment's postings materialize in one map_groups call):
+        # target ~4 segments per CPU, capped by the default upper bound
+        import ray as _ray
+
+        ncpu = int(_ray.cluster_resources().get("CPU", 8))
+        seg_size = int(min(DEFAULT_SEG_SIZE, max(2048, span // (4 * ncpu))))
 
     def add_seg(batch: pa.Table) -> pa.Table:
         seg = pa.compute.divide(batch["docid"], seg_size).cast(pa.int64())

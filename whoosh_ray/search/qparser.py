@@ -1,0 +1,238 @@
+"""Query-string parser — the reference QueryParser's default-plugin subset.
+
+Reference: /root/reference/src/whoosh/qparser/default.py:38-165 with the
+default plugin set (default.py:89-105): Whitespace, Fields ("field:"),
+Wildcard (*/?), Phrase ("..." with optional ~slop), Range ([a TO b] /
+{a TO b}), Group (parentheses), Operators (AND / OR / NOT / ANDNOT /
+ANDMAYBE / REQUIRE, uppercase only), Boost (^n), Every (field:* / *).
+
+Semantics reproduced:
+
+- bare whitespace-separated terms join with the default group (And, as
+  the reference's ``QueryParser(..., group=AndGroup)`` default);
+- term text runs through the FIELD'S analyzer (fields.py:144-165 via
+  parser), so stopwords/short tokens vanish and a term that analyzes to
+  multiple tokens becomes a Phrase-like And;
+- quoted phrases analyze each word and build Phrase(field, words, slop).
+
+This is driver-side pure Python — parsing is never on the hot path.
+"""
+
+from __future__ import annotations
+
+import re
+
+from whoosh_ray.functions.analysis import VectorAnalyzer
+from whoosh_ray.search.query import (
+    And,
+    AndMaybe,
+    AndNot,
+    Every,
+    Not,
+    Or,
+    Phrase,
+    Prefix,
+    Query,
+    Require,
+    Term,
+    TermRange,
+    Wildcard,
+    _NullQuery,
+)
+from whoosh_ray.state.schema import IndexSchema
+
+_TOKEN_RE = re.compile(r"""
+    (?P<lparen>\() | (?P<rparen>\)) |
+    (?P<quoted>"(?P<qbody>[^"]*)"(~(?P<slop>\d+))?) |
+    (?P<range>[\[{][^\]}]*\s+TO\s+[^\]}]*[\]}]) |
+    (?P<word>[^\s()"]+)
+""", re.VERBOSE)
+
+_OPS = {"AND", "OR", "NOT", "ANDNOT", "ANDMAYBE", "REQUIRE"}
+
+
+class QueryParser:
+    def __init__(self, default_field: str, schema: IndexSchema):
+        self.default_field = default_field
+        self.schema = schema
+        self._analyzers = {f.name: VectorAnalyzer(f.analyzer)
+                           for f in schema.fields}
+
+    # ---- lexing ----
+
+    def _lex(self, text: str):
+        for m in _TOKEN_RE.finditer(text):
+            kind = m.lastgroup if m.lastgroup in ("lparen", "rparen") else None
+            if m.group("lparen"):
+                yield ("(", None)
+            elif m.group("rparen"):
+                yield (")", None)
+            elif m.group("quoted") is not None:
+                yield ("phrase", (m.group("qbody"),
+                                  int(m.group("slop") or 1)))
+            elif m.group("range"):
+                yield ("range", m.group("range"))
+            else:
+                yield ("word", m.group("word"))
+
+    # ---- parsing ----
+
+    def parse(self, text: str) -> Query:
+        tokens = list(self._lex(text))
+        q, _ = self._parse_group(tokens, 0)
+        return q if q is not None else _NullQuery()
+
+    def _parse_group(self, tokens, i):
+        items: list = []  # queries and operator markers
+        while i < len(tokens):
+            kind, val = tokens[i]
+            if kind == ")":
+                i += 1
+                break
+            if kind == "(":
+                sub, i = self._parse_group(tokens, i + 1)
+                items.append(sub if sub is not None else _NullQuery())
+                items, i = self._maybe_boost(items, tokens, i)
+                continue
+            if kind == "word" and val in _OPS:
+                items.append(("op", val))
+                i += 1
+                continue
+            q = self._leaf(kind, val)
+            i += 1
+            if q is not None:
+                items.append(q)
+                items, i = self._maybe_boost(items, tokens, i)
+        return self._combine(items), i
+
+    def _maybe_boost(self, items, tokens, i):
+        # Boost plugin: trailing ^n token attached to the previous item
+        if (i < len(tokens) and tokens[i][0] == "word"
+                and tokens[i][1].startswith("^") and items
+                and not isinstance(items[-1], tuple)):
+            try:
+                boost = float(tokens[i][1][1:])
+            except ValueError:
+                return items, i
+            items[-1] = _with_boost(items[-1], boost)
+            i += 1
+        return items, i
+
+    def _combine(self, items) -> Query | None:
+        # 1) NOT prefixes
+        out = []
+        skip_next = False
+        for j, it in enumerate(items):
+            if skip_next:
+                skip_next = False
+                continue
+            if isinstance(it, tuple) and it[1] == "NOT":
+                nxt = items[j + 1] if j + 1 < len(items) else None
+                if isinstance(nxt, Query):
+                    out.append(Not(nxt))
+                    skip_next = True
+                continue
+            out.append(it)
+        items = out
+        # 2) binary ops with left association: ANDNOT / ANDMAYBE / REQUIRE
+        for opname, cls in (("ANDNOT", AndNot), ("ANDMAYBE", AndMaybe),
+                            ("REQUIRE", Require)):
+            out = []
+            j = 0
+            while j < len(items):
+                it = items[j]
+                if (isinstance(it, tuple) and it[1] == opname and out
+                        and j + 1 < len(items)
+                        and isinstance(items[j + 1], Query)):
+                    left = out.pop()
+                    out.append(cls(left, items[j + 1]))
+                    j += 2
+                else:
+                    out.append(it)
+                    j += 1
+            items = out
+        # 3) OR binds looser than AND; whitespace = AND (default AndGroup)
+        or_groups: list[list[Query]] = [[]]
+        for it in items:
+            if isinstance(it, tuple):
+                if it[1] == "OR":
+                    or_groups.append([])
+                continue  # AND markers are the default joiner
+            or_groups[-1].append(it)
+        and_qs = []
+        for grp in or_groups:
+            grp = [g for g in grp if not isinstance(g, _NullQuery)]
+            if not grp:
+                continue
+            and_qs.append(grp[0] if len(grp) == 1 else And(grp))
+        if not and_qs:
+            return None
+        return and_qs[0] if len(and_qs) == 1 else Or(and_qs)
+
+    # ---- leaves ----
+
+    def _leaf(self, kind, val) -> Query | None:
+        field = self.default_field
+        if kind == "phrase":
+            body, slop = val
+            return self._make_phrase(field, body, slop)
+        if kind == "range":
+            return self._make_range(field, val)
+        # word — maybe carrying an attached ^boost (Boost plugin)
+        text = val
+        boost = 1.0
+        bm = re.match(r"^(.*)\^(\d+(?:\.\d+)?)$", text)
+        if bm and bm.group(1):
+            text = bm.group(1)
+            boost = float(bm.group(2))
+            q = self._leaf(kind, text)
+            return _with_boost(q, boost) if isinstance(q, Query) and not isinstance(q, _NullQuery) else q
+        m = re.match(r"^(\w+):(.*)$", text)
+        if m and m.group(1) in {f.name for f in self.schema.fields}:
+            field = m.group(1)
+            text = m.group(2)
+            if text.startswith('"') and text.endswith('"') and len(text) > 1:
+                return self._make_phrase(field, text[1:-1], 1)
+            if text.startswith("[") or text.startswith("{"):
+                return self._make_range(field, text)
+        if text == "*":
+            return Every(None if field == self.default_field and ":" not in val
+                         else field)
+        if "*" in text or "?" in text:
+            if text.endswith("*") and "*" not in text[:-1] and "?" not in text:
+                return Prefix(field, text[:-1].lower())
+            return Wildcard(field, text.lower())
+        return self._make_term(field, text)
+
+    def _make_term(self, field, text) -> Query | None:
+        words = self._analyzers[field].token_lists([text])[0]
+        if not words:
+            return _NullQuery()
+        if len(words) == 1:
+            return Term(field, words[0])
+        return Phrase(field, words)
+
+    def _make_phrase(self, field, body, slop) -> Query | None:
+        words = self._analyzers[field].token_lists([body])[0]
+        if not words:
+            return _NullQuery()
+        if len(words) == 1:
+            return Term(field, words[0])
+        return Phrase(field, words, slop=slop)
+
+    def _make_range(self, field, text) -> Query:
+        startexcl = text[0] == "{"
+        endexcl = text[-1] == "}"
+        body = text[1:-1]
+        lo, hi = re.split(r"\s+TO\s+", body, maxsplit=1)
+        lo = lo.strip().lower() or None
+        hi = hi.strip().lower() or None
+        return TermRange(field, lo, hi, startexcl=startexcl, endexcl=endexcl)
+
+
+def _with_boost(q: Query, boost: float) -> Query:
+    import copy
+
+    q2 = copy.copy(q)
+    q2.boost = boost
+    return q2

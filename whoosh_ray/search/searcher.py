@@ -191,22 +191,64 @@ class Searcher:
             order = order[:limit]
         return Results(self, docids[order], scores[order])
 
+    def search_topk(self, q: Query, limit: int = 10) -> Results:
+        """Pruned top-k (block-max skipping + MaxScore term pruning,
+        search/wand.py) for Term and Or-of-Terms queries; identical
+        results to :meth:`search` (asserted by tests), falls back to the
+        exhaustive path for other query shapes."""
+        from whoosh_ray.search import wand
+        from whoosh_ray.search.query import Or, Term
+
+        if limit is None:
+            return self.search(q, None)
+        self._eval_cache.clear()
+        self._global_cache.clear()
+        qx = q.expansion_queries(self)[0]
+        if isinstance(qx, Term):
+            thr = -np.inf
+            parts = []
+            for seg in self.segments:
+                ids, sc = wand.term_topk_segment(
+                    self, seg, qx.fieldname, qx.text, limit, thr, qx.boost)
+                if len(sc) >= limit:
+                    kth = np.partition(sc, len(sc) - limit)[len(sc) - limit]
+                    thr = max(thr, float(kth))
+                if len(ids):
+                    parts.append((ids, sc))
+            if not parts:
+                return Results(self, np.empty(0, dtype=np.int64),
+                               np.empty(0, dtype=np.float64))
+            docids = np.concatenate([p[0] for p in parts])
+            scores = np.concatenate([p[1] for p in parts])
+        elif (isinstance(qx, Or) and qx.boost == 1.0 and qx.minmatch <= 1
+              and all(isinstance(s, Term) for s in qx.subqueries)):
+            docids, scores = wand.or_terms_topk(
+                self, [(s.fieldname, s.text, s.boost) for s in qx.subqueries],
+                limit)
+        else:
+            return self.search(q, limit)
+        order = np.lexsort((docids, -scores))[:limit]
+        return Results(self, docids[order], scores[order])
+
     # ---- stored fields ----
 
+    def _seg_index_of(self, docids: np.ndarray) -> np.ndarray:
+        """Map docids to positions in self.segments via the manifest's
+        per-segment docid ranges (valid across merges, unlike //seg_size)."""
+        bases = np.array([s.meta.docid_range()[0] for s in self.segments])
+        return np.searchsorted(bases, np.asarray(docids), side="right") - 1
+
     def seg_of(self, docid: int) -> SegmentReader:
-        seg_size = int(self.manifest.settings["seg_size"])
-        target = docid // seg_size
-        for s in self.segments:
-            if s.meta.seg_id == target:
-                return s
+        i = int(self._seg_index_of(np.array([docid]))[0])
+        if 0 <= i < len(self.segments):
+            return self.segments[i]
         raise KeyError(docid)
 
     def stored(self, docids: np.ndarray, columns: list[str] | None = None) -> pa.Table:
-        seg_size = int(self.manifest.settings["seg_size"])
-        segs = np.asarray(docids) // seg_size
+        segs = self._seg_index_of(docids)
         parts = []
-        for s in self.segments:
-            sel = np.asarray(docids)[segs == s.meta.seg_id]
+        for si, s in enumerate(self.segments):
+            sel = np.asarray(docids)[segs == si]
             if len(sel):
                 t = s.stored(np.sort(sel))
                 if columns is not None:

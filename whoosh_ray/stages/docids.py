@@ -36,7 +36,7 @@ import ray.data
 def conv_bases(ds: ray.data.Dataset, conv_col: str = "conv_id",
                turn_col: str = "turn_idx") -> tuple[np.ndarray, np.ndarray, int]:
     """Compute (sorted conv keys, docid bases, total docid span)."""
-    spans = ds.groupby(conv_col).max(turn_col)
+    spans = ds.select_columns([conv_col, turn_col]).groupby(conv_col).max(turn_col)
     pdf = spans.to_pandas()  # #convs rows — small relative to turns
     maxcol = [c for c in pdf.columns if c != conv_col][0]
     pdf = pdf.sort_values(conv_col, kind="mergesort")
@@ -48,7 +48,8 @@ def conv_bases(ds: ray.data.Dataset, conv_col: str = "conv_id",
 
 def with_docids(ds: ray.data.Dataset, *, conv_col: str = "conv_id",
                 turn_col: str = "turn_idx",
-                docid_col: str | None = None) -> tuple[ray.data.Dataset, int]:
+                docid_col: str | None = None,
+                bases_ds: ray.data.Dataset | None = None) -> tuple[ray.data.Dataset, int]:
     """Attach the ``docid`` column; returns (dataset, docid span).
 
     The (keys, bases) pair is fetched from the object store once per
@@ -63,7 +64,8 @@ def with_docids(ds: ray.data.Dataset, *, conv_col: str = "conv_id",
         hi = ds.max(docid_col)
         return ds.map_batches(from_col, batch_format="pyarrow"), int(hi) + 1
 
-    keys, bases, span = conv_bases(ds, conv_col, turn_col)
+    keys, bases, span = conv_bases(bases_ds if bases_ds is not None else ds,
+                                   conv_col, turn_col)
     ref = ray.put((keys, bases))
 
     def assign(batch: pa.Table) -> pa.Table:

@@ -57,27 +57,32 @@ class TokenizePostings:
             lens = agg["row_lengths"]          # exact surviving-token count/row
             len_bytes = length_to_byte(lens)   # quantized (scoring parity)
             pdocids = docids[rows]
+            # dictionary-encoded terms: no per-row string materialization and
+            # a far smaller shuffle payload
+            term_arr = pa.DictionaryArray.from_arrays(
+                pa.array(agg["term_codes"]),
+                pa.array(agg["term_dict"], type=pa.string()))
             cols = {
                 "seg": pa.array(pdocids // self.seg_size, type=pa.int64()),
                 "field": pa.array(np.repeat(f.name, len(rows)), type=pa.string()),
-                "term": pa.array(agg["terms"], type=pa.string()),
+                "term": term_arr,
                 "docid": pa.array(pdocids, type=pa.int64()),
                 "tf": pa.array(agg["tfs"], type=pa.int32()),
                 "len_byte": pa.array(len_bytes[rows], type=pa.uint8()),
             }
             if any_positions:
                 if want_pos:
-                    pos_arr = pa.array(
-                        [p.tolist() for p in agg["positions"]],
-                        type=pa.list_(pa.int32()),
-                    )
+                    pos_arr = pa.ListArray.from_arrays(
+                        pa.array(agg["pos_offsets"], type=pa.int32()),
+                        pa.array(agg["pos_values"], type=pa.int32()))
                 else:
                     pos_arr = pa.nulls(len(rows), type=pa.list_(pa.int32()))
                 cols["positions"] = pos_arr
             parts.append(pa.table(cols))
         if not parts:
             schema = [
-                ("seg", pa.int64()), ("field", pa.string()), ("term", pa.string()),
+                ("seg", pa.int64()), ("field", pa.string()),
+                ("term", pa.dictionary(pa.int32(), pa.string())),
                 ("docid", pa.int64()), ("tf", pa.int32()), ("len_byte", pa.uint8()),
             ]
             if any_positions:

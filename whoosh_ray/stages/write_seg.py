@@ -38,6 +38,16 @@ from whoosh_ray.state.schema import IndexSchema
 from whoosh_ray.state.segment import TERMS_ARROW_SCHEMA, write_docs_file, write_terms_file
 
 
+def _sorted_factorize(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """np.unique(return_inverse) semantics via hash-based factorize."""
+    codes, uniq = pd.factorize(values, sort=False)
+    uniq = np.asarray(uniq, dtype=object)
+    order = np.argsort(uniq, kind="stable")
+    rank = np.empty_like(order)
+    rank[order] = np.arange(len(order))
+    return rank[codes], uniq[order]
+
+
 def _atomic_emit(index_dir: str, seg_id: int, filename: str, write_fn) -> None:
     """Write one segment file via temp-dir + rename (idempotent on retry)."""
     seg_dir = os.path.join(index_dir, "segments", seg_dirname(seg_id))
@@ -71,9 +81,12 @@ class EncodeSegmentTerms:
         len_bytes = group["len_byte"].to_numpy()
         has_pos = "positions" in group.column_names
 
-        # sorted-unique codes => final (field, term) dictionary order
-        ufields, fcode = np.unique(fields, return_inverse=True)
-        uterms, tcode = np.unique(terms, return_inverse=True)
+        # sorted-unique codes => final (field, term) dictionary order.
+        # pandas factorize is hash-based O(n); only the (small) unique-value
+        # arrays get a comparison sort — object-array np.unique would
+        # argsort every row's PyObject instead.
+        fcode, ufields = _sorted_factorize(fields)
+        tcode, uterms = _sorted_factorize(terms)
         order = np.lexsort((docids, tcode, fcode))
         fcode = fcode[order]
         tcode = tcode[order]
@@ -95,8 +108,10 @@ class EncodeSegmentTerms:
             pos_col = group["positions"].combine_chunks()
             if pos_col.null_count < len(pos_col):
                 taken = pos_col.take(pa.array(order))
-                pos_flat = taken.values.to_numpy().astype(np.int64)
-                pos_offsets = taken.offsets.to_numpy().astype(np.int64)
+                lens = pa.compute.list_value_length(taken)
+                lens = pa.compute.fill_null(lens, 0).to_numpy().astype(np.int64)
+                pos_flat = taken.flatten().to_numpy().astype(np.int64)
+                pos_offsets = np.concatenate(([0], np.cumsum(lens)))
 
         n_terms = len(starts)
         out = {
@@ -112,24 +127,14 @@ class EncodeSegmentTerms:
         }
         out["total_weight"] = out["sum_tf"].astype(np.float64)
 
-        pos_field_codes = {
-            k for k in range(len(ufields))
-            if any(f.name == ufields[k] and f.positions for f in self.schema.fields)
-        }
-        blobs: list[bytes] = []
-        posblobs: list[bytes] = []
-        for i in range(n_terms):
-            s, e = int(starts[i]), int(ends[i])
-            blobs.append(codec.encode_postings(docids[s:e], tfs[s:e],
-                                               len_bytes[s:e]))
-            if pos_flat is not None and int(fcode[s]) in pos_field_codes:
-                plists = [
-                    pos_flat[pos_offsets[j]: pos_offsets[j + 1]]
-                    for j in range(s, e)
-                ]
-                posblobs.append(codec.encode_positions(plists))
-            else:
-                posblobs.append(b"")
+        blobs = codec.encode_postings_batch(docids, tfs, len_bytes, starts)
+        if pos_flat is not None:
+            # id-field postings carry empty position lists, so their slices
+            # come out as b"" naturally
+            posblobs = codec.encode_positions_batch(pos_flat, pos_offsets,
+                                                    starts, ends)
+        else:
+            posblobs = [b""] * n_terms
 
         cols = {}
         for f in TERMS_ARROW_SCHEMA:

@@ -40,6 +40,14 @@ class SegmentMeta:
     lineage: dict = field(default_factory=dict)
     metrics: dict = field(default_factory=dict)
 
+    def docid_range(self) -> tuple[int, int]:
+        """[base, end) covered by this segment (merged segments span the
+        union of their inputs' ranges)."""
+        r = self.lineage.get("docid_range")
+        if r:
+            return int(r[0]), int(r[-1])
+        return self.docid_base, self.docid_base + self.doc_count
+
     def to_json(self) -> dict:
         return {
             "seg_id": self.seg_id,

@@ -1,0 +1,118 @@
+"""Conformance for spelling suggest, key terms, more-like-this,
+highlighting — each vs the reference engine on the same corpus."""
+
+import numpy as np
+import pytest
+
+from tests.oracle import build_oracle_index
+from whoosh_ray.pipelines.build import build_index
+from whoosh_ray.search import Searcher, Term
+from whoosh_ray.sources.transcripts import generate_transcripts
+from whoosh_ray.state.schema import transcripts_schema
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return generate_transcripts(n_convs=25, seed=11)
+
+
+@pytest.fixture(scope="module")
+def engine(corpus, tmp_path_factory):
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("extras")
+    (d / "src").mkdir()
+    pq.write_table(corpus, str(d / "src" / "p.parquet"))
+    build_index(str(d / "src"), str(d / "index"), transcripts_schema(),
+                seg_size=64)
+    return Searcher(str(d / "index"))
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus):
+    return build_oracle_index(corpus, text_fields=("text",),
+                              id_fields=("role", "tool", "conv_id"))
+
+
+def test_suggest_matches_oracle(engine, oracle):
+    with oracle.searcher() as s:
+        corr = s.corrector("text")
+        for word in ["deplou", "rendor", "clustre", "novembur", "batch",
+                     "erorr"]:
+            for maxdist in [1, 2]:
+                ref = corr.suggest(word, limit=5, maxdist=maxdist)
+                mine = engine.suggest("text", word, limit=5, maxdist=maxdist)
+                assert mine == ref, (word, maxdist, mine, ref)
+
+
+def test_suggest_with_prefix(engine, oracle):
+    with oracle.searcher() as s:
+        corr = s.corrector("text")
+        ref = corr.suggest("deplou", limit=5, maxdist=2, prefix=2)
+        mine = engine.suggest("text", "deplou", limit=5, maxdist=2, prefix=2)
+        assert mine == ref
+
+
+def test_key_terms_matches_oracle(engine, oracle):
+    with oracle.searcher() as s:
+        for docnum in [0, 5, 17]:
+            ref = s.key_terms([docnum], "text", numterms=5)
+            mine = engine.key_terms([docnum], "text", numterms=5)
+            assert [w for w, _ in mine] == [w for w, _ in ref]
+            np.testing.assert_allclose([x for _, x in mine],
+                                       [x for _, x in ref], rtol=1e-9)
+
+
+def test_key_terms_from_text_matches_oracle(engine, oracle):
+    text = "deploy the cluster and render the batch deploy deploy"
+    with oracle.searcher() as s:
+        ref = s.key_terms_from_text("text", text, numterms=4)
+    mine = engine.key_terms_from_text("text", text, numterms=4)
+    assert [w for w, _ in mine] == [w for w, _ in ref]
+    np.testing.assert_allclose([x for _, x in mine], [x for _, x in ref],
+                               rtol=1e-9)
+
+
+def test_more_like_matches_oracle(engine, oracle):
+    with oracle.searcher() as s:
+        for docnum in [3, 21]:
+            ref = [(h.docnum, h.score)
+                   for h in s.more_like(docnum, "text", top=10)]
+            mine = [(int(d), float(sc))
+                    for d, sc in engine.more_like(docnum, "text", top=10)]
+            assert [d for d, _ in mine] == [d for d, _ in ref]
+            np.testing.assert_allclose([x for _, x in mine],
+                                       [x for _, x in ref], rtol=1e-9)
+
+
+def test_highlights_match_oracle(engine, oracle, corpus):
+    from whoosh.query import Term as WTerm
+
+    from whoosh_ray.search.highlight import Highlighter, HtmlFormatter
+
+    with oracle.searcher() as s:
+        r = s.search(WTerm("text", "deploy"), limit=5)
+        hl = Highlighter(formatter=HtmlFormatter(tagname="b"))
+        for hit in r:
+            mine = hl.highlight(hit["text"], {"deploy"}, top=3)
+            ref = hit.highlights("text", top=3)
+            assert mine == ref, (hit.docnum, mine, ref)
+
+
+def test_highlights_uppercase_whole(engine, oracle):
+    from whoosh import highlight as wh
+    from whoosh.query import Term as WTerm
+
+    from whoosh_ray.search.highlight import (Highlighter, UppercaseFormatter,
+                                             WholeFragmenter)
+
+    with oracle.searcher() as s:
+        r = s.search(WTerm("text", "render"), limit=5)
+        r.fragmenter = wh.WholeFragmenter()
+        r.formatter = wh.UppercaseFormatter()
+        hl = Highlighter(fragmenter=WholeFragmenter(),
+                         formatter=UppercaseFormatter())
+        for hit in r:
+            mine = hl.highlight(hit["text"], {"render"}, top=3)
+            ref = hit.highlights("text", top=3)
+            assert mine == ref, (hit.docnum, mine, ref)

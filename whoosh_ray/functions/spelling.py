@@ -45,6 +45,34 @@ def damerau_levenshtein(a: str, b: str, maxdist: int | None = None) -> int:
     return prev[lb]
 
 
+def levenshtein(a: str, b: str, maxdist: int | None = None) -> int:
+    """Plain Levenshtein (no transpositions) with early exit — matches the
+    reference's levenshtein_automaton acceptance set (automata/lev.py:7-30),
+    which FuzzyTerm / terms_within / suggest are built on."""
+    la, lb = len(a), len(b)
+    if maxdist is not None and abs(la - lb) > maxdist:
+        return maxdist + 1
+    if la == 0:
+        return lb
+    if lb == 0:
+        return la
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        ca = a[i - 1]
+        row_min = i
+        for j in range(1, lb + 1):
+            cost = 0 if ca == b[j - 1] else 1
+            d = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+            cur[j] = d
+            if d < row_min:
+                row_min = d
+        if maxdist is not None and row_min > maxdist:
+            return maxdist + 1
+        prev = cur
+    return prev[lb]
+
+
 def suggestions(word: str, candidates: list[str], *, maxdist: int = 2,
                 prefix: int = 0, freq_of=None, limit: int = 5) -> list[str]:
     """Rank candidate corrections by (distance, -frequency, word) — the

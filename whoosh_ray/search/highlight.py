@@ -1,0 +1,282 @@
+"""Post-retrieval highlighting — fragment + format matched terms.
+
+Reference pipeline (/root/reference/src/whoosh/highlight.py): retokenize
+the stored text with char offsets keeping stopped tokens
+(highlight_hit :1041-1048, removestops=False), mark query terms
+(set_matched_filter :160-173), merge adjacent matched spans
+(:963-988), fragment (WholeFragmenter :301, ContextFragmenter
+:418-505), score fragments (BasicFragmentScorer :598-606: sum of
+match boosts x 100 x distinct terms), keep the best ``top`` by
+(score, fragment-startchar) via nlargest then re-sort by position
+(top_fragments :880-886), and format (HtmlFormatter :750-818,
+UppercaseFormatter :734-741, between="...").
+
+The per-hit flow here is the same algorithm on the same token spans;
+``highlight_batch`` runs it as a stateless map over the top-k hit rows
+(analyzer compiled once), which is the Ray-side shape for highlighting
+at scale (SURVEY.md §2.11).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field, replace
+from heapq import nlargest
+from html import escape as htmlescape
+
+DEFAULT_CHARLIMIT = 2 ** 15
+
+
+@dataclass
+class Token:
+    text: str
+    startchar: int
+    endchar: int
+    matched: bool = False
+    boost: float = 1.0
+
+
+@dataclass
+class Fragment:
+    text: str
+    matches: list
+    startchar: int
+    endchar: int
+    matched_terms: frozenset = field(default_factory=frozenset)
+
+    def __len__(self):
+        return self.endchar - self.startchar
+
+    def __lt__(self, other):
+        return self.startchar < other.startchar
+
+
+def _mkfrag(text, tokens, startchar=None, endchar=None) -> Fragment:
+    if startchar is None:
+        startchar = tokens[0].startchar if tokens else 0
+    if endchar is None:
+        endchar = tokens[-1].endchar if tokens else len(text)
+    return Fragment(text, list(tokens), max(0, startchar),
+                    min(len(text), endchar),
+                    frozenset(t.text for t in tokens))
+
+
+def tokenize_chars(text: str, pattern: str = r"\w+(?:\.?\w+)*",
+                   lowercase: bool = True) -> list[Token]:
+    """Char-span tokens, stopwords KEPT (removestops=False semantics)."""
+    out = []
+    for m in re.finditer(pattern, text):
+        t = m.group(0)
+        out.append(Token(t.lower() if lowercase else t, m.start(), m.end()))
+    return out
+
+
+def set_matched(tokens: list[Token], termset) -> list[Token]:
+    for t in tokens:
+        t.matched = t.text in termset
+    return tokens
+
+
+def merge_matched(tokens: list[Token]) -> list[Token]:
+    """Merge consecutive/overlapping matched tokens (highlight.py:963-988)."""
+    out: list[Token] = []
+    token: Token | None = None
+    for t in tokens:
+        if not t.matched:
+            if token is not None:
+                out.append(token)
+                token = None
+            out.append(t)
+            continue
+        if token is None:
+            token = replace(t)
+        elif t.startchar <= token.endchar:
+            if t.endchar > token.endchar:
+                token.text += t.text[token.endchar - t.endchar:]
+                token.endchar = t.endchar
+        else:
+            out.append(token)
+            token = None
+            out.append(t)
+    if token is not None:
+        out.append(token)
+    return out
+
+
+class WholeFragmenter:
+    """The whole text is one fragment (highlight.py:301-320)."""
+
+    charlimit = DEFAULT_CHARLIMIT
+
+    def fragment_tokens(self, text, tokens):
+        charlimit = self.charlimit
+        matched = [t for t in tokens
+                   if t.matched and (not charlimit or t.endchar <= charlimit)]
+        return [_mkfrag(text, matched, startchar=0, endchar=len(text))]
+
+
+class ContextFragmenter:
+    """Matched terms + surrounding context (highlight.py:418-505)."""
+
+    def __init__(self, maxchars: int = 200, surround: int = 20,
+                 charlimit: int = DEFAULT_CHARLIMIT):
+        self.maxchars = maxchars
+        self.surround = surround
+        self.charlimit = charlimit
+
+    def fragment_tokens(self, text, tokens):
+        from collections import deque
+
+        maxchars, surround, charlimit = (self.maxchars, self.surround,
+                                         self.charlimit)
+        out = []
+        first = None
+        firsts: deque = deque()
+        countdown = -1
+        tks: list[Token] = []
+        endchar = None
+        currentlen = 0
+        for t in tokens:
+            startchar, endchar = t.startchar, t.endchar
+            tlength = endchar - startchar
+            if charlimit and endchar > charlimit:
+                break
+            if countdown < 0 and not t.matched:
+                firsts.append(startchar)
+                while firsts and endchar - firsts[0] > surround:
+                    firsts.popleft()
+            elif currentlen + tlength > maxchars:
+                countdown = 0
+            elif t.matched:
+                countdown = surround
+                if first is None:
+                    if firsts:
+                        first = firsts[0]
+                    else:
+                        first = startchar
+                        countdown += surround
+                tks.append(replace(t))
+            if countdown >= 0:
+                currentlen += tlength
+                countdown -= tlength
+                if countdown <= 0:
+                    out.append(_mkfrag(text, tks, startchar=first,
+                                       endchar=endchar))
+                    tks = []
+                    firsts = deque()
+                    first = None
+                    currentlen = 0
+        if tks:
+            out.append(_mkfrag(text, tks, startchar=first, endchar=endchar))
+        return out
+
+
+def basic_fragment_scorer(f: Fragment) -> float:
+    score = sum(t.boost for t in f.matches)
+    score *= (len(f.matched_terms) * 100) or 1
+    return score
+
+
+def top_fragments(fragments, count, scorer=basic_fragment_scorer,
+                  order=lambda f: f.startchar, minscore=1):
+    scored = ((scorer(f), f) for f in fragments)
+    best = nlargest(count, scored)
+    best = [f for score, f in best if score >= minscore]
+    best.sort(key=order)
+    return best
+
+
+class Formatter:
+    between = "..."
+
+    def _text(self, text):
+        return text
+
+    def format_token(self, text, token):
+        raise NotImplementedError
+
+    def format_fragment(self, fragment: Fragment) -> str:
+        output = []
+        index = fragment.startchar
+        text = fragment.text
+        for t in fragment.matches:
+            if t.startchar is None or t.startchar < index:
+                continue
+            if t.startchar > index:
+                output.append(self._text(text[index:t.startchar]))
+            output.append(self.format_token(text, t))
+            index = t.endchar
+        output.append(self._text(text[index:fragment.endchar]))
+        return "".join(output)
+
+    def format(self, fragments) -> str:
+        return self.between.join(self.format_fragment(f) for f in fragments)
+
+
+class UppercaseFormatter(Formatter):
+    def format_token(self, text, token):
+        return text[token.startchar:token.endchar].upper()
+
+
+class HtmlFormatter(Formatter):
+    """Parity with highlight.py:750-818 (term classes recycled mod
+    maxclasses, html-escaped text)."""
+
+    template = '<%(tag)s class=%(q)s%(cls)s%(tn)s%(q)s>%(t)s</%(tag)s>'
+
+    def __init__(self, tagname="strong", between="...", classname="match",
+                 termclass="term", maxclasses=5, attrquote='"'):
+        self.between = between
+        self.tagname = tagname
+        self.classname = classname
+        self.termclass = termclass
+        self.attrquote = attrquote
+        self.maxclasses = maxclasses
+        self.seen: dict[str, int] = {}
+
+    def _text(self, text):
+        return htmlescape(text, quote=False)
+
+    def format_token(self, text, token):
+        # parity: classes are keyed by the DISPLAYED (original-case) text,
+        # so "Deploy" and "deploy" get different term classes, and the
+        # mapping persists across hits of one result set (highlight.py:802-813)
+        seen = self.seen
+        ttext = self._text(text[token.startchar:token.endchar])
+        if ttext in seen:
+            termnum = seen[ttext]
+        else:
+            termnum = len(seen) % self.maxclasses
+            seen[ttext] = termnum
+        return self.template % {
+            "tag": self.tagname, "q": self.attrquote,
+            "cls": self.classname + " " + self.termclass, "tn": termnum,
+            "t": ttext,
+        }
+
+
+class Highlighter:
+    def __init__(self, fragmenter=None, scorer=None, formatter=None,
+                 order=lambda f: f.startchar):
+        self.fragmenter = fragmenter or ContextFragmenter()
+        self.scorer = scorer or basic_fragment_scorer
+        self.formatter = formatter or HtmlFormatter(tagname="b")
+        self.order = order
+
+    def highlight(self, text: str, terms, top: int = 3,
+                  minscore: int = 1) -> str:
+        words = frozenset(terms)
+        tokens = tokenize_chars(text)
+        tokens = set_matched(tokens, words)
+        tokens = merge_matched(tokens)
+        fragments = self.fragmenter.fragment_tokens(text, tokens)
+        fragments = top_fragments(fragments, top, self.scorer, self.order,
+                                  minscore=minscore)
+        return self.formatter.format(fragments)
+
+
+def highlight_batch(texts, terms, top: int = 3, **kwargs) -> list[str]:
+    """Highlight a batch of stored texts (the map_batches body for
+    highlighting top-k hit rows)."""
+    hl = Highlighter(**kwargs)
+    return [hl.highlight(t or "", terms, top=top) for t in texts]

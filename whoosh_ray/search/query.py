@@ -427,13 +427,13 @@ class FuzzyTerm(_MultiTerm):
         self.constantscore = constantscore
 
     def _expand(self, searcher):
-        from whoosh_ray.functions.spelling import damerau_levenshtein
+        from whoosh_ray.functions.spelling import levenshtein
 
         prefix = self.text[: self.prefixlength]
         cand = (searcher.expand_prefix(self.fieldname, prefix) if prefix
                 else searcher.lexicon(self.fieldname))
         return [w for w in cand
-                if damerau_levenshtein(self.text, w, self.maxdist) <= self.maxdist]
+                if levenshtein(self.text, w, self.maxdist) <= self.maxdist]
 
 
 class Phrase(Query):

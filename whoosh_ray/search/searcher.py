@@ -230,6 +230,49 @@ class Searcher:
         order = np.lexsort((docids, -scores))[:limit]
         return Results(self, docids[order], scores[order])
 
+    # ---- spelling / classification conveniences ----
+
+    def suggest(self, fieldname: str, text: str, limit: int = 5,
+                maxdist: int = 2, prefix: int = 0) -> list[str]:
+        """Spelling suggestions — ReaderCorrector parity
+        (spelling.py:41-117): candidates within ``maxdist`` (plain
+        Levenshtein, the automaton's acceptance set) sharing ``prefix``
+        initial chars, ranked by the reference's actual score
+        ``-(maxdist + 0.5/frequency)`` (frequency desc, then word asc;
+        the edit distance itself does NOT rank — spelling.py:112-117)."""
+        from heapq import nlargest
+
+        from whoosh_ray.functions.spelling import levenshtein
+
+        cands = (self.expand_prefix(fieldname, text[:prefix]) if prefix
+                 else self.lexicon(fieldname))
+        items = []
+        for w in cands:
+            if levenshtein(text, w, maxdist) <= maxdist:
+                f = self.frequency(fieldname, w) or 1
+                items.append((0 - (maxdist + (1.0 / f * 0.5)), w))
+        best = nlargest(limit, items)
+        best.sort(key=lambda x: (0 - x[0], x[1]))
+        return [w for _, w in best]
+
+    def key_terms(self, docids, fieldname: str, numterms: int = 5,
+                  **kwargs):
+        from whoosh_ray.search.classify import key_terms
+
+        return key_terms(self, docids, fieldname, numterms, **kwargs)
+
+    def key_terms_from_text(self, fieldname: str, text: str,
+                            numterms: int = 5, **kwargs):
+        from whoosh_ray.search.classify import key_terms_from_text
+
+        return key_terms_from_text(self, fieldname, text, numterms, **kwargs)
+
+    def more_like(self, docid: int, fieldname: str, text: str | None = None,
+                  top: int = 10, **kwargs):
+        from whoosh_ray.search.classify import more_like
+
+        return more_like(self, docid, fieldname, text=text, top=top, **kwargs)
+
     # ---- stored fields ----
 
     def _seg_index_of(self, docids: np.ndarray) -> np.ndarray:

@@ -9,7 +9,8 @@ from tests.conftest import load_whoosh_oracle
 
 
 def build_oracle_index(table: pa.Table, *, text_fields=("text",),
-                       id_fields=(), stored_extra=()):
+                       id_fields=(), numeric_fields=(), datetime_fields=(),
+                       stored_extra=()):
     """Build a RamStorage whoosh index; docs added in (conv_id, turn_idx) /
     row order so whoosh docnums == our stable docids (rows must arrive
     pre-sorted and docid-dense)."""
@@ -24,9 +25,14 @@ def build_oracle_index(table: pa.Table, *, text_fields=("text",),
                             phrase=True)
     for f in id_fields:
         kw[f] = fields.ID(stored=True)
+    for f in numeric_fields:
+        kw[f] = fields.NUMERIC(int, 32, stored=True)
+    for f in datetime_fields:
+        kw[f] = fields.DATETIME(stored=True)
     ix = RamStorage().create_index(fields.Schema(**kw))
     w = ix.writer()
-    cols = list(text_fields) + list(id_fields)
+    cols = (list(text_fields) + list(id_fields) + list(numeric_fields)
+            + list(datetime_fields))
     data = {c: table[c].to_pylist() for c in cols}
     for i in range(table.num_rows):
         w.add_document(**{c: data[c][i] for c in cols

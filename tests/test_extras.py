@@ -116,3 +116,36 @@ def test_highlights_uppercase_whole(engine, oracle):
             mine = hl.highlight(hit["text"], {"render"}, top=3)
             ref = hit.highlights("text", top=3)
             assert mine == ref, (hit.docnum, mine, ref)
+
+
+def test_numeric_and_date_ranges_match_oracle(corpus, engine, tmp_path_factory):
+    """NumericRange/DateRange via stored-column scan vs the reference's
+    tiered-term NUMERIC machinery: same doc sets, same constant scores."""
+    from whoosh.query import DateRange as WDateRange
+    from whoosh.query import NumericRange as WNumericRange
+
+    from tests.oracle import build_oracle_index, oracle_search
+    from whoosh_ray.search.query import DateRange, NumericRange
+
+    oix = build_oracle_index(corpus, text_fields=("text",),
+                             id_fields=("role",),
+                             numeric_fields=("turn_idx",),
+                             datetime_fields=("ts",))
+    cases = [
+        (NumericRange("turn_idx", 2, 5), WNumericRange("turn_idx", 2, 5)),
+        (NumericRange("turn_idx", 2, 5, startexcl=True, endexcl=True),
+         WNumericRange("turn_idx", 2, 5, startexcl=True, endexcl=True)),
+        (NumericRange("turn_idx", None, 1), WNumericRange("turn_idx", None, 1)),
+        (NumericRange("turn_idx", 9, None), WNumericRange("turn_idx", 9, None)),
+    ]
+    import datetime as dt
+
+    lo = dt.datetime(2023, 11, 15)
+    hi = dt.datetime(2023, 11, 16, 12)
+    cases.append((DateRange("ts", lo, hi), WDateRange("ts", lo, hi)))
+    for myq, refq in cases:
+        ref = oracle_search(oix, refq, limit=None)
+        mine = [(int(d), float(s)) for d, s in engine.search(myq, limit=None)]
+        assert [d for d, _ in mine] == [d for d, _ in ref], refq
+        np.testing.assert_allclose([s for _, s in mine],
+                                   [s for _, s in ref])

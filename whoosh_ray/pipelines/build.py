@@ -57,6 +57,18 @@ from whoosh_ray.state.schema import IndexSchema
 DEFAULT_SEG_SIZE = 65536  # docs per segment; one segment's postings must fit a worker
 
 
+def _expand_paths(source) -> list[str]:
+    paths = [source] if isinstance(source, str) else list(source)
+    out = []
+    for p in paths:
+        if os.path.isdir(p):
+            out.extend(os.path.join(p, f) for f in sorted(os.listdir(p))
+                       if f.endswith(".parquet"))
+        else:
+            out.append(p)
+    return out
+
+
 def _input_fingerprint(source, schema: IndexSchema) -> str:
     """Cheap deterministic lineage fingerprint of (input, schema)."""
     h = hashlib.sha256()
@@ -93,6 +105,7 @@ def build_index(
     tokenize_concurrency: int | tuple[int, int] | None = None,
     tokenize_batch_size: int = 8192,
     resume: bool = True,
+    fused: bool = True,
 ) -> Manifest:
     """Build (or resume) an index at ``index_dir`` over ``source``.
 
@@ -115,13 +128,22 @@ def build_index(
         ds = ray.data.read_parquet(source, columns=cols)
 
     bases_ds = None
+    local_paths = None
     if not isinstance(source, ray.data.Dataset) and docid_col is None:
-        # dedicated column-pruned read for the conv-span aggregate so the
-        # stats pass never pulls the text column off storage
-        bases_ds = ray.data.read_parquet(source, columns=[conv_col, turn_col])
+        paths = _expand_paths(source)
+        total = sum(os.path.getsize(p) for p in paths)
+        if total < 2 * 1024 ** 3:
+            # stats input is tiny: driver-local pyarrow aggregate
+            local_paths = paths
+        else:
+            # dedicated column-pruned read for the conv-span aggregate so
+            # the stats pass never pulls the text column off storage
+            bases_ds = ray.data.read_parquet(source,
+                                             columns=[conv_col, turn_col])
 
     ds, span = with_docids(ds, conv_col=conv_col, turn_col=turn_col,
-                           docid_col=docid_col, bases_ds=bases_ds)
+                           docid_col=docid_col, bases_ds=bases_ds,
+                           local_paths=local_paths)
 
     if seg_size is None:
         # segments are the unit of encode/write parallelism AND the memory
@@ -155,30 +177,45 @@ def build_index(
 
         ds = ds.map_batches(drop_done, batch_format="pyarrow")
 
-    # ---- docs branch ----
-    stored_cols = list(dict.fromkeys(
-        [f.name for f in schema.fields if f.stored] + list(schema.stored_columns)))
-    docs_ds = ds.select_columns(["seg", "docid"] + stored_cols)
-    doc_stats = (
-        docs_ds.groupby("seg")
-        .map_groups(DocsFileWriter(index_dir, schema), batch_format="pyarrow")
-        .to_pandas()
-    )
+    if fused:
+        # ---- single-shuffle fused path: one groupby(seg) over raw rows,
+        # the segment worker writes docs.parquet AND terms.parquet
+        from whoosh_ray.stages.fused_writer import FusedSegmentWriter
 
-    # ---- posting branch ----
-    tok = TokenizePostings(schema, seg_size)
-    post_ds = ds.map_batches(
-        tok,
-        batch_format="pyarrow",
-        batch_size=tokenize_batch_size,
-        **({"concurrency": tokenize_concurrency}
-           if tokenize_concurrency is not None else {}),
-    )
-    term_stats = (
-        post_ds.groupby("seg")
-        .map_groups(EncodeSegmentTerms(index_dir, schema), batch_format="pyarrow")
-        .to_pandas()
-    )
+        stats = (
+            ds.groupby("seg")
+            .map_groups(FusedSegmentWriter(index_dir, schema),
+                        batch_format="pyarrow")
+            .to_pandas()
+        )
+        doc_stats = stats
+        term_stats = stats
+    else:
+        # ---- two-branch path (docs + postings shuffles separately)
+        stored_cols = list(dict.fromkeys(
+            [f.name for f in schema.fields if f.stored]
+            + list(schema.stored_columns)))
+        docs_ds = ds.select_columns(["seg", "docid"] + stored_cols)
+        doc_stats = (
+            docs_ds.groupby("seg")
+            .map_groups(DocsFileWriter(index_dir, schema),
+                        batch_format="pyarrow")
+            .to_pandas()
+        )
+        tok = TokenizePostings(schema, seg_size)
+        post_ds = ds.map_batches(
+            tok,
+            batch_format="pyarrow",
+            batch_size=tokenize_batch_size,
+            **({"concurrency": tokenize_concurrency}
+               if tokenize_concurrency is not None else {}),
+        )
+        term_stats = (
+            post_ds.groupby("seg")
+            .map_groups(EncodeSegmentTerms(index_dir, schema),
+                        batch_format="pyarrow")
+            .to_pandas()
+        )
 
     # ---- per-segment lineage commits ----
     build_secs = time.time() - t_start

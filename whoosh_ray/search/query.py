@@ -436,6 +436,60 @@ class FuzzyTerm(_MultiTerm):
                 if levenshtein(self.text, w, self.maxdist) <= self.maxdist]
 
 
+class ColumnQuery(Query):
+    """Filter by a predicate over a STORED column — no index involved,
+    the docs table is scanned (reference: query/qcolumns.py:32-117, the
+    same "use a column instead of the index" tradeoff).  Score = boost."""
+
+    def __init__(self, column: str, predicate, boost: float = 1.0):
+        self.column = column
+        self.predicate = predicate  # (pyarrow.ChunkedArray) -> bool mask
+        self.boost = boost
+
+    def docs_scores(self, searcher, seg):
+        t = seg.docs_table(columns=["docid", self.column])
+        mask = self.predicate(t[self.column])
+        ids = t["docid"].filter(mask).to_numpy()
+        return ids, np.full(len(ids), self.boost, dtype=np.float64)
+
+
+class NumericRange(ColumnQuery):
+    """Numeric range over a stored numeric column.
+
+    The reference implements this with tiered shift terms over a NUMERIC
+    field (query/ranges.py:220-317, fields.py:658-671) and scores
+    constantscore boost; the docs-column scan here produces the same doc
+    set and scores (conformance-tested), expressed as a vectorized Arrow
+    predicate per segment instead of a term expansion."""
+
+    def __init__(self, column: str, start, end, startexcl: bool = False,
+                 endexcl: bool = False, boost: float = 1.0):
+        import pyarrow.compute as pc
+
+        self.start, self.end = start, end
+        self.startexcl, self.endexcl = startexcl, endexcl
+
+        def pred(arr):
+            mask = None
+            if start is not None:
+                m = (pc.greater(arr, start) if startexcl
+                     else pc.greater_equal(arr, start))
+                mask = m
+            if end is not None:
+                m = pc.less(arr, end) if endexcl else pc.less_equal(arr, end)
+                mask = m if mask is None else pc.and_(mask, m)
+            if mask is None:
+                mask = pc.is_valid(arr)
+            return pc.fill_null(mask, False)
+
+        super().__init__(column, pred, boost)
+
+
+class DateRange(NumericRange):
+    """Datetime range on a stored timestamp column (reference
+    DATETIME-on-NUMERIC machinery, fields.py:783-907)."""
+
+
 class Phrase(Query):
     """Exact/sloppy ordered phrase over position payloads
     (positional.py:121-249; matching via SpanNear2 semantics: successive

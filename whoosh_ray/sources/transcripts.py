@@ -116,6 +116,8 @@ def write_transcripts(path: str, n_convs: int, seed: int = 42,
     n = t.num_rows
     nfiles = max(1, (n + rows_per_file - 1) // rows_per_file)
     for i in range(nfiles):
+        # small row groups so parallel readers can split within files
         pq.write_table(t.slice(i * rows_per_file, rows_per_file),
-                       os.path.join(path, f"transcripts-{i:04d}.parquet"))
+                       os.path.join(path, f"transcripts-{i:04d}.parquet"),
+                       row_group_size=16384)
     return path

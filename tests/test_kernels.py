@@ -130,3 +130,15 @@ def test_analyzer_matches_reference_standard_analyzer():
                 for x, p in zip(tb.terms[cuts[i]: cuts[i + 1]],
                                 tb.positions[cuts[i]: cuts[i + 1]])]
         assert mine == ref, t
+
+
+def test_schema_json_roundtrip():
+    import json
+
+    from whoosh_ray.state.schema import IndexSchema, transcripts_schema
+
+    s = transcripts_schema()
+    j = json.loads(json.dumps(s.to_json()))
+    s2 = IndexSchema.from_json(j)
+    assert s2 == s
+    assert s2.field("text").analyzer.stopwords == s.field("text").analyzer.stopwords

@@ -1,0 +1,188 @@
+"""Index mutations: tombstone deletes, incremental adds, upserts.
+
+Reference semantics being reproduced:
+
+- ``delete_document`` / ``delete_by_term`` / ``delete_by_query`` mark
+  per-segment tombstones without rewriting postings
+  (/root/reference/src/whoosh/writing.py:298-337, :620-636,
+  codec/whoosh3.py:1284-1296); term statistics (df, idf inputs,
+  doc_count_all) intentionally keep counting deleted docs until a merge
+  rewrites the segment — whoosh scores change only after optimize.
+- incremental ``add_documents``: new rows become NEW segments appended
+  to the manifest (the reference's commit(merge=False) path); docids
+  continue after the existing span, segment ids after the existing max.
+- ``update_documents`` (upsert by unique field, writing.py:426-489):
+  add the new rows, then tombstone every OLD doc whose unique-field
+  value collides with a new row.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+from whoosh_ray.state.manifest import (
+    Manifest,
+    read_manifest,
+    seg_dirname,
+    write_manifest,
+)
+
+
+def _write_deletes(index_dir: str, seg_id: int, docids: set[int]) -> None:
+    p = os.path.join(index_dir, "segments", seg_dirname(seg_id),
+                     "deletes.json")
+    existing: set[int] = set()
+    if os.path.exists(p):
+        with open(p) as f:
+            existing = set(json.load(f)["docids"])
+    existing.update(int(d) for d in docids)
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"docids": sorted(existing)}, f)
+    os.replace(tmp, p)
+
+
+def delete_docids(index_dir: str, docids) -> int:
+    """Tombstone the given global docids; returns the number recorded."""
+    manifest = read_manifest(index_dir)
+    metas = sorted(manifest.segments, key=lambda m: m.docid_range()[0])
+    bases = np.array([m.docid_range()[0] for m in metas])
+    docids = np.asarray(sorted(set(int(d) for d in docids)), dtype=np.int64)
+    seg_idx = np.searchsorted(bases, docids, side="right") - 1
+    n = 0
+    for i in range(len(metas)):
+        sel = docids[seg_idx == i]
+        if len(sel):
+            _write_deletes(index_dir, metas[i].seg_id, set(sel.tolist()))
+            n += len(sel)
+    return n
+
+
+def delete_by_term(index_dir: str, fieldname: str, text: str) -> int:
+    """writing.py:298-316 analogue."""
+    from whoosh_ray.search import Searcher, Term
+
+    s = Searcher(index_dir)
+    r = s.search(Term(fieldname, text), limit=None)
+    return delete_docids(index_dir, r.docids)
+
+
+def delete_by_query(index_dir: str, q) -> int:
+    """writing.py:620-636 analogue."""
+    from whoosh_ray.search import Searcher
+
+    s = Searcher(index_dir)
+    r = s.search(q, limit=None)
+    return delete_docids(index_dir, r.docids)
+
+
+def add_documents(index_dir: str, source, *, conv_col: str = "conv_id",
+                  turn_col: str = "turn_idx",
+                  docid_col: str | None = None) -> Manifest:
+    """Append new rows as new segments (docids continue after the span)."""
+    from whoosh_ray.pipelines.build import build_index
+
+    manifest = read_manifest(index_dir)
+    old_span = int(manifest.settings.get("docid_span", 0))
+    next_seg = max((m.seg_id for m in manifest.segments), default=-1) + 1
+    seg_size = int(manifest.settings["seg_size"])
+
+    inc_dir = index_dir + ".incremental"
+    import shutil
+
+    shutil.rmtree(inc_dir, ignore_errors=True)
+    inc = build_index(source, inc_dir, manifest.schema, seg_size=seg_size,
+                      conv_col=conv_col, turn_col=turn_col,
+                      docid_col=docid_col, resume=False)
+
+    # graft the incremental segments in with shifted docids/seg ids
+    from whoosh_ray.pipelines.merge import MergeWorker  # for codec access
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from whoosh_ray.state import codec
+    from whoosh_ray.state.manifest import SegmentMeta, atomic_write_json
+    from whoosh_ray.state.segment import write_docs_file, write_terms_file
+
+    new_metas = []
+    for k, m in enumerate(sorted(inc.segments, key=lambda m: m.seg_id)):
+        src_dir = os.path.join(inc_dir, "segments", seg_dirname(m.seg_id))
+        new_id = next_seg + k
+        dst_dir = os.path.join(index_dir, "segments", seg_dirname(new_id))
+        tmp = dst_dir + ".tmp-add"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        # docs: shift docid
+        docs = pq.read_table(os.path.join(src_dir, "docs.parquet"))
+        shifted = docs.set_column(
+            docs.column_names.index("docid"), "docid",
+            pa.array(docs["docid"].to_numpy() + old_span, type=pa.int64()))
+        write_docs_file(tmp, shifted)
+        # terms: shift docids inside blobs (decode -> +offset -> re-encode)
+        terms = pq.read_table(os.path.join(src_dir, "terms.parquet"))
+        posts = terms["postings"].to_pylist()
+        new_blobs = []
+        for blob in posts:
+            p = codec.BlobReader(blob).decode_all()
+            new_blobs.append(codec.encode_postings(
+                p.docids + old_span, p.tfs, p.len_bytes))
+        terms = terms.set_column(
+            terms.column_names.index("postings"), "postings",
+            pa.array(new_blobs, type=pa.large_binary()))
+        terms = terms.set_column(
+            terms.column_names.index("min_docid"), "min_docid",
+            pa.array(terms["min_docid"].to_numpy() + old_span))
+        terms = terms.set_column(
+            terms.column_names.index("max_docid"), "max_docid",
+            pa.array(terms["max_docid"].to_numpy() + old_span))
+        write_terms_file(tmp, terms)
+        r0, r1 = m.docid_range()
+        meta = SegmentMeta(
+            seg_id=new_id, docid_base=m.docid_base + old_span,
+            doc_count=m.doc_count, field_lengths=m.field_lengths,
+            lineage={**m.lineage,
+                     "docid_range": [r0 + old_span, r1 + old_span],
+                     "incremental_from": old_span},
+            metrics=m.metrics,
+        )
+        atomic_write_json(os.path.join(tmp, "meta.json"), meta.to_json())
+        shutil.rmtree(dst_dir, ignore_errors=True)
+        os.replace(tmp, dst_dir)
+        new_metas.append(meta)
+    shutil.rmtree(inc_dir, ignore_errors=True)
+
+    manifest = Manifest(
+        schema=manifest.schema,
+        segments=list(manifest.segments) + new_metas,
+        settings={**manifest.settings,
+                  "docid_span": old_span + int(inc.settings["docid_span"])},
+    )
+    write_manifest(index_dir, manifest)
+    return manifest
+
+
+def update_documents(index_dir: str, source, unique_field: str,
+                     **kwargs) -> Manifest:
+    """Upsert by unique field (writing.py:426-489): delete-then-add."""
+    import pyarrow.dataset as pads
+
+    from whoosh_ray.pipelines.build import _expand_paths
+    from whoosh_ray.search import Searcher, Term
+
+    # collect unique-field values of the incoming rows
+    paths = _expand_paths(source)
+    vals = pads.dataset(paths).to_table(columns=[unique_field])
+    unique_vals = set(vals[unique_field].to_pylist())
+
+    # tombstone old matches BEFORE adding (so the new docs survive)
+    s = Searcher(index_dir)
+    doomed: list[int] = []
+    for v in unique_vals:
+        r = s.search(Term(unique_field, str(v)), limit=None)
+        doomed.extend(int(d) for d in r.docids)
+    if doomed:
+        delete_docids(index_dir, doomed)
+    return add_documents(index_dir, source, **kwargs)

@@ -450,6 +450,8 @@ class ColumnQuery(Query):
         t = seg.docs_table(columns=["docid", self.column])
         mask = self.predicate(t[self.column])
         ids = t["docid"].filter(mask).to_numpy()
+        if len(seg.deletes):
+            ids = ids[seg._mask_deleted(ids)]
         return ids, np.full(len(ids), self.boost, dtype=np.float64)
 
 

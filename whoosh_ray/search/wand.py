@@ -73,7 +73,7 @@ def term_topk_segment(searcher, seg, fieldname: str, text: str, k: int,
         n_kept += int(d.counts[bi])
         if n_kept >= k:
             break
-    p = reader.decode_blocks(mask)
+    p = _apply_deletes(seg, reader.decode_blocks(mask))
     scores = scorer.score_array(p.tfs, p.len_bytes) * boost
     # phase 2: the true k-th score bounds which remaining blocks matter
     if len(scores) >= k:
@@ -83,13 +83,24 @@ def term_topk_segment(searcher, seg, fieldname: str, text: str, k: int,
         thr = threshold
     more = (quals > thr) & ~mask
     if more.any():
-        p2 = reader.decode_blocks(more)
+        p2 = _apply_deletes(seg, reader.decode_blocks(more))
         s2 = scorer.score_array(p2.tfs, p2.len_bytes) * boost
         ids = np.concatenate([p.docids, p2.docids])
         sc = np.concatenate([scores, s2])
         o = np.argsort(ids, kind="stable")
         return ids[o], sc[o]
     return p.docids, scores
+
+
+def _apply_deletes(seg, p):
+    from whoosh_ray.state import codec
+
+    if len(seg.deletes):
+        keep = seg._mask_deleted(p.docids)
+        if not keep.all():
+            return codec.Postings(p.docids[keep], p.tfs[keep],
+                                  p.len_bytes[keep])
+    return p
 
 
 def _candidate_block_mask(blk_dir, cand_ids: np.ndarray) -> np.ndarray:
@@ -138,9 +149,9 @@ def or_terms_topk(searcher, terms: list[tuple[str, str, float]], k: int):
                 if not len(cand):
                     continue
                 mask = _candidate_block_mask(reader.dir, cand)
-                p = reader.decode_blocks(mask)
+                p = _apply_deletes(seg, reader.decode_blocks(mask))
             else:
-                p = reader.decode_all()
+                p = _apply_deletes(seg, reader.decode_all())
             s = scorer.score_array(p.tfs, p.len_bytes) * b
             parts_ids.append(p.docids)
             parts_sc.append(s)

@@ -52,7 +52,10 @@ class FieldSpec:
 
     def to_json(self) -> dict:
         d = asdict(self)
-        d["analyzer"] = asdict(self.analyzer)
+        a = asdict(self.analyzer)
+        # frozensets don't survive json round-trips as sets
+        a["stopwords"] = sorted(a["stopwords"]) if a["stopwords"] else None
+        d["analyzer"] = a
         return d
 
     @staticmethod

@@ -67,6 +67,32 @@ class SegmentReader:
         self._docs_path = os.path.join(self.dir, "docs.parquet")
         self._stats: pa.Table | None = None
         self._blob_cache: dict[tuple[str, str], tuple[bytes, bytes | None]] = {}
+        self._deletes: np.ndarray | None = None  # sorted tombstoned docids
+
+    @property
+    def deletes(self) -> np.ndarray:
+        """Per-segment tombstone set (reference: per-segment deleted docnum
+        sets pickled with the segment, whoosh3.py:1284-1296).  Deleted docs
+        are masked out of every posting/doc scan; term statistics stay
+        unchanged until a merge rewrites the segment — exactly the
+        reference's behavior."""
+        if self._deletes is None:
+            import json
+
+            p = os.path.join(self.dir, "deletes.json")
+            if os.path.exists(p):
+                with open(p) as f:
+                    self._deletes = np.array(sorted(json.load(f)["docids"]),
+                                             dtype=np.int64)
+            else:
+                self._deletes = np.empty(0, dtype=np.int64)
+        return self._deletes
+
+    def _mask_deleted(self, docids: np.ndarray) -> np.ndarray:
+        d = self.deletes
+        if len(d) == 0:
+            return np.ones(len(docids), dtype=bool)
+        return ~np.isin(docids, d, assume_unique=True)
 
     # ---- terms ----
 
@@ -148,20 +174,35 @@ class SegmentReader:
 
     def postings(self, field: str, term: str) -> codec.Postings | None:
         r = self.blob_reader(field, term)
-        return None if r is None else r.decode_all()
+        if r is None:
+            return None
+        p = r.decode_all()
+        if len(self.deletes):
+            keep = self._mask_deleted(p.docids)
+            if not keep.all():
+                return codec.Postings(p.docids[keep], p.tfs[keep],
+                                      p.len_bytes[keep])
+        return p
 
     def positions(self, field: str, term: str) -> list[np.ndarray] | None:
         blobs = self._load_blobs(field, term)
         if blobs is None or blobs[1] is None or len(blobs[1]) == 0:
             return None
-        tfs = codec.BlobReader(blobs[0]).decode_all().tfs
-        return codec.decode_positions(blobs[1], tfs)
+        p = codec.BlobReader(blobs[0]).decode_all()
+        out = codec.decode_positions(blobs[1], p.tfs)
+        if len(self.deletes):
+            keep = self._mask_deleted(p.docids)
+            out = [o for o, k in zip(out, keep) if k]
+        return out
 
     # ---- docs ----
 
     def all_docids(self) -> np.ndarray:
         t = pq.read_table(self._docs_path, columns=["docid"])
-        return t["docid"].to_numpy()
+        ids = t["docid"].to_numpy()
+        if len(self.deletes):
+            ids = ids[self._mask_deleted(ids)]
+        return ids
 
     def stored(self, docids: np.ndarray) -> pa.Table:
         """Stored-field rows for the given (segment-resident) docids,

@@ -316,6 +316,109 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                             batch_format="pyarrow")
         return ds.select_columns(["doc_id", "simhash"])
 
+    def events_sessionize(sf_dir):
+        import ray.data
+
+        from whoosh_ray.pipelines.events import sessionize
+
+        ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"))
+        out = sessionize(ds).to_pandas().sort_values(
+            ["user_id", "session"]).reset_index(drop=True)
+        return pa.table({
+            "user_id": pa.array(out["user_id"], type=pa.int64()),
+            "session": pa.array(out["session"], type=pa.int64()),
+            "n_events": pa.array(out["n_events"], type=pa.int64()),
+            "start_us": pa.array(out["start_ts"].astype("int64") // 1000
+                                 if out["start_ts"].dtype.kind == "M"
+                                 and out["start_ts"].dt.unit == "ns"
+                                 else out["start_ts"].astype("int64"),
+                                 type=pa.int64()),
+            "end_us": pa.array(out["end_ts"].astype("int64") // 1000
+                               if out["end_ts"].dtype.kind == "M"
+                               and out["end_ts"].dt.unit == "ns"
+                               else out["end_ts"].astype("int64"),
+                               type=pa.int64()),
+        })
+
+    def events_windows(sf_dir):
+        import ray.data
+
+        from whoosh_ray.pipelines.events import tumbling_window_counts
+
+        ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"))
+        out = tumbling_window_counts(ds).to_pandas()
+        return pa.table({
+            "window": pa.array(out["window"], type=pa.int64()),
+            "n": pa.array(out["n"], type=pa.int64()),
+        })
+
+    def ir_range_facet(sf_dir):
+        from whoosh_ray.search import Term
+
+        s = _searcher(sf_dir)
+        r = s.search(Term("text", "spark"), limit=None)
+        stored = s.stored(r.docids, columns=["n_chars"]).to_pandas()
+        stored["bin"] = stored["n_chars"] // 100
+        g = stored.groupby("bin", sort=True, as_index=False).agg(
+            n=("docid", "count"))
+        return pa.table({"bin": pa.array(g["bin"], type=pa.int64()),
+                         "n": pa.array(g["n"], type=pa.int64())})
+
+    def knn_ivf_top10(sf_dir):
+        """Rows-only: IVF-bucketed approximate ANN (the scale path)."""
+        import pyarrow.parquet as pq
+        import ray.data
+
+        from whoosh_ray.pipelines.knn import knn_ivf
+
+        emb_path = os.path.join(sf_dir, "embeddings.parquet")
+        head = pq.read_table(emb_path).slice(0, 5)
+        out = knn_ivf(ray.data.read_parquet(emb_path),
+                      head["vec_id"].to_numpy(),
+                      np.array(head["embedding"].to_pylist(),
+                               dtype=np.float64), k=10)
+        return pa.table({
+            "query_id": pa.array(out["query_id"], type=pa.int64()),
+            "neighbor_id": pa.array(out["neighbor_id"], type=pa.int64()),
+            "rank": pa.array(out["rank"], type=pa.int64()),
+        })
+
+    def multimodal_features(sf_dir):
+        """Rows-only: binary-payload actor-pool feature extraction
+        (deterministic fake decode; real decode stubbed per environment)."""
+        import ray.data
+
+        from whoosh_ray.pipelines.multimodal import (extract_image_features,
+                                                     synthesize_media)
+
+        ds = ray.data.from_arrow(synthesize_media(256))
+        return extract_image_features(ds, concurrency=2, batch_size=64)
+
+    def ir_suggest(sf_dir):
+        """Rows-only: spelling suggestions (conformance vs the reference
+        engine is pinned in pytest)."""
+        s = _searcher(sf_dir)
+        rows = []
+        for w in ["sprak", "tabel", "windwo", "mrege"]:
+            for sug in s.suggest("text", w, limit=5):
+                rows.append({"word": w, "suggestion": sug})
+        return pa.Table.from_pylist(rows)
+
+    def ir_highlights(sf_dir):
+        """Rows-only: highlighted snippets for the top-10 'spark' hits
+        (string-identical to the reference's highlighter per pytest)."""
+        from whoosh_ray.search import Term
+        from whoosh_ray.search.highlight import highlight_batch
+
+        s = _searcher(sf_dir)
+        r = s.search(Term("text", "spark"), limit=10)
+        stored = s.stored(r.docids, columns=["text"])
+        hls = highlight_batch(stored["text"].to_pylist(), {"spark"})
+        return pa.table({
+            "docid": pa.array(r.docids, type=pa.int64()),
+            "snippet": pa.array(hls, type=pa.string()),
+        })
+
     def transcripts_queryset(sf_dir):
         """Rows-only: the flagship transcript pipeline (entry()) — its
         rank/score parity with the reference is pinned by pytest."""
@@ -340,6 +443,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_fingerprints": text_fingerprints,
         "text_langid": text_langid,
         "text_simhash": text_simhash,
+        "events_sessionize": events_sessionize,
+        "events_windows": events_windows,
+        "ir_range_facet": ir_range_facet,
+        "knn_ivf_top10": knn_ivf_top10,
+        "multimodal_features": multimodal_features,
+        "ir_suggest": ir_suggest,
+        "ir_highlights": ir_highlights,
         "transcripts_queryset": transcripts_queryset,
     }
 
@@ -431,6 +541,37 @@ FROM pairs
 QUALIFY row_number() OVER (PARTITION BY query_id
                            ORDER BY cosine DESC, neighbor_id) <= 10
 ORDER BY query_id, rank
+""",
+        "events_sessionize": """
+WITH d AS (
+  SELECT user_id, ts, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END
+      AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts,
+    (sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                      ROWS UNBOUNDED PRECEDING) - 1)::BIGINT AS session
+  FROM d
+)
+SELECT user_id, session, count(*)::BIGINT AS n_events,
+       epoch_us(min(ts))::BIGINT AS start_us,
+       epoch_us(max(ts))::BIGINT AS end_us
+FROM s GROUP BY user_id, session ORDER BY user_id, session
+""",
+        "events_windows": """
+SELECT (epoch_us(ts) // 3600000000)::BIGINT AS window,
+       count(*)::BIGINT AS n
+FROM events GROUP BY 1 ORDER BY 1
+""",
+        "ir_range_facet": rf"""
+WITH {_base_ctes()}
+SELECT (d.n_chars // 100)::BIGINT AS bin, count(*)::BIGINT AS n
+FROM documents d
+WHERE d.doc_id IN (SELECT doc_id FROM postings WHERE term = 'spark')
+GROUP BY 1 ORDER BY 1
 """,
         "text_token_stats": rf"""
 WITH tokall AS (

@@ -1,0 +1,97 @@
+"""Pipeline ops: sessionize, tumbling windows, IVF knn, multimodal stubs,
+dedup building blocks — functional tests (SQL-oracle checks run via
+scripts/check_oracle.py / the driver)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+
+def test_sessionize_gaps():
+    from whoosh_ray.pipelines.events import sessionize
+
+    base = 1_700_000_000_000_000
+    rows = []
+    for u, offsets in [(1, [0, 60, 120, 7200, 7260]),  # gap at 2h
+                       (2, [0, 30 * 60 + 1])]:         # just over the gap
+        for o in offsets:
+            rows.append({"user_id": u, "ts": base + o * 1_000_000,
+                         "value": 1.0})
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    out = sessionize(ds).to_pandas().sort_values(
+        ["user_id", "session"]).reset_index(drop=True)
+    assert out[out.user_id == 1]["n_events"].tolist() == [3, 2]
+    assert out[out.user_id == 2]["n_events"].tolist() == [1, 1]
+
+
+def test_tumbling_windows():
+    from whoosh_ray.pipelines.events import tumbling_window_counts
+
+    ds = ray.data.read_parquet("/root/testdata/sf0.001/events.parquet")
+    out = tumbling_window_counts(ds).to_pandas()
+    assert out["n"].sum() == 1000
+    assert (out["n"] > 0).all()
+
+
+def test_knn_ivf_recall():
+    from whoosh_ray.pipelines.knn import knn_bruteforce, knn_ivf
+
+    import pyarrow.parquet as pq
+
+    emb = "/root/testdata/sf0.01/embeddings.parquet"
+    head = pq.read_table(emb).slice(0, 8)
+    qids = head["vec_id"].to_numpy()
+    qmat = np.array(head["embedding"].to_pylist(), dtype=np.float64)
+    ds = ray.data.read_parquet(emb)
+    exact = knn_bruteforce(ds, qids, qmat, k=10)
+    approx = knn_ivf(ds, qids, qmat, k=10, nlist=16, nprobe=8)
+    recalls = []
+    for q in qids:
+        e = set(exact[exact.query_id == q]["neighbor_id"])
+        a = set(approx[approx.query_id == q]["neighbor_id"])
+        recalls.append(len(e & a) / max(1, len(e)))
+    assert np.mean(recalls) >= 0.8, recalls
+
+
+def test_multimodal_feature_stub():
+    from whoosh_ray.pipelines.multimodal import (ImageFeatures, Resize,
+                                                 extract_image_features,
+                                                 synthesize_media)
+
+    t = synthesize_media(64)
+    ds = ray.data.from_arrow(t)
+    out = extract_image_features(ds, concurrency=2, batch_size=16).to_pandas()
+    assert len(out) == 64
+    assert all(len(f) == 32 for f in out["features"])
+    # determinism across runs
+    out2 = extract_image_features(ray.data.from_arrow(t),
+                                  concurrency=2, batch_size=16).to_pandas()
+    a = np.array(list(out.sort_values("item_id")["features"]))
+    b = np.array(list(out2.sort_values("item_id")["features"]))
+    np.testing.assert_array_equal(a, b)
+    # real-decode backend is an explicit stub
+    with pytest.raises(NotImplementedError):
+        ImageFeatures(backend="pillow")
+    r = ds.map_batches(Resize(max_side=128), batch_format="pyarrow",
+                       batch_size=16).to_pandas()
+    assert (np.maximum(r["out_width"], r["out_height"]) <= 128).all()
+
+
+def test_simhash_near_dup_hamming():
+    from whoosh_ray.pipelines.dedup import SimHasher
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+        "text": pa.array([
+            "spark table merge join window hash key value scan filter",
+            "spark table merge join window hash key value scan filters",
+            "completely different content about nothing at all whatsoever",
+        ]),
+    })
+    out = ray.data.from_arrow(docs).map_batches(
+        SimHasher(), batch_format="pyarrow").to_pandas()
+    h = out.sort_values("doc_id")["simhash"].to_numpy().astype(np.uint64)
+    d01 = bin(int(h[0]) ^ int(h[1])).count("1")
+    d02 = bin(int(h[0]) ^ int(h[2])).count("1")
+    assert d01 < d02

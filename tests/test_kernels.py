@@ -142,3 +142,73 @@ def test_schema_json_roundtrip():
     s2 = IndexSchema.from_json(j)
     assert s2 == s
     assert s2.field("text").analyzer.stopwords == s.field("text").analyzer.stopwords
+
+
+def test_porter_matches_reference_variant():
+    import random
+    import string
+
+    from tests.conftest import load_whoosh_oracle
+
+    load_whoosh_oracle()
+    from whoosh.lang.porter import stem as wstem
+
+    from whoosh_ray.functions.porter import stem as mystem
+
+    random.seed(9)
+    words = ["deployment", "agreed", "hopping", "nationalization", "yearly",
+             "fundamentally", "ponies", "caresses", "generalizations"]
+    for _ in range(5000):
+        words.append("".join(random.choices(string.ascii_lowercase,
+                                            k=random.randint(1, 14))))
+    for w in words:
+        assert mystem(w) == wstem(w), w
+
+
+def test_stemming_analyzer_matches_reference():
+    from tests.conftest import load_whoosh_oracle
+
+    load_whoosh_oracle()
+    from whoosh.analysis import StemmingAnalyzer
+
+    from whoosh_ray.functions.analysis import STEMMING, VectorAnalyzer
+
+    wa = StemmingAnalyzer()
+    va = VectorAnalyzer(STEMMING)
+    texts = [
+        "Deployments were rendering the clusters nationally",
+        "agreed troubling hopping tanned generalizations",
+        "The filing of motions continued relentlessly",
+    ]
+    tb = va(texts)
+    cuts = np.concatenate(([0], np.cumsum(tb.row_lengths)))
+    for i, t in enumerate(texts):
+        ref = [(tok.text, tok.pos) for tok in wa(t, positions=True)]
+        mine = [(str(x), int(p))
+                for x, p in zip(tb.terms[cuts[i]: cuts[i + 1]],
+                                tb.positions[cuts[i]: cuts[i + 1]])]
+        assert mine == ref, (t, mine, ref)
+
+
+def test_keyword_and_comma_analyzers_match_reference():
+    from tests.conftest import load_whoosh_oracle
+
+    load_whoosh_oracle()
+    from whoosh.analysis import CommaSeparatedTokenizer, KeywordAnalyzer
+
+    from whoosh_ray.functions.analysis import (COMMA_SEPARATED, KEYWORD,
+                                               VectorAnalyzer)
+
+    texts = ["Alpha Beta gamma-3", "one, two ,  three four , five"]
+    wa = KeywordAnalyzer()
+    va = VectorAnalyzer(KEYWORD)
+    for t in texts:
+        ref = [tok.text for tok in wa(t)]
+        mine = va.token_lists([t])[0]
+        assert mine == ref, t
+    wc = CommaSeparatedTokenizer()
+    vc = VectorAnalyzer(COMMA_SEPARATED)
+    for t in texts:
+        ref = [tok.text for tok in wc(t)]
+        mine = vc.token_lists([t])[0]
+        assert mine == ref, t

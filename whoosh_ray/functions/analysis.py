@@ -48,6 +48,10 @@ class AnalyzerSpec:
     ``lowercase``/``stopwords``/``minsize``/``maxsize`` mirror the
     LowercaseFilter/StopFilter stages; setting ``stopwords=None`` and
     ``minsize=0`` yields SimpleAnalyzer (analyzers.py:131-143) semantics.
+    ``stem`` appends a Porter StemFilter (analysis/morph.py:35-151, with
+    the same per-analyzer memo cache); ``substitute`` a
+    SubstitutionFilter (filters.py:439-479); ``reverse`` a
+    ReverseTextFilter (filters.py:201-212); ``strip`` a StripFilter.
     """
 
     pattern: str = r"\w+(?:\.?\w+)*"
@@ -56,6 +60,10 @@ class AnalyzerSpec:
     minsize: int = 2
     maxsize: int | None = None
     gaps: bool = False  # RegexTokenizer(gaps=True): pattern splits instead
+    stem: bool = False
+    substitute: tuple[str, str] | None = None  # (pattern, replacement)
+    reverse: bool = False
+    strip: bool = False
 
     def compile(self) -> "VectorAnalyzer":
         return VectorAnalyzer(self)
@@ -64,6 +72,15 @@ class AnalyzerSpec:
 STANDARD = AnalyzerSpec()
 SIMPLE = AnalyzerSpec(stopwords=None, minsize=0)
 ID_ANALYZER = AnalyzerSpec(pattern=None, stopwords=None, minsize=0)  # whole value
+# StemmingAnalyzer preset (analyzers.py:197-226): Standard chain + porter
+STEMMING = AnalyzerSpec(stem=True)
+KEYWORD = AnalyzerSpec(pattern=r"[^ \t\r\n]+", lowercase=False,
+                       stopwords=None, minsize=0)  # SpaceSeparatedTokenizer
+COMMA_SEPARATED = AnalyzerSpec(pattern=r"[^,]+", lowercase=False,
+                               stopwords=None, minsize=0, strip=True)
+# PathTokenizer (tokenizers.py:320-337): prefixes of a /-path
+PATH = AnalyzerSpec(pattern=r"[^/]+", lowercase=False, stopwords=None,
+                    minsize=0)
 
 
 @dataclass
@@ -86,6 +103,9 @@ class VectorAnalyzer:
     def __init__(self, spec: AnalyzerSpec = STANDARD):
         self.spec = spec
         self._re = re.compile(spec.pattern, re.UNICODE) if spec.pattern else None
+        self._sub = (re.compile(spec.substitute[0]) if spec.substitute
+                     else None)
+        self._stem_cache: dict[str, str] = {}
 
     def token_lists(self, texts) -> list[list[str]]:
         """Per-row surviving token lists (lowercased, stopped)."""
@@ -144,6 +164,31 @@ class VectorAnalyzer:
             keep &= (s.str.len() <= spec.maxsize).to_numpy()
         if spec.stopwords:
             keep &= ~s.isin(spec.stopwords).to_numpy()
+
+        # post-stop token transforms (order: strip -> substitute ->
+        # stem -> reverse, matching the preset chains)
+        if spec.strip:
+            s = s.str.strip()
+        if self._sub is not None:
+            pat, rep = self._sub, spec.substitute[1]
+            s = pd.Series([pat.sub(rep, x) for x in s.to_numpy()],
+                          dtype=object)
+        if spec.stem:
+            from whoosh_ray.functions.porter import stem as porter_stem
+
+            cache = self._stem_cache
+            vals = s.to_numpy()
+            out = np.empty(len(vals), dtype=object)
+            for i, w in enumerate(vals):
+                st = cache.get(w)
+                if st is None:
+                    st = porter_stem(w)
+                    if len(cache) < 50000:  # morph.py cachesize parity
+                        cache[w] = st
+                out[i] = st
+            s = pd.Series(out, dtype=object)
+        if spec.reverse:
+            s = pd.Series([x[::-1] for x in s.to_numpy()], dtype=object)
 
         terms = s.to_numpy()[keep]
         row_ids = row_ids[keep]

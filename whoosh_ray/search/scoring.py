@@ -114,6 +114,129 @@ class WeightScorer(Scorer):
         return max_weight * self.boost
 
 
+class DFree(WeightingModel):
+    """Terrier DFree model (scoring.py:337-381), vectorized."""
+
+    def scorer(self, searcher, fieldname, text, qf=1):
+        spec = searcher.schema.field(fieldname)
+        if not spec.scorable:
+            return WeightScorer(searcher, fieldname, text)
+        return DFreeScorer(searcher, fieldname, text, qf)
+
+
+class DFreeScorer(Scorer):
+    def __init__(self, searcher, fieldname, text, qf=1):
+        self.cf = searcher.frequency(fieldname, text)
+        self.fl = searcher.manifest.field_length(fieldname)
+        self.qf = qf
+        self.boost = searcher.schema.field(fieldname).boost
+
+    def score_array(self, tfs, len_bytes):
+        tf = tfs.astype(np.float64) * self.boost
+        dl = byte_to_length(len_bytes).astype(np.float64)
+        prior = tf / dl
+        post = (tf + 1.0) / (dl + 1.0)
+        invpriorcol = self.fl / self.cf
+        norm = tf * np.log(post / prior)
+        return self.qf * norm * (tf * np.log(prior * invpriorcol)
+                                 + (tf + 1.0) * np.log(post * invpriorcol)
+                                 + 0.5 * np.log(post / prior))
+
+    def max_quality(self):
+        return float("inf")
+
+    def block_quality(self, max_weight, min_len_byte):
+        return float("inf")
+
+
+class PL2(WeightingModel):
+    """Terrier PL2 model (scoring.py:388-438), vectorized."""
+
+    def __init__(self, c: float = 1.0):
+        self.c = c
+
+    def scorer(self, searcher, fieldname, text, qf=1):
+        spec = searcher.schema.field(fieldname)
+        if not spec.scorable:
+            return WeightScorer(searcher, fieldname, text)
+        return PL2Scorer(searcher, fieldname, text, self.c, qf)
+
+
+class PL2Scorer(Scorer):
+    _rec_log2_of_e = 1.0 / np.log(2)
+
+    def __init__(self, searcher, fieldname, text, c, qf=1):
+        self.cf = searcher.frequency(fieldname, text)
+        self.dc = searcher.doc_count_all
+        self.avgfl = searcher.avg_field_length(fieldname) or 1
+        self.c = c
+        self.qf = qf
+        self.boost = searcher.schema.field(fieldname).boost
+
+    def score_array(self, tfs, len_bytes):
+        from math import pi
+
+        tf = tfs.astype(np.float64) * self.boost
+        fl = byte_to_length(len_bytes).astype(np.float64)
+        TF = tf * np.log(1.0 + (self.c * self.avgfl) / fl)
+        norm = 1.0 / (TF + 1.0)
+        f = self.cf / self.dc
+        return norm * self.qf * (TF * np.log(1.0 / f)
+                                 + f * self._rec_log2_of_e
+                                 + 0.5 * np.log(2 * pi * TF)
+                                 + TF * (np.log(TF) - self._rec_log2_of_e))
+
+    def max_quality(self):
+        return float("inf")
+
+    def block_quality(self, max_weight, min_len_byte):
+        return float("inf")
+
+
+class MultiWeighting(WeightingModel):
+    """Per-field model dispatch (scoring.py:560-590)."""
+
+    def __init__(self, default: WeightingModel, **weightings):
+        self.default = default
+        self.weightings = weightings
+
+    def scorer(self, searcher, fieldname, text, qf=1):
+        model = self.weightings.get(fieldname, self.default)
+        return model.scorer(searcher, fieldname, text, qf)
+
+
+class FunctionWeighting(WeightingModel):
+    """UDF scoring (scoring.py:503-544), batch-vectorized: the function
+    receives ``(searcher, fieldname, text, tfs, len_bytes)`` numpy arrays
+    and returns a score array (the reference's per-matcher callback is a
+    per-posting pull; same information, vectorized signature)."""
+
+    def __init__(self, fn):
+        self.fn = fn
+
+    def scorer(self, searcher, fieldname, text, qf=1):
+        return FunctionScorer(self.fn, searcher, fieldname, text)
+
+
+class FunctionScorer(Scorer):
+    def __init__(self, fn, searcher, fieldname, text):
+        self.fn = fn
+        self.searcher = searcher
+        self.fieldname = fieldname
+        self.text = text
+
+    def score_array(self, tfs, len_bytes):
+        return np.asarray(
+            self.fn(self.searcher, self.fieldname, self.text, tfs, len_bytes),
+            dtype=np.float64)
+
+    def max_quality(self):
+        return float("inf")
+
+    def block_quality(self, max_weight, min_len_byte):
+        return float("inf")
+
+
 class TF_IDF(WeightingModel):
     def scorer(self, searcher, fieldname, text, qf=1):
         return TFIDFScorer(searcher, fieldname, text)

@@ -178,11 +178,31 @@ class Searcher:
 
     # ---- search ----
 
-    def search(self, q: Query, limit: int | None = 10) -> Results:
+    def _as_docid_set(self, obj) -> np.ndarray:
+        if isinstance(obj, Query):
+            return self.search(obj, limit=None).docids
+        if isinstance(obj, Results):
+            return obj.docids
+        return np.asarray(sorted(int(d) for d in obj), dtype=np.int64)
+
+    def search(self, q: Query, limit: int | None = 10, *,
+               filter=None, mask=None) -> Results:
+        """``filter``/``mask`` restrict/exclude results by a query, a
+        Results, or a docid set without changing scores — the reference's
+        FilterCollector wrappers (collectors.py:657-760,
+        searching.py:775-787)."""
+        allow = self._as_docid_set(filter) if filter is not None else None
+        deny = self._as_docid_set(mask) if mask is not None else None
         self._eval_cache.clear()
         self._global_cache.clear()
         q = q.expansion_queries(self)[0]
         docids, scores = q.global_docs_scores(self)
+        if allow is not None and len(docids):
+            keep = np.isin(docids, allow, assume_unique=True)
+            docids, scores = docids[keep], scores[keep]
+        if deny is not None and len(docids):
+            keep = ~np.isin(docids, deny, assume_unique=True)
+            docids, scores = docids[keep], scores[keep]
         if not len(docids):
             return Results(self, np.empty(0, dtype=np.int64),
                            np.empty(0, dtype=np.float64))

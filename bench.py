@@ -65,7 +65,7 @@ def _run_inner() -> dict:
     marker = os.path.join(src, "_DONE")
     if not os.path.exists(marker):
         shutil.rmtree(src, ignore_errors=True)
-        write_transcripts(src, n_convs=n_convs)
+        write_transcripts(src, n_convs=n_convs, rows_per_file=62_500)
         open(marker, "w").write("ok")
     n_turns = sum(pq.ParquetFile(os.path.join(src, f)).metadata.num_rows
                   for f in os.listdir(src) if f.endswith(".parquet"))
@@ -150,17 +150,24 @@ def _run_inner() -> dict:
 
 
 def run_scaling():
-    # strong-scaling regime: a 4x corpus so per-run fixed costs (imports,
-    # Ray pipeline warmup) don't dominate the 32-CPU side
+    # strong-scaling regime: a 16x corpus (~8M turns at sf0.1, ~500
+    # core-seconds of indexing work) so the 4x-CPU run has enough work to
+    # amortize startup/ramp — the regime the 100 TB criterion describes
     turns = int(os.environ.get(
-        "GRAFT_BENCH_TURNS", 4 * int(TURNS_PER_SF * _sf_value(SF_DIR))))
+        "GRAFT_BENCH_TURNS", 16 * int(TURNS_PER_SF * _sf_value(SF_DIR))))
 
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    GRAFT_BENCH_TURNS=str(turns))
-        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                             env=env, capture_output=True, text=True,
-                             check=True, cwd=os.path.dirname(os.path.abspath(__file__)))
+        # taskset pins the whole Ray process tree to ncpu PHYSICAL cores:
+        # Ray's num_cpus is only a scheduling budget, and per-worker library
+        # thread pools (arrow IO, parquet compression) would otherwise let
+        # the "N-CPU" run exceed N cores, corrupting the N-vs-4N comparison
+        cmd = ["taskset", "-c", f"0-{ncpu - 1}", sys.executable,
+               os.path.abspath(__file__)]
+        out = subprocess.run(cmd, env=env, capture_output=True, text=True,
+                             check=True,
+                             cwd=os.path.dirname(os.path.abspath(__file__)))
         return json.loads(out.stdout.strip().splitlines()[-1])
 
     lo_cpus, hi_cpus = 8, 32

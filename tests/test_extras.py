@@ -149,3 +149,48 @@ def test_numeric_and_date_ranges_match_oracle(corpus, engine, tmp_path_factory):
         assert [d for d, _ in mine] == [d for d, _ in ref], refq
         np.testing.assert_allclose([s for _, s in mine],
                                    [s for _, s in ref])
+
+
+def test_regex_and_sequence_match_oracle(engine, oracle):
+    from tests.oracle import oracle_search
+    from whoosh.query import Regex as WRegex
+    from whoosh.query import Sequence as WSequence
+    from whoosh.query import Term as WTerm
+
+    from whoosh_ray.search.query import Regex, Sequence, Term
+
+    cases = [
+        (Regex("text", "ren.*er"), WRegex("text", "ren.*er")),
+        (Regex("text", "^dep"), WRegex("text", "^dep")),
+        (Regex("text", "clus|err"), WRegex("text", "clus|err")),
+    ]
+    for myq, refq in cases:
+        mine = [(int(d), float(s)) for d, s in engine.search(myq, limit=None)]
+        ref = [(int(d), float(s))
+               for d, s in oracle_search(oracle, refq, limit=None)]
+        assert [d for d, _ in mine] == [d for d, _ in ref], refq
+        np.testing.assert_allclose([x for _, x in mine],
+                                   [x for _, x in ref], rtol=1e-9)
+    seq_cases = [
+        (["deploy", "render"], 1),
+        (["cluster", "error"], 2),
+    ]
+    for words, slop in seq_cases:
+        myq = Sequence([Term("text", w) for w in words], slop=slop)
+        refq = WSequence([WTerm("text", w) for w in words], slop=slop)
+        mine = [(int(d), float(s)) for d, s in engine.search(myq, limit=None)]
+        ref = [(int(d), float(s))
+               for d, s in oracle_search(oracle, refq, limit=None)]
+        assert [d for d, _ in mine] == [d for d, _ in ref], (words, slop)
+        np.testing.assert_allclose([x for _, x in mine],
+                                   [x for _, x in ref], rtol=1e-9)
+
+
+def test_correct_query(engine):
+    from whoosh_ray.search.query import And, Term
+
+    q = And([Term("text", "deplou"), Term("text", "render")])
+    fixed, changes = engine.correct_query(q)
+    assert changes and changes[0][0] == "text" and changes[0][1] == "deplou"
+    r = engine.search(fixed, limit=5)
+    assert len(r) > 0

@@ -125,7 +125,12 @@ def build_index(
         cols = list(dict.fromkeys(
             schema.input_columns()
             + ([conv_col, turn_col] if docid_col is None else [docid_col])))
-        ds = ray.data.read_parquet(source, columns=cols)
+        # split the read well beyond the file count (files with several row
+        # groups can be read by multiple tasks) so the scan keeps every CPU
+        # busy instead of one task per input file
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        ds = ray.data.read_parquet(source, columns=cols,
+                                   override_num_blocks=4 * ncpu)
 
     bases_ds = None
     local_paths = None
@@ -147,12 +152,15 @@ def build_index(
 
     if seg_size is None:
         # segments are the unit of encode/write parallelism AND the memory
-        # bound (one segment's postings materialize in one map_groups call):
-        # target ~4 segments per CPU, capped by the default upper bound
+        # bound (one segment's rows materialize in one map_groups call).
+        # ~16k docs/segment is the measured sweet spot (cache-sized groups,
+        # good wave balance); the size is independent of the CPU budget so
+        # the same corpus produces the same segments at every parallelism
+        # level (smaller only when the corpus itself is small).
         import ray as _ray
 
         ncpu = int(_ray.cluster_resources().get("CPU", 8))
-        seg_size = int(min(DEFAULT_SEG_SIZE, max(2048, span // (4 * ncpu))))
+        seg_size = int(min(16384, max(2048, span // (4 * ncpu))))
 
     def add_seg(batch: pa.Table) -> pa.Table:
         seg = pa.compute.divide(batch["docid"], seg_size).cast(pa.int64())

@@ -326,9 +326,25 @@ class _MultiTerm(Query):
             # reference parity: a single-term expansion bypasses
             # constantscore and is fully scored (terms.py:215-217)
             return [Term(self.fieldname, words[0], self.boost)]
-        if self.constantscore:
+        if self.constantscore and not self._constantscore_is_scored(searcher,
+                                                                    words):
             return [_ConstantTermSet(self.fieldname, words, self.boost)]
         return [Or([Term(self.fieldname, w) for w in words], boost=self.boost)]
+
+    @staticmethod
+    def _constantscore_is_scored(searcher, words) -> bool:
+        """Bug-parity with the reference's constantscore machinery: the
+        weighting=None context is passed to Or, whose AUTO strategy picks
+        the binary UnionMatcher tree when there are exactly 2 expanded
+        terms or doc_count_all > 5000 (compound.py:339-349) — and on that
+        path searcher.postings() replaces the None weighting with the real
+        one (searching.py ``weighting = weighting or self.weighting``), so
+        "constant score" silently becomes full scoring.  Only the
+        preloaded-array path (small index, 3..1023 terms) actually yields
+        the constant boost."""
+        if len(words) >= 1024:  # TOO_MANY_CLAUSES -> array path
+            return False
+        return len(words) == 2 or searcher.doc_count_all > 5000
 
     def docs_scores(self, searcher, seg):
         return self.expansion_queries(searcher)[0].docs_scores(searcher, seg)
@@ -393,6 +409,75 @@ class Wildcard(_MultiTerm):
         cand = (searcher.expand_prefix(self.fieldname, prefix) if prefix
                 else searcher.lexicon(self.fieldname))
         return [w for w in cand if pat.match(w)]
+
+
+class Regex(_MultiTerm):
+    """Regex term expansion (terms.py:361-404): candidates from the
+    longest literal prefix, filtered with ``re.match`` (PREFIX-match
+    semantics — the reference does not anchor the end)."""
+
+    SPECIAL_CHARS = frozenset("{}()[].?*+^$\\")
+
+    def __init__(self, fieldname, text, boost: float = 1.0,
+                 constantscore: bool = True):
+        self.fieldname, self.text = fieldname, text
+        self.boost, self.constantscore = boost, constantscore
+
+    def _expand(self, searcher):
+        text = self.text
+        probe = text
+        if "|" in probe:
+            prefix = ""
+        else:
+            if probe.startswith("^"):
+                probe = probe[1:]
+            elif probe.startswith("\\A"):
+                probe = probe[2:]
+            i = 0
+            for i, ch in enumerate(probe):
+                if ch in self.SPECIAL_CHARS:
+                    break
+            prefix = probe[:i]
+            # a trailing-stripped * or ? makes the last literal char optional
+            lp = len(prefix)
+            if lp and lp < len(probe) and probe[lp] in "*?":
+                prefix = prefix[:-1]
+        pat = re.compile(text)
+        cand = (searcher.expand_prefix(self.fieldname, prefix) if prefix
+                else searcher.lexicon(self.fieldname))
+        return [w for w in cand if pat.match(w)]
+
+
+class Sequence(Query):
+    """Sub-queries matching at successive positions (positional.py:37-120,
+    SpanNear semantics with slop/ordered).  Supported over Term
+    sub-queries — the common case; scores the sum of the terms' scores on
+    matching docs (the same oracle-pinned rule as Phrase)."""
+
+    def __init__(self, subqueries, slop: int = 1, ordered: bool = True,
+                 boost: float = 1.0):
+        self.subqueries = list(subqueries)
+        self.slop = slop
+        self.ordered = ordered
+        self.boost = boost
+
+    def terms(self):
+        out = []
+        for q in self.subqueries:
+            out.extend(q.terms())
+        return out
+
+    def docs_scores(self, searcher, seg):
+        words = []
+        for q in self.subqueries:
+            if not isinstance(q, Term):
+                raise NotImplementedError(
+                    "Sequence over non-Term subqueries")
+            words.append((q.fieldname, q.text))
+        f = words[0][0]
+        ph = Phrase(f, [w for _, w in words], slop=self.slop,
+                    boost=self.boost)
+        return ph.docs_scores(searcher, seg)
 
 
 class TermRange(_MultiTerm):

@@ -275,6 +275,38 @@ class Searcher:
         best.sort(key=lambda x: (0 - x[0], x[1]))
         return [w for _, w in best]
 
+    def correct_query(self, q: Query, prefix: int = 0, maxdist: int = 2):
+        """Replace unknown Term texts with their top suggestion
+        (searching.py:820-931 / spelling.py:243-344 behavior on the query
+        tree; string splicing is left to the caller).  Returns
+        (corrected_query, [(fieldname, old, new), ...])."""
+        import copy
+
+        from whoosh_ray.search.query import Term as _Term
+
+        changes: list[tuple[str, str, str]] = []
+
+        def fix(node):
+            if isinstance(node, _Term):
+                if self.doc_frequency(node.fieldname, node.text) == 0:
+                    sugs = self.suggest(node.fieldname, node.text,
+                                        limit=1, maxdist=maxdist,
+                                        prefix=prefix)
+                    if sugs:
+                        changes.append((node.fieldname, node.text, sugs[0]))
+                        return _Term(node.fieldname, sugs[0], node.boost)
+                return node
+            node = copy.copy(node)
+            if hasattr(node, "subqueries"):
+                node.subqueries = [fix(c) for c in node.subqueries]
+            for attr in ("a", "b", "subquery"):
+                child = getattr(node, attr, None)
+                if isinstance(child, Query):
+                    setattr(node, attr, fix(child))
+            return node
+
+        return fix(q), changes
+
     def key_terms(self, docids, fieldname: str, numterms: int = 5,
                   **kwargs):
         from whoosh_ray.search.classify import key_terms

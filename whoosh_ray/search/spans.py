@@ -1,0 +1,224 @@
+"""Span queries — positional span algebra over the positions payloads.
+
+Reference: /root/reference/src/whoosh/query/spans.py (Span ops :51-168,
+SpanFirst :299-339, SpanNear2 :493-638, SpanOr :647-699, SpanNot
+:717-765, SpanContains :767-813, SpanBefore :815-847, SpanCondition
+:850-877).  Each span query scores with its underlying boolean query's
+matcher (Intersection sum for Near/Contains/Before/Condition, AndMaybe
+for SpanNot, Or-sum for SpanOr, the child itself for SpanFirst) and then
+keeps only docs whose computed span set is non-empty — reproduced here
+as: evaluate the underlying query vectorized, then filter candidates by
+a per-doc span computation that follows the reference algorithms
+verbatim (including SpanNear2's slop/mindist/ordered merge and Span.to
+span-joining)."""
+
+from __future__ import annotations
+
+from bisect import bisect_left
+
+import numpy as np
+
+from whoosh_ray.search import matching
+from whoosh_ray.search.query import (
+    And,
+    AndMaybe,
+    Or,
+    Phrase,
+    Query,
+    Term,
+)
+
+# spans are (start, end) tuples
+
+
+def _overlaps(a, b):
+    return ((b[0] <= a[0] <= b[1]) or (b[0] <= a[1] <= b[1])
+            or (a[0] <= b[0] <= a[1]) or (a[0] <= b[1] <= a[1]))
+
+
+def _distance(a, b):
+    if _overlaps(a, b):
+        return 0
+    if a[1] < b[0]:
+        return b[0] - a[1]
+    return a[0] - b[1]
+
+
+def _to(a, b):
+    return (min(a[0], b[0]), max(a[1], b[1]))
+
+
+def doc_spans(q: Query, searcher, seg, docids: np.ndarray) -> list[list[tuple]]:
+    """Span lists for the given docids (per the reference span algebra)."""
+    if isinstance(q, Term):
+        p = seg.postings(q.fieldname, q.text)
+        pos = seg.positions(q.fieldname, q.text)
+        out = []
+        if p is None or pos is None:
+            return [[] for _ in docids]
+        idx = np.searchsorted(p.docids, docids)
+        for i, d in zip(idx, docids):
+            if i < len(p.docids) and p.docids[i] == d:
+                out.append([(int(x), int(x)) for x in pos[int(i)]])
+            else:
+                out.append([])
+        return out
+    if isinstance(q, SpanNear2):
+        subs = [doc_spans(s, searcher, seg, docids) for s in q.qs]
+        out = []
+        for di in range(len(docids)):
+            aspans = subs[0][di]
+            i = 1
+            while i < len(subs) and aspans:
+                bspans = subs[i][di]
+                found = set()
+                for aspan in aspans:
+                    start = (aspan[0] if q.ordered
+                             else max(0, aspan[0] - q.slop))
+                    j = bisect_left([b[0] for b in bspans], start)
+                    while j < len(bspans):
+                        bspan = bspans[j]
+                        j += 1
+                        if (bspan[1] < aspan[0] - q.slop
+                                or (q.ordered and aspan[0] > bspan[0])):
+                            continue
+                        if bspan[0] > aspan[1] + q.slop:
+                            break
+                        if q.mindist <= _distance(aspan, bspan) <= q.slop:
+                            found.add(_to(aspan, bspan))
+                aspans = sorted(found)
+                i += 1
+            out.append(aspans)
+        return out
+    if isinstance(q, SpanOr):
+        subs = [doc_spans(s, searcher, seg, docids) for s in q.subqs]
+        return [sorted(set().union(*[s[di] for s in subs]))
+                for di in range(len(docids))]
+    if isinstance(q, SpanFirst):
+        child = doc_spans(q.q, searcher, seg, docids)
+        return [[s for s in spans if s[1] <= q.limit] for spans in child]
+    if isinstance(q, SpanNot):
+        aa = doc_spans(q.a, searcher, seg, docids)
+        bb = doc_spans(q.b, searcher, seg, docids)
+        out = []
+        for aspans, bspans in zip(aa, bb):
+            if bspans:
+                out.append([a for a in aspans
+                            if not any(_overlaps(a, b) for b in bspans)])
+            else:
+                out.append(aspans)
+        return out
+    if isinstance(q, SpanContains):
+        aa = doc_spans(q.a, searcher, seg, docids)
+        bb = doc_spans(q.b, searcher, seg, docids)
+        out = []
+        for aspans, bspans in zip(aa, bb):
+            keep = []
+            for a in aspans:
+                for b in bspans:
+                    if a[0] > b[1]:
+                        continue
+                    if a[1] < b[0]:
+                        break
+                    if b[0] >= a[0] and b[1] <= a[1]:
+                        keep.append(a)
+                        break
+            out.append(keep)
+        return out
+    if isinstance(q, SpanBefore):
+        aa = doc_spans(q.a, searcher, seg, docids)
+        bb = doc_spans(q.b, searcher, seg, docids)
+        out = []
+        for aspans, bspans in zip(aa, bb):
+            if not bspans:
+                out.append([])
+                continue
+            bmin = min(b[0] for b in bspans)
+            out.append([a for a in aspans if a[1] < bmin])
+        return out
+    if isinstance(q, SpanCondition):
+        return doc_spans(q.a, searcher, seg, docids)
+    raise NotImplementedError(type(q))
+
+
+class _SpanQuery(Query):
+    """Base: evaluate the scoring query, keep docs with non-empty spans."""
+
+    def _scoring_query(self) -> Query:
+        raise NotImplementedError
+
+    def terms(self):
+        return self._scoring_query().terms()
+
+    def docs_scores(self, searcher, seg):
+        ids, scores = self._scoring_query().docs_scores(searcher, seg)
+        if not len(ids):
+            return matching.empty()
+        spans = doc_spans(self, searcher, seg, ids)
+        keep = np.array([bool(s) for s in spans])
+        res = (ids[keep], scores[keep])
+        if self.boost != 1.0:
+            return res[0], res[1] * self.boost
+        return res
+
+
+class SpanFirst(_SpanQuery):
+    def __init__(self, q: Query, limit: int = 0, boost: float = 1.0):
+        self.q, self.limit, self.boost = q, limit, boost
+
+    def _scoring_query(self):
+        return self.q
+
+
+class SpanNear2(_SpanQuery):
+    def __init__(self, qs, slop: int = 1, ordered: bool = True,
+                 mindist: int = 1, boost: float = 1.0):
+        self.qs = list(qs)
+        self.slop, self.ordered, self.mindist = slop, ordered, mindist
+        self.boost = boost
+
+    def _scoring_query(self):
+        return And(list(self.qs))
+
+
+class SpanOr(_SpanQuery):
+    def __init__(self, subqs, boost: float = 1.0):
+        self.subqs = list(subqs)
+        self.boost = boost
+
+    def _scoring_query(self):
+        return Or(list(self.subqs))
+
+
+class SpanNot(_SpanQuery):
+    """Spans of a that do NOT overlap spans of b; scored AndMaybe(a, b)."""
+
+    def __init__(self, a: Query, b: Query, boost: float = 1.0):
+        self.a, self.b, self.boost = a, b, boost
+
+    def _scoring_query(self):
+        return AndMaybe(self.a, self.b)
+
+
+class SpanContains(_SpanQuery):
+    def __init__(self, a: Query, b: Query, boost: float = 1.0):
+        self.a, self.b, self.boost = a, b, boost
+
+    def _scoring_query(self):
+        return And([self.a, self.b])
+
+
+class SpanBefore(_SpanQuery):
+    def __init__(self, a: Query, b: Query, boost: float = 1.0):
+        self.a, self.b, self.boost = a, b, boost
+
+    def _scoring_query(self):
+        return And([self.a, self.b])
+
+
+class SpanCondition(_SpanQuery):
+    def __init__(self, a: Query, b: Query, boost: float = 1.0):
+        self.a, self.b, self.boost = a, b, boost
+
+    def _scoring_query(self):
+        return And([self.a, self.b])

@@ -39,7 +39,7 @@ def engine(corpus, tmp_path_factory):
 @pytest.fixture(scope="module")
 def oracle(corpus):
     return build_oracle_index(corpus, text_fields=("text",),
-                              id_fields=("role",))
+                              id_fields=("role", "conv_id"))
 
 
 def test_span_queries_match_oracle(engine, oracle, whoosh_oracle):
@@ -87,3 +87,30 @@ def test_span_queries_match_oracle(engine, oracle, whoosh_oracle):
         np.testing.assert_allclose([x for _, x in mine],
                                    [x for _, x in ref], rtol=1e-9,
                                    err_msg=repr(refq))
+
+
+def test_nested_queries_match_oracle(engine, oracle):
+    from whoosh.query import Term as WT
+    from whoosh.query.nested import NestedChildren as WNestedChildren
+    from whoosh.query.nested import NestedParent as WNestedParent
+
+    from whoosh_ray.search.nested import NestedChildren, NestedParent
+
+    cases = [
+        (NestedParent(Term("role", "user"), Term("text", "deploy")),
+         WNestedParent(WT("role", "user"), WT("text", "deploy"))),
+        (NestedParent(Term("role", "user"), Term("text", "november"),
+                      per_parent_limit=2),
+         WNestedParent(WT("role", "user"), WT("text", "november"),
+                       per_parent_limit=2)),
+        (NestedChildren(Term("role", "user"),
+                        Term("conv_id", "conv000003")),
+         WNestedChildren(WT("role", "user"), WT("conv_id", "conv000003"))),
+    ]
+    for myq, refq in cases:
+        mine = [(int(d), float(s)) for d, s in engine.search(myq, limit=None)]
+        ref = [(int(d), float(s))
+               for d, s in oracle_search(oracle, refq, limit=None)]
+        assert [d for d, _ in mine] == [d for d, _ in ref], refq
+        np.testing.assert_allclose([x for _, x in mine],
+                                   [x for _, x in ref], rtol=1e-9)

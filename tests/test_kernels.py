@@ -212,3 +212,35 @@ def test_keyword_and_comma_analyzers_match_reference():
         ref = [tok.text for tok in wc(t)]
         mine = vc.token_lists([t])[0]
         assert mine == ref, t
+
+
+def test_ngram_analyzers_match_reference():
+    from tests.conftest import load_whoosh_oracle
+
+    load_whoosh_oracle()
+    from whoosh.analysis import NgramAnalyzer, NgramWordAnalyzer
+
+    from whoosh_ray.functions.analysis import AnalyzerSpec, VectorAnalyzer
+
+    texts = ["ab cde fgh", "abcd", "Hello Big-World", ""]
+    pairs = [
+        (NgramAnalyzer(3),
+         AnalyzerSpec(ngram=(3, 3), ngram_mode="text", stopwords=None,
+                      minsize=0)),
+        (NgramAnalyzer(2, 4),
+         AnalyzerSpec(ngram=(2, 4), ngram_mode="text", stopwords=None,
+                      minsize=0)),
+        (NgramWordAnalyzer(2, 3),
+         AnalyzerSpec(ngram=(2, 3), ngram_mode="words", stopwords=None,
+                      minsize=0)),
+    ]
+    for wa, spec in pairs:
+        va = VectorAnalyzer(spec)
+        tb = va(texts)
+        cuts = np.concatenate(([0], np.cumsum(tb.row_lengths)))
+        for i, t in enumerate(texts):
+            ref = [(tok.text, tok.pos) for tok in wa(t, positions=True)]
+            mine = [(str(x), int(p))
+                    for x, p in zip(tb.terms[cuts[i]: cuts[i + 1]],
+                                    tb.positions[cuts[i]: cuts[i + 1]])]
+            assert mine == ref, (spec, t, mine, ref)

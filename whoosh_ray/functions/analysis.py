@@ -64,6 +64,12 @@ class AnalyzerSpec:
     substitute: tuple[str, str] | None = None  # (pattern, replacement)
     reverse: bool = False
     strip: bool = False
+    # n-gram emission (analysis/ngrams.py:37-221): mode "text" slides the
+    # window over the raw text (NgramTokenizer; pattern ignored), mode
+    # "words" explodes each token into its grams (NgramFilter) keeping the
+    # word's position
+    ngram: tuple[int, int] | None = None
+    ngram_mode: str = "words"
 
     def compile(self) -> "VectorAnalyzer":
         return VectorAnalyzer(self)
@@ -121,6 +127,8 @@ class VectorAnalyzer:
         spec = self.spec
         if isinstance(texts, pd.Series):
             texts = texts.to_numpy()
+        if spec.ngram is not None:
+            return self._ngram_call(texts)
         n = len(texts)
         token_lists: list[list[str]] = []
         counts = np.empty(n, dtype=np.int64)
@@ -205,6 +213,59 @@ class VectorAnalyzer:
         first_orig[has_any] = orig_pos[cuts[:-1][has_any]]
         positions = (first_orig[row_ids] + rank_in_row).astype(np.int32)
         return TokenizedBatch(row_ids, terms, positions, row_lengths)
+
+    def _ngram_call(self, texts) -> TokenizedBatch:
+        """N-gram token streams (reference parity, probed):
+
+        - text mode: for each window start, grams of every size min..max
+          that fit; all grams at one start share a position (the start
+          counter), lowercased;
+        - words mode: regex-tokenize + lowercase, then per word emit grams
+          of sizes min..max per start; all grams of a word share the
+          word's position."""
+        gmin, gmax = self.spec.ngram
+        lower = self.spec.lowercase
+        n = len(texts)
+        rows, terms, positions = [], [], []
+        counts = np.zeros(n, dtype=np.int64)
+        for i, t in enumerate(texts):
+            t = t or ""
+            if self.spec.ngram_mode == "text":
+                if lower:
+                    t = t.lower()
+                pos = 0
+                for start in range(len(t)):
+                    emitted = False
+                    for size in range(gmin, gmax + 1):
+                        if start + size > len(t):
+                            break
+                        rows.append(i)
+                        terms.append(t[start:start + size])
+                        positions.append(pos)
+                        emitted = True
+                    if emitted:
+                        pos += 1
+            else:
+                words = self._re.findall(t) if self._re else [t]
+                for wpos, w in enumerate(words):
+                    if lower:
+                        w = w.lower()
+                    for start in range(len(w)):
+                        for size in range(gmin, gmax + 1):
+                            if start + size > len(w):
+                                break
+                            rows.append(i)
+                            terms.append(w[start:start + size])
+                            positions.append(wpos)
+            counts[i] = 0
+        row_ids = np.asarray(rows, dtype=np.int64)
+        counts = np.bincount(row_ids, minlength=n).astype(np.int64)
+        return TokenizedBatch(
+            row_ids,
+            np.asarray(terms, dtype=object),
+            np.asarray(positions, dtype=np.int32),
+            counts,
+        )
 
     def aggregate(self, texts, with_positions: bool = False):
         """Per-(row, term) aggregation — the Format.word_values analogue.

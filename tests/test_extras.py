@@ -194,3 +194,51 @@ def test_correct_query(engine):
     assert changes and changes[0][0] == "text" and changes[0][1] == "deplou"
     r = engine.search(fixed, limit=5)
     assert len(r) > 0
+
+
+def test_sentence_fragmenter_matches_oracle(engine, oracle):
+    from whoosh import highlight as wh
+    from whoosh.query import Term as WTerm
+
+    from whoosh_ray.search.highlight import (Highlighter, SentenceFragmenter,
+                                             UppercaseFormatter)
+
+    # sentence-punctuated synthetic text driven through both fragmenters
+    text = ("Deploy the cluster now. Render it later! What about the "
+            "batch? Deploy again... and render. Nothing here.")
+    hl = Highlighter(fragmenter=SentenceFragmenter(),
+                     formatter=UppercaseFormatter())
+    mine = hl.highlight(text, {"deploy", "render"}, top=3)
+    whl = wh.Highlighter(fragmenter=wh.SentenceFragmenter(),
+                         formatter=wh.UppercaseFormatter())
+    from whoosh.analysis import StandardAnalyzer
+
+    ref = whl.highlight_hit_manual if False else None
+    # drive the reference pipeline manually (same API surface it uses)
+    analyzer = StandardAnalyzer(stoplist=None, minsize=0)
+    tokens = analyzer(text, positions=True, chars=True, mode="index",
+                      removestops=False)
+    tokens = wh.set_matched_filter(tokens, {"deploy", "render"})
+    frags = wh.SentenceFragmenter().fragment_tokens(text, tokens)
+    frags = wh.top_fragments(frags, 3, wh.BasicFragmentScorer(), wh.FIRST)
+    ref = wh.UppercaseFormatter().format(frags)
+    assert mine == ref
+
+
+def test_matched_terms(engine, oracle):
+    from whoosh.query import Or as WOr
+    from whoosh.query import Term as WTerm
+
+    from whoosh_ray.search.query import Or, Term
+
+    r = engine.search(Or([Term("text", "deploy"), Term("text", "absent"),
+                          Term("text", "render")]), limit=10, terms=True)
+    with oracle.searcher() as s:
+        wr = s.search(WOr([WTerm("text", "deploy"), WTerm("text", "absent"),
+                           WTerm("text", "render")]), limit=10, terms=True)
+        ref_terms = {(f, t.decode()) for f, t in wr.matched_terms()}
+        assert r.matched_terms() == ref_terms
+        for hit in wr:
+            mine_ht = r.matched_terms_for(hit.docnum)
+            ref_ht = {(f, t.decode()) for f, t in hit.matched_terms()}
+            assert mine_ht == ref_ht, hit.docnum

@@ -105,7 +105,7 @@ def build_index(
     tokenize_concurrency: int | tuple[int, int] | None = None,
     tokenize_batch_size: int = 8192,
     resume: bool = True,
-    fused: bool = True,
+    mode: str = "spill",
 ) -> Manifest:
     """Build (or resume) an index at ``index_dir`` over ``source``.
 
@@ -113,9 +113,22 @@ def build_index(
     Returns the sealed :class:`Manifest`.
     """
     t_start = time.time()
-    os.makedirs(os.path.join(index_dir, "segments"), exist_ok=True)
+    segroot = os.path.join(index_dir, "segments")
+    os.makedirs(segroot, exist_ok=True)
 
     fingerprint = _input_fingerprint(source, schema)
+
+    # clean uncommitted leftovers from a crashed run: segment dirs without a
+    # meta.json commit, stale temp dirs, and map-side doc part spills
+    import shutil as _shutil
+
+    for name in os.listdir(segroot):
+        path = os.path.join(segroot, name)
+        if name == ".parts" or ".tmp" in name:
+            _shutil.rmtree(path, ignore_errors=True)
+        elif (name.startswith("seg=")
+              and not os.path.exists(os.path.join(path, "meta.json"))):
+            _shutil.rmtree(path, ignore_errors=True)
     if isinstance(source, ray.data.Dataset):
         ds = source.select_columns(
             [c for c in schema.input_columns()
@@ -185,7 +198,28 @@ def build_index(
 
         ds = ds.map_batches(drop_done, batch_format="pyarrow")
 
-    if fused:
+    if mode == "spill":
+        # ---- map-side doc spill: stored rows go straight to per-segment
+        # part files in the map stage; ONLY compact posting rows (dict-
+        # encoded terms) cross the all-to-all exchange; the reduce encodes
+        # terms and assembles docs.parquet from the parts (spill_writer.py)
+        from whoosh_ray.stages.spill_writer import (SegmentFinalizer,
+                                                    TokenizeAndSpillDocs)
+
+        tok = TokenizeAndSpillDocs(index_dir, schema, seg_size)
+        post_ds = ds.map_batches(
+            tok, batch_format="pyarrow", batch_size=tokenize_batch_size,
+            **({"concurrency": tokenize_concurrency}
+               if tokenize_concurrency is not None else {}))
+        stats = (
+            post_ds.groupby("seg")
+            .map_groups(SegmentFinalizer(index_dir, schema),
+                        batch_format="pyarrow")
+            .to_pandas()
+        )
+        doc_stats = stats
+        term_stats = stats
+    elif mode == "fused":
         # ---- single-shuffle fused path: one groupby(seg) over raw rows,
         # the segment worker writes docs.parquet AND terms.parquet
         from whoosh_ray.stages.fused_writer import FusedSegmentWriter
@@ -224,6 +258,50 @@ def build_index(
                         batch_format="pyarrow")
             .to_pandas()
         )
+
+    # ---- stragglers: a segment whose docs all analyzed to zero tokens
+    # produces no posting group, so its spilled doc parts were never
+    # finalized; assemble them here (empty terms table)
+    parts_root = os.path.join(segroot, ".parts")
+    if mode == "spill" and os.path.isdir(parts_root):
+        import pandas as _pd
+        import pyarrow.parquet as _pq
+
+        from whoosh_ray.state.segment import (TERMS_ARROW_SCHEMA,
+                                              write_docs_file,
+                                              write_terms_file)
+        from whoosh_ray.stages.write_seg import _atomic_emit
+
+        extra_rows = []
+        for name in sorted(os.listdir(parts_root)):
+            pdir = os.path.join(parts_root, name)
+            files = [f for f in os.listdir(pdir) if f.endswith(".parquet")]
+            if not files:
+                continue
+            seg_id = int(name.split("=")[1])
+            docs = pa.concat_tables(
+                [_pq.read_table(os.path.join(pdir, f)) for f in files])
+            order = np.argsort(docs["docid"].to_numpy(), kind="stable")
+            docs = docs.take(pa.array(order))
+            _atomic_emit(index_dir, seg_id, "docs.parquet",
+                         lambda tmp, d=docs: write_docs_file(tmp, d))
+            empty = pa.table({f.name: pa.array([], type=f.type)
+                              for f in TERMS_ARROW_SCHEMA})
+            _atomic_emit(index_dir, seg_id, "terms.parquet",
+                         lambda tmp, t=empty: write_terms_file(tmp, t))
+            d = docs["docid"].to_numpy()
+            extra_rows.append({
+                "seg": seg_id, "doc_count": docs.num_rows,
+                "min_docid": int(d[0]), "max_docid": int(d[-1]),
+                "n_terms": 0, "n_postings": 0,
+                "field_lengths": "{}", "docs_secs": 0.0, "terms_secs": 0.0,
+            })
+            _shutil.rmtree(pdir, ignore_errors=True)
+        if extra_rows:
+            doc_stats = _pd.concat(
+                [doc_stats, _pd.DataFrame(extra_rows)], ignore_index=True)
+            term_stats = doc_stats
+        _shutil.rmtree(parts_root, ignore_errors=True)
 
     # ---- per-segment lineage commits ----
     build_secs = time.time() - t_start

@@ -83,7 +83,10 @@ def batch_search(index_dir: str, queries: list[Query], limit: int = 10,
 
 
 def _has_nondecomposable(q: Query) -> bool:
-    if isinstance(q, (DisjunctionMax, AndNot, Not)):
+    from whoosh_ray.search.nested import NestedChildren, NestedParent
+
+    if isinstance(q, (DisjunctionMax, AndNot, Not, NestedParent,
+                      NestedChildren)):
         return True
     if isinstance(q, _Compound):
         return any(_has_nondecomposable(s) for s in q.subqueries)

@@ -115,6 +115,50 @@ class WholeFragmenter:
         return [_mkfrag(text, matched, startchar=0, endchar=len(text))]
 
 
+class SentenceFragmenter:
+    """Sentence-boundary fragments (highlight.py:343-417): a sentence ends
+    where the char after a token is in ``sentencechars`` (runs of
+    punctuation like "..." do not break); sentences with matches and
+    length <= maxchars become fragments."""
+
+    def __init__(self, maxchars: int = 200, sentencechars: str = ".!?",
+                 charlimit: int = DEFAULT_CHARLIMIT):
+        self.maxchars = maxchars
+        self.sentencechars = frozenset(sentencechars)
+        self.charlimit = charlimit
+
+    def fragment_tokens(self, text, tokens):
+        out = []
+        textlen = len(text)
+        first = None
+        tks: list[Token] = []
+        endchar = None
+        currentlen = 0
+        for t in tokens:
+            startchar, endchar = t.startchar, t.endchar
+            if self.charlimit and endchar > self.charlimit:
+                break
+            if first is None:
+                first = startchar
+                currentlen = 0
+            currentlen += endchar - startchar
+            if t.matched:
+                tks.append(replace(t))
+            if endchar < textlen and text[endchar] in self.sentencechars:
+                if (endchar + 1 < textlen
+                        and text[endchar + 1] in self.sentencechars):
+                    continue
+                if tks and currentlen <= self.maxchars:
+                    out.append(_mkfrag(text, tks, startchar=first,
+                                       endchar=endchar))
+                tks = []
+                first = None
+                currentlen = 0
+        if tks:
+            out.append(_mkfrag(text, tks, startchar=first, endchar=endchar))
+        return out
+
+
 class ContextFragmenter:
     """Matched terms + surrounding context (highlight.py:418-505)."""
 

@@ -39,6 +39,21 @@ class Results:
     def __iter__(self):
         return iter(zip(self.docids.tolist(), self.scores.tolist()))
 
+    # populated by search(terms=True): {(field, term): matching result docids}
+    termdocs: dict | None = None
+
+    def matched_terms(self) -> set:
+        """TermsCollector parity (collectors.py:1103-1165): the query terms
+        that matched at least one result document."""
+        if self.termdocs is None:
+            raise ValueError("search() was not run with terms=True")
+        return set(self.termdocs.keys())
+
+    def matched_terms_for(self, docid: int) -> set:
+        if self.termdocs is None:
+            raise ValueError("search() was not run with terms=True")
+        return {k for k, v in self.termdocs.items() if docid in v}
+
     def to_arrow(self, columns: list[str] | None = None) -> pa.Table:
         """(rank, docid, score) + stored fields, in rank order."""
         stored = self.searcher.stored(self.docids, columns=columns)
@@ -186,11 +201,12 @@ class Searcher:
         return np.asarray(sorted(int(d) for d in obj), dtype=np.int64)
 
     def search(self, q: Query, limit: int | None = 10, *,
-               filter=None, mask=None) -> Results:
+               filter=None, mask=None, terms: bool = False) -> Results:
         """``filter``/``mask`` restrict/exclude results by a query, a
         Results, or a docid set without changing scores — the reference's
         FilterCollector wrappers (collectors.py:657-760,
-        searching.py:775-787)."""
+        searching.py:775-787).  ``terms=True`` records which query terms
+        match each result doc (TermsCollector, collectors.py:1103-1165)."""
         allow = self._as_docid_set(filter) if filter is not None else None
         deny = self._as_docid_set(mask) if mask is not None else None
         self._eval_cache.clear()
@@ -209,7 +225,22 @@ class Searcher:
         order = np.lexsort((docids, -scores))
         if limit is not None:
             order = order[:limit]
-        return Results(self, docids[order], scores[order])
+        res = Results(self, docids[order], scores[order])
+        if terms:
+            termdocs: dict[tuple[str, str], np.ndarray] = {}
+            for key in set(q.terms()):
+                parts = []
+                for seg in self.segments:
+                    p = seg.postings(*key)
+                    if p is not None:
+                        parts.append(p.docids)
+                tdocs = (np.concatenate(parts) if parts
+                         else np.empty(0, dtype=np.int64))
+                hit = np.intersect1d(tdocs, res.docids)
+                if len(hit):
+                    termdocs[key] = hit
+            res.termdocs = termdocs
+        return res
 
     def search_topk(self, q: Query, limit: int = 10) -> Results:
         """Pruned top-k (block-max skipping + MaxScore term pruning,

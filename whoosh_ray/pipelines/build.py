@@ -105,7 +105,7 @@ def build_index(
     tokenize_concurrency: int | tuple[int, int] | None = None,
     tokenize_batch_size: int = 8192,
     resume: bool = True,
-    mode: str = "spill",
+    mode: str = "fused",
 ) -> Manifest:
     """Build (or resume) an index at ``index_dir`` over ``source``.
 
@@ -202,7 +202,11 @@ def build_index(
         # ---- map-side doc spill: stored rows go straight to per-segment
         # part files in the map stage; ONLY compact posting rows (dict-
         # encoded terms) cross the all-to-all exchange; the reduce encodes
-        # terms and assembles docs.parquet from the parts (spill_writer.py)
+        # terms and assembles docs.parquet from the parts (spill_writer.py).
+        # NOTE: measured SLOWER than "fused" on this single node (the
+        # per-batch part-file writes dominate); it becomes interesting
+        # multi-node where shuffle bytes cross the network — needs
+        # buffered/coalesced part writes first (round-2)
         from whoosh_ray.stages.spill_writer import (SegmentFinalizer,
                                                     TokenizeAndSpillDocs)
 

@@ -119,3 +119,31 @@ def test_upsert_by_unique_key(tmp_path):
     # old content of that conversation is gone
     r2 = s.search(Term("text", "upserted"), limit=None)
     assert len(r2) == sub.num_rows
+
+
+def test_build_resume_skips_committed_segments(tmp_path):
+    """Checkpoint-resume: delete one committed segment, rerun the build —
+    only that partition is rebuilt and results are identical."""
+    import shutil
+
+    import numpy as np
+
+    from whoosh_ray.search import Or
+
+    corpus = generate_transcripts(n_convs=30, seed=41)
+    ix = _fresh_index(tmp_path, corpus, seg_size=48)
+    s0 = Searcher(ix)
+    before = [(int(d), float(sc)) for d, sc in
+              s0.search(Or([Term("text", "deploy"), Term("text", "render")]),
+                        limit=None)]
+    segdirs = sorted(p for p in (tmp_path / "index" / "segments").iterdir()
+                     if p.name.startswith("seg="))
+    shutil.rmtree(segdirs[1])
+    m = build_index(str(tmp_path / "src"), ix, transcripts_schema(),
+                    seg_size=48)
+    assert m.settings["resumed_segments"] == len(segdirs) - 1
+    s1 = Searcher(ix)
+    after = [(int(d), float(sc)) for d, sc in
+             s1.search(Or([Term("text", "deploy"), Term("text", "render")]),
+                       limit=None)]
+    assert before == after

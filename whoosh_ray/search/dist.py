@@ -50,7 +50,9 @@ class QueryWorker:
                                      batch["query_pickle"].to_pylist(),
                                      batch["limit"].to_pylist()):
             q = self._loads(qblob)
-            r = self.searcher.search(q, limit=limit)
+            # pruned top-k where the query shape supports it (identical
+            # results, asserted by tests); exhaustive otherwise
+            r = self.searcher.search_topk(q, limit=limit)
             n = len(r.docids)
             qids.extend([qid] * n)
             ranks.extend(range(n))

@@ -607,33 +607,37 @@ class Phrase(Query):
             cand = np.intersect1d(cand, p.docids, assume_unique=True)
             if len(cand) == 0:
                 return matching.empty()
-        # positional verification per candidate doc
-        pos_by_term = []
+        # positional verification — vectorized over ALL candidate docs at
+        # once: encode (candidate-index, position) into one int64 key
+        # (docidx << 32 | pos) so the per-doc position intersections of the
+        # whole segment happen in single sorted-array operations
+        slop = self.slop
+        term_keys = []
         for w, p in zip(self.words, plists):
             pos = seg.positions(f, w)
             if pos is None:
                 return matching.empty()  # field indexed without positions
             idx = np.searchsorted(p.docids, cand)
-            pos_by_term.append([pos[i] for i in idx])
-        ok = np.zeros(len(cand), dtype=bool)
-        slop = self.slop
-        for d in range(len(cand)):
-            current = pos_by_term[0][d]
-            for t in range(1, len(self.words)):
-                nxt = pos_by_term[t][d]
-                if slop == 1:
-                    current = np.intersect1d(current + 1, nxt,
-                                             assume_unique=True)
-                else:
-                    hits = []
-                    for delta in range(1, slop + 1):
-                        hits.append(np.intersect1d(current + delta, nxt,
-                                                   assume_unique=True))
-                    current = np.unique(np.concatenate(hits)) if hits else current
-                if len(current) == 0:
-                    break
-            ok[d] = len(current) > 0
-        match_ids = cand[ok]
+            flat = [pos[int(i)] for i in idx]
+            lens = np.array([len(x) for x in flat], dtype=np.int64)
+            docidx = np.repeat(np.arange(len(cand), dtype=np.int64), lens)
+            pvals = (np.concatenate(flat) if len(flat) else
+                     np.empty(0, dtype=np.int64))
+            term_keys.append((docidx << np.int64(32)) | pvals.astype(np.int64))
+        current = term_keys[0]
+        for t in range(1, len(self.words)):
+            nxt = term_keys[t]
+            if slop == 1:
+                current = np.intersect1d(current + 1, nxt,
+                                         assume_unique=True)
+            else:
+                parts = [np.intersect1d(current + delta, nxt,
+                                        assume_unique=True)
+                         for delta in range(1, slop + 1)]
+                current = np.unique(np.concatenate(parts))
+            if len(current) == 0:
+                return matching.empty()
+        match_ids = cand[np.unique(current >> np.int64(32))]
         if len(match_ids) == 0:
             return matching.empty()
         # score: sum of term scores on the matching docs

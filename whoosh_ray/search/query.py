@@ -614,15 +614,20 @@ class Phrase(Query):
         slop = self.slop
         term_keys = []
         for w, p in zip(self.words, plists):
-            pos = seg.positions(f, w)
-            if pos is None:
+            pf = seg.positions_flat(f, w)
+            if pf is None:
                 return matching.empty()  # field indexed without positions
-            idx = np.searchsorted(p.docids, cand)
-            flat = [pos[int(i)] for i in idx]
-            lens = np.array([len(x) for x in flat], dtype=np.int64)
+            t_docids, flat, offsets = pf
+            idx = np.searchsorted(t_docids, cand)
+            lens = (offsets[idx + 1] - offsets[idx]).astype(np.int64)
+            # gather candidate docs' position runs from the flat stream
+            gather_total = int(lens.sum())
+            gather = (np.arange(gather_total, dtype=np.int64)
+                      - np.repeat(np.concatenate(([0], np.cumsum(lens)[:-1])),
+                                  lens)
+                      + np.repeat(offsets[idx], lens))
+            pvals = flat[gather]
             docidx = np.repeat(np.arange(len(cand), dtype=np.int64), lens)
-            pvals = (np.concatenate(flat) if len(flat) else
-                     np.empty(0, dtype=np.int64))
             term_keys.append((docidx << np.int64(32)) | pvals.astype(np.int64))
         current = term_keys[0]
         for t in range(1, len(self.words)):

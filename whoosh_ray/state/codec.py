@@ -383,14 +383,27 @@ def encode_positions(positions_per_posting: list[np.ndarray]) -> bytes:
     return varint.encode(np.concatenate(parts))
 
 
+def decode_positions_flat(blob: bytes | memoryview,
+                          tfs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized decode of a whole term's position payloads: returns
+    (absolute positions flat, per-posting offsets of len n+1) with one
+    varint pass and a segmented cumsum — no per-posting Python."""
+    tfs = np.asarray(tfs, dtype=np.int64)
+    total = int(tfs.sum())
+    offsets = np.concatenate(([0], np.cumsum(tfs)))
+    deltas = varint.decode(blob, total)
+    if total == 0:
+        return deltas, offsets
+    c = np.cumsum(deltas)
+    starts = offsets[:-1]
+    # value of the running sum just before each posting's first element
+    base = np.zeros(len(starts), dtype=np.int64)
+    base[1:] = c[starts[1:] - 1]
+    flat = c - np.repeat(base, tfs)
+    return flat, offsets
+
+
 def decode_positions(blob: bytes | memoryview, tfs: np.ndarray) -> list[np.ndarray]:
     """Inverse of :func:`encode_positions` for the whole term."""
-    total = int(np.sum(tfs))
-    flat = varint.decode(blob, total)
-    out = []
-    off = 0
-    for tf in tfs:
-        tf = int(tf)
-        out.append(np.cumsum(flat[off:off + tf]))
-        off += tf
-    return out
+    flat, offsets = decode_positions_flat(blob, tfs)
+    return [flat[offsets[i]: offsets[i + 1]] for i in range(len(tfs))]

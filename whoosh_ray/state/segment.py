@@ -184,6 +184,26 @@ class SegmentReader:
                                       p.len_bytes[keep])
         return p
 
+    def positions_flat(self, field: str, term: str):
+        """(docids, flat positions, offsets) with deletes applied — the
+        vectorized phrase path."""
+        blobs = self._load_blobs(field, term)
+        if blobs is None or blobs[1] is None or len(blobs[1]) == 0:
+            return None
+        p = codec.BlobReader(blobs[0]).decode_all()
+        flat, offsets = codec.decode_positions_flat(blobs[1], p.tfs)
+        if len(self.deletes):
+            keep = self._mask_deleted(p.docids)
+            if not keep.all():
+                lens = np.diff(offsets)[keep]
+                idx = np.flatnonzero(keep)
+                new_off = np.concatenate(([0], np.cumsum(lens)))
+                gather = np.concatenate([
+                    np.arange(offsets[i], offsets[i + 1]) for i in idx
+                ]) if len(idx) else np.empty(0, dtype=np.int64)
+                return p.docids[keep], flat[gather], new_off
+        return p.docids, flat, offsets
+
     def positions(self, field: str, term: str) -> list[np.ndarray] | None:
         blobs = self._load_blobs(field, term)
         if blobs is None or blobs[1] is None or len(blobs[1]) == 0:

@@ -72,3 +72,22 @@ def test_merge_small_policy_shape():
     plan = plan_merge_small(metas)
     # the three tiny segments fold; the big ones stay
     assert plan and set(plan[0]) == {0, 1, 2}
+
+
+def test_hierarchical_optimize(tmp_path):
+    import pyarrow.parquet as pq
+
+    (tmp_path / "src").mkdir()
+    pq.write_table(generate_transcripts(n_convs=60, seed=9),
+                   str(tmp_path / "src" / "p.parquet"))
+    build_index(str(tmp_path / "src"), str(tmp_path / "index"),
+                transcripts_schema(), seg_size=32)
+    ix = str(tmp_path / "index")
+    before_r, before_s = snapshot(ix)
+    m = merge_segments(ix, policy="OPTIMIZE", target_segments=4,
+                       concurrency=4)
+    assert 1 < len(m.segments) <= 5
+    after_r, after_s = snapshot(ix)
+    assert before_s == after_s
+    for k in before_r:
+        assert before_r[k] == after_r[k]

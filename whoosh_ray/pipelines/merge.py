@@ -64,9 +64,18 @@ def plan_merge_small(metas: list[SegmentMeta]) -> list[list[int]]:
     return [group] if len(group) > 1 else []
 
 
-def plan_optimize(metas: list[SegmentMeta]) -> list[list[int]]:
-    ids = [m.seg_id for m in metas]
-    return [ids] if len(ids) > 1 else []
+def plan_optimize(metas: list[SegmentMeta],
+                  target_segments: int = 1) -> list[list[int]]:
+    """Merge-all, optionally hierarchical: adjacent docid-range segments
+    are chunked into ``target_segments`` groups so the mergers run in
+    parallel (the single-group plan would serialize on one actor)."""
+    ids = [m.seg_id for m in sorted(metas, key=lambda m: m.docid_range()[0])]
+    if len(ids) <= max(1, target_segments):
+        return []
+    k = max(1, target_segments)
+    size = (len(ids) + k - 1) // k
+    groups = [ids[i: i + size] for i in range(0, len(ids), size)]
+    return [g for g in groups if len(g) > 1]
 
 
 class MergeWorker:
@@ -198,12 +207,14 @@ class MergeWorker:
 
 
 def merge_segments(index_dir: str, policy: str = "MERGE_SMALL",
-                   concurrency: int = 2) -> Manifest:
+                   concurrency: int = 2,
+                   target_segments: int = 1) -> Manifest:
     """Apply a merge policy; returns the resealed manifest."""
     manifest = read_manifest(index_dir)
     if policy == "NO_MERGE":
         return manifest
-    plan = (plan_optimize(manifest.segments) if policy == "OPTIMIZE"
+    plan = (plan_optimize(manifest.segments, target_segments)
+            if policy == "OPTIMIZE"
             else plan_merge_small(manifest.segments))
     if plan:
         items = [{"group": json.dumps(g)} for g in plan]

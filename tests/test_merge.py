@@ -67,11 +67,77 @@ def test_optimize_merge_preserves_everything(built):
 
 
 def test_merge_small_policy_shape():
-    metas = [SegmentMeta(seg_id=i, docid_base=i * 100, doc_count=c)
-             for i, c in enumerate([1, 1, 2, 500, 1000])]
+    # Reference parity (writing.py:71-104): merge point = first i > 3
+    # with running total < fib(i+5); a big segment inside the scanned
+    # prefix blocks the fold entirely.
+    def metas_of(counts):
+        return [SegmentMeta(seg_id=i, docid_base=i * 100, doc_count=c,
+                            lineage={"docid_range": [i * 100, i * 100 + 100]})
+                for i, c in enumerate(counts)]
+
+    # total at i=4 includes the 500+1000 segments -> never under fib -> no plan
+    assert plan_merge_small(metas_of([1, 1, 2, 500, 1000])) == []
+    # five tiny adjacent segments fold together, the big one stays
+    plan = plan_merge_small(metas_of([1, 1, 1, 1, 1, 1000]))
+    assert plan == [[0, 1, 2, 3, 4]]
+
+
+def test_merge_small_docid_adjacency():
+    # the fold set must split at docid-range gaps so merged ranges never
+    # overlap a survivor's range
+    counts = [1, 1000, 1, 1, 1, 1]
+    metas = [SegmentMeta(seg_id=i, docid_base=i * 100, doc_count=c,
+                         lineage={"docid_range": [i * 100, i * 100 + 100]})
+             for i, c in enumerate(counts)]
     plan = plan_merge_small(metas)
-    # the three tiny segments fold; the big ones stay
-    assert plan and set(plan[0]) == {0, 1, 2}
+    assert plan == [[2, 3, 4, 5]]
+
+
+def test_merge_expunges_deletes(tmp_path):
+    """ADVICE r1: deleted docs must not be resurrected by a merge; stats
+    (doc_count, avgfl, df) must stop counting them after the rewrite."""
+    import pyarrow.parquet as pq
+
+    from whoosh_ray.pipelines.mutate import delete_docids
+
+    (tmp_path / "src").mkdir()
+    pq.write_table(generate_transcripts(n_convs=60, seed=9),
+                   str(tmp_path / "src" / "p.parquet"))
+    build_index(str(tmp_path / "src"), str(tmp_path / "index"),
+                transcripts_schema(), seg_size=64)
+    ix = str(tmp_path / "index")
+
+    s = Searcher(ix)
+    r = s.search(Term("text", "deploy"), limit=None)
+    before_hits = len(r.docids)
+    victims = [int(d) for d in r.docids[:5]]
+    n_all_before = s.doc_count_all
+    delete_docids(ix, victims)
+
+    s = Searcher(ix)
+    r = s.search(Term("text", "deploy"), limit=None)
+    assert len(r.docids) == before_hits - 5
+    # pre-merge: stats intentionally unchanged (reference parity)
+    assert s.doc_count_all == n_all_before
+
+    m = merge_segments(ix, policy="OPTIMIZE")
+    assert len(m.segments) == 1
+    s = Searcher(ix)
+    r = s.search(Term("text", "deploy"), limit=None)
+    assert len(r.docids) == before_hits - 5
+    assert not set(victims) & set(r.docids.tolist())
+    # post-merge: tombstones expunged from stats
+    assert s.doc_count_all == n_all_before - 5
+    assert s.doc_frequency("text", "deploy") == before_hits - 5
+    # no stale tombstone file in the merged segment
+    import os
+    seg = m.segments[0]
+    from whoosh_ray.state.manifest import seg_dirname
+    assert not os.path.exists(os.path.join(ix, "segments",
+                                           seg_dirname(seg.seg_id),
+                                           "deletes.json"))
+    # exact field_lengths shrank consistently (avgfl = totals / doc_count)
+    assert s.avg_field_length("text") > 0
 
 
 def test_hierarchical_optimize(tmp_path):

@@ -1,10 +1,12 @@
 """Segment merging: whoosh's merge policies driven by an actor pool.
 
 Reference: merge policies NO_MERGE / MERGE_SMALL (fibonacci heuristic:
-fold the smallest segments while ``total_docs < fib(i + 5)``) / OPTIMIZE
+fold the sorted prefix up to the first index ``i > 3`` whose running doc
+total stays under ``fib(i + 5)``) / OPTIMIZE
 (/root/reference/src/whoosh/writing.py:65-125, fib util/__init__.py:104-112),
 executed by ``add_reader`` copying per-doc data and re-adding postings
-(writing.py:707-716).
+for NON-DELETED docs only (writing.py:707-716) — i.e. a merge expunges
+tombstones and is the point where deleted docs stop counting in stats.
 
 Ray-native execution: the driver computes the merge plan from manifest
 stats only (no data reads), then a pool of ``MergeWorker`` actors
@@ -13,8 +15,18 @@ its group's segments: terms tables are already (field, term)-sorted so
 the merge is a concatenate + stable re-sort; same-term posting blobs
 from different segments decode → concat (docid ranges are disjoint and
 ordered by construction) → re-encode via the vectorized batch codec.
-Merged segments commit atomically like build segments; the manifest is
-resealed with the survivors.
+
+Commit protocol (crash-safe): each merged segment is written under a
+FRESH unused seg id, atomically renamed into place FIRST, and only then
+are the input dirs retired.  A crash leaves either the inputs or the
+merged output (possibly both) discoverable; the reseal drops any
+segment listed in a survivor's ``lineage.merged_from``.
+
+Divergence from the reference, on purpose: a merge group is split into
+docid-adjacent runs so a merged segment's docid range never overlaps a
+survivor's (the searchsorted docid→segment mapping depends on disjoint,
+ordered ranges; the reference has no such invariant because its docnums
+are per-segment).
 """
 
 from __future__ import annotations
@@ -25,7 +37,6 @@ import shutil
 import time
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 import ray.data
@@ -40,6 +51,9 @@ from whoosh_ray.state.manifest import (
     write_manifest,
 )
 
+_COMBINE_COLS = ("df", "sum_tf", "total_weight", "max_weight",
+                 "min_length", "max_length", "min_docid", "max_docid")
+
 
 def _fib(n: int) -> int:
     """Parity: util/__init__.py:104-112."""
@@ -49,19 +63,44 @@ def _fib(n: int) -> int:
     return a
 
 
+def _adjacent_runs(fold_ids: set[int],
+                   metas: list[SegmentMeta]) -> list[list[int]]:
+    """Split a fold set into runs that are adjacent in docid space
+    relative to ALL segments (no survivor's range between members), so
+    merged ranges stay disjoint from surviving ranges."""
+    groups: list[list[int]] = []
+    cur: list[int] = []
+    for m in sorted(metas, key=lambda m: m.docid_range()[0]):
+        if m.seg_id in fold_ids:
+            cur.append(m.seg_id)
+        else:
+            if len(cur) > 1:
+                groups.append(cur)
+            cur = []
+    if len(cur) > 1:
+        groups.append(cur)
+    return groups
+
+
 def plan_merge_small(metas: list[SegmentMeta]) -> list[list[int]]:
-    """MERGE_SMALL plan (writing.py:71-104): sort segments by doc count;
-    fold a growing prefix while the running total stays under fib(i+5)."""
+    """MERGE_SMALL plan (writing.py:71-104 parity): scan segments sorted
+    by doc count, accumulating non-zero counts; the merge point is the
+    first index ``i > 3`` where the running total is under fib(i + 5);
+    everything up to and including it folds, the rest stays."""
     sorted_metas = sorted(metas, key=lambda m: m.doc_count)
     total = 0
-    group: list[int] = []
+    to_merge: list[int] = []
+    found = False
     for i, m in enumerate(sorted_metas):
-        total += m.doc_count
-        if total < _fib(i + 5):
-            group.append(m.seg_id)
-        else:
+        if m.doc_count > 0:
+            total += m.doc_count
+        to_merge.append(m.seg_id)
+        if i > 3 and total < _fib(i + 5):
+            found = True
             break
-    return [group] if len(group) > 1 else []
+    if not (found and len(to_merge) > 1):
+        return []
+    return _adjacent_runs(set(to_merge), metas)
 
 
 def plan_optimize(metas: list[SegmentMeta],
@@ -78,6 +117,82 @@ def plan_optimize(metas: list[SegmentMeta],
     return [g for g in groups if len(g) > 1]
 
 
+def _read_deletes(seg_dir: str) -> np.ndarray:
+    p = os.path.join(seg_dir, "deletes.json")
+    if not os.path.exists(p):
+        return np.empty(0, dtype=np.int64)
+    with open(p) as f:
+        return np.array(sorted(json.load(f)["docids"]), dtype=np.int64)
+
+
+def _expunge(terms: pa.Table, docs: pa.Table,
+             deletes: np.ndarray) -> tuple[pa.Table, pa.Table,
+                                           dict[str, int], int]:
+    """Filter one segment's tables down to non-deleted docs, recomputing
+    per-term stats from the filtered postings (reference: add_reader
+    re-adds only undeleted docs, writing.py:707-716).  Returns
+    (terms, docs, removed_field_lengths, n_docs_removed).
+
+    ``field_lengths`` totals are exact tf sums (fused_writer), so the
+    removed length per field is exactly the tf mass of dropped postings —
+    no dequantization error."""
+    doc_ids = docs["docid"].to_numpy()
+    keep_docs = ~np.isin(doc_ids, deletes, assume_unique=True)
+    n_removed = int(len(doc_ids) - keep_docs.sum())
+    if n_removed == 0:
+        return terms, docs, {}, 0
+    docs = docs.filter(pa.array(keep_docs))
+
+    fields = terms["field"].to_numpy(zero_copy_only=False)
+    posts = terms["postings"].to_pylist()
+    poss = terms["positions"].to_pylist()
+    stats = {c: terms[c].to_numpy(zero_copy_only=False)
+             for c in _COMBINE_COLS}
+    tvals = terms["term"].to_numpy(zero_copy_only=False)
+    removed_fl: dict[str, int] = {}
+    out: dict[str, list] = {c: [] for c in terms.column_names}
+    for i in range(terms.num_rows):
+        p = codec.BlobReader(posts[i]).decode_all()
+        keep = ~np.isin(p.docids, deletes, assume_unique=True)
+        nkeep = int(keep.sum())
+        if nkeep == len(p.docids):
+            out["field"].append(fields[i])
+            out["term"].append(tvals[i])
+            for c in _COMBINE_COLS:
+                out[c].append(stats[c][i])
+            out["postings"].append(posts[i])
+            out["positions"].append(poss[i])
+            continue
+        fname = str(fields[i])
+        removed_fl[fname] = removed_fl.get(fname, 0) + int(p.tfs[~keep].sum())
+        if nkeep == 0:
+            continue
+        ids, tfs, lens = p.docids[keep], p.tfs[keep], p.len_bytes[keep]
+        out["field"].append(fields[i])
+        out["term"].append(tvals[i])
+        out["df"].append(nkeep)
+        out["sum_tf"].append(int(tfs.sum()))
+        out["total_weight"].append(float(tfs.sum()))
+        out["max_weight"].append(np.float32(tfs.max()))
+        out["min_length"].append(np.uint8(lens.min()))
+        out["max_length"].append(np.uint8(lens.max()))
+        out["min_docid"].append(int(ids[0]))
+        out["max_docid"].append(int(ids[-1]))
+        out["postings"].append(codec.encode_postings(ids, tfs, lens))
+        if poss[i]:
+            plists = codec.decode_positions(poss[i], p.tfs)
+            out["positions"].append(codec.encode_positions(
+                [pl for pl, k in zip(plists, keep) if k]))
+        else:
+            out["positions"].append(b"")
+
+    from whoosh_ray.state.segment import TERMS_ARROW_SCHEMA
+
+    filtered = pa.table({f.name: pa.array(out[f.name], type=f.type)
+                         for f in TERMS_ARROW_SCHEMA})
+    return filtered, docs, removed_fl, n_removed
+
+
 class MergeWorker:
     """Actor-pool callable: one input row = one merge group."""
 
@@ -85,89 +200,111 @@ class MergeWorker:
         self.index_dir = index_dir
         self.manifest = read_manifest(index_dir)
         self._by_id = {m.seg_id: m for m in self.manifest.segments}
+        self.__name__ = type(self).__name__
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = []
-        for group_json in batch["group"].to_pylist():
-            out.append(self._merge(json.loads(group_json)))
+        for row in batch.to_pylist():
+            out.append(self._merge(json.loads(row["group"]),
+                                   int(row["new_seg"])))
         return pa.table({"result": pa.array([json.dumps(r) for r in out])})
 
-    def _merge(self, seg_ids: list[int]) -> dict:
+    def _merge(self, seg_ids: list[int], new_id: int) -> dict:
         t0 = time.time()
         seg_ids = sorted(seg_ids)
-        new_id = seg_ids[0]
         dirs = [os.path.join(self.index_dir, "segments", seg_dirname(s))
                 for s in seg_ids]
 
+        # ---- load + expunge tombstoned docs per input segment
+        terms_parts, docs_parts = [], []
+        removed_fl: dict[str, int] = {}
+        n_docs_removed = 0
+        for d in dirs:
+            t = pq.read_table(os.path.join(d, "terms.parquet"))
+            dd = pq.read_table(os.path.join(d, "docs.parquet"))
+            dels = _read_deletes(d)
+            if len(dels):
+                t, dd, rfl, nrm = _expunge(t, dd, dels)
+                for k, v in rfl.items():
+                    removed_fl[k] = removed_fl.get(k, 0) + v
+                n_docs_removed += nrm
+            terms_parts.append(t)
+            docs_parts.append(dd)
+
         # ---- terms: concat -> stable sort -> combine duplicate terms
-        terms = pa.concat_tables(
-            [pq.read_table(os.path.join(d, "terms.parquet")) for d in dirs])
+        terms = pa.concat_tables(terms_parts)
         # stable sort by (field, term); min_docid orders duplicates since
         # docid ranges are disjoint per segment
         fields = terms["field"].to_numpy(zero_copy_only=False)
         tvals = terms["term"].to_numpy(zero_copy_only=False)
-        mind = terms["min_docid"].to_numpy()
-        order = np.lexsort((mind, tvals, fields))
-        terms = terms.take(pa.array(order))
-        fields = fields[order]
-        tvals = tvals[order]
-
-        change = np.empty(len(tvals), dtype=bool)
-        change[0] = True
-        change[1:] = (fields[1:] != fields[:-1]) | (tvals[1:] != tvals[:-1])
-        starts = np.flatnonzero(change)
-        ends = np.append(starts[1:], len(tvals))
-
-        rows = {name: [] for name in terms.column_names}
-        posts = terms["postings"].to_pylist()
-        poss = terms["positions"].to_pylist()
-        col = {c: terms[c].to_numpy(zero_copy_only=False)
-               for c in ("df", "sum_tf", "total_weight", "max_weight",
-                          "min_length", "max_length", "min_docid", "max_docid")}
-        for s, e in zip(starts, ends):
-            s, e = int(s), int(e)
-            rows["field"].append(fields[s])
-            rows["term"].append(tvals[s])
-            rows["df"].append(int(col["df"][s:e].sum()))
-            rows["sum_tf"].append(int(col["sum_tf"][s:e].sum()))
-            rows["total_weight"].append(float(col["total_weight"][s:e].sum()))
-            rows["max_weight"].append(np.float32(col["max_weight"][s:e].max()))
-            rows["min_length"].append(np.uint8(col["min_length"][s:e].min()))
-            rows["max_length"].append(np.uint8(col["max_length"][s:e].max()))
-            rows["min_docid"].append(int(col["min_docid"][s]))
-            rows["max_docid"].append(int(col["max_docid"][s:e].max()))
-            if e - s == 1:
-                rows["postings"].append(posts[s])
-                rows["positions"].append(poss[s])
-            else:
-                parts = [codec.BlobReader(posts[j]).decode_all()
-                         for j in range(s, e)]
-                ids = np.concatenate([p.docids for p in parts])
-                tfs = np.concatenate([p.tfs for p in parts])
-                lens = np.concatenate([p.len_bytes for p in parts])
-                rows["postings"].append(codec.encode_postings(ids, tfs, lens))
-                if any(poss[j] for j in range(s, e)):
-                    plists = []
-                    for j in range(s, e):
-                        plists.extend(codec.decode_positions(poss[j],
-                                                             parts[j - s].tfs))
-                    rows["positions"].append(codec.encode_positions(plists))
-                else:
-                    rows["positions"].append(b"")
-
         from whoosh_ray.state.segment import (TERMS_ARROW_SCHEMA,
                                               write_docs_file,
                                               write_terms_file)
 
-        merged_terms = pa.table({f.name: pa.array(rows[f.name], type=f.type)
-                                 for f in TERMS_ARROW_SCHEMA})
+        if terms.num_rows == 0:
+            merged_terms = pa.table(
+                {f.name: pa.array([], type=f.type)
+                 for f in TERMS_ARROW_SCHEMA})
+        else:
+            mind = terms["min_docid"].to_numpy()
+            order = np.lexsort((mind, tvals, fields))
+            terms = terms.take(pa.array(order))
+            fields = fields[order]
+            tvals = tvals[order]
 
-        docs = pa.concat_tables(
-            [pq.read_table(os.path.join(d, "docs.parquet")) for d in dirs])
+            change = np.empty(len(tvals), dtype=bool)
+            change[0] = True
+            change[1:] = ((fields[1:] != fields[:-1])
+                          | (tvals[1:] != tvals[:-1]))
+            starts = np.flatnonzero(change)
+            ends = np.append(starts[1:], len(tvals))
+
+            rows = {name: [] for name in terms.column_names}
+            posts = terms["postings"].to_pylist()
+            poss = terms["positions"].to_pylist()
+            col = {c: terms[c].to_numpy(zero_copy_only=False)
+                   for c in _COMBINE_COLS}
+            for s, e in zip(starts, ends):
+                s, e = int(s), int(e)
+                rows["field"].append(fields[s])
+                rows["term"].append(tvals[s])
+                rows["df"].append(int(col["df"][s:e].sum()))
+                rows["sum_tf"].append(int(col["sum_tf"][s:e].sum()))
+                rows["total_weight"].append(float(col["total_weight"][s:e].sum()))
+                rows["max_weight"].append(np.float32(col["max_weight"][s:e].max()))
+                rows["min_length"].append(np.uint8(col["min_length"][s:e].min()))
+                rows["max_length"].append(np.uint8(col["max_length"][s:e].max()))
+                rows["min_docid"].append(int(col["min_docid"][s]))
+                rows["max_docid"].append(int(col["max_docid"][s:e].max()))
+                if e - s == 1:
+                    rows["postings"].append(posts[s])
+                    rows["positions"].append(poss[s])
+                else:
+                    parts = [codec.BlobReader(posts[j]).decode_all()
+                             for j in range(s, e)]
+                    ids = np.concatenate([p.docids for p in parts])
+                    tfs = np.concatenate([p.tfs for p in parts])
+                    lens = np.concatenate([p.len_bytes for p in parts])
+                    rows["postings"].append(codec.encode_postings(ids, tfs, lens))
+                    if any(poss[j] for j in range(s, e)):
+                        plists = []
+                        for j in range(s, e):
+                            plists.extend(codec.decode_positions(poss[j],
+                                                                 parts[j - s].tfs))
+                        rows["positions"].append(codec.encode_positions(plists))
+                    else:
+                        rows["positions"].append(b"")
+
+            merged_terms = pa.table(
+                {f.name: pa.array(rows[f.name], type=f.type)
+                 for f in TERMS_ARROW_SCHEMA})
+
+        docs = pa.concat_tables(docs_parts)
         docs = docs.take(pa.array(np.argsort(docs["docid"].to_numpy(),
                                              kind="stable")))
 
-        # ---- atomic commit of the merged segment, then retire inputs
+        # ---- atomic commit: rename the merged segment into place under a
+        # FRESH id first, then retire the inputs
         tmp = os.path.join(self.index_dir, "segments",
                            f".merge-tmp-{new_id}-{os.getpid()}")
         shutil.rmtree(tmp, ignore_errors=True)
@@ -179,29 +316,29 @@ class MergeWorker:
         for m in metas:
             for k, v in m.field_lengths.items():
                 field_lengths[k] = field_lengths.get(k, 0) + v
+        for k, v in removed_fl.items():
+            field_lengths[k] = field_lengths.get(k, 0) - v
         merged_meta = SegmentMeta(
             seg_id=new_id,
             docid_base=min(m.docid_base for m in metas),
-            doc_count=sum(m.doc_count for m in metas),
+            doc_count=sum(m.doc_count for m in metas) - n_docs_removed,
             field_lengths=field_lengths,
             lineage={"merged_from": seg_ids,
                      **{k: v for k, v in metas[0].lineage.items()
                         if k == "fingerprint"},
                      "docid_range": [
-                         min(m.lineage.get("docid_range", [m.docid_base])[0]
-                             for m in metas),
-                         max(m.lineage.get("docid_range", [m.docid_base + m.doc_count])[-1]
-                             for m in metas)]},
+                         min(m.docid_range()[0] for m in metas),
+                         max(m.docid_range()[1] for m in metas)]},
             metrics={"complete": True, "merge_secs": time.time() - t0,
-                     "n_terms": merged_terms.num_rows},
+                     "n_terms": merged_terms.num_rows,
+                     "docs_expunged": n_docs_removed},
         )
         atomic_write_json(os.path.join(tmp, "meta.json"), merged_meta.to_json())
         final = os.path.join(self.index_dir, "segments", seg_dirname(new_id))
-        for d, s in zip(dirs, seg_ids):
-            if s != new_id:
-                shutil.rmtree(d, ignore_errors=True)
         shutil.rmtree(final, ignore_errors=True)
         os.replace(tmp, final)
+        for d in dirs:
+            shutil.rmtree(d, ignore_errors=True)
         return {"new_seg": new_id, "merged": seg_ids,
                 "secs": time.time() - t0}
 
@@ -217,15 +354,28 @@ def merge_segments(index_dir: str, policy: str = "MERGE_SMALL",
             if policy == "OPTIMIZE"
             else plan_merge_small(manifest.segments))
     if plan:
-        items = [{"group": json.dumps(g)} for g in plan]
+        next_id = max((m.seg_id for m in manifest.segments), default=-1) + 1
+        items = [{"group": json.dumps(g), "new_seg": next_id + i}
+                 for i, g in enumerate(plan)]
         ds = ray.data.from_items(items)
         ds.map_batches(MergeWorker, batch_format="pyarrow",
                        batch_size=1, concurrency=min(concurrency, len(items)),
                        fn_constructor_args=(index_dir,)).to_pandas()
-    # reseal from surviving segment dirs
+    # reseal from surviving segment dirs; a segment named in another
+    # survivor's merged_from lineage was replaced — drop (and clean) it,
+    # so a crash between rename and input-retire never double-counts
     from whoosh_ray.state.manifest import completed_segments
 
     survivors = completed_segments(index_dir)
+    retired: set[int] = set()
+    for m in survivors.values():
+        retired.update(int(s) for s in m.lineage.get("merged_from", []))
+    for sid in list(survivors):
+        if sid in retired:
+            shutil.rmtree(os.path.join(index_dir, "segments",
+                                       seg_dirname(sid)),
+                          ignore_errors=True)
+            del survivors[sid]
     manifest = Manifest(schema=manifest.schema,
                         segments=sorted(survivors.values(),
                                         key=lambda m: m.seg_id),

@@ -80,7 +80,11 @@ class Searcher:
         self.weighting = weighting or scoring.BM25F()
         self.segments = [
             SegmentReader(index_dir, m, self.schema)
-            for m in sorted(self.manifest.segments, key=lambda m: m.seg_id)
+            # docid-range order (NOT seg_id order): merged segments get
+            # fresh ids, so only the range start orders segments such
+            # that _seg_index_of's searchsorted mapping is valid.
+            for m in sorted(self.manifest.segments,
+                            key=lambda m: m.docid_range()[0])
         ]
         self._ti_cache: dict[tuple[str, str], dict | None] = {}
         self._idf_cache: dict[tuple[str, str], float] = {}

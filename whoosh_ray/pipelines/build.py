@@ -116,6 +116,16 @@ def build_index(
     segroot = os.path.join(index_dir, "segments")
     os.makedirs(segroot, exist_ok=True)
 
+    # kick off the sharded conv-span scan FIRST so it overlaps the
+    # driver-side cleanup + pipeline planning below
+    bases_futures = None
+    if (not isinstance(source, ray.data.Dataset) and docid_col is None):
+        from whoosh_ray.stages.docids import conv_bases_submit
+
+        _paths = _expand_paths(source)
+        if len(_paths) >= 8:
+            bases_futures = conv_bases_submit(_paths, conv_col, turn_col)
+
     fingerprint = _input_fingerprint(source, schema)
 
     # clean uncommitted leftovers from a crashed run: segment dirs without a
@@ -147,7 +157,8 @@ def build_index(
 
     bases_ds = None
     local_paths = None
-    if not isinstance(source, ray.data.Dataset) and docid_col is None:
+    if (bases_futures is None and not isinstance(source, ray.data.Dataset)
+            and docid_col is None):
         paths = _expand_paths(source)
         total = sum(os.path.getsize(p) for p in paths)
         if total < 2 * 1024 ** 3:
@@ -161,7 +172,8 @@ def build_index(
 
     ds, span = with_docids(ds, conv_col=conv_col, turn_col=turn_col,
                            docid_col=docid_col, bases_ds=bases_ds,
-                           local_paths=local_paths)
+                           local_paths=local_paths,
+                           bases_futures=bases_futures)
 
     if seg_size is None:
         # segments are the unit of encode/write parallelism AND the memory
@@ -181,6 +193,16 @@ def build_index(
 
     ds = ds.map_batches(add_seg, batch_format="pyarrow")
 
+    # groupby partition count: finer than the input block count so the
+    # reduce stage schedules in balanced waves (one task per ~1-2
+    # segments at high CPU counts — the last wave otherwise straggles on
+    # a handful of coarse multi-segment tasks)
+    import ray as _ray
+
+    _ncpu = int(_ray.cluster_resources().get("CPU", 8))
+    n_seg_est = max(1, -(-span // seg_size))
+    num_partitions = int(min(n_seg_est, max(8 * _ncpu, 64)))
+
     # ---- resume: skip committed segments ----
     done = completed_segments(index_dir) if resume else {}
     done_ids = sorted(
@@ -198,7 +220,19 @@ def build_index(
 
         ds = ds.map_batches(drop_done, batch_format="pyarrow")
 
-    if mode == "spill":
+    if mode == "stream":
+        # ---- no-shuffle streaming build: tokenize in the map task pool,
+        # route tokenized posting/doc slices straight to per-segment
+        # owner actors (buffered, coalesced spills), encode at finalize.
+        # Replaces the sort barrier with direct routing — the multi-node
+        # scale path (stages/stream_writer.py docstring).
+        from whoosh_ray.stages.stream_writer import build_stream
+
+        stats = build_stream(ds, index_dir, schema, seg_size,
+                             tokenize_batch_size=tokenize_batch_size)
+        doc_stats = stats
+        term_stats = stats
+    elif mode == "spill":
         # ---- map-side doc spill: stored rows go straight to per-segment
         # part files in the map stage; ONLY compact posting rows (dict-
         # encoded terms) cross the all-to-all exchange; the reduce encodes
@@ -216,7 +250,7 @@ def build_index(
             **({"concurrency": tokenize_concurrency}
                if tokenize_concurrency is not None else {}))
         stats = (
-            post_ds.groupby("seg")
+            post_ds.groupby("seg", num_partitions=num_partitions)
             .map_groups(SegmentFinalizer(index_dir, schema),
                         batch_format="pyarrow")
             .to_pandas()
@@ -228,9 +262,13 @@ def build_index(
         # the segment worker writes docs.parquet AND terms.parquet
         from whoosh_ray.stages.fused_writer import FusedSegmentWriter
 
+        commit_info = {"seg_size": seg_size, "fingerprint": fingerprint,
+                       "source": source if isinstance(source, str)
+                       else "<dataset>"}
         stats = (
-            ds.groupby("seg")
-            .map_groups(FusedSegmentWriter(index_dir, schema),
+            ds.groupby("seg", num_partitions=num_partitions)
+            .map_groups(FusedSegmentWriter(index_dir, schema,
+                                           commit=commit_info),
                         batch_format="pyarrow")
             .to_pandas()
         )
@@ -243,7 +281,7 @@ def build_index(
             + list(schema.stored_columns)))
         docs_ds = ds.select_columns(["seg", "docid"] + stored_cols)
         doc_stats = (
-            docs_ds.groupby("seg")
+            docs_ds.groupby("seg", num_partitions=num_partitions)
             .map_groups(DocsFileWriter(index_dir, schema),
                         batch_format="pyarrow")
             .to_pandas()
@@ -257,7 +295,7 @@ def build_index(
                if tokenize_concurrency is not None else {}),
         )
         term_stats = (
-            post_ds.groupby("seg")
+            post_ds.groupby("seg", num_partitions=num_partitions)
             .map_groups(EncodeSegmentTerms(index_dir, schema),
                         batch_format="pyarrow")
             .to_pandas()
@@ -308,7 +346,10 @@ def build_index(
         _shutil.rmtree(parts_root, ignore_errors=True)
 
     # ---- per-segment lineage commits ----
+    # (fused mode commits inside the workers; reconstruct the identical
+    # SegmentMeta objects from the stats rows without re-writing files)
     build_secs = time.time() - t_start
+    worker_committed = mode == "fused"
     term_by_seg = term_stats.set_index("seg") if len(term_stats) else None
     new_metas = []
     for _, row in doc_stats.iterrows():
@@ -327,16 +368,27 @@ def build_index(
             field_lengths = {}
             metrics = {"complete": True, "n_terms": 0, "n_postings": 0,
                        "docs_secs": float(row["docs_secs"])}
-        meta = commit_segment_meta(
-            index_dir, seg_id,
-            docid_base=seg_id * seg_size,
-            doc_count=int(row["doc_count"]),
-            field_lengths=field_lengths,
-            lineage={"fingerprint": fingerprint,
-                     "docid_range": [seg_id * seg_size, (seg_id + 1) * seg_size],
-                     "source": source if isinstance(source, str) else "<dataset>"},
-            metrics=metrics,
-        )
+        lineage = {"fingerprint": fingerprint,
+                   "docid_range": [seg_id * seg_size,
+                                   (seg_id + 1) * seg_size],
+                   "source": source if isinstance(source, str) else "<dataset>"}
+        if worker_committed:
+            from whoosh_ray.state.manifest import SegmentMeta
+
+            meta = SegmentMeta(
+                seg_id=seg_id, docid_base=seg_id * seg_size,
+                doc_count=int(row["doc_count"]),
+                field_lengths=field_lengths, lineage=lineage,
+                metrics=metrics)
+        else:
+            meta = commit_segment_meta(
+                index_dir, seg_id,
+                docid_base=seg_id * seg_size,
+                doc_count=int(row["doc_count"]),
+                field_lengths=field_lengths,
+                lineage=lineage,
+                metrics=metrics,
+            )
         new_metas.append(meta)
 
     # ---- manifest seal: resumed segments + new segments ----

@@ -33,14 +33,49 @@ import ray
 import ray.data
 
 
+def _np_bytes(arr: pa.Array | pa.ChunkedArray, width: int | None = None
+              ) -> np.ndarray:
+    """Arrow string array → numpy ``S{width}`` array, fully vectorized.
+
+    No per-element Python objects: the UTF-8 data buffer is scattered into
+    a zero-padded fixed-width byte matrix.  memcmp order on NUL-padded
+    ASCII equals Python str order, so sort/searchsorted semantics are
+    preserved while staying in C the whole way (this is what keeps the
+    driver's docid-base head sub-second at millions of conv keys, and the
+    broadcast a single contiguous buffer instead of a million pickled
+    PyObjects)."""
+    a = (arr.combine_chunks() if isinstance(arr, pa.ChunkedArray)
+         else arr)
+    if pa.types.is_large_string(a.type) or pa.types.is_large_binary(a.type):
+        a = a.cast(pa.string())
+    n = len(a)
+    if n == 0:
+        return np.empty(0, dtype=f"S{width or 1}")
+    raw_off = np.frombuffer(a.buffers()[1], dtype=np.int32)
+    off = raw_off[a.offset: a.offset + n + 1].astype(np.int64)
+    data_buf = a.buffers()[2]
+    data = (np.frombuffer(data_buf, dtype=np.uint8)
+            if data_buf is not None else np.empty(0, np.uint8))
+    lens = np.diff(off)
+    w = int(width if width is not None else max(1, lens.max()))
+    out = np.zeros((n, w), dtype=np.uint8)
+    total = int(lens.sum())
+    if total:
+        dst = (np.repeat(np.arange(n, dtype=np.int64) * w, lens)
+               + (np.arange(total, dtype=np.int64)
+                  - np.repeat(off[:-1] - off[0], lens)))
+        out.reshape(-1)[dst] = data[off[0]:off[-1]]
+    return out.reshape(-1).view(f"S{w}")
+
+
 def conv_bases(ds: ray.data.Dataset, conv_col: str = "conv_id",
                turn_col: str = "turn_idx") -> tuple[np.ndarray, np.ndarray, int]:
     """Compute (sorted conv keys, docid bases, total docid span)."""
     spans = ds.select_columns([conv_col, turn_col]).groupby(conv_col).max(turn_col)
     pdf = spans.to_pandas()  # #convs rows — small relative to turns
     maxcol = [c for c in pdf.columns if c != conv_col][0]
-    return _bases_from_spans(pdf[conv_col].to_numpy(),
-                             pdf[maxcol].to_numpy())
+    keys = _np_bytes(pa.array(pdf[conv_col], type=pa.string()))
+    return _bases_from_spans(keys, pdf[maxcol].to_numpy())
 
 
 def conv_bases_local(paths: list[str], conv_col: str = "conv_id",
@@ -49,21 +84,65 @@ def conv_bases_local(paths: list[str], conv_col: str = "conv_id",
 
     The stats input is tiny relative to the corpus (two narrow columns);
     below ~1 GB of key data a direct multithreaded pyarrow read + one
-    vectorized groupby beats a Ray shuffle round-trip by an order of
+    C++ hash aggregate beats a Ray shuffle round-trip by an order of
     magnitude.  Above that, the Ray path (:func:`conv_bases`) — or, at
     true 10^12-turn scale, its two-level range-partitioned variant — takes
     over (see module docstring)."""
     import pyarrow.dataset as pads
 
     t = pads.dataset(paths).to_table(columns=[conv_col, turn_col])
-    conv = t[conv_col]
-    enc = pa.compute.dictionary_encode(conv.combine_chunks())
-    codes = enc.indices.to_numpy()
-    uniq = np.asarray(enc.dictionary.to_pylist(), dtype=object)
-    turns = t[turn_col].to_numpy().astype(np.int64)
-    spans = np.full(len(uniq), -1, dtype=np.int64)
-    np.maximum.at(spans, codes, turns)
-    return _bases_from_spans(uniq, spans)
+    # arrow C++ hash-groupby: no Python-object materialization of keys
+    agg = t.group_by(conv_col).aggregate([(turn_col, "max")])
+    keys = _np_bytes(agg[conv_col])
+    return _bases_from_spans(keys, agg[f"{turn_col}_max"].to_numpy())
+
+
+@ray.remote(num_cpus=1)
+def _files_spans(paths: list[str], conv_col: str, turn_col: str) -> pa.Table:
+    import pyarrow.parquet as _pq
+
+    parts = []
+    for path in paths:
+        t = _pq.read_table(path, columns=[conv_col, turn_col])
+        parts.append(t.group_by(conv_col).aggregate([(turn_col, "max")]))
+    return (pa.concat_tables(parts).group_by(conv_col)
+            .aggregate([(f"{turn_col}_max", "max")]))
+
+
+def conv_bases_submit(paths: list[str], conv_col: str = "conv_id",
+                      turn_col: str = "turn_idx") -> list:
+    """Kick off the sharded conv-span aggregate (one Ray task per chunk
+    of input files) and return the futures — submit this FIRST in a
+    build so the span scan overlaps driver-side planning/cleanup."""
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    n_chunks = max(1, min(len(paths), 2 * ncpu))
+    chunks = [paths[i::n_chunks] for i in range(n_chunks)]
+    return [_files_spans.remote(c, conv_col, turn_col)
+            for c in chunks if c]
+
+
+def conv_bases_collect(futures: list, turn_col: str = "turn_idx",
+                       conv_col: str = "conv_id"):
+    """Combine the per-chunk span tables (tiny — #convs rows) with a
+    second C++ hash aggregate and prefix-sum the docid bases."""
+    parts = ray.get(futures)
+    merged = (pa.concat_tables(parts)
+              .group_by(conv_col)
+              .aggregate([(f"{turn_col}_max_max", "max")]))
+    keys = _np_bytes(merged[conv_col])
+    return _bases_from_spans(keys,
+                             merged[f"{turn_col}_max_max_max"].to_numpy())
+
+
+def conv_bases_tasks(paths: list[str], conv_col: str = "conv_id",
+                     turn_col: str = "turn_idx"):
+    """Two-level conv-span aggregate: Ray tasks compute per-file-chunk
+    (conv, max turn) tables with arrow C++ hash aggregates; the driver
+    combines the (tiny) partials and prefix-sums the bases.  This is the
+    sharded variant the module docstring describes — the partial tables
+    are #convs-sized, so the driver never touches the raw turn rows."""
+    return conv_bases_collect(conv_bases_submit(paths, conv_col, turn_col),
+                              turn_col, conv_col)
 
 
 def _bases_from_spans(keys: np.ndarray, max_turn: np.ndarray):
@@ -78,7 +157,8 @@ def with_docids(ds: ray.data.Dataset, *, conv_col: str = "conv_id",
                 turn_col: str = "turn_idx",
                 docid_col: str | None = None,
                 bases_ds: ray.data.Dataset | None = None,
-                local_paths: list[str] | None = None) -> tuple[ray.data.Dataset, int]:
+                local_paths: list[str] | None = None,
+                bases_futures: list | None = None) -> tuple[ray.data.Dataset, int]:
     """Attach the ``docid`` column; returns (dataset, docid span).
 
     The (keys, bases) pair is fetched from the object store once per
@@ -95,17 +175,26 @@ def with_docids(ds: ray.data.Dataset, *, conv_col: str = "conv_id",
         hi = ds.max(docid_col)
         return ds.map_batches(from_col, batch_format="pyarrow"), int(hi) + 1
 
-    if local_paths is not None:
-        keys, bases, span = conv_bases_local(local_paths, conv_col, turn_col)
+    if bases_futures is not None:
+        keys, bases, span = conv_bases_collect(bases_futures, turn_col,
+                                               conv_col)
+    elif local_paths is not None:
+        if len(local_paths) >= 8:
+            keys, bases, span = conv_bases_tasks(local_paths, conv_col,
+                                                 turn_col)
+        else:
+            keys, bases, span = conv_bases_local(local_paths, conv_col,
+                                                 turn_col)
     else:
         keys, bases, span = conv_bases(
             bases_ds if bases_ds is not None else ds, conv_col, turn_col)
+    width = keys.dtype.itemsize
     ref = ray.put((keys, bases))
 
     def assign(batch: pa.Table) -> pa.Table:
         k, b = get_broadcast(ref)
         enc = pa.compute.dictionary_encode(batch[conv_col].combine_chunks())
-        uniq = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+        uniq = _np_bytes(enc.dictionary, width=width)
         pos = np.searchsorted(k, uniq)
         docid = (b[pos][enc.indices.to_numpy()]
                  + batch[turn_col].to_numpy().astype(np.int64))

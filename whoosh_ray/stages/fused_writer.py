@@ -59,11 +59,17 @@ def _reorder_lists(flat: np.ndarray, offsets: np.ndarray,
 class FusedSegmentWriter:
     """groupby("seg").map_groups stage over raw doc rows."""
 
-    def __init__(self, index_dir: str, schema: IndexSchema):
+    def __init__(self, index_dir: str, schema: IndexSchema,
+                 commit: dict | None = None):
         self.index_dir = index_dir
         self.schema = schema
         self._analyzers = {f.name: VectorAnalyzer(f.analyzer)
                            for f in schema.fields}
+        # when set ({seg_size, fingerprint, source}), the worker commits
+        # the segment's meta.json itself right after both files land —
+        # distributed per-partition commits instead of a serial driver
+        # loop over every segment after the pipeline drains
+        self.commit = commit
         self.__name__ = type(self).__name__
 
     def __call__(self, group: pa.Table) -> pa.Table:
@@ -157,6 +163,26 @@ class FusedSegmentWriter:
         terms_table = pa.table(cols)
         _atomic_emit(self.index_dir, seg_id, "terms.parquet",
                      lambda tmp: write_terms_file(tmp, terms_table))
+
+        if self.commit is not None:
+            from whoosh_ray.stages.write_seg import commit_segment_meta
+
+            seg_size = int(self.commit["seg_size"])
+            commit_segment_meta(
+                self.index_dir, seg_id,
+                docid_base=seg_id * seg_size,
+                doc_count=group.num_rows,
+                field_lengths=field_sums,
+                lineage={"fingerprint": self.commit["fingerprint"],
+                         "docid_range": [seg_id * seg_size,
+                                         (seg_id + 1) * seg_size],
+                         "source": self.commit.get("source", "<dataset>")},
+                metrics={"complete": True,
+                         "n_terms": int(terms_table.num_rows),
+                         "n_postings": int(n_postings),
+                         "terms_secs": time.time() - t0 - t_docs,
+                         "docs_secs": t_docs},
+            )
 
         return pa.table({
             "seg": pa.array([seg_id], type=pa.int64()),

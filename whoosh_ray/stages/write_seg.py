@@ -71,7 +71,7 @@ class EncodeSegmentTerms:
         self.schema = schema
         self.__name__ = type(self).__name__  # ray map_groups wraps fn.__name__
 
-    def __call__(self, group: pa.Table) -> pa.Table:
+    def __call__(self, group: pa.Table, dedup: bool = False) -> pa.Table:
         t0 = time.time()
         seg_id = int(group["seg"][0].as_py())
         fields = group["field"].to_numpy(zero_copy_only=False)
@@ -91,6 +91,21 @@ class EncodeSegmentTerms:
         fcode = fcode[order]
         tcode = tcode[order]
         docids = docids[order]
+        if dedup:
+            # stream mode: a retried map task may have double-delivered a
+            # slice; duplicate (field, term, docid) rows carry identical
+            # payloads, so dropping repeats is exact
+            uniq = np.empty(len(order), dtype=bool)
+            if len(order):
+                uniq[0] = True
+                uniq[1:] = ((fcode[1:] != fcode[:-1])
+                            | (tcode[1:] != tcode[:-1])
+                            | (docids[1:] != docids[:-1]))
+            if not uniq.all():
+                order = order[uniq]
+                fcode = fcode[uniq]
+                tcode = tcode[uniq]
+                docids = docids[uniq]
         tfs = tfs[order]
         len_bytes = len_bytes[order]
 

@@ -380,16 +380,15 @@ class Searcher:
         for si, s in enumerate(self.segments):
             sel = np.asarray(docids)[segs == si]
             if len(sel):
-                t = s.stored(np.sort(sel))
-                if columns is not None:
-                    t = t.select([c for c in ["docid"] + columns
-                                  if c in t.column_names])
-                parts.append(t)
+                parts.append(s.stored(np.sort(sel), columns=columns))
         if not parts:
             return pa.table({"docid": pa.array([], type=pa.int64())})
         t = pa.concat_tables(parts)
-        # restore requested (rank) order
+        # restore requested (rank) order: segments are docid-ordered and
+        # per-segment results docid-sorted, so the concat is globally
+        # sorted — one vectorized searchsorted, no per-row Python
         all_ids = t["docid"].to_numpy()
-        lookup = {int(d): i for i, d in enumerate(all_ids)}
-        idx = [lookup[int(d)] for d in docids if int(d) in lookup]
-        return t.take(pa.array(idx))
+        pos = np.searchsorted(all_ids, np.asarray(docids))
+        pos = np.clip(pos, 0, max(len(all_ids) - 1, 0))
+        ok = all_ids[pos] == np.asarray(docids)
+        return t.take(pa.array(pos[ok]))

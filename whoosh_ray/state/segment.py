@@ -224,10 +224,14 @@ class SegmentReader:
             ids = ids[self._mask_deleted(ids)]
         return ids
 
-    def stored(self, docids: np.ndarray) -> pa.Table:
+    def stored(self, docids: np.ndarray,
+               columns: list[str] | None = None) -> pa.Table:
         """Stored-field rows for the given (segment-resident) docids,
-        returned in the order requested."""
-        t = pq.read_table(self._docs_path)
+        returned in the order requested; ``columns`` prunes the read."""
+        cols = None
+        if columns is not None:
+            cols = list(dict.fromkeys(["docid"] + list(columns)))
+        t = pq.read_table(self._docs_path, columns=cols)
         all_ids = t["docid"].to_numpy()
         idx = np.searchsorted(all_ids, docids)
         idx = np.clip(idx, 0, len(all_ids) - 1)

@@ -95,3 +95,55 @@ def test_simhash_near_dup_hamming():
     d01 = bin(int(h[0]) ^ int(h[1])).count("1")
     d02 = bin(int(h[0]) ^ int(h[2])).count("1")
     assert d01 < d02
+
+
+def test_minhash_empty_doc_bucket_guard():
+    """VERDICT r1 #2: 10k shingle-less docs must not form a degenerate
+    O(n^2) LSH bucket; completes fast with no bogus pairs."""
+    from whoosh_ray.pipelines.dedup import minhash_candidate_pairs, verify_jaccard
+
+    n = 10_000
+    tbl = pa.table({
+        "doc_id": pa.array(np.arange(n + 2), type=pa.int64()),
+        "text": pa.array([""] * n + ["alpha beta gamma delta epsilon"] * 2),
+    })
+    ds = ray.data.from_arrow(tbl)
+    cand = minhash_candidate_pairs(ds).to_pandas()
+    assert len(cand) == 1
+    assert sorted(cand.iloc[0].tolist()) == [n, n + 1]
+    ver = verify_jaccard(ds, cand, threshold=0.5)
+    assert len(ver) == 1 and ver["jaccard"].iloc[0] == 1.0
+
+
+def test_verify_jaccard_matches_exact_sets():
+    """The distributed verify must equal a naive per-pair set Jaccard."""
+    import pandas as pd
+
+    from whoosh_ray.functions.analysis import STANDARD, VectorAnalyzer
+    from whoosh_ray.pipelines.dedup import verify_jaccard
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog tonight",
+        "the quick brown fox jumps over the lazy cat tonight",
+        "completely different content about ray data pipelines here",
+        "completely different content about ray data engines here",
+        "unrelated words entirely",
+    ]
+    tbl = pa.table({"doc_id": pa.array(np.arange(len(texts)), type=pa.int64()),
+                    "text": pa.array(texts)})
+    ds = ray.data.from_arrow(tbl)
+    pairs = pd.DataFrame({"doc_a": [0, 2, 0], "doc_b": [1, 3, 4]})
+    got = verify_jaccard(ds, pairs, threshold=0.05)
+    ana = VectorAnalyzer(STANDARD)
+
+    def sset(t):
+        toks = ana.token_lists([t])[0]
+        return {" ".join(toks[i:i+3]) for i in range(len(toks) - 2)}
+
+    for _, row in got.iterrows():
+        sa, sb = sset(texts[int(row.doc_a)]), sset(texts[int(row.doc_b)])
+        expect = len(sa & sb) / len(sa | sb)
+        assert abs(row.jaccard - expect) < 1e-12
+    # pair (0,4) shares nothing -> absent
+    assert not ((got.doc_a == 0) & (got.doc_b == 4)).any()
+    assert ((got.doc_a == 0) & (got.doc_b == 1)).any()

@@ -84,6 +84,19 @@ def _run_inner() -> dict:
     ray.data.range(NUM_CPUS * 4).map_batches(
         _warm, batch_size=1, concurrency=NUM_CPUS).materialize()
 
+    # -------- warm build (untimed): the FIRST build in a fresh Ray
+    # session pays one-time costs that have nothing to do with steady-
+    # state throughput — plasma store first-touch page faults for the
+    # shuffle buffers, executor/scheduler spin-up, parquet reader setup.
+    # A small untimed build over a slice of the corpus absorbs them so
+    # the timed run measures the pipeline, not process warm-up.
+    warm_files = sorted(os.path.join(src, f) for f in os.listdir(src)
+                        if f.endswith(".parquet"))[:max(4, NUM_CPUS // 4)]
+    ix_warm = f"/tmp/wr_bench/ix-warm-{NUM_CPUS}"
+    shutil.rmtree(ix_warm, ignore_errors=True)
+    build_index(warm_files, ix_warm, transcripts_schema())
+    shutil.rmtree(ix_warm, ignore_errors=True)
+
     # -------- headline: transcript index build (timed)
     ix = f"/tmp/wr_bench/ix-sf{sf}-{NUM_CPUS}"
     shutil.rmtree(ix, ignore_errors=True)

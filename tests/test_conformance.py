@@ -194,3 +194,43 @@ def test_id_field_terms(engine, oracle):
         And([Term("text", "deploy"), Term("role", "user")]),
         w.And([w.Term("text", "deploy"), w.Term("role", "user")]), limit=None)
     assert_rank_identical(mine, ref)
+
+
+def test_or_scale_coordination(engine, oracle):
+    """Or(scale=) coordination bonus (CoordMatcher SQR,
+    matching/wrappers.py:524-574) — rank/score-identical."""
+    from whoosh_ray.search.query import Or as MyOr
+
+    w = wq()
+    cases = [
+        (["deploy", "render", "cluster"], 0.5),
+        (["deploy", "render"], 0.5),
+        (["deploy", "render", "absentterm"], 0.5),
+        (["deploy", "render", "cluster", "error"], 0.9),
+        (["deploy", "the", "error"], 0.25),
+    ]
+    for terms, scale in cases:
+        mine, ref = both(
+            engine, oracle,
+            MyOr([Term("text", t) for t in terms], scale=scale),
+            w.Or([w.Term("text", t) for t in terms], scale=scale),
+            limit=20)
+        assert_rank_identical(mine, ref)
+
+
+def test_otherwise(engine, oracle):
+    """Otherwise (compound.py:576-588): b only when a matches nothing."""
+    from whoosh_ray.search import Otherwise
+
+    w = wq()
+    cases = [
+        ("deploy", "render"),        # a matches -> a's results
+        ("absentterm", "render"),    # a empty -> b's results
+        ("absentterm", "alsogone"),  # both empty
+    ]
+    for a, b in cases:
+        mine, ref = both(engine, oracle,
+                         Otherwise(Term("text", a), Term("text", b)),
+                         w.Otherwise(w.Term("text", a), w.Term("text", b)),
+                         limit=20)
+        assert_rank_identical(mine, ref)

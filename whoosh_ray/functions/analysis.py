@@ -70,6 +70,15 @@ class AnalyzerSpec:
     # word's position
     ngram: tuple[int, int] | None = None
     ngram_mode: str = "words"
+    # CharsetFilter (filters.py:323-372): translate token text through a
+    # charmap (e.g. charset.accent_items() for accent folding); applied
+    # after LowercaseFilter, before StopFilter.  With
+    # ``charset_tokenize=True`` the charmap drives a CharsetTokenizer
+    # (tokenizers.py:187-290) instead of the regex pattern: unmapped /
+    # None-mapped characters break tokens, mapped characters translate
+    # (incl. the reference's untranslated-final-token quirk).
+    charmap: tuple | None = None  # tuple of (ord, replacement)
+    charset_tokenize: bool = False
 
     def compile(self) -> "VectorAnalyzer":
         return VectorAnalyzer(self)
@@ -112,6 +121,14 @@ class VectorAnalyzer:
         self._sub = (re.compile(spec.substitute[0]) if spec.substitute
                      else None)
         self._stem_cache: dict[str, str] = {}
+        self._charmap = dict(spec.charmap) if spec.charmap else None
+        self._breakmap = None
+        if spec.charset_tokenize:
+            from whoosh_ray.functions.charset import compile_breakmap
+
+            if self._charmap is None:
+                raise ValueError("charset_tokenize requires a charmap")
+            self._breakmap = compile_breakmap(self._charmap)
 
     def token_lists(self, texts) -> list[list[str]]:
         """Per-row surviving token lists (lowercased, stopped)."""
@@ -132,7 +149,15 @@ class VectorAnalyzer:
         n = len(texts)
         token_lists: list[list[str]] = []
         counts = np.empty(n, dtype=np.int64)
-        if self._re is None:
+        if self._breakmap is not None:
+            from whoosh_ray.functions.charset import charset_tokenize_row
+
+            bm = self._breakmap
+            for i, t in enumerate(texts):
+                toks = charset_tokenize_row(t or "", bm)
+                token_lists.append(toks)
+                counts[i] = len(toks)
+        elif self._re is None:
             # IDTokenizer semantics: whole value is one token
             for i, t in enumerate(texts):
                 toks = [] if t is None or t == "" else [str(t)]
@@ -165,6 +190,9 @@ class VectorAnalyzer:
         s = pd.Series(flat, dtype=object)
         if spec.lowercase:
             s = s.str.lower()
+        if self._charmap is not None and self._breakmap is None:
+            # CharsetFilter: unicode translate per token (filters.py:371)
+            s = s.str.translate(self._charmap)
         keep = np.ones(len(s), dtype=bool)
         if spec.minsize > 1:
             keep &= (s.str.len() >= spec.minsize).to_numpy()

@@ -138,9 +138,72 @@ class And(_Compound):
 
 
 class Or(_Compound):
-    def __init__(self, subqueries, boost: float = 1.0, minmatch: int = 0):
+    """Union-sum scoring; ``minmatch`` is an extension (the reference
+    documents it "not yet implemented", compound.py:305); ``scale``
+    applies the reference's coordination bonus (CoordMatcher wrapping,
+    compound.py:382-383, matching/wrappers.py:524-574): the SQR
+    function rescales each doc's score by how many of the tree's term
+    leaves match it.  ``termcount`` is computed from GLOBAL term
+    existence (df > 0) — the reference counts per-subsearcher matcher
+    leaves, which makes multi-segment scores depend on index layout; we
+    pin the single-segment semantic so results are layout-independent
+    and match the whoosh oracle."""
+
+    def __init__(self, subqueries, boost: float = 1.0, minmatch: int = 0,
+                 scale: float | None = None):
         super().__init__(subqueries, boost)
         self.minmatch = minmatch
+        self.scale = scale
+
+    def expansion_queries(self, searcher):
+        return [Or([q2 for q in self.subqueries
+                    for q2 in q.expansion_queries(searcher)],
+                   boost=self.boost, minmatch=self.minmatch,
+                   scale=self.scale)]
+
+    def _term_leaves(self) -> list["Term"]:
+        out: list[Term] = []
+
+        def walk(q):
+            if isinstance(q, Term):
+                out.append(q)
+            elif isinstance(q, _Compound):
+                for s in q.subqueries:
+                    walk(s)
+            else:
+                for attr in ("a", "b", "subquery"):
+                    s = getattr(q, attr, None)
+                    if isinstance(s, Query):
+                        walk(s)
+
+        walk(self)
+        return out
+
+    def _coord(self, searcher, res, eval_term_docids):
+        """SQR coordination (wrappers.py:546-574): score' =
+        (score + (matching-1)/(termcount-scale)^2) * (termcount-1)/termcount."""
+        leaves = [t for t in self._term_leaves()
+                  if searcher.global_term_info(t.fieldname, t.text)]
+        termcount = len(leaves)
+        docids, scores = res
+        if not len(docids):
+            return res
+        if termcount == 0:
+            # reference wraps only `if ... any(m.term_matchers())`
+            # (compound.py:382) — no term leaves, no coordination
+            return res
+        if termcount == self.scale:
+            return docids, np.zeros(len(docids))
+        matching_n = np.zeros(len(docids), dtype=np.int64)
+        for t in leaves:
+            tdocs = eval_term_docids(t)
+            if len(tdocs):
+                pos = np.searchsorted(tdocs, docids)
+                pos = np.clip(pos, 0, len(tdocs) - 1)
+                matching_n += (tdocs[pos] == docids)
+        sqr = ((scores + (matching_n - 1) / (termcount - self.scale) ** 2)
+               * ((termcount - 1) / termcount))
+        return docids, sqr
 
     def _combine(self, evalfn):
         parts = [evalfn(q) for q in self.subqueries]
@@ -153,10 +216,18 @@ class Or(_Compound):
         return self._apply_boost(res)
 
     def docs_scores(self, searcher, seg):
-        return self._combine(lambda q: searcher.eval(q, seg))
+        res = self._combine(lambda q: searcher.eval(q, seg))
+        if self.scale:
+            res = self._coord(searcher, res,
+                              lambda t: searcher.eval(t, seg)[0])
+        return res
 
     def global_docs_scores(self, searcher):
-        return self._combine(lambda q: searcher.global_eval(q))
+        res = self._combine(lambda q: searcher.global_eval(q))
+        if self.scale:
+            res = self._coord(searcher, res,
+                              lambda t: searcher.global_eval(t)[0])
+        return res
 
 
 class DisjunctionMax(_Compound):
@@ -280,6 +351,39 @@ class AndMaybe(Query):
     def global_docs_scores(self, searcher):
         res = matching.and_maybe(searcher.global_eval(self.a),
                                  searcher.global_eval(self.b))
+        return (res[0], res[1] * self.boost) if self.boost != 1.0 else res
+
+
+class Otherwise(Query):
+    """Matches ``a``; if ``a`` matches NO documents at all, matches ``b``
+    instead (compound.py:576-588).
+
+    The reference checks matcher liveness per subsearcher, so on a
+    multi-segment index the fallback flips per segment depending on
+    layout; we pin the single-segment semantic (a matches anywhere in
+    the index → use a everywhere) so results are layout-independent and
+    match the whoosh oracle."""
+
+    def __init__(self, a: Query, b: Query, boost: float = 1.0):
+        self.a, self.b, self.boost = a, b, boost
+
+    def terms(self):
+        return self.a.terms() + self.b.terms()
+
+    def expansion_queries(self, searcher):
+        return [Otherwise(self.a.expansion_queries(searcher)[0],
+                          self.b.expansion_queries(searcher)[0], self.boost)]
+
+    def _pick(self, searcher):
+        ids, _ = searcher.global_eval(self.a)
+        return self.a if len(ids) else self.b
+
+    def docs_scores(self, searcher, seg):
+        res = searcher.eval(self._pick(searcher), seg)
+        return (res[0], res[1] * self.boost) if self.boost != 1.0 else res
+
+    def global_docs_scores(self, searcher):
+        res = searcher.global_eval(self._pick(searcher))
         return (res[0], res[1] * self.boost) if self.boost != 1.0 else res
 
 
@@ -519,6 +623,25 @@ class FuzzyTerm(_MultiTerm):
                 else searcher.lexicon(self.fieldname))
         return [w for w in cand
                 if levenshtein(self.text, w, self.maxdist) <= self.maxdist]
+
+
+class Variations(_MultiTerm):
+    """Scored expansion to the word's English morphological variations
+    present in the index (query/terms.py:488-534 over lang/morph_en's
+    LiteMorph_en tables — functions/morph_en.py).  Unlike
+    Prefix/Fuzzy, the reference does NOT set constantscore, so the
+    expansion is a fully-scored Or (terms.py:150, :207)."""
+
+    def __init__(self, fieldname, text, boost: float = 1.0):
+        self.fieldname, self.text = fieldname, text
+        self.boost = boost
+        self.constantscore = False
+
+    def _expand(self, searcher):
+        from whoosh_ray.functions.morph_en import variations
+
+        return [w for w in variations(self.text)
+                if searcher.global_term_info(self.fieldname, w) is not None]
 
 
 class ColumnQuery(Query):

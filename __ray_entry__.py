@@ -226,6 +226,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return ir.facet_count(_searcher(sf_dir), Term("text", "spark"),
                               "source")
 
+    def ir_facet_query(sf_dir):
+        """QueryFacet grouping (first-matching-query key, other=
+        fallback) with Count maptype — facet-family driver check."""
+        from whoosh_ray.search import Count, QueryFacet
+
+        s = _searcher(sf_dir)
+        r = s.search(
+            Term("text", "table"), limit=None,
+            groupedby=QueryFacet({"has_spark": Term("text", "spark"),
+                                  "has_hash": Term("text", "hash")},
+                                 other="misc"),
+            maptype=Count)
+        g = r.groups()
+        keys = sorted(g)
+        return pa.table({
+            "grp": pa.array(keys, type=pa.string()),
+            "n": pa.array([g[k] for k in keys], type=pa.int64()),
+        })
+
     def ir_sorted_nchars(sf_dir):
         return ir.sorted_by(_searcher(sf_dir), Term("text", "spark"),
                             "n_chars", limit=20)
@@ -373,10 +392,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         emb_path = os.path.join(sf_dir, "embeddings.parquet")
         head = pq.read_table(emb_path).slice(0, 5)
+        # persistent bucket-partitioned index: queries read only the
+        # probed ivf_bucket=N/ partitions (I/O-pruned scale path)
+        ivf_dir = os.path.join(
+            "/tmp/whoosh_ray_cache",
+            "ivf-" + sf_dir.strip("/").replace("/", "_"))
         out = knn_ivf(ray.data.read_parquet(emb_path),
                       head["vec_id"].to_numpy(),
                       np.array(head["embedding"].to_pylist(),
-                               dtype=np.float64), k=10)
+                               dtype=np.float64), k=10,
+                      index_dir=ivf_dir)
         return pa.table({
             "query_id": pa.array(out["query_id"], type=pa.int64()),
             "neighbor_id": pa.array(out["neighbor_id"], type=pa.int64()),
@@ -433,6 +458,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ir_phrase": ir_phrase,
         "ir_prefix": ir_prefix,
         "ir_facet_source": ir_facet_source,
+        "ir_facet_query": ir_facet_query,
         "ir_sorted_nchars": ir_sorted_nchars,
         "ir_collapse_lang": ir_collapse_lang,
         "dedup_exact": dedup_exact_q,
@@ -477,6 +503,19 @@ SELECT d.source AS source, count(*)::BIGINT AS n
 FROM documents d WHERE d.doc_id IN
   (SELECT doc_id FROM postings WHERE term = 'spark')
 GROUP BY d.source ORDER BY d.source
+""",
+        "ir_facet_query": rf"""
+WITH {_base_ctes()}
+SELECT grp, count(*)::BIGINT AS n FROM (
+  SELECT CASE
+    WHEN d.doc_id IN (SELECT doc_id FROM postings WHERE term = 'spark')
+      THEN 'has_spark'
+    WHEN d.doc_id IN (SELECT doc_id FROM postings WHERE term = 'hash')
+      THEN 'has_hash'
+    ELSE 'misc' END AS grp
+  FROM documents d
+  WHERE d.doc_id IN (SELECT doc_id FROM postings WHERE term = 'table'))
+GROUP BY grp ORDER BY grp
 """,
         "ir_sorted_nchars": rf"""
 WITH {_base_ctes()}

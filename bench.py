@@ -192,7 +192,8 @@ def run_scaling():
                              cwd=os.path.dirname(os.path.abspath(__file__)))
         return json.loads(out.stdout.strip().splitlines()[-1])
 
-    lo_cpus, hi_cpus = 8, 32
+    lo_cpus = int(os.environ.get("GRAFT_SCALING_LO", "8"))
+    hi_cpus = int(os.environ.get("GRAFT_SCALING_HI", "32"))
     # best-of-3 per level: the sandbox's wall clock is noisy (2x swings on
     # identical runs); max throughput is the steady-state capability the
     # N-vs-4N criterion compares
@@ -203,13 +204,13 @@ def run_scaling():
     tp_hi = hi["queries"]["build_turns_per_sec"]
     eff = (tp_hi / tp_lo) / (hi_cpus / lo_cpus)
     print(json.dumps({
-        "metric": "index-build scaling efficiency (8 -> 32 cpus)",
-        "turns_per_sec_8": tp_lo,
-        "turns_per_sec_32": tp_hi,
+        "metric": f"index-build scaling efficiency ({lo_cpus} -> {hi_cpus} cpus)",
+        f"turns_per_sec_{lo_cpus}": tp_lo,
+        f"turns_per_sec_{hi_cpus}": tp_hi,
         "speedup": round(tp_hi / tp_lo, 3),
         "scaling_efficiency": round(eff, 3),
-        "sec_8": lo["queries"]["build_transcripts_sec"],
-        "sec_32": hi["queries"]["build_transcripts_sec"],
+        f"sec_{lo_cpus}": lo["queries"]["build_transcripts_sec"],
+        f"sec_{hi_cpus}": hi["queries"]["build_transcripts_sec"],
         "sf": lo["sf"],
     }))
 

@@ -242,3 +242,59 @@ def test_matched_terms(engine, oracle):
             mine_ht = r.matched_terms_for(hit.docnum)
             ref_ht = {(f, t.decode()) for f, t in hit.matched_terms()}
             assert mine_ht == ref_ht, hit.docnum
+
+
+def test_time_limit_collector(engine):
+    """TimeLimitCollector analogue: exceeding the budget raises
+    TimeLimit carrying the partial results; a generous budget returns
+    the same results as a plain search."""
+    import time
+
+    import pytest as _pytest
+
+    from whoosh_ray.search import Term
+    from whoosh_ray.search.searcher import TimeLimit
+
+    full = engine.search(Term("text", "deploy"), limit=None)
+    ok = engine.search_with_timelimit(Term("text", "deploy"), limit=None,
+                                      timelimit=30.0)
+    assert ok.docids.tolist() == full.docids.tolist()
+
+    # force a timeout: make per-segment eval slow
+    orig = type(engine).eval
+    def slow_eval(self, q, seg):
+        time.sleep(0.05)
+        return orig(self, q, seg)
+    type(engine).eval = slow_eval
+    try:
+        with _pytest.raises(TimeLimit) as ei:
+            engine.search_with_timelimit(Term("text", "deploy"),
+                                         limit=None, timelimit=0.06)
+        partial = ei.value.partial
+        assert 0 < len(partial.docids) < len(full.docids)
+        assert set(partial.docids.tolist()) <= set(full.docids.tolist())
+    finally:
+        type(engine).eval = orig
+
+
+def test_pinpoint_fragmenter_matches_oracle(engine, oracle):
+    from whoosh import highlight as wh
+    from whoosh.query import Term as WTerm
+
+    from whoosh_ray.search.highlight import (Highlighter, PinpointFragmenter,
+                                             UppercaseFormatter)
+
+    for autotrim in (False, True):
+        with oracle.searcher() as s:
+            r = s.search(WTerm("text", "deploy"), limit=5)
+            r.fragmenter = wh.PinpointFragmenter(maxchars=120, surround=15,
+                                                 autotrim=autotrim)
+            r.formatter = wh.UppercaseFormatter()
+            hl = Highlighter(
+                fragmenter=PinpointFragmenter(maxchars=120, surround=15,
+                                              autotrim=autotrim),
+                formatter=UppercaseFormatter())
+            for hit in r:
+                mine = hl.highlight(hit["text"], {"deploy"}, top=3)
+                ref = hit.highlights("text", top=3)
+                assert mine == ref, (autotrim, hit.docnum, mine, ref)

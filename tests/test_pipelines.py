@@ -147,3 +147,60 @@ def test_verify_jaccard_matches_exact_sets():
     # pair (0,4) shares nothing -> absent
     assert not ((got.doc_a == 0) & (got.doc_b == 4)).any()
     assert ((got.doc_a == 0) & (got.doc_b == 1)).any()
+
+
+def test_sessionize_bucket_stitching_and_skew():
+    """Two-level sessionize: sessions crossing bucket boundaries must
+    stitch exactly; a hot key's events never form one giant group."""
+    import pandas as pd
+
+    from whoosh_ray.pipelines.events import sessionize
+
+    MIN = 60_000_000  # 1 min in us
+    rows = []
+    # bot: event every 10 min for 30 hours -> ONE session spanning many
+    # 1-hour buckets
+    for i in range(180):
+        rows.append(("bot", i * 10 * MIN, 1.0))
+    # user: two sessions, the first crossing an hour boundary
+    rows.append(("u1", 55 * MIN, 2.0))
+    rows.append(("u1", 65 * MIN, 3.0))   # 10 min gap -> same session
+    rows.append(("u1", 200 * MIN, 4.0))  # 135 min gap -> new session
+    base = pd.Timestamp("2024-01-01").value // 1000
+    tbl = pa.table({
+        "user_id": pa.array([r[0] for r in rows]),
+        "ts": pa.array([base + r[1] for r in rows],
+                       type=pa.timestamp("us")),
+        "value": pa.array([r[2] for r in rows]),
+    })
+    ds = ray.data.from_arrow(tbl)
+    out = sessionize(ds, bucket_us=3_600_000_000).to_pandas()
+    out = out.sort_values(["user_id", "session"]).reset_index(drop=True)
+    bot = out[out.user_id == "bot"]
+    assert len(bot) == 1
+    assert int(bot.n_events.iloc[0]) == 180
+    u1 = out[out.user_id == "u1"]
+    assert len(u1) == 2
+    assert u1.n_events.tolist() == [2, 1]
+    assert u1.sum_value.tolist() == [5.0, 4.0]
+
+
+def test_knn_ivf_io_pruning(tmp_path):
+    """The IVF query must READ only the probed bucket partitions —
+    bytes_probed ≈ nprobe/nlist of the corpus (VERDICT r1 #3)."""
+    import pyarrow.parquet as pq
+
+    from whoosh_ray.pipelines.knn import ivf_build, knn_ivf_query
+
+    emb = "/root/testdata/sf0.01/embeddings.parquet"
+    head = pq.read_table(emb).slice(0, 4)
+    qids = head["vec_id"].to_numpy()
+    qmat = np.array(head["embedding"].to_pylist(), dtype=np.float64)
+    ivf_dir = str(tmp_path / "ivf")
+    ivf_build(ray.data.read_parquet(emb), ivf_dir, nlist=16)
+    out, io_stats = knn_ivf_query(ivf_dir, qids, qmat, k=10, nprobe=2)
+    assert len(out) > 0
+    assert io_stats["bytes_total"] > 0
+    # 4 queries x 2 probes <= 8 of 16 buckets; sizes vary, so just
+    # assert a real reduction
+    assert io_stats["fraction"] <= 0.75, io_stats

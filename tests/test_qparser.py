@@ -83,3 +83,116 @@ def test_parsed_queries_match_oracle(engine, oracle, whoosh_oracle):
             np.testing.assert_allclose([s for _, s in mine],
                                        [s for _, s in ref], rtol=1e-9,
                                        err_msg=qs)
+
+
+def _compare(engine, os_, myq, refq, label):
+    mine = [(int(d), float(s)) for d, s in engine.search(myq, limit=None)]
+    r = os_.search(refq, limit=None)
+    ref = [(int(h.docnum), float(h.score)) for h in r]
+    assert [d for d, _ in mine] == [d for d, _ in ref], (
+        f"{label!r}: mine={myq!r} ref={refq!r}")
+    np.testing.assert_allclose([s for _, s in mine], [s for _, s in ref],
+                               rtol=1e-9, err_msg=label)
+
+
+def test_gtlt_plugin(engine, oracle, whoosh_oracle):
+    from whoosh.qparser import GtLtPlugin
+    from whoosh.qparser import QueryParser as WQP
+
+    my_parser = QueryParser("text", transcripts_schema(),
+                            plugins=("gtlt",))
+    with oracle.searcher() as os_:
+        ref_parser = WQP("text", schema=oracle.schema)
+        ref_parser.add_plugin(GtLtPlugin())
+        for qs in ["text:>deploy", "text:>=deploy", "text:<deploy",
+                   "text:<=deploy", "role:>=tool"]:
+            _compare(engine, os_, my_parser.parse(qs),
+                     ref_parser.parse(qs), qs)
+
+
+def test_fuzzy_plugin(engine, oracle, whoosh_oracle):
+    from whoosh.qparser import FuzzyTermPlugin
+    from whoosh.qparser import QueryParser as WQP
+
+    my_parser = QueryParser("text", transcripts_schema(),
+                            plugins=("fuzzy",))
+    with oracle.searcher() as os_:
+        ref_parser = WQP("text", schema=oracle.schema)
+        ref_parser.add_plugin(FuzzyTermPlugin())
+        for qs in ["deploi~", "deploy~2", "rendor~2/3"]:
+            _compare(engine, os_, my_parser.parse(qs),
+                     ref_parser.parse(qs), qs)
+
+
+def test_plusminus_plugin(engine, oracle, whoosh_oracle):
+    from whoosh.qparser import OrGroup, PlusMinusPlugin
+    from whoosh.qparser import QueryParser as WQP
+
+    my_parser = QueryParser("text", transcripts_schema(),
+                            plugins=("plusminus",))
+    with oracle.searcher() as os_:
+        ref_parser = WQP("text", schema=oracle.schema, group=OrGroup)
+        ref_parser.add_plugin(PlusMinusPlugin())
+        for qs in ["+deploy render -cluster", "+deploy +render",
+                   "render error -cluster", "+deploy -render"]:
+            _compare(engine, os_, my_parser.parse(qs),
+                     ref_parser.parse(qs), qs)
+
+
+def test_multifield_parser(engine, oracle, whoosh_oracle):
+    from whoosh.qparser import MultifieldParser as WMFP
+
+    from whoosh_ray.search.qparser import MultifieldParser
+
+    my_parser = MultifieldParser(["text", "tool"], transcripts_schema())
+    with oracle.searcher() as os_:
+        ref_parser = WMFP(["text", "tool"], schema=oracle.schema)
+        for qs in ["deploy", "bash", "deploy render", "text:deploy bash",
+                   "rend*"]:
+            _compare(engine, os_, my_parser.parse(qs),
+                     ref_parser.parse(qs), qs)
+
+
+def test_multifield_fieldboosts(engine, oracle, whoosh_oracle):
+    from whoosh.qparser import MultifieldParser as WMFP
+
+    from whoosh_ray.search.qparser import MultifieldParser
+
+    boosts = {"text": 2.0, "tool": 0.5}
+    my_parser = MultifieldParser(["text", "tool"], transcripts_schema(),
+                                 fieldboosts=boosts)
+    with oracle.searcher() as os_:
+        ref_parser = WMFP(["text", "tool"], schema=oracle.schema,
+                          fieldboosts=boosts)
+        for qs in ["deploy", "bash deploy"]:
+            _compare(engine, os_, my_parser.parse(qs),
+                     ref_parser.parse(qs), qs)
+
+
+def test_fieldalias_plugin(engine, oracle, whoosh_oracle):
+    from whoosh.qparser import FieldAliasPlugin
+    from whoosh.qparser import QueryParser as WQP
+
+    my_parser = QueryParser("text", transcripts_schema(),
+                            aliases={"body": "text", "who": "role"})
+    with oracle.searcher() as os_:
+        ref_parser = WQP("text", schema=oracle.schema)
+        ref_parser.add_plugin(FieldAliasPlugin({"text": ["body"],
+                                                "role": ["who"]}))
+        for qs in ["body:deploy", "who:user deploy"]:
+            _compare(engine, os_, my_parser.parse(qs),
+                     ref_parser.parse(qs), qs)
+
+
+def test_copyfield_plugin(engine, oracle, whoosh_oracle):
+    from whoosh.qparser import CopyFieldPlugin
+    from whoosh.qparser import QueryParser as WQP
+
+    my_parser = QueryParser("text", transcripts_schema(),
+                            copyfields={"role": "tool"})
+    with oracle.searcher() as os_:
+        ref_parser = WQP("text", schema=oracle.schema)
+        ref_parser.add_plugin(CopyFieldPlugin({"role": "tool"}))
+        for qs in ["role:user", "role:bash deploy"]:
+            _compare(engine, os_, my_parser.parse(qs),
+                     ref_parser.parse(qs), qs)

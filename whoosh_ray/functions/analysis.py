@@ -79,6 +79,13 @@ class AnalyzerSpec:
     # (incl. the reference's untranslated-final-token quirk).
     charmap: tuple | None = None  # tuple of (ord, replacement)
     charset_tokenize: bool = False
+    # Generic per-row filter chain (functions/tokenfilters.py) for the
+    # stream-restructuring filters (IntraWord/CompoundWord/BiWord/
+    # Shingle/Tee/Multi).  When set it REPLACES the vectorized flag
+    # pipeline above; mode ("index"/"query") selects MultiFilter
+    # sub-chains.
+    chain: tuple | None = None
+    mode: str = "index"
 
     def compile(self) -> "VectorAnalyzer":
         return VectorAnalyzer(self)
@@ -121,6 +128,11 @@ class VectorAnalyzer:
         self._sub = (re.compile(spec.substitute[0]) if spec.substitute
                      else None)
         self._stem_cache: dict[str, str] = {}
+        self._chain = None
+        if spec.chain is not None:
+            from whoosh_ray.functions.tokenfilters import compile_chain
+
+            self._chain = compile_chain(spec.chain, mode=spec.mode)
         self._charmap = dict(spec.charmap) if spec.charmap else None
         self._breakmap = None
         if spec.charset_tokenize:
@@ -144,6 +156,8 @@ class VectorAnalyzer:
         spec = self.spec
         if isinstance(texts, pd.Series):
             texts = texts.to_numpy()
+        if self._chain is not None:
+            return self._chain_call(texts)
         if spec.ngram is not None:
             return self._ngram_call(texts)
         n = len(texts)
@@ -241,6 +255,28 @@ class VectorAnalyzer:
         first_orig[has_any] = orig_pos[cuts[:-1][has_any]]
         positions = (first_orig[row_ids] + rank_in_row).astype(np.int32)
         return TokenizedBatch(row_ids, terms, positions, row_lengths)
+
+    def _chain_call(self, texts) -> TokenizedBatch:
+        """Generic filter-chain path (tokenfilters.py): per-row generator
+        chains for the stream-restructuring filters."""
+        from whoosh_ray.functions.tokenfilters import analyze_row
+
+        tokenize, fns = self._chain
+        n = len(texts)
+        rows, terms, positions = [], [], []
+        for i, t in enumerate(texts):
+            for text, pos in analyze_row(t or "", tokenize, fns):
+                rows.append(i)
+                terms.append(text)
+                positions.append(pos)
+        row_ids = np.asarray(rows, dtype=np.int64)
+        counts = np.bincount(row_ids, minlength=n).astype(np.int64)
+        return TokenizedBatch(
+            row_ids,
+            np.asarray(terms, dtype=object),
+            np.asarray(positions, dtype=np.int32),
+            counts,
+        )
 
     def _ngram_call(self, texts) -> TokenizedBatch:
         """N-gram token streams (reference parity, probed):

@@ -1,0 +1,466 @@
+"""Generic token-stream filter chains (the niche analyzer filters).
+
+The hot StandardAnalyzer path stays fully vectorized
+(functions/analysis.py); the filters here — IntraWord, CompoundWord,
+BiWord, Shingle, Tee, Multi — restructure the token STREAM in ways that
+don't vectorize, so they run as per-row generator chains exactly like
+the reference's (analysis/intraword.py:36-494, filters.py:115-198).
+A chain is declared as data on ``AnalyzerSpec.chain`` so specs stay
+picklable/hashable; parity with the reference chains is fuzz-tested
+(tests/test_tokenfilters.py).
+
+Implementation notes (independent, semantics matched to the reference):
+
+- IntraWordFilter splits on delimiters, case transitions (lower→upper)
+  and letter↔digit transitions, strips possessive "'s", renumbers
+  positions, and optionally merges alpha/digit runs into an extra token
+  at the run's last position (intraword.py:222-494).  Character classes
+  come from ``unicodedata`` categories (Ll*/Lu/Nd) rather than the
+  reference's generated tables.
+- BiWord joins adjacent tokens with ``sep`` at the previous token's
+  position; a single-token stream passes through (intraword.py:105-167).
+- Shingle windows ``size`` tokens; a shorter stream yields one joined
+  token (intraword.py:169-221).
+- CompoundWord greedily decomposes tokens into word-set members (all
+  subword tokens share the original position; intraword.py:36-99).
+- Tee runs every token through several sub-chains and interleaves the
+  outputs per token; Multi picks a sub-chain by analysis mode
+  (filters.py:115-198).
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+
+
+class Token:
+    __slots__ = ("text", "pos")
+
+    def __init__(self, text: str, pos: int):
+        self.text = text
+        self.pos = pos
+
+    def copy(self) -> "Token":
+        return Token(self.text, self.pos)
+
+
+def _is_lower(ch: str) -> bool:
+    return unicodedata.category(ch) == "Ll"
+
+
+def _is_upper(ch: str) -> bool:
+    return unicodedata.category(ch) in ("Lu", "Lt")
+
+
+def _is_digit(ch: str) -> bool:
+    return unicodedata.category(ch) == "Nd"
+
+
+def _is_letter(ch: str) -> bool:
+    return unicodedata.category(ch).startswith("L")
+
+
+# ---- filters (each: (tokens, ...params) -> iterator of Token)
+
+def lowercase_filter(tokens):
+    for t in tokens:
+        t.text = t.text.lower()
+        yield t
+
+
+def strip_filter(tokens):
+    for t in tokens:
+        t.text = t.text.strip()
+        yield t
+
+
+def stop_filter(tokens, stopwords, minsize=2, maxsize=None, renumber=True):
+    """StopFilter parity (filters.py:259-311): removed tokens drop out;
+    with renumber the FIRST survivor keeps its original position and the
+    rest count up from there."""
+    pos = None
+    for t in tokens:
+        text = t.text
+        if (len(text) >= minsize
+                and (maxsize is None or len(text) <= maxsize)
+                and (stopwords is None or text not in stopwords)):
+            if renumber:
+                if pos is None:
+                    pos = t.pos
+                else:
+                    pos += 1
+                t.pos = pos
+            yield t
+
+
+def stem_filter(tokens, cache):
+    from whoosh_ray.functions.porter import stem as porter_stem
+
+    for t in tokens:
+        w = t.text
+        st = cache.get(w)
+        if st is None:
+            st = porter_stem(w)
+            if len(cache) < 50000:
+                cache[w] = st
+        t.text = st
+        yield t
+
+
+def charset_filter(tokens, charmap):
+    for t in tokens:
+        t.text = t.text.translate(charmap)
+        yield t
+
+
+def delimited_attribute_filter(tokens, delimiter="^"):
+    """DelimitedAttributeFilter parity (filters.py:375-436) for the
+    observable part under the default posting formats: the delimited
+    payload is stripped from the token text.  The attribute value
+    itself (token.boost) is parsed-and-dropped — the reference's
+    Frequency/Positions formats ignore ``token.boost`` too, so indexed
+    output is identical; carrying per-token weights would need a
+    posting-weight column (documented format decision)."""
+    for t in tokens:
+        pos = t.text.find(delimiter)
+        if pos > -1:
+            float(t.text[pos + 1:]) if t.text[pos + 1:] else None
+            t.text = t.text[:pos]
+        yield t
+
+
+def compound_word_filter(tokens, wordset, keep_compound=True):
+    """CompoundWordFilter parity (intraword.py:36-99): greedy prefix
+    decomposition into word-set members; subwords share the original
+    token's position."""
+    memo: dict = {}
+
+    def subwords(s):
+        if s in wordset:
+            return [s]
+        if s in memo:
+            return memo[s]
+        for i in range(1, len(s)):
+            prefix = s[:i]
+            if prefix in wordset:
+                rest = subwords(s[i:])
+                if rest:
+                    out = [prefix] + rest
+                    memo[s] = out
+                    return out
+        memo[s] = None
+        return None
+
+    for t in tokens:
+        subs = subwords(t.text)
+        if subs:
+            if len(subs) > 1 and keep_compound:
+                yield t.copy()
+            for s in subs:
+                nt = t.copy()
+                nt.text = s
+                yield nt
+        else:
+            yield t
+
+
+def biword_filter(tokens, sep="-"):
+    """BiWordFilter parity (intraword.py:105-167): adjacent pairs joined
+    with ``sep`` at the FIRST token's position; single-token streams
+    pass the lone token through."""
+    prev_text = None
+    prev_pos = None
+    atleastone = False
+    token = None
+    for token in tokens:
+        text = token.text
+        pos = token.pos
+        if prev_text is not None:
+            token.pos = prev_pos
+            token.text = prev_text + sep + text
+            yield token
+            atleastone = True
+        prev_text = text
+        prev_pos = pos
+    if not atleastone and token is not None:
+        yield token
+
+
+def shingle_filter(tokens, size=2, sep="-"):
+    """ShingleFilter parity (intraword.py:169-221): ``size``-token
+    windows joined with ``sep`` at the window's first token's position;
+    a shorter stream yields one joined token."""
+    from collections import deque
+
+    buf: deque = deque()
+    atleastone = False
+
+    def make():
+        tk = buf[0].copy()
+        tk.text = sep.join(t.text for t in buf)
+        return tk
+
+    for token in tokens:
+        buf.append(token.copy())
+        if len(buf) == size:
+            atleastone = True
+            yield make()
+            buf.popleft()
+    if not atleastone and buf:
+        yield make()
+
+
+class _IntraWord:
+    """IntraWordFilter engine (intraword.py:222-494)."""
+
+    def __init__(self, delims="-_'\"()!@#$%^&*[]{}<>\\|;:,./?`~=+",
+                 splitwords=True, splitnums=True,
+                 mergewords=False, mergenums=False):
+        self.delims = set(delims)
+        self.splitwords = splitwords
+        self.splitnums = splitnums
+        self.mergewords = mergewords
+        self.mergenums = mergenums
+        self.between = re.compile(
+            "[^%s]+" % re.escape("".join(sorted(self.delims))), re.UNICODE)
+
+    def _possessive_runs(self, s: str):
+        """Runs of text between possessive 's occurrences: "'s"/"'S"
+        preceded by a letter and followed by end-of-string or a
+        delimiter."""
+        if "'" not in s:
+            return [(0, len(s))]
+        runs = []
+        prev = 0
+        i = 0
+        n = len(s)
+        while i < n - 1:
+            if (s[i] == "'" and s[i + 1] in "sS" and i > 0
+                    and (_is_lower(s[i - 1]) or _is_upper(s[i - 1]))
+                    and (i + 2 == n or s[i + 2] in self.delims)):
+                runs.append((prev, i))
+                i += 2
+                prev = i
+            else:
+                i += 1
+        if prev < n:
+            runs.append((prev, n))
+        return runs
+
+    def _transitions(self, s: str, start: int, end: int):
+        """Pivot points: lower→upper / letter→digit / digit→letter.
+
+        The reference finds these with regex ``finditer`` over TWO-char
+        patterns, so matches are non-overlapping: a transition consumes
+        both chars and the scan resumes after them — "b2C3" splits as
+        b|2C|3, not b|2|C|3.  Reproduced with the explicit skip."""
+        i = start
+        while i < end - 1:
+            a, b = s[i], s[i + 1]
+            if ((self.splitwords and _is_lower(a) and _is_upper(b))
+                    or (self.splitnums
+                        and ((_is_letter(a) and _is_digit(b))
+                             or (_is_digit(a) and _is_letter(b))))):
+                yield i + 1
+                i += 2
+            else:
+                i += 1
+
+    def _split(self, s: str):
+        splitting = self.splitwords or self.splitnums
+        for sc, ec in self._possessive_runs(s):
+            for m in self.between.finditer(s, sc, ec):
+                ps, pe = m.start(), m.end()
+                if splitting:
+                    prev = ps
+                    for pivot in self._transitions(s, ps, pe):
+                        yield (prev, pivot)
+                        prev = pivot
+                    if prev < pe:
+                        yield (prev, pe)
+                else:
+                    yield (ps, pe)
+
+    def _merge(self, parts: list):
+        """Insert merged alpha/digit-run tokens (intraword.py:385-437);
+        a merged token takes position (last part's pos - 1) mid-list or
+        the final pos at the end — reference quirk preserved."""
+        mergewords, mergenums = self.mergewords, self.mergenums
+        last = 0
+        insertat = 0
+        buf: list = []
+        pos = 0
+
+        def insert(buf, newpos):
+            # reference quirk: its insert helper ignores the passed-in
+            # index and always inserts at the running ``insertat``
+            # (intraword.py:396-401) — including the final flush
+            newtext = "".join(item[0] for item in buf)
+            parts.insert(insertat, (newtext, newpos))
+
+        for item in list(parts):
+            text, pos = item
+            if text.isalpha():
+                this = 1
+            elif text.isdigit():
+                this = 2
+            else:
+                this = None
+            if (buf and ((this == last == 1 and mergewords)
+                         or (this == last == 2 and mergenums))):
+                buf.append(item)
+            else:
+                if len(buf) > 1:
+                    insert(buf, pos - 1)
+                    insertat += 1
+                buf = [item]
+                last = this
+            insertat += 1
+        if len(buf) > 1:
+            insert(buf, pos)
+
+    def __call__(self, tokens):
+        newpos = None
+        for t in tokens:
+            text = t.text
+            if newpos is None:
+                newpos = t.pos
+            if ((text.isalpha() and (text.islower() or text.isupper()))
+                    or text.isdigit()):
+                t.pos = newpos
+                yield t
+                newpos += 1
+            else:
+                ranges = self._split(text)
+                parts = [(text[sc:ec], i + newpos)
+                         for i, (sc, ec) in enumerate(ranges)]
+                if len(parts) > 1 and (self.mergewords or self.mergenums):
+                    self._merge(parts)
+                for ptext, ppos in parts:
+                    nt = t.copy()
+                    nt.text = ptext
+                    nt.pos = ppos
+                    yield nt
+                if parts:
+                    newpos = parts[-1][1] + 1
+
+
+def intraword_filter(tokens, delims, splitwords, splitnums, mergewords,
+                     mergenums):
+    return _IntraWord(delims, splitwords, splitnums, mergewords,
+                      mergenums)(tokens)
+
+
+# ---- chain compilation
+
+def compile_chain(chain: tuple, mode: str = "index"):
+    """Compile a declarative chain into (tokenize_fn, [filter_fn, ...]).
+
+    Chain items (kind, params):
+      ("tokenizer", (pattern, gaps))            — must be first if present
+      ("lowercase", ())        ("strip", ())    ("stem", ())
+      ("stop", (words|None, minsize, maxsize, renumber))
+      ("charset", items)                        — (ord, str) pairs
+      ("intraword", (delims, sw, sn, mw, mn))
+      ("biword", (sep,))      ("shingle", (size, sep))
+      ("compound", (words, keep_compound))
+      ("tee", (chain_a, chain_b, ...))          — interleave sub-chains
+      ("multi", ((mode, chain), ...))           — pick sub-chain by mode
+    """
+    items = list(chain)
+    pattern, gaps = r"\w+(?:\.?\w+)*", False
+    if items and items[0][0] == "tokenizer":
+        pattern, gaps = items[0][1]
+        items = items[1:]
+
+    rex = re.compile(pattern, re.UNICODE)
+
+    def tokenize(text: str):
+        if gaps:
+            words = [w for w in rex.split(text or "") if w]
+        else:
+            words = rex.findall(text or "")
+        return (Token(w, i) for i, w in enumerate(words))
+
+    fns = [_compile_filter(kind, params, mode) for kind, params in items]
+    fns = [f for f in fns if f is not None]
+    return tokenize, fns
+
+
+def _compile_filter(kind: str, params, mode: str):
+    if kind == "lowercase":
+        return lowercase_filter
+    if kind == "strip":
+        return strip_filter
+    if kind == "stem":
+        cache: dict = {}
+        return lambda toks: stem_filter(toks, cache)
+    if kind == "stop":
+        words, minsize, maxsize, renumber = params
+        ws = frozenset(words) if words is not None else None
+        return lambda toks: stop_filter(toks, ws, minsize, maxsize, renumber)
+    if kind == "charset":
+        cm = dict(params)
+        return lambda toks: charset_filter(toks, cm)
+    if kind == "intraword":
+        iw = _IntraWord(*params)
+        return iw
+    if kind == "biword":
+        (sep,) = params
+        return lambda toks: biword_filter(toks, sep)
+    if kind == "shingle":
+        size, sep = params
+        return lambda toks: shingle_filter(toks, size, sep)
+    if kind == "delimited":
+        (delim,) = params
+        return lambda toks: delimited_attribute_filter(toks, delim)
+    if kind == "compound":
+        words, keep = params
+        ws = frozenset(words)
+        return lambda toks: compound_word_filter(toks, ws, keep)
+    if kind == "tee":
+        sub = [compile_chain((("tokenizer", (r"\S+", False)),) + tuple(c),
+                             mode)[1] for c in params]
+
+        def tee(tokens, _subs=sub):
+            """TeeFilter (filters.py:115-168): each sub-chain sees the
+            whole stream; outputs interleave round-robin per token."""
+            toks = list(tokens)
+            iters = [_apply(fns, (t.copy() for t in toks))
+                     for fns in _subs]
+            active = list(iters)
+            while active:
+                nxt = []
+                for it in active:
+                    try:
+                        yield next(it)
+                        nxt.append(it)
+                    except StopIteration:
+                        pass
+                active = nxt
+
+        return tee
+    if kind == "multi":
+        chosen = None
+        default = None
+        for m, sub in params:
+            if m == mode:
+                chosen = sub
+            if m == "default" or default is None:
+                default = sub
+        sub = chosen if chosen is not None else default
+        fns = compile_chain((("tokenizer", (r"\S+", False)),) + tuple(sub),
+                            mode)[1]
+        return lambda toks: _apply(fns, toks)
+    raise ValueError(f"unknown filter kind {kind!r}")
+
+
+def _apply(fns, tokens):
+    for f in fns:
+        tokens = f(tokens)
+    return tokens
+
+
+def analyze_row(text: str, tokenize, fns) -> list[tuple[str, int]]:
+    return [(t.text, t.pos) for t in _apply(fns, tokenize(text))]

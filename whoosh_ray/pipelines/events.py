@@ -17,31 +17,76 @@ SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min
 
 
 def sessionize(ds: ray.data.Dataset, *, key: str = "user_id",
-               ts_col: str = "ts", gap_us: int = SESSION_GAP_US) -> ray.data.Dataset:
+               ts_col: str = "ts", gap_us: int = SESSION_GAP_US,
+               bucket_us: int = 86_400_000_000) -> ray.data.Dataset:
     """Split each key's event stream into sessions at gaps > ``gap_us``.
 
-    Output: one row per session with count/min/max/sum aggregates."""
+    Output: one row per session with count/min/max/sum aggregates.
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+    Skew-safe two-level plan (VERDICT r1 #7: a plain ``groupby(key)``
+    puts a bot account's entire history in one group):
+
+    1. ``groupby((key, ts // bucket_us))`` sessionizes WITHIN each time
+       bucket — the level-1 group is bounded by one key's events per
+       bucket (``bucket_us`` is the memory knob; shrink it for hotter
+       keys);
+    2. ``groupby(key)`` over the per-bucket SESSION SUMMARIES stitches
+       sessions that span bucket boundaries (merge when the next
+       session's start is within ``gap_us`` of the previous end) — this
+       group is bounded by #sessions, not #events, and the merge is
+       exact because within-bucket sessions are maximal and buckets are
+       time-disjoint.
+    """
+
+    def add_bucket(batch):
+        import pyarrow as pa
+
+        b = batch[ts_col].cast(pa.int64()).to_numpy() // bucket_us
+        return batch.append_column("_bucket",
+                                   pa.array(b, type=pa.int64()))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(ts_col, kind="mergesort")
         ts = g[ts_col].astype("int64").to_numpy()
         new_session = np.empty(len(ts), dtype=bool)
         new_session[0] = True
         np.greater(ts[1:] - ts[:-1], gap_us, out=new_session[1:])
         sid = np.cumsum(new_session) - 1
-        out = (g.assign(session=sid)
-                .groupby("session")
+        out = (g.assign(_s=sid)
+                .groupby("_s")
                 .agg(n_events=(ts_col, "size"),
                      start_ts=(ts_col, "min"),
                      end_ts=(ts_col, "max"),
                      sum_value=("value", "sum"))
+                .reset_index(drop=True))
+        out[key] = g[key].iloc[0]
+        return out[[key, "n_events", "start_ts", "end_ts", "sum_value"]]
+
+    def stitch(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("start_ts", kind="mergesort").reset_index(drop=True)
+        st = g["start_ts"].astype("int64").to_numpy()
+        en = g["end_ts"].astype("int64").to_numpy()
+        new_session = np.empty(len(g), dtype=bool)
+        new_session[0] = True
+        np.greater(st[1:] - en[:-1], gap_us, out=new_session[1:])
+        sid = np.cumsum(new_session) - 1
+        out = (g.assign(session=sid)
+                .groupby("session")
+                .agg(n_events=("n_events", "sum"),
+                     start_ts=("start_ts", "min"),
+                     end_ts=("end_ts", "max"),
+                     sum_value=("sum_value", "sum"))
                 .reset_index())
         out[key] = g[key].iloc[0]
         return out[[key, "session", "n_events", "start_ts", "end_ts",
                     "sum_value"]]
 
-    per_key.__name__ = "per_key"
-    return ds.groupby(key).map_groups(per_key, batch_format="pandas")
+    per_bucket.__name__ = "per_bucket"
+    stitch.__name__ = "stitch"
+    level1 = (ds.map_batches(add_bucket, batch_format="pyarrow")
+              .groupby([key, "_bucket"])
+              .map_groups(per_bucket, batch_format="pandas"))
+    return level1.groupby(key).map_groups(stitch, batch_format="pandas")
 
 
 def tumbling_window_counts(ds: ray.data.Dataset, *, ts_col: str = "ts",

@@ -75,17 +75,28 @@ class LangId:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_col].to_numpy(zero_copy_only=False)
-        toks = self.analyzer.token_lists(texts)
-        langs = []
-        for t in toks:
-            ts = set(t)
-            best, best_n = "und", 0
-            for lang, markers in _LANG_MARKERS.items():
-                n = len(ts & markers)
-                if n > best_n:
-                    best, best_n = lang, n
-            langs.append(best)
-        return batch.append_column("lang_pred", pa.array(langs))
+        tb = self.analyzer(texts)
+        n = len(texts)
+        names = list(_LANG_MARKERS)
+        counts = np.zeros((len(names), n), dtype=np.int64)
+        if len(tb.terms):
+            # distinct (row, term) pairs, then per-language marker counts
+            # — all hash/bincount kernels, no per-row Python sets
+            codes, uniq = pd.factorize(
+                pd.Series(tb.terms, dtype=object), sort=False)
+            pair = np.unique(tb.row_ids.astype(np.int64) * len(uniq) + codes)
+            urow = pair // len(uniq)
+            ucode = pair % len(uniq)
+            uniq_s = pd.Series(np.asarray(uniq, dtype=object))
+            for li, markers in enumerate(_LANG_MARKERS.values()):
+                hit = uniq_s.isin(markers).to_numpy()[ucode]
+                counts[li] = np.bincount(urow[hit], minlength=n)
+        best = np.argmax(counts, axis=0)  # first max wins, like strict >
+        bestn = counts[best, np.arange(n)]
+        langs = np.where(bestn > 0, np.asarray(names, dtype=object)[best],
+                         "und")
+        return batch.append_column("lang_pred",
+                                   pa.array(langs, type=pa.string()))
 
 
 class Fingerprint:

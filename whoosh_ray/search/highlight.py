@@ -215,6 +215,70 @@ class ContextFragmenter:
         return out
 
 
+class PinpointFragmenter:
+    """Builds fragments directly from matched-term char spans without
+    scanning unmatched tokens (highlight.py:506-590).  The reference
+    feeds it char offsets stored in the index (Characters format); here
+    the same spans come from the char-offset retokenization the
+    reference itself falls back to when the index lacks them — the
+    fragment geometry is identical."""
+
+    def __init__(self, maxchars: int = 200, surround: int = 20,
+                 autotrim: bool = False, charlimit: int = DEFAULT_CHARLIMIT):
+        self.maxchars = maxchars
+        self.surround = surround
+        self.autotrim = autotrim
+        self.charlimit = charlimit
+
+    @staticmethod
+    def _autotrim(fragment: Fragment) -> None:
+        text = fragment.text
+        startchar, endchar = fragment.startchar, fragment.endchar
+        firstspace = text.find(" ", startchar, endchar)
+        if firstspace > 0:
+            startchar = firstspace + 1
+        lastspace = text.rfind(" ", startchar, endchar)
+        if lastspace > 0:
+            endchar = lastspace
+        if fragment.matches:
+            startchar = min(startchar, fragment.matches[0].startchar)
+            endchar = max(endchar, fragment.matches[-1].endchar)
+        fragment.startchar = startchar
+        fragment.endchar = endchar
+
+    def fragment_tokens(self, text, tokens):
+        matched = [t for t in tokens if t.matched]
+        out = []
+        j = -1
+        for i, t in enumerate(matched):
+            if j >= i:
+                continue
+            j = i
+            left = t.startchar
+            right = t.endchar
+            if self.charlimit and right > self.charlimit:
+                break
+            currentlen = right - left
+            while j < len(matched) - 1 and currentlen < self.maxchars:
+                nxt = matched[j + 1]
+                ec = nxt.endchar
+                if (ec - right <= self.surround
+                        and ec - left <= self.maxchars):
+                    j += 1
+                    right = ec
+                    currentlen += ec - nxt.startchar
+                else:
+                    break
+            left = max(0, left - self.surround)
+            right = min(len(text), right + self.surround)
+            frag = Fragment(text, matched[i:j + 1], left, right,
+                            frozenset(tk.text for tk in matched[i:j + 1]))
+            if self.autotrim:
+                self._autotrim(frag)
+            out.append(frag)
+        return out
+
+
 def basic_fragment_scorer(f: Fragment) -> float:
     score = sum(t.boost for t in f.matches)
     score *= (len(f.matched_terms) * 100) or 1

@@ -52,9 +52,33 @@ _OPS = {"AND", "OR", "NOT", "ANDNOT", "ANDMAYBE", "REQUIRE"}
 
 
 class QueryParser:
-    def __init__(self, default_field: str, schema: IndexSchema):
+    """``plugins`` enables the optional reference plugins
+    (qparser/plugins.py:89-1293 subset):
+
+    - "gtlt": ``field:>x  >=x  <x  <=x`` open-ended ranges
+      (GtLtPlugin, plugins.py:519-586);
+    - "plusminus": ``+required -prohibited`` with bare terms optional
+      (PlusMinusPlugin, plugins.py:589-643; builds the reference's
+      BooleanQuery shape AndNot(AndMaybe(And(req), Or(should)),
+      Or(proh)));
+    - "fuzzy": ``word~  word~n  word~n/p`` FuzzyTerm syntax
+      (FuzzyTermPlugin, plugins.py:263-322);
+    - ``aliases``: {alias: fieldname} (FieldAliasPlugin,
+      plugins.py:1066-1094);
+    - ``copyfields``: {field: mirror_field} — a fielded term also
+      searches the mirror, joined by Or (CopyFieldPlugin,
+      plugins.py:1240-1293).
+    """
+
+    def __init__(self, default_field: str, schema: IndexSchema,
+                 plugins: tuple[str, ...] = (),
+                 aliases: dict[str, str] | None = None,
+                 copyfields: dict[str, str] | None = None):
         self.default_field = default_field
         self.schema = schema
+        self.plugins = frozenset(plugins)
+        self.aliases = dict(aliases or {})
+        self.copyfields = dict(copyfields or {})
         self._analyzers = {f.name: VectorAnalyzer(f.analyzer)
                            for f in schema.fields}
 
@@ -98,11 +122,19 @@ class QueryParser:
                 items.append(("op", val))
                 i += 1
                 continue
+            sign = None
+            if ("plusminus" in self.plugins and kind == "word"
+                    and len(val) > 1 and val[0] in "+-"):
+                sign = val[0]
+                val = val[1:]
             q = self._leaf(kind, val)
             i += 1
             if q is not None:
                 items.append(q)
                 items, i = self._maybe_boost(items, tokens, i)
+                if sign is not None and isinstance(items[-1], Query):
+                    items[-1] = ("plus" if sign == "+" else "minus",
+                                 items[-1])
         return self._combine(items), i
 
     def _maybe_boost(self, items, tokens, i):
@@ -119,6 +151,36 @@ class QueryParser:
         return items, i
 
     def _combine(self, items) -> Query | None:
+        if "plusminus" in self.plugins and any(
+                isinstance(it, tuple) and it[0] in ("plus", "minus")
+                for it in items):
+            required, should, prohibited = [], [], []
+            for it in items:
+                if isinstance(it, tuple) and it[0] == "plus":
+                    required.append(it[1])
+                elif isinstance(it, tuple) and it[0] == "minus":
+                    prohibited.append(it[1])
+                elif isinstance(it, Query) and not isinstance(it, _NullQuery):
+                    should.append(it)
+            # BooleanQuery shape (compound.py:656-658), normalized like
+            # the reference: drop empty branches
+            def one_or(qs):
+                return qs[0] if len(qs) == 1 else Or(qs)
+
+            def one_and(qs):
+                return qs[0] if len(qs) == 1 else And(qs)
+
+            if required and should:
+                base = AndMaybe(one_and(required), one_or(should))
+            elif required:
+                base = one_and(required)
+            elif should:
+                base = one_or(should)
+            else:
+                base = None
+            if prohibited and base is not None:
+                base = AndNot(base, one_or(prohibited))
+            return base
         # 1) NOT prefixes
         out = []
         skip_next = False
@@ -188,13 +250,37 @@ class QueryParser:
             q = self._leaf(kind, text)
             return _with_boost(q, boost) if isinstance(q, Query) and not isinstance(q, _NullQuery) else q
         m = re.match(r"^(\w+):(.*)$", text)
-        if m and m.group(1) in {f.name for f in self.schema.fields}:
-            field = m.group(1)
+        fieldnames = {f.name for f in self.schema.fields}
+        if m and (m.group(1) in fieldnames or m.group(1) in self.aliases):
+            field = self.aliases.get(m.group(1), m.group(1))
             text = m.group(2)
             if text.startswith('"') and text.endswith('"') and len(text) > 1:
                 return self._make_phrase(field, text[1:-1], 1)
             if text.startswith("[") or text.startswith("{"):
                 return self._make_range(field, text)
+        if "gtlt" in self.plugins:
+            gm = re.match(r"^(>=|<=|>|<)(.+)$", text)
+            if gm:
+                op, val = gm.group(1), gm.group(2).lower()
+                if op == ">":
+                    return TermRange(field, val, None, startexcl=True)
+                if op == ">=":
+                    return TermRange(field, val, None)
+                if op == "<":
+                    return TermRange(field, None, val, endexcl=True)
+                return TermRange(field, None, val)
+        if "fuzzy" in self.plugins:
+            fm = re.match(r"^(.+?)~(\d+)?(?:/(\d+))?$", text)
+            if fm:
+                from whoosh_ray.search.query import FuzzyTerm
+
+                words = self._analyzers[field].token_lists(
+                    [fm.group(1)])[0]
+                if words:
+                    return FuzzyTerm(
+                        field, words[0],
+                        maxdist=int(fm.group(2) or 1),
+                        prefixlength=int(fm.group(3) or 0))
         if text == "*":
             return Every(None if field == self.default_field and ":" not in val
                          else field)
@@ -205,6 +291,14 @@ class QueryParser:
         return self._make_term(field, text)
 
     def _make_term(self, field, text) -> Query | None:
+        q = self._term_in_field(field, text)
+        if field in self.copyfields and not isinstance(q, _NullQuery):
+            mirror = self._term_in_field(self.copyfields[field], text)
+            if not isinstance(mirror, _NullQuery):
+                return Or([q, mirror])
+        return q
+
+    def _term_in_field(self, field, text) -> Query | None:
         words = self._analyzers[field].token_lists([text])[0]
         if not words:
             return _NullQuery()
@@ -228,6 +322,71 @@ class QueryParser:
         lo = lo.strip().lower() or None
         hi = hi.strip().lower() or None
         return TermRange(field, lo, hi, startexcl=startexcl, endexcl=endexcl)
+
+
+class MultifieldParser(QueryParser):
+    """Unfielded terms search every listed field joined by Or, with
+    optional per-field boosts (MultifieldPlugin, plugins.py:1096-1153;
+    qparser.MultifieldParser)."""
+
+    _SENTINEL = "\x00multi"
+
+    def __init__(self, fieldnames, schema: IndexSchema,
+                 fieldboosts: dict[str, float] | None = None, **kw):
+        super().__init__(self._SENTINEL, schema, **kw)
+        self.fieldnames = list(fieldnames)
+        self.fieldboosts = dict(fieldboosts or {})
+        # the sentinel "field" analyzes like the first real field
+        self._analyzers[self._SENTINEL] = self._analyzers[self.fieldnames[0]]
+
+    def _fanout(self, per_field) -> Query:
+        subs = []
+        for f in self.fieldnames:
+            q = per_field(f)
+            if q is None or isinstance(q, _NullQuery):
+                continue
+            b = self.fieldboosts.get(f)
+            if b is not None:
+                q = _with_boost(q, q.boost * b)
+            subs.append(q)
+        if not subs:
+            return _NullQuery()
+        return subs[0] if len(subs) == 1 else Or(subs)
+
+    def _make_term(self, field, text):
+        if field != self._SENTINEL:
+            return super()._make_term(field, text)
+        return self._fanout(lambda f: super(MultifieldParser, self)
+                            ._make_term(f, text))
+
+    def _make_phrase(self, field, body, slop):
+        if field != self._SENTINEL:
+            return super()._make_phrase(field, body, slop)
+        return self._fanout(lambda f: super(MultifieldParser, self)
+                            ._make_phrase(f, body, slop))
+
+    def _leaf(self, kind, val):
+        q = super()._leaf(kind, val)
+        fn = getattr(q, "fieldname", None)
+        if fn == self._SENTINEL:
+            if isinstance(q, (Prefix, Wildcard)):
+                return self._fanout(
+                    lambda f: type(q)(f, q.text, boost=q.boost))
+            from whoosh_ray.search.query import FuzzyTerm
+
+            if isinstance(q, FuzzyTerm):
+                return self._fanout(
+                    lambda f: FuzzyTerm(f, q.text, boost=q.boost,
+                                        maxdist=q.maxdist,
+                                        prefixlength=q.prefixlength))
+            if isinstance(q, TermRange):
+                return self._fanout(
+                    lambda f: TermRange(f, q.start, q.end,
+                                        startexcl=q.startexcl,
+                                        endexcl=q.endexcl))
+        if isinstance(q, Every) and q.fieldname == self._SENTINEL:
+            return Every(None)
+        return q
 
 
 def _with_boost(q: Query, boost: float) -> Query:

@@ -24,6 +24,18 @@ from whoosh_ray.state.manifest import Manifest, read_manifest
 from whoosh_ray.state.segment import SegmentReader
 
 
+class TimeLimit(Exception):
+    """Raised when a time-limited search exceeds its budget
+    (reference: searching.TimeLimit via TimeLimitCollector,
+    collectors.py:1006-1102).  ``partial`` holds the results collected
+    so far — the reference exposes the same via
+    ``collector.results()`` after catching the exception."""
+
+    def __init__(self, partial: "Results"):
+        super().__init__("search time limit exceeded")
+        self.partial = partial
+
+
 class Results:
     """Ranked hits: global docids + float64 scores (+ lazy stored fields)."""
 
@@ -41,6 +53,21 @@ class Results:
 
     # populated by search(terms=True): {(field, term): matching result docids}
     termdocs: dict | None = None
+    # populated by search(groupedby=...): facet name -> groups dict
+    _groups: dict | None = None
+
+    def groups(self, name: str | None = None) -> dict:
+        """Facet groups recorded by ``search(groupedby=...)``
+        (reference: Results.groups, searching.py:1072-1105): with one
+        facet the name may be omitted."""
+        if not self._groups:
+            raise ValueError("search() was not run with groupedby=")
+        if name is None:
+            if len(self._groups) == 1:
+                return next(iter(self._groups.values()))
+            raise KeyError("multiple facets — pass a name: "
+                           + ", ".join(self._groups))
+        return self._groups[name]
 
     def matched_terms(self) -> set:
         """TermsCollector parity (collectors.py:1103-1165): the query terms
@@ -204,18 +231,40 @@ class Searcher:
             return obj.docids
         return np.asarray(sorted(int(d) for d in obj), dtype=np.int64)
 
+    def _preload_terms(self, q: Query) -> None:
+        """Batch-fetch every query term's blobs per segment in one
+        filtered read (cold-latency fix, VERDICT r1 #9)."""
+        try:
+            tkeys = set(q.terms())
+        except Exception:
+            return
+        if not tkeys:
+            return
+        by_field: dict[str, list[str]] = {}
+        for f, t in sorted(tkeys):
+            by_field.setdefault(f, []).append(t)
+        for seg in self.segments:
+            seg.preload_blobs(by_field)
+
     def search(self, q: Query, limit: int | None = 10, *,
-               filter=None, mask=None, terms: bool = False) -> Results:
+               filter=None, mask=None, terms: bool = False,
+               sortedby=None, reverse: bool = False,
+               groupedby=None, maptype=None) -> Results:
         """``filter``/``mask`` restrict/exclude results by a query, a
         Results, or a docid set without changing scores — the reference's
         FilterCollector wrappers (collectors.py:657-760,
         searching.py:775-787).  ``terms=True`` records which query terms
-        match each result doc (TermsCollector, collectors.py:1103-1165)."""
+        match each result doc (TermsCollector, collectors.py:1103-1165).
+        ``sortedby``/``reverse`` order by a facet (SortingCollector,
+        collectors.py:535-583); ``groupedby``/``maptype`` record facet
+        groups over the full match set (FacetCollector,
+        collectors.py:761-849) — see :mod:`whoosh_ray.search.facets`."""
         allow = self._as_docid_set(filter) if filter is not None else None
         deny = self._as_docid_set(mask) if mask is not None else None
         self._eval_cache.clear()
         self._global_cache.clear()
         q = q.expansion_queries(self)[0]
+        self._preload_terms(q)
         docids, scores = q.global_docs_scores(self)
         if allow is not None and len(docids):
             keep = np.isin(docids, allow, assume_unique=True)
@@ -224,12 +273,33 @@ class Searcher:
             keep = ~np.isin(docids, deny, assume_unique=True)
             docids, scores = docids[keep], scores[keep]
         if not len(docids):
-            return Results(self, np.empty(0, dtype=np.int64),
-                           np.empty(0, dtype=np.float64))
-        order = np.lexsort((docids, -scores))
+            res = Results(self, np.empty(0, dtype=np.int64),
+                          np.empty(0, dtype=np.float64))
+            if groupedby is not None:
+                res._groups = {}
+            return res
+        if sortedby is not None:
+            from whoosh_ray.search.facets import sort_match_set
+
+            r_docids, r_scores = sort_match_set(self, sortedby, docids,
+                                                scores, reverse=reverse)
+        else:
+            full = np.lexsort((docids, -scores))
+            r_docids, r_scores = docids[full], scores[full]
+        groups = None
+        if groupedby is not None:
+            from whoosh_ray.search.facets import Facets, compute_groups
+
+            facets = Facets.from_groupedby(groupedby)
+            groups = {
+                name: compute_groups(self, facet, r_docids, r_scores,
+                                     maptype=maptype)
+                for name, facet in facets.items()
+            }
         if limit is not None:
-            order = order[:limit]
-        res = Results(self, docids[order], scores[order])
+            r_docids, r_scores = r_docids[:limit], r_scores[:limit]
+        res = Results(self, r_docids, r_scores)
+        res._groups = groups
         if terms:
             termdocs: dict[tuple[str, str], np.ndarray] = {}
             for key in set(q.terms()):
@@ -246,6 +316,54 @@ class Searcher:
             res.termdocs = termdocs
         return res
 
+    def search_with_timelimit(self, q: Query, limit: int | None = 10, *,
+                              timelimit: float, greedy: bool = False) -> Results:
+        """TimeLimitCollector analogue (collectors.py:1006-1102): abort
+        when the budget is exceeded, raising :class:`TimeLimit` with the
+        partial results collected so far.  The check granularity is one
+        SEGMENT (the reference checks per matched doc via a timer
+        thread); ``greedy=True`` finishes the in-flight segment before
+        raising.  Queries whose reference quirks span segment boundaries
+        (DisjunctionMax/AndNot/...) evaluate globally and can only time
+        out before/after that single evaluation."""
+        import time as _time
+
+        from whoosh_ray.search.dist import _has_nondecomposable
+
+        t0 = _time.monotonic()
+        self._eval_cache.clear()
+        self._global_cache.clear()
+        qx = q.expansion_queries(self)[0]
+        self._preload_terms(qx)
+
+        def finish(parts, timed_out: bool):
+            if parts:
+                docids = np.concatenate([p[0] for p in parts])
+                scores = np.concatenate([p[1] for p in parts])
+            else:
+                docids = np.empty(0, dtype=np.int64)
+                scores = np.empty(0, dtype=np.float64)
+            order = np.lexsort((docids, -scores))
+            if limit is not None:
+                order = order[:limit]
+            res = Results(self, docids[order], scores[order])
+            if timed_out:
+                raise TimeLimit(res)
+            return res
+
+        if _has_nondecomposable(qx):
+            res = qx.global_docs_scores(self)
+            return finish([res], _time.monotonic() - t0 > timelimit)
+
+        parts = []
+        for seg in self.segments:
+            if _time.monotonic() - t0 > timelimit:
+                return finish(parts, True)
+            parts.append(self.eval(qx, seg))
+            if greedy is False and _time.monotonic() - t0 > timelimit:
+                return finish(parts, True)
+        return finish(parts, False)
+
     def search_topk(self, q: Query, limit: int = 10) -> Results:
         """Pruned top-k (block-max skipping + MaxScore term pruning,
         search/wand.py) for Term and Or-of-Terms queries; identical
@@ -259,6 +377,7 @@ class Searcher:
         self._eval_cache.clear()
         self._global_cache.clear()
         qx = q.expansion_queries(self)[0]
+        self._preload_terms(qx)
         if isinstance(qx, Term):
             thr = -np.inf
             parts = []

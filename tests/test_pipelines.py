@@ -54,8 +54,9 @@ def test_knn_ivf_recall():
     assert np.mean(recalls) >= 0.8, recalls
 
 
-def test_multimodal_feature_stub():
-    from whoosh_ray.pipelines.multimodal import (ImageFeatures, Resize,
+def test_multimodal_real_decode():
+    from whoosh_ray.pipelines.multimodal import (FEATURE_DIM, MediaFeatures,
+                                                 Resize,
                                                  extract_image_features,
                                                  synthesize_media)
 
@@ -63,19 +64,64 @@ def test_multimodal_feature_stub():
     ds = ray.data.from_arrow(t)
     out = extract_image_features(ds, concurrency=2, batch_size=16).to_pandas()
     assert len(out) == 64
-    assert all(len(f) == 32 for f in out["features"])
+    assert all(len(f) == FEATURE_DIM for f in out["features"])
+    # 3 of every 4 rows (ppm/bmp/wav) really decode; the octet-stream
+    # rows take the documented fallback
+    assert out["decoded"].sum() == 48
     # determinism across runs
     out2 = extract_image_features(ray.data.from_arrow(t),
                                   concurrency=2, batch_size=16).to_pandas()
     a = np.array(list(out.sort_values("item_id")["features"]))
     b = np.array(list(out2.sort_values("item_id")["features"]))
     np.testing.assert_array_equal(a, b)
-    # real-decode backend is an explicit stub
-    with pytest.raises(NotImplementedError):
-        ImageFeatures(backend="pillow")
-    r = ds.map_batches(Resize(max_side=128), batch_format="pyarrow",
+    # real pixel resize for decodable images, passthrough otherwise
+    r = ds.map_batches(Resize(max_side=16), batch_format="pyarrow",
                        batch_size=16).to_pandas()
-    assert (np.maximum(r["out_width"], r["out_height"]) <= 128).all()
+    resized = r[r["resized"]]
+    assert len(resized) == 32  # the ppm + bmp rows
+    assert (np.maximum(resized["out_width"], resized["out_height"]) <= 16).all()
+    # the resized payload really decodes to the new dims
+    from whoosh_ray.functions import media as M
+
+    row = resized.iloc[0]
+    img = (M.decode_ppm(row["payload"])
+           if M.sniff_mime(row["payload"]) == "image/x-portable-pixmap"
+           else M.decode_bmp(row["payload"]))
+    assert img.shape[:2] == (row["out_height"], row["out_width"])
+    # JPEG et al stay an explicit stub under on_unknown="error"
+    mf = MediaFeatures(on_unknown="error")
+    with pytest.raises(NotImplementedError):
+        mf._features(b"\xff\xd8\xff\xe0 fake jpeg")
+
+
+def test_media_codecs_roundtrip():
+    from whoosh_ray.functions import media as M
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (13, 17, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(M.decode_ppm(M.encode_ppm(img)), img)
+    np.testing.assert_array_equal(M.decode_bmp(M.encode_bmp(img)), img)
+    # P3 ascii ppm with comments
+    ascii_ppm = b"P3\n# comment\n2 2\n255\n1 2 3 4 5 6\n7 8 9 10 11 12\n"
+    np.testing.assert_array_equal(
+        M.decode_ppm(ascii_ppm),
+        np.arange(1, 13, dtype=np.uint8).reshape(2, 2, 3))
+    # wav roundtrip + dominant frequency recovery
+    rate = 8000
+    t = np.arange(rate) / rate
+    tone = 0.5 * np.sin(2 * np.pi * 440.0 * t)
+    samples, r2 = M.decode_wav(M.encode_wav(tone, rate))
+    assert r2 == rate and samples.shape == (rate, 1)
+    np.testing.assert_allclose(samples[:, 0], tone, atol=1.5e-4)
+    feats = M.audio_features(samples, rate)
+    assert abs(feats[3] - 440.0) < 2.0  # dominant_freq_hz
+    assert abs(feats[0] - 1.0) < 1e-6   # duration
+    # nearest resize exact on an axis-aligned gradient
+    grad = np.repeat(np.arange(16, dtype=np.uint8)[None, :, None] * 16,
+                     8, axis=0).repeat(3, axis=2)
+    small = M.resize_nearest(grad, 4, 2)
+    assert small.shape == (2, 4, 3)
+    np.testing.assert_array_equal(small[0, :, 0], grad[0, [0, 4, 8, 12], 0])
 
 
 def test_simhash_near_dup_hamming():

@@ -1,0 +1,217 @@
+"""Pure-numpy media codecs: real decode kernels with no external libs.
+
+The container has no pillow/ffmpeg, but several real formats are plain
+structs + sample arrays, which numpy parses vectorized:
+
+- WAV (RIFF/WAVE): PCM u8/s16/s32 and IEEE float32, any channel count
+  (chunk walk + ``np.frombuffer``);
+- PPM (P6 binary / P3 ascii) RGB images;
+- BMP (Windows BITMAPINFOHEADER, 24-bit uncompressed BI_RGB,
+  bottom-up or top-down, row padding).
+
+Plus real kernels over the decoded arrays: nearest-neighbor resize
+(pure indexing), image statistics, and audio features (RMS,
+zero-crossing rate, dominant frequency + banded spectrum via np.fft).
+These power the multimodal actor-pool stages (pipelines/multimodal.py);
+formats that genuinely need external codecs (JPEG/PNG/MP4) stay behind
+an explicit NotImplementedError.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+# ---- WAV ----
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """float samples in [-1, 1] (n,) or (n, ch) -> 16-bit PCM WAV."""
+    s = np.atleast_2d(np.asarray(samples, dtype=np.float64))
+    if s.shape[0] < s.shape[1] and s.ndim == 2 and s.shape[0] <= 8:
+        pass  # (ch, n) given?  require (n, ch): fallthrough below
+    if s.shape[0] == 1:
+        s = s.T
+    n, ch = s.shape
+    pcm = np.clip(np.round(s * 32767.0), -32768, 32767).astype("<i2")
+    data = pcm.reshape(-1).tobytes()
+    byte_rate = sample_rate * ch * 2
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+    fmt = (b"fmt " + struct.pack("<IHHIIHH", 16, 1, ch, sample_rate,
+                                 byte_rate, ch * 2, 16))
+    return hdr + fmt + b"data" + struct.pack("<I", len(data)) + data
+
+
+def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
+    """WAV bytes -> (float32 samples (n, ch) in [-1, 1], sample_rate)."""
+    if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(buf):
+        cid = buf[pos:pos + 4]
+        (size,) = struct.unpack_from("<I", buf, pos + 4)
+        body = buf[pos + 8: pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, ch, rate, _, _, bits = fmt
+    if audio_format == 1:  # integer PCM
+        if bits == 8:
+            x = (np.frombuffer(data, dtype=np.uint8).astype(np.float32)
+                 - 128.0) / 128.0
+        elif bits == 16:
+            x = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
+        elif bits == 32:
+            x = (np.frombuffer(data, dtype="<i4").astype(np.float32)
+                 / 2147483648.0)
+        else:
+            raise ValueError(f"unsupported PCM bit depth {bits}")
+    elif audio_format == 3 and bits == 32:  # IEEE float
+        x = np.frombuffer(data, dtype="<f4").astype(np.float32)
+    else:
+        raise ValueError(f"unsupported WAV format code {audio_format}")
+    n = len(x) // ch
+    return x[: n * ch].reshape(n, ch), rate
+
+
+def audio_features(samples: np.ndarray, rate: int,
+                   n_bands: int = 8) -> np.ndarray:
+    """Real DSP features: [duration_sec, rms, zero_crossing_rate,
+    dominant_freq_hz, band_energy_0..n-1] (float32)."""
+    mono = samples.mean(axis=1) if samples.ndim == 2 else samples
+    n = len(mono)
+    if n == 0:
+        return np.zeros(4 + n_bands, dtype=np.float32)
+    rms = float(np.sqrt(np.mean(mono ** 2)))
+    zc = float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+    spec = np.abs(np.fft.rfft(mono))
+    freqs = np.fft.rfftfreq(n, d=1.0 / rate)
+    dom = float(freqs[int(np.argmax(spec[1:])) + 1]) if len(spec) > 1 else 0.0
+    edges = np.linspace(0, len(spec), n_bands + 1).astype(int)
+    band = np.asarray([spec[a:b].sum() for a, b in zip(edges[:-1], edges[1:])],
+                      dtype=np.float64)
+    tot = band.sum() or 1.0
+    out = np.concatenate(([n / rate, rms, zc, dom], band / tot))
+    return out.astype(np.float32)
+
+
+# ---- PPM ----
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """uint8 (h, w, 3) -> binary P6 PPM."""
+    h, w, c = img.shape
+    assert c == 3
+    return (f"P6\n{w} {h}\n255\n".encode()
+            + np.ascontiguousarray(img, dtype=np.uint8).tobytes())
+
+
+def decode_ppm(buf: bytes) -> np.ndarray:
+    """P6 (binary) or P3 (ascii) PPM -> uint8 (h, w, 3)."""
+    if not buf.startswith((b"P6", b"P3")):
+        raise ValueError("not a PPM stream")
+    binary = buf.startswith(b"P6")
+    # header: magic, width, height, maxval — comments (#...) allowed
+    fields: list[int] = []
+    pos = 2
+    while len(fields) < 3:
+        while pos < len(buf) and buf[pos:pos + 1].isspace():
+            pos += 1
+        if buf[pos:pos + 1] == b"#":
+            while pos < len(buf) and buf[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(buf) and not buf[pos:pos + 1].isspace():
+            pos += 1
+        fields.append(int(buf[start:pos]))
+    w, h, maxval = fields
+    pos += 1  # single whitespace after maxval
+    if binary:
+        raw = np.frombuffer(buf, dtype=np.uint8, count=w * h * 3, offset=pos)
+    else:
+        raw = np.array(buf[pos:].split(), dtype=np.int64)[: w * h * 3]
+    img = raw.reshape(h, w, 3).astype(np.float64)
+    if maxval != 255:
+        img = img * (255.0 / maxval)
+    return np.round(img).astype(np.uint8)
+
+
+# ---- BMP (24-bit uncompressed) ----
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """uint8 (h, w, 3) RGB -> 24-bit bottom-up BI_RGB BMP."""
+    h, w, _ = img.shape
+    row = w * 3
+    pad = (4 - row % 4) % 4
+    body = bytearray()
+    bgr = img[:, :, ::-1]
+    for y in range(h - 1, -1, -1):
+        body += bgr[y].tobytes() + b"\x00" * pad
+    data = bytes(body)
+    off = 14 + 40
+    header = (b"BM" + struct.pack("<IHHI", off + len(data), 0, 0, off)
+              + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data),
+                            2835, 2835, 0, 0))
+    return header + data
+
+
+def decode_bmp(buf: bytes) -> np.ndarray:
+    """24-bit uncompressed BMP -> uint8 (h, w, 3) RGB (handles bottom-up
+    and top-down rows + padding)."""
+    if buf[:2] != b"BM":
+        raise ValueError("not a BMP stream")
+    (off,) = struct.unpack_from("<I", buf, 10)
+    hdr_size, w, h = struct.unpack_from("<Iii", buf, 14)
+    planes, bits = struct.unpack_from("<HH", buf, 26)
+    (compression,) = struct.unpack_from("<I", buf, 30)
+    if bits != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP: {bits}-bit compression="
+                         f"{compression}")
+    topdown = h < 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(buf, dtype=np.uint8, count=stride * h, offset=off)
+    rows = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if not topdown:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR -> RGB
+
+
+# ---- kernels over decoded arrays ----
+
+def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize by pure index math."""
+    h, w = img.shape[:2]
+    ys = np.minimum((np.arange(out_h) * h) // max(out_h, 1), h - 1)
+    xs = np.minimum((np.arange(out_w) * w) // max(out_w, 1), w - 1)
+    return img[ys[:, None], xs[None, :]]
+
+
+def image_features(img: np.ndarray, hist_bins: int = 8) -> np.ndarray:
+    """[w, h, mean_r, mean_g, mean_b, std_r, std_g, std_b,
+    luma_hist_0..n-1] (float32)."""
+    h, w = img.shape[:2]
+    flat = img.reshape(-1, 3).astype(np.float64)
+    mean = flat.mean(axis=0)
+    std = flat.std(axis=0)
+    luma = flat @ np.array([0.299, 0.587, 0.114])
+    hist, _ = np.histogram(luma, bins=hist_bins, range=(0, 256))
+    hist = hist / (hist.sum() or 1.0)
+    return np.concatenate(([w, h], mean, std, hist)).astype(np.float32)
+
+
+def sniff_mime(buf: bytes) -> str:
+    if buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
+        return "audio/wav"
+    if buf[:2] in (b"P6", b"P3"):
+        return "image/x-portable-pixmap"
+    if buf[:2] == b"BM":
+        return "image/bmp"
+    return "application/octet-stream"

@@ -1,14 +1,18 @@
 """Multimodal columns: opaque binary payloads + actor-pool decode stages.
 
-Images/audio/video travel as ``binary`` columns with typed metadata
-columns alongside; decode / feature-extract / resize / frame-sample are
-stateful actor-pool ``map_batches`` stages (decoder built once per actor
-in ``__init__``).  The actual media libraries are NOT in this container,
-so the decode kernel is stubbed: ``backend="fake"`` produces
-deterministic features from the payload bytes (the default, so the whole
-Ray-side plumbing — schema, batch sizing, actor signature, output layout
-— is real and tested), while ``backend="pillow"``/``"ffmpeg"`` raise
-``NotImplementedError`` until the dependency exists.
+Images/audio travel as ``binary`` columns with typed metadata columns
+alongside; decode / feature-extract / resize are stateful actor-pool
+``map_batches`` stages (state built once per actor in ``__init__``).
+
+``backend="numpy"`` (default) performs REAL decodes with the pure-numpy
+codecs in :mod:`whoosh_ray.functions.media` — WAV (PCM/float), PPM and
+24-bit BMP — and real kernels (FFT audio features, channel statistics,
+nearest-neighbor resize).  Formats that genuinely require external
+codec libraries (JPEG/PNG/MP4 — pillow/ffmpeg are not in this
+container) fall back per row: ``on_unknown="fake"`` produces the
+deterministic byte-histogram feature (so pipelines keep flowing, with a
+``decoded`` flag column telling which rows got real features), while
+``on_unknown="error"`` raises.
 
 Memory note: binary payloads make rows wide — keep ``batch_size`` small
 (64-256) and size ``concurrency x num_cpus`` to the node so
@@ -18,9 +22,10 @@ payload_batches x actors fit the heap.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import ray.data
+
+from whoosh_ray.functions import media
 
 IMAGE_SCHEMA = pa.schema([
     ("item_id", pa.int64()),
@@ -30,72 +35,166 @@ IMAGE_SCHEMA = pa.schema([
     ("height", pa.int32()),
 ])
 
+FEATURE_DIM = 16  # unified feature width across modalities
 
-def synthesize_media(n: int, seed: int = 3, payload_bytes: int = 4096) -> pa.Table:
-    """Deterministic fake media table for tests/benches (no external data)."""
+
+def synthesize_media(n: int, seed: int = 3,
+                     payload_bytes: int = 4096) -> pa.Table:
+    """Deterministic media table with REAL payloads: a rotating mix of
+    PPM images, BMP images and WAV tones (+ a few undecodable blobs to
+    exercise the fallback path).  No external data."""
     rng = np.random.default_rng(seed)
-    payloads = [rng.integers(0, 256, payload_bytes, dtype=np.uint8).tobytes()
-                for _ in range(n)]
+    payloads, mimes, widths, heights = [], [], [], []
+    for i in range(n):
+        kind = i % 4
+        if kind == 0:
+            w, h = int(rng.integers(8, 48)), int(rng.integers(8, 48))
+            img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            payloads.append(media.encode_ppm(img))
+            mimes.append("image/x-portable-pixmap")
+        elif kind == 1:
+            w, h = int(rng.integers(8, 48)), int(rng.integers(8, 48))
+            img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            payloads.append(media.encode_bmp(img))
+            mimes.append("image/bmp")
+        elif kind == 2:
+            rate = 8000
+            freq = float(rng.integers(100, 1500))
+            t = np.arange(int(rng.integers(800, 4000))) / rate
+            payloads.append(media.encode_wav(np.sin(2 * np.pi * freq * t),
+                                             rate))
+            mimes.append("audio/wav")
+            w = h = 0
+        else:
+            payloads.append(rng.integers(0, 256, payload_bytes,
+                                         dtype=np.uint8).tobytes())
+            mimes.append("application/octet-stream")
+            w = h = 0
+        if kind in (0, 1):
+            widths.append(w)
+            heights.append(h)
+        else:
+            widths.append(0)
+            heights.append(0)
     return pa.table({
         "item_id": pa.array(np.arange(n), type=pa.int64()),
         "payload": pa.array(payloads, type=pa.large_binary()),
-        "mime": pa.array(["image/png"] * n),
-        "width": pa.array(rng.integers(64, 1024, n).astype(np.int32)),
-        "height": pa.array(rng.integers(64, 1024, n).astype(np.int32)),
+        "mime": pa.array(mimes),
+        "width": pa.array(np.asarray(widths, dtype=np.int32)),
+        "height": pa.array(np.asarray(heights, dtype=np.int32)),
     })
 
 
-class ImageFeatures:
-    """Actor-pool stage: payload -> fixed-dim feature vector.
+def _pad(vec: np.ndarray, dim: int) -> np.ndarray:
+    out = np.zeros(dim, dtype=np.float32)
+    out[: min(dim, len(vec))] = vec[:dim]
+    return out
 
-    backend="fake": deterministic 32-dim feature from byte histograms —
-    real plumbing, fake pixels.  backend="pillow": STUB, raises until the
-    imaging library is installed."""
 
-    def __init__(self, backend: str = "fake", dim: int = 32):
-        if backend not in ("fake", "pillow"):
+class MediaFeatures:
+    """Actor-pool stage: payload -> fixed-dim feature vector + decoded
+    flag.  Real decode per sniffed format; byte-histogram fallback for
+    container-less codecs."""
+
+    def __init__(self, backend: str = "numpy", dim: int = FEATURE_DIM,
+                 on_unknown: str = "fake"):
+        if backend not in ("numpy", "fake"):
             raise ValueError(backend)
-        if backend == "pillow":
-            raise NotImplementedError(
-                "image decode backend requires pillow, which is not in this "
-                "container; use backend='fake' for plumbing tests")
+        if on_unknown not in ("fake", "error"):
+            raise ValueError(on_unknown)
         self.backend = backend
         self.dim = dim
-        # per-actor init: the bucket edges the histogram kernel reuses
-        self._edges = np.linspace(0, 256, dim + 1)
+        self.on_unknown = on_unknown
+        self._edges = np.linspace(0, 256, dim + 1)  # fallback histogram
+
+    def _fallback(self, buf: bytes) -> np.ndarray:
+        h, _ = np.histogram(np.frombuffer(buf, dtype=np.uint8),
+                            bins=self._edges)
+        n = np.linalg.norm(h)
+        return (h / (n or 1.0)).astype(np.float32)
+
+    def _features(self, buf: bytes) -> tuple[np.ndarray, bool]:
+        if self.backend == "fake":
+            return self._fallback(buf), False
+        mime = media.sniff_mime(buf)
+        if mime == "audio/wav":
+            samples, rate = media.decode_wav(buf)
+            return _pad(media.audio_features(samples, rate), self.dim), True
+        if mime == "image/x-portable-pixmap":
+            return _pad(media.image_features(media.decode_ppm(buf)),
+                        self.dim), True
+        if mime == "image/bmp":
+            return _pad(media.image_features(media.decode_bmp(buf)),
+                        self.dim), True
+        if self.on_unknown == "error":
+            raise NotImplementedError(
+                f"no in-container codec for {mime!r} (JPEG/PNG/MP4 need "
+                "pillow/ffmpeg)")
+        return self._fallback(buf), False
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["payload"]
         feats = np.zeros((batch.num_rows, self.dim), dtype=np.float32)
+        decoded = np.zeros(batch.num_rows, dtype=bool)
         for i in range(batch.num_rows):
-            buf = np.frombuffer(payloads[i].as_py(), dtype=np.uint8)
-            h, _ = np.histogram(buf, bins=self._edges)
-            n = np.linalg.norm(h)
-            feats[i] = h / (n or 1.0)
-        return batch.drop_columns(["payload"]).append_column(
-            "features", pa.array(list(feats), type=pa.list_(pa.float32())))
+            feats[i], decoded[i] = self._features(payloads[i].as_py())
+        return (batch.drop_columns(["payload"])
+                .append_column("features",
+                               pa.array(list(feats),
+                                        type=pa.list_(pa.float32())))
+                .append_column("decoded", pa.array(decoded)))
+
+
+# backwards-compatible name (r1 plumbing used ImageFeatures)
+ImageFeatures = MediaFeatures
 
 
 class Resize:
-    """Actor-pool stage: resize metadata transform (decode stubbed)."""
+    """Actor-pool stage: REAL nearest-neighbor pixel resize for
+    decodable images (re-encoded in their source format); rows of other
+    modalities pass through with out dims = scaled metadata only."""
 
     def __init__(self, max_side: int = 256):
         self.max_side = max_side
 
+    def _resize_one(self, buf: bytes) -> tuple[bytes, int, int, bool]:
+        mime = media.sniff_mime(buf)
+        if mime == "image/x-portable-pixmap":
+            img = media.decode_ppm(buf)
+            enc = media.encode_ppm
+        elif mime == "image/bmp":
+            img = media.decode_bmp(buf)
+            enc = media.encode_bmp
+        else:
+            return buf, 0, 0, False
+        h, w = img.shape[:2]
+        scale = min(1.0, self.max_side / max(w, h))
+        ow, oh = max(1, int(w * scale)), max(1, int(h * scale))
+        out = media.resize_nearest(img, ow, oh)
+        return enc(out), ow, oh, True
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        w = batch["width"].to_numpy().astype(np.float64)
-        h = batch["height"].to_numpy().astype(np.float64)
-        scale = np.minimum(1.0, self.max_side / np.maximum(w, h))
-        return (batch
+        payloads = batch["payload"]
+        outs, ows, ohs, flags = [], [], [], []
+        for i in range(batch.num_rows):
+            b, ow, oh, ok = self._resize_one(payloads[i].as_py())
+            outs.append(b)
+            ows.append(ow)
+            ohs.append(oh)
+            flags.append(ok)
+        return (batch.set_column(batch.column_names.index("payload"),
+                                 "payload",
+                                 pa.array(outs, type=pa.large_binary()))
                 .append_column("out_width",
-                               pa.array((w * scale).astype(np.int32)))
+                               pa.array(np.asarray(ows, dtype=np.int32)))
                 .append_column("out_height",
-                               pa.array((h * scale).astype(np.int32))))
+                               pa.array(np.asarray(ohs, dtype=np.int32)))
+                .append_column("resized", pa.array(flags)))
 
 
 def extract_image_features(ds: ray.data.Dataset, *, concurrency: int = 4,
                            batch_size: int = 128) -> ray.data.Dataset:
     """The canonical multimodal pipeline shape: small batches, actor pool."""
-    return ds.map_batches(ImageFeatures, batch_format="pyarrow",
+    return ds.map_batches(MediaFeatures, batch_format="pyarrow",
                           batch_size=batch_size, concurrency=concurrency,
-                          fn_constructor_kwargs={"backend": "fake"})
+                          fn_constructor_kwargs={"backend": "numpy"})

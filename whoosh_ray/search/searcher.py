@@ -243,8 +243,21 @@ class Searcher:
         by_field: dict[str, list[str]] = {}
         for f, t in sorted(tkeys):
             by_field.setdefault(f, []).append(t)
-        for seg in self.segments:
+        if len(self.segments) <= 2:
+            for seg in self.segments:
+                seg.preload_blobs(by_field)
+            return
+        # parallel per-segment reads: pyarrow releases the GIL, so a
+        # thread pool turns 100+ sequential ~4 ms filtered reads into a
+        # handful of waves (the multi-segment cold-query cost)
+        from concurrent.futures import ThreadPoolExecutor
+
+        def one(seg):
+            seg.stats  # warm the stats table alongside the blobs
             seg.preload_blobs(by_field)
+
+        with ThreadPoolExecutor(min(16, len(self.segments))) as ex:
+            list(ex.map(one, self.segments))
 
     def search(self, q: Query, limit: int | None = 10, *,
                filter=None, mask=None, terms: bool = False,

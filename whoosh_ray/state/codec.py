@@ -342,26 +342,33 @@ class BlobReader:
         tf_starts = np.concatenate(([0], d.tf_ends[:-1]))
         post_ends = np.cumsum(d.counts)
         post_starts = post_ends - d.counts
-        doc_parts, tf_parts, len_parts = [], [], []
-        for i in sel:
-            i = int(i)
-            deltas = varint.decode(
-                self._buf[self._docid0 + int(docid_starts[i]):
-                          self._docid0 + int(d.docid_ends[i])], int(d.counts[i]))
-            base = int(d.last_docids[i - 1]) if i > 0 else 0
-            ids = np.cumsum(deltas)
-            ids[0] += base  # first delta is relative to prev block's last docid
-            if len(ids) > 1:
-                ids[1:] += base
-            doc_parts.append(ids)
-            tf_parts.append(varint.decode(
-                self._buf[self._tf0 + int(tf_starts[i]):
-                          self._tf0 + int(d.tf_ends[i])], int(d.counts[i])))
-            len_parts.append(np.frombuffer(
-                self._buf[self._len0 + int(post_starts[i]):
-                          self._len0 + int(post_ends[i])], dtype=np.uint8))
-        return Postings(np.concatenate(doc_parts), np.concatenate(tf_parts),
-                        np.concatenate(len_parts))
+        b = self._bytes
+        # gather the selected blocks' byte ranges and decode each stream
+        # ONCE — per-block varint.decode calls were the cold-query
+        # hot spot (~40us of fixed vectorization overhead per call)
+        doc_bytes = np.concatenate([
+            b[self._docid0 + int(docid_starts[i]):
+              self._docid0 + int(d.docid_ends[i])] for i in sel])
+        tf_bytes = np.concatenate([
+            b[self._tf0 + int(tf_starts[i]):
+              self._tf0 + int(d.tf_ends[i])] for i in sel])
+        counts_sel = d.counts[sel].astype(np.int64)
+        n_sel = int(counts_sel.sum())
+        all_deltas = varint.decode(doc_bytes, n_sel)
+        tfs = varint.decode(tf_bytes, n_sel)
+        # per-block docid reconstruction, vectorized: within a block,
+        # ids = cumsum(block deltas) + prev block's last docid
+        cs = np.cumsum(all_deltas)
+        block_offsets = np.concatenate(([0], np.cumsum(counts_sel)[:-1]))
+        prefix_at_start = np.where(block_offsets > 0,
+                                   cs[block_offsets - 1], 0)
+        bases = np.where(sel > 0, d.last_docids[sel - 1], 0)
+        adjust = np.repeat(bases - prefix_at_start, counts_sel)
+        docids = cs + adjust
+        lens = np.concatenate([
+            b[self._len0 + int(post_starts[i]):
+              self._len0 + int(post_ends[i])] for i in sel])
+        return Postings(docids, tfs, lens.view(np.uint8))
 
 
 def encode_positions(positions_per_posting: list[np.ndarray]) -> bytes:

@@ -44,6 +44,7 @@ from whoosh_ray.state.schema import IndexSchema
 _TOKEN_RE = re.compile(r"""
     (?P<lparen>\() | (?P<rparen>\)) |
     (?P<quoted>"(?P<qbody>[^"]*)"(~(?P<slop>\d+))?) |
+    (?P<fieldsq>\w+:'[^']*') |
     (?P<range>[\[{][^\]}]*\s+TO\s+[^\]}]*[\]}]) |
     (?P<word>[^\s()"]+)
 """, re.VERBOSE)
@@ -73,12 +74,20 @@ class QueryParser:
     def __init__(self, default_field: str, schema: IndexSchema,
                  plugins: tuple[str, ...] = (),
                  aliases: dict[str, str] | None = None,
-                 copyfields: dict[str, str] | None = None):
+                 copyfields: dict[str, str] | None = None,
+                 datefields: tuple[str, ...] = (),
+                 basedate=None):
         self.default_field = default_field
         self.schema = schema
         self.plugins = frozenset(plugins)
         self.aliases = dict(aliases or {})
         self.copyfields = dict(copyfields or {})
+        # DateParserPlugin analogue (qparser/dateparse.py:727-817):
+        # fielded terms on these (stored datetime) columns parse through
+        # the English date DSL subset (search/dateparse.py) into
+        # inclusive DateRange queries
+        self.datefields = frozenset(datefields)
+        self.basedate = basedate
         self._analyzers = {f.name: VectorAnalyzer(f.analyzer)
                            for f in schema.fields}
 
@@ -94,6 +103,8 @@ class QueryParser:
             elif m.group("quoted") is not None:
                 yield ("phrase", (m.group("qbody"),
                                   int(m.group("slop") or 1)))
+            elif m.group("fieldsq") is not None:
+                yield ("word", m.group("fieldsq"))
             elif m.group("range"):
                 yield ("range", m.group("range"))
             else:
@@ -249,11 +260,14 @@ class QueryParser:
             boost = float(bm.group(2))
             q = self._leaf(kind, text)
             return _with_boost(q, boost) if isinstance(q, Query) and not isinstance(q, _NullQuery) else q
-        m = re.match(r"^(\w+):(.*)$", text)
+        m = re.match(r"^(\w+):(.*)$", text, re.DOTALL)
         fieldnames = {f.name for f in self.schema.fields}
-        if m and (m.group(1) in fieldnames or m.group(1) in self.aliases):
+        if m and (m.group(1) in fieldnames or m.group(1) in self.aliases
+                  or m.group(1) in self.datefields):
             field = self.aliases.get(m.group(1), m.group(1))
             text = m.group(2)
+            if field in self.datefields:
+                return self._make_date(field, text)
             if text.startswith('"') and text.endswith('"') and len(text) > 1:
                 return self._make_phrase(field, text[1:-1], 1)
             if text.startswith("[") or text.startswith("{"):
@@ -289,6 +303,31 @@ class QueryParser:
                 return Prefix(field, text[:-1].lower())
             return Wildcard(field, text.lower())
         return self._make_term(field, text)
+
+    def _make_date(self, field, text) -> Query:
+        """DateParserPlugin analogue: parse the English date expression
+        into an inclusive DateRange; range syntax [a TO b] parses each
+        end."""
+        import datetime as _dt
+
+        from whoosh_ray.search.dateparse import date_from
+        from whoosh_ray.search.query import DateRange
+
+        base = self.basedate or _dt.datetime.utcnow()
+        text = text.strip()
+        if len(text) > 1 and text[0] == "'" and text[-1] == "'":
+            text = text[1:-1]
+        if (text.startswith("[") or text.startswith("{")) and (
+                text.endswith("]") or text.endswith("}")):
+            body = text[1:-1]
+            lo_s, hi_s = re.split(r"\s+[Tt][Oo]\s+", body, maxsplit=1)
+            lo = date_from(lo_s.strip().strip("'"), base)[0] if lo_s.strip() else None
+            hi = date_from(hi_s.strip().strip("'"), base)[1] if hi_s.strip() else None
+            return DateRange(field, lo, hi,
+                             startexcl=text[0] == "{",
+                             endexcl=text[-1] == "}")
+        lo, hi = date_from(text, base)
+        return DateRange(field, lo, hi)
 
     def _make_term(self, field, text) -> Query | None:
         q = self._term_in_field(field, text)

@@ -71,15 +71,24 @@ class ExactHash:
 
 def dedup_exact(ds: ray.data.Dataset, *, id_col: str = "doc_id",
                 text_col: str = "text") -> ray.data.Dataset:
-    """Keep the smallest id per distinct text (hash-partitioned groupby)."""
+    """Keep the smallest id per distinct text: hash-partitioned blocks
+    of complete hash groups, min-id per group fully vectorized (one
+    sort + drop_duplicates per block — no per-group Python)."""
+    from whoosh_ray.stages.grouping import groups_in_blocks
+
     hashed = ds.map_batches(ExactHash(text_col), batch_format="pyarrow")
 
-    def keep_first(group: pd.DataFrame) -> pd.DataFrame:
-        return group.nsmallest(1, id_col)
+    def keep_first(block: pd.DataFrame) -> pd.DataFrame:
+        if not len(block):
+            return block
+        block = block.sort_values(["content_hash", "content_hash2", id_col],
+                                  kind="mergesort")
+        return block.drop_duplicates(["content_hash", "content_hash2"],
+                                     keep="first")
 
     keep_first.__name__ = "keep_first"
-    return hashed.groupby(["content_hash", "content_hash2"]).map_groups(
-        keep_first, batch_format="pandas")
+    return groups_in_blocks(hashed, ["content_hash", "content_hash2"],
+                            keep_first)
 
 
 class MinHasher:
@@ -144,34 +153,66 @@ def minhash_candidate_pairs(ds: ray.data.Dataset, *, id_col: str = "doc_id",
     and emitting its C(n,2) pairs is the quadratic blowup VERDICT r1 #2
     flagged; real near-dup clusters that big are better handled by the
     exact-dedup pass first."""
+    import ray as _ray
+
+    from whoosh_ray.stages.grouping import groups_in_blocks
+
+    # single-file inputs arrive as ONE block; split so the signature
+    # stage (the real compute) uses the whole CPU budget
+    ncpu = int(_ray.cluster_resources().get("CPU", 8))
+    ds = ds.repartition(2 * ncpu)
     bands = ds.map_batches(MinHasher(text_col, id_col), batch_format="pyarrow")
+    cand = groups_in_blocks(
+        bands, ["band", "bucket"],
+        _bucket_pairs_block(["band", "bucket"], "doc_id", max_bucket,
+                            "minhash_candidate_pairs"))
 
-    def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(group["doc_id"].to_numpy())
-        ids = np.unique(ids)
-        if len(ids) > max_bucket:
-            print(f"minhash_candidate_pairs: dropping bucket "
-                  f"(band={group['band'].iloc[0]}, "
-                  f"bucket={group['bucket'].iloc[0]}) with {len(ids)} docs "
-                  f"(> max_bucket={max_bucket})")
-            return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
-                                 "doc_b": pd.Series([], dtype=np.int64)})
-        if len(ids) < 2:
-            return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
-                                 "doc_b": pd.Series([], dtype=np.int64)})
-        ia, ib = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
-
-    pairs.__name__ = "pairs"
-    cand = bands.groupby(["band", "bucket"]).map_groups(pairs,
-                                                        batch_format="pandas")
-
-    def dedup_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        return group.head(1)
+    def dedup_pairs(block: pd.DataFrame) -> pd.DataFrame:
+        return block.drop_duplicates(["doc_a", "doc_b"])
 
     dedup_pairs.__name__ = "dedup_pairs"
-    return cand.groupby(["doc_a", "doc_b"]).map_groups(dedup_pairs,
-                                                       batch_format="pandas")
+    return groups_in_blocks(cand, ["doc_a", "doc_b"], dedup_pairs)
+
+
+def _bucket_pairs_block(key_cols: list[str], id_col: str, max_bucket: int,
+                        label: str):
+    """Block function emitting (doc_a < doc_b) pairs for every complete
+    key group in a hash-partitioned block (vectorized boundary scan;
+    Python only touches the rare multi-member groups)."""
+
+    def pairs_block(block: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                              "doc_b": pd.Series([], dtype=np.int64)})
+        n = len(block)
+        if n == 0:
+            return empty
+        keys = [block[c].to_numpy() for c in key_cols]
+        d = block[id_col].to_numpy()
+        change = np.zeros(n - 1, dtype=bool)
+        for k in keys:
+            change |= k[1:] != k[:-1]
+        starts = np.concatenate(([0], np.flatnonzero(change) + 1))
+        ends = np.concatenate((starts[1:], [n]))
+        sizes = ends - starts
+        out_a, out_b = [], []
+        for s, e in zip(starts[sizes >= 2], ends[sizes >= 2]):
+            ids = np.unique(d[s:e])
+            if len(ids) < 2:
+                continue
+            if len(ids) > max_bucket:
+                print(f"{label}: dropping bucket with {len(ids)} docs "
+                      f"(> max_bucket={max_bucket})")
+                continue
+            ia, ib = np.triu_indices(len(ids), k=1)
+            out_a.append(ids[ia])
+            out_b.append(ids[ib])
+        if not out_a:
+            return empty
+        return pd.DataFrame({"doc_a": np.concatenate(out_a),
+                             "doc_b": np.concatenate(out_b)})
+
+    pairs_block.__name__ = "pairs_block"
+    return pairs_block
 
 
 class _CandidateShingles:
@@ -231,18 +272,13 @@ def verify_jaccard(ds: ray.data.Dataset, pairs: pd.DataFrame, *,
     size_of = pd.Series(sizes["count()"].to_numpy(),
                         index=sizes["doc_id"].to_numpy())
 
-    def co_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = np.unique(group["doc_id"].to_numpy())
-        if len(ids) < 2 or len(ids) > max_bucket:
-            return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
-                                 "doc_b": pd.Series([], dtype=np.int64)})
-        ia, ib = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
+    from whoosh_ray.stages.grouping import groups_in_blocks
 
-    co_pairs.__name__ = "co_pairs"
-    inter = (rows.groupby("shingle")
-             .map_groups(co_pairs, batch_format="pandas")
-             .groupby(["doc_a", "doc_b"]).count().to_pandas())
+    co = groups_in_blocks(rows, ["shingle"],
+                          _bucket_pairs_block(["shingle"], "doc_id",
+                                              max_bucket,
+                                              "verify_jaccard"))
+    inter = (co.groupby(["doc_a", "doc_b"]).count().to_pandas())
     inter = inter.rename(columns={"count()": "inter"})
 
     merged = pairs[["doc_a", "doc_b"]].merge(inter, on=["doc_a", "doc_b"],
@@ -298,19 +334,14 @@ def jaccard_pairs_exact(ds: ray.data.Dataset, *, id_col: str = "doc_id",
     (a shingle shared by that many docs contributes ~nothing to J >= 0.5
     pairs at these corpus sizes; the cap bounds pair explosion — noted,
     not silent)."""
+    from whoosh_ray.stages.grouping import groups_in_blocks
+
     rows = ds.map_batches(ShingleRows(text_col, id_col, k),
                           batch_format="pyarrow")
-
-    def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = np.unique(group["doc_id"].to_numpy())
-        if len(ids) < 2 or len(ids) > max_bucket:
-            return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
-                                 "doc_b": pd.Series([], dtype=np.int64)})
-        ia, ib = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
-
-    pairs.__name__ = "pairs"
-    cand = rows.groupby("shingle").map_groups(pairs, batch_format="pandas")
+    cand = groups_in_blocks(rows, ["shingle"],
+                            _bucket_pairs_block(["shingle"], "doc_id",
+                                                max_bucket,
+                                                "jaccard_pairs_exact"))
     cand_pdf = cand.to_pandas().drop_duplicates()
     return verify_jaccard(ds, cand_pdf, id_col=id_col, text_col=text_col,
                           k=k, threshold=threshold)

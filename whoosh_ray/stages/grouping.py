@@ -1,0 +1,44 @@
+"""Vectorized group processing: co-locate key groups into whole blocks.
+
+``groupby(...).map_groups(fn)`` invokes ``fn`` once per group — with
+tens of thousands of tiny groups (LSH band buckets, shingle buckets,
+content-hash groups) the per-call pandas overhead dominates the whole
+pipeline.  This helper hash-partitions by the keys instead (every
+group lands entirely in ONE block, sorted), then applies ``fn`` to each
+whole block, so ``fn`` handles MANY groups per call with vectorized
+boundary detection.
+
+The keyed repartition needs Ray Data's hash-shuffle strategy; the
+global context is flipped only around the materialization, leaving the
+sort-based strategy (which the build's groupby pipelines are tuned on)
+untouched for everything else.
+"""
+
+from __future__ import annotations
+
+import ray
+import ray.data
+from ray.data.context import ShuffleStrategy
+
+
+def groups_in_blocks(ds: ray.data.Dataset, keys: list[str], fn,
+                     num_blocks: int | None = None,
+                     batch_format: str = "pandas") -> ray.data.Dataset:
+    """Hash-partition ``ds`` by ``keys`` (sorted within blocks) and map
+    ``fn`` over whole blocks; returns the MATERIALIZED result (executed
+    while the hash-shuffle strategy is active).  ``fn`` must handle a
+    batch containing multiple complete, contiguous key groups."""
+    ds = ds.materialize()
+    if num_blocks is None:
+        # each hash-shuffle partition spins up an aggregator actor —
+        # size the partition count to the data, not the CPU count, so
+        # small inputs don't pay 2*ncpu actor launches of fixed cost
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        rows = ds.count()
+        num_blocks = int(min(max(4, rows // 100_000), 2 * ncpu))
+    rp = ds.repartition(num_blocks=num_blocks, keys=keys, sort=True)
+    out = rp.map_batches(fn, batch_format=batch_format, batch_size=None)
+    # each Dataset carries its own context snapshot; flip only THIS
+    # plan's strategy and execute it here
+    out.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    return out.materialize()

@@ -234,3 +234,23 @@ def test_otherwise(engine, oracle):
                          w.Otherwise(w.Term("text", a), w.Term("text", b)),
                          limit=20)
         assert_rank_identical(mine, ref)
+
+
+def test_ordered_and_sequence(engine, oracle):
+    """Ordered (positional.py:108-118) / Sequence rank/score parity."""
+    from whoosh_ray.search import Ordered, Sequence
+
+    w = wq()
+    cases = [
+        (Ordered([Term("text", "deploy"), Term("text", "render")]),
+         w.Ordered([w.Term("text", "deploy"), w.Term("text", "render")])),
+        (Ordered([Term("text", "render"), Term("text", "deploy")]),
+         w.Ordered([w.Term("text", "render"), w.Term("text", "deploy")])),
+        (Ordered([Term("text", "deploy"), Term("text", "render"),
+                  Term("text", "cluster")]),
+         w.Ordered([w.Term("text", "deploy"), w.Term("text", "render"),
+                    w.Term("text", "cluster")])),
+    ]
+    for myq, refq in cases:
+        mine, ref = both(engine, oracle, myq, refq, limit=20)
+        assert_rank_identical(mine, ref)

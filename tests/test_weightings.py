@@ -147,3 +147,43 @@ def test_filter_and_mask(engine_ix, oracle):
                          filter=WTerm("text", "bravo"))
         refd = [int(h.docnum) for h in ref]
     assert both.docids.tolist() == refd
+
+def test_reverse_weighting_matches_oracle(engine_ix, oracle):
+    from whoosh import scoring as w_scoring
+    from whoosh.query import Term as WTerm
+
+    with oracle.searcher(
+            weighting=w_scoring.ReverseWeighting(w_scoring.BM25F())) as s:
+        ref = [(h.docnum, h.score)
+               for h in s.search(WTerm("text", "alfa"), limit=None)]
+    mine = Searcher(engine_ix,
+                    weighting=my_scoring.ReverseWeighting(
+                        my_scoring.BM25F()))
+    r = mine.search(Term("text", "alfa"), limit=None)
+    assert r.docids.tolist() == [d for d, _ in ref]
+    np.testing.assert_allclose(r.scores, [s for _, s in ref], rtol=1e-9)
+
+
+def test_final_hook_matches_oracle(engine_ix, oracle):
+    from whoosh import scoring as w_scoring
+    from whoosh.query import Term as WTerm
+
+    class WFinal(w_scoring.BM25F):
+        use_final = True
+
+        def final(self, searcher, docnum, score):
+            return score + (docnum % 7) * 0.25
+
+    class MyFinal(my_scoring.BM25F):
+        use_final = True
+
+        def final(self, searcher, docnum, score):
+            return score + (docnum % 7) * 0.25
+
+    with oracle.searcher(weighting=WFinal()) as s:
+        ref = [(h.docnum, h.score)
+               for h in s.search(WTerm("text", "bravo"), limit=10)]
+    mine = Searcher(engine_ix, weighting=MyFinal())
+    r = mine.search_topk(Term("text", "bravo"), limit=10)
+    assert r.docids.tolist() == [d for d, _ in ref]
+    np.testing.assert_allclose(r.scores, [s for _, s in ref], rtol=1e-9)

@@ -584,6 +584,82 @@ class Sequence(Query):
         return ph.docs_scores(searcher, seg)
 
 
+class Ordered(Sequence):
+    """Sub-queries matching in document order at ANY distance
+    (positional.py:108-118: chained SpanBefore matchers).  For term
+    sub-queries the span chain is exactly an ascending-positions
+    constraint, verified with a vectorized greedy chain (per doc, track
+    the minimal position a valid prefix chain can end at; the next term
+    needs any position beyond it)."""
+
+    def __init__(self, subqueries, boost: float = 1.0):
+        super().__init__(subqueries, slop=1, ordered=True, boost=boost)
+
+    def docs_scores(self, searcher, seg):
+        words = []
+        for q in self.subqueries:
+            if not isinstance(q, Term):
+                raise NotImplementedError("Ordered over non-Term subqueries")
+            words.append((q.fieldname, q.text))
+        f = words[0][0]
+        plists = []
+        for _, w in words:
+            p = seg.postings(f, w)
+            if p is None:
+                return matching.empty()
+            plists.append(p)
+        cand = plists[0].docids
+        for p in plists[1:]:
+            cand = np.intersect1d(cand, p.docids, assume_unique=True)
+        if len(cand) == 0:
+            return matching.empty()
+
+        def keys_for(w):
+            pf = seg.positions_flat(f, w)
+            if pf is None:
+                return None
+            t_docids, flat, offsets = pf
+            idx = np.searchsorted(t_docids, cand)
+            lens = (offsets[idx + 1] - offsets[idx]).astype(np.int64)
+            total = int(lens.sum())
+            gather = (np.arange(total, dtype=np.int64)
+                      - np.repeat(np.concatenate(([0],
+                                                  np.cumsum(lens)[:-1])),
+                                  lens)
+                      + np.repeat(offsets[idx], lens))
+            docidx = np.repeat(np.arange(len(cand), dtype=np.int64), lens)
+            return (docidx << np.int64(32)) | flat[gather].astype(np.int64)
+
+        first = keys_for(words[0][1])
+        if first is None:
+            return matching.empty()
+        # minimal chain-end position per candidate doc after term 0
+        docidx = first >> np.int64(32)
+        starts = np.concatenate(([0], np.flatnonzero(np.diff(docidx)) + 1))
+        chain = first[starts]          # min key per present doc (sorted)
+        for _, w in words[1:]:
+            nxt = keys_for(w)
+            if nxt is None or len(chain) == 0:
+                return matching.empty()
+            pos = np.searchsorted(nxt, chain, side="right")
+            ok = pos < len(nxt)
+            same_doc = np.zeros(len(chain), dtype=bool)
+            same_doc[ok] = ((nxt[pos[ok]] >> np.int64(32))
+                            == (chain[ok] >> np.int64(32)))
+            chain = nxt[pos[same_doc]]
+        if len(chain) == 0:
+            return matching.empty()
+        match_ids = cand[(chain >> np.int64(32))]
+        scores = np.zeros(len(match_ids), dtype=np.float64)
+        for (_, w), p in zip(words, plists):
+            scorer = searcher.scorer(f, w)
+            idx = np.searchsorted(p.docids, match_ids)
+            scores += scorer.score_array(p.tfs[idx], p.len_bytes[idx])
+        if self.boost != 1.0:
+            scores = scores * self.boost
+        return match_ids, scores
+
+
 class TermRange(_MultiTerm):
     """Lexicographic term range (ranges.py:134-218); constantscore=True by
     default (ranges.py:66, pinned by conformance tests)."""

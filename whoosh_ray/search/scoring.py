@@ -31,10 +31,22 @@ def idf(doc_count_all: int, df: int) -> float:
 
 
 class WeightingModel:
-    """Factory for per-(field, term) vectorized scorers."""
+    """Factory for per-(field, term) vectorized scorers.
+
+    ``use_final``/``final`` reproduce the reference's per-document
+    post-processing hook (scoring.py:51-76): when ``use_final`` is
+    True, ``final(searcher, docnum, score)`` adjusts every matched
+    doc's aggregate score before ranking (applied in Searcher.search;
+    pruned top-k paths fall back to exhaustive evaluation since score
+    bounds no longer hold)."""
+
+    use_final = False
 
     def scorer(self, searcher, fieldname: str, text: str, qf: int = 1):
         raise NotImplementedError
+
+    def final(self, searcher, docnum: int, score: float) -> float:
+        return score
 
 
 class Scorer:
@@ -191,6 +203,32 @@ class PL2Scorer(Scorer):
 
     def block_quality(self, max_weight, min_len_byte):
         return float("inf")
+
+
+class ReverseWeighting(WeightingModel):
+    """Negates the wrapped model's scores (scoring.py:574-604) —
+    lowest-scoring docs rank first."""
+
+    def __init__(self, weighting: WeightingModel):
+        self.weighting = weighting
+
+    def scorer(self, searcher, fieldname, text, qf=1):
+        return _ReverseScorer(self.weighting.scorer(searcher, fieldname,
+                                                    text, qf=qf))
+
+
+class _ReverseScorer(Scorer):
+    def __init__(self, sub: Scorer):
+        self.sub = sub
+
+    def score_array(self, tfs, len_bytes):
+        return 0 - self.sub.score_array(tfs, len_bytes)
+
+    def max_quality(self):
+        return 0 - self.sub.max_quality()
+
+    def block_quality(self, max_weight, min_len_byte):
+        return 0 - self.sub.block_quality(max_weight, min_len_byte)
 
 
 class MultiWeighting(WeightingModel):

@@ -285,6 +285,13 @@ class Searcher:
         if deny is not None and len(docids):
             keep = ~np.isin(docids, deny, assume_unique=True)
             docids, scores = docids[keep], scores[keep]
+        if getattr(self.weighting, "use_final", False) and len(docids):
+            # reference final() hook (scoring.py:51-76): per-doc score
+            # adjustment before ranking
+            fin = self.weighting.final
+            scores = np.asarray(
+                [fin(self, int(d), float(s))
+                 for d, s in zip(docids, scores)], dtype=np.float64)
         if not len(docids):
             res = Results(self, np.empty(0, dtype=np.int64),
                           np.empty(0, dtype=np.float64))
@@ -387,6 +394,9 @@ class Searcher:
 
         if limit is None:
             return self.search(q, None)
+        if getattr(self.weighting, "use_final", False):
+            # final() breaks the score bounds pruning relies on
+            return self.search(q, limit)
         self._eval_cache.clear()
         self._global_cache.clear()
         qx = q.expansion_queries(self)[0]

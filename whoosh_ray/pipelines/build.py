@@ -139,25 +139,108 @@ def build_index(
         elif (name.startswith("seg=")
               and not os.path.exists(os.path.join(path, "meta.json"))):
             _shutil.rmtree(path, ignore_errors=True)
+    # ---- conv bases + optional FILE-LEVEL lineage ----
+    # When input files partition the conv-id space in sorted,
+    # non-overlapping runs (time-ordered log shards — the common append
+    # pattern), each file covers a contiguous docid range and each
+    # segment's identity depends only on the files overlapping its
+    # range: appended files leave old segments' fingerprints unchanged,
+    # so an incremental re-run resumes past them AND prunes fully-
+    # covered files from the read entirely.
+    file_ranges = None
+    bases_precomputed = None
+    span = None
+    if bases_futures is not None:
+        from whoosh_ray.stages.docids import (conv_bases_collect,
+                                              file_docid_ranges)
+
+        _k, _b, span, _fspans = conv_bases_collect(bases_futures, turn_col,
+                                                   conv_col)
+        bases_precomputed = (_k, _b, span)
+        file_ranges = file_docid_ranges(_k, _b, span, _fspans, _paths)
+
+    # stable segment sizing across appends: reuse the existing
+    # manifest's seg_size so resumed segment boundaries stay aligned
+    prev_settings = {}
+    if resume and os.path.exists(os.path.join(index_dir, "manifest.json")):
+        try:
+            prev_settings = read_manifest(index_dir).settings
+        except Exception:
+            prev_settings = {}
+    if seg_size is None and int(prev_settings.get("seg_size") or 0):
+        seg_size = int(prev_settings["seg_size"])
+
+    import ray as _ray
+
+    _ncpu = int(_ray.cluster_resources().get("CPU", 8))
+
+    if seg_size is None and span is not None:
+        seg_size = int(min(16384, max(2048, span // (4 * _ncpu))))
+
+    # ---- per-segment fingerprints ----
+    if file_ranges is not None and seg_size is not None:
+        schema_hash = hashlib.sha256(
+            json.dumps(schema.to_json(), sort_keys=True,
+                       default=str).encode()).hexdigest()[:16]
+
+        def _ftok(p):
+            st = os.stat(p)
+            return f"{p}:{st.st_size}:{st.st_mtime_ns}"
+
+        _ftoks = [(lo, hi, _ftok(p)) for p, lo, hi in file_ranges]
+        _ss = seg_size
+
+        def fp_of(seg_id: int) -> str:
+            s0, s1 = seg_id * _ss, (seg_id + 1) * _ss
+            toks = [t for lo, hi, t in _ftoks if lo < s1 and hi > s0]
+            h = hashlib.sha256(
+                (schema_hash + "|" + "|".join(toks)).encode())
+            return "fl-" + h.hexdigest()[:16]
+    else:
+        def fp_of(seg_id: int) -> str:
+            return fingerprint
+
+    # ---- resume set (needs fingerprints; file path also prunes reads) ----
+    done = completed_segments(index_dir) if resume else {}
+    done_ids = sorted(
+        s for s, m in done.items()
+        if m.lineage.get("fingerprint") == fp_of(s)
+        and m.metrics.get("complete")
+    )
+
+    # ---- build the input dataset (pruned to needed files if possible) ----
+    read_source = source
+    if file_ranges is not None and done_ids:
+        done_set = set(done_ids)
+        needed = []
+        for p, lo, hi in file_ranges:
+            if hi <= lo:
+                continue
+            s_first, s_last = lo // seg_size, (hi - 1) // seg_size
+            if any(s not in done_set for s in range(s_first, s_last + 1)):
+                needed.append(p)
+        read_source = needed
+
     if isinstance(source, ray.data.Dataset):
         ds = source.select_columns(
             [c for c in schema.input_columns()
              if c in source.schema().names] +
             ([conv_col, turn_col] if docid_col is None else [docid_col]))
-    else:
+    elif read_source:
         cols = list(dict.fromkeys(
             schema.input_columns()
             + ([conv_col, turn_col] if docid_col is None else [docid_col])))
         # split the read well beyond the file count (files with several row
         # groups can be read by multiple tasks) so the scan keeps every CPU
         # busy instead of one task per input file
-        ncpu = int(ray.cluster_resources().get("CPU", 8))
-        ds = ray.data.read_parquet(source, columns=cols,
-                                   override_num_blocks=4 * ncpu)
+        ds = ray.data.read_parquet(read_source, columns=cols,
+                                   override_num_blocks=4 * _ncpu)
+    else:
+        ds = None  # every file fully covered by resumed segments
 
     bases_ds = None
     local_paths = None
-    if (bases_futures is None and not isinstance(source, ray.data.Dataset)
+    if (bases_precomputed is None and not isinstance(source, ray.data.Dataset)
             and docid_col is None):
         paths = _expand_paths(source)
         total = sum(os.path.getsize(p) for p in paths)
@@ -170,10 +253,11 @@ def build_index(
             bases_ds = ray.data.read_parquet(source,
                                              columns=[conv_col, turn_col])
 
-    ds, span = with_docids(ds, conv_col=conv_col, turn_col=turn_col,
-                           docid_col=docid_col, bases_ds=bases_ds,
-                           local_paths=local_paths,
-                           bases_futures=bases_futures)
+    if ds is not None:
+        ds, span = with_docids(ds, conv_col=conv_col, turn_col=turn_col,
+                               docid_col=docid_col, bases_ds=bases_ds,
+                               local_paths=local_paths,
+                               bases_precomputed=bases_precomputed)
 
     if seg_size is None:
         # segments are the unit of encode/write parallelism AND the memory
@@ -182,35 +266,23 @@ def build_index(
         # good wave balance); the size is independent of the CPU budget so
         # the same corpus produces the same segments at every parallelism
         # level (smaller only when the corpus itself is small).
-        import ray as _ray
-
-        ncpu = int(_ray.cluster_resources().get("CPU", 8))
-        seg_size = int(min(16384, max(2048, span // (4 * ncpu))))
+        seg_size = int(min(16384, max(2048, span // (4 * _ncpu))))
 
     def add_seg(batch: pa.Table) -> pa.Table:
         seg = pa.compute.divide(batch["docid"], seg_size).cast(pa.int64())
         return batch.append_column("seg", seg)
 
-    ds = ds.map_batches(add_seg, batch_format="pyarrow")
+    if ds is not None:
+        ds = ds.map_batches(add_seg, batch_format="pyarrow")
 
     # groupby partition count: finer than the input block count so the
     # reduce stage schedules in balanced waves (one task per ~1-2
     # segments at high CPU counts — the last wave otherwise straggles on
     # a handful of coarse multi-segment tasks)
-    import ray as _ray
-
-    _ncpu = int(_ray.cluster_resources().get("CPU", 8))
     n_seg_est = max(1, -(-span // seg_size))
     num_partitions = int(min(n_seg_est, max(8 * _ncpu, 64)))
 
-    # ---- resume: skip committed segments ----
-    done = completed_segments(index_dir) if resume else {}
-    done_ids = sorted(
-        s for s, m in done.items()
-        if m.lineage.get("fingerprint") == fingerprint
-        and m.metrics.get("complete")
-    )
-    if done_ids:
+    if done_ids and ds is not None:
         done_arr = np.array(done_ids, dtype=np.int64)
 
         def drop_done(batch: pa.Table) -> pa.Table:
@@ -220,7 +292,18 @@ def build_index(
 
         ds = ds.map_batches(drop_done, batch_format="pyarrow")
 
-    if mode == "stream":
+    if ds is None:
+        import pandas as _pd
+
+        doc_stats = _pd.DataFrame(columns=[
+            "seg", "doc_count", "min_docid", "max_docid", "n_terms",
+            "n_postings", "field_lengths", "docs_secs", "terms_secs"])
+        term_stats = doc_stats
+        mode = "noop"
+
+    if mode == "noop":
+        pass  # all segments resumed; stats frames prepared above
+    elif mode == "stream":
         # ---- no-shuffle streaming build: tokenize in the map task pool,
         # route tokenized posting/doc slices straight to per-segment
         # owner actors (buffered, coalesced spills), encode at finalize.
@@ -263,6 +346,7 @@ def build_index(
         from whoosh_ray.stages.fused_writer import FusedSegmentWriter
 
         commit_info = {"seg_size": seg_size, "fingerprint": fingerprint,
+                       "fp_of": fp_of,
                        "source": source if isinstance(source, str)
                        else "<dataset>"}
         stats = (
@@ -368,7 +452,7 @@ def build_index(
             field_lengths = {}
             metrics = {"complete": True, "n_terms": 0, "n_postings": 0,
                        "docs_secs": float(row["docs_secs"])}
-        lineage = {"fingerprint": fingerprint,
+        lineage = {"fingerprint": fp_of(seg_id),
                    "docid_range": [seg_id * seg_size,
                                    (seg_id + 1) * seg_size],
                    "source": source if isinstance(source, str) else "<dataset>"}
@@ -393,7 +477,7 @@ def build_index(
 
     # ---- manifest seal: resumed segments + new segments ----
     all_metas = {m.seg_id: m for m in done.values()
-                 if m.lineage.get("fingerprint") == fingerprint}
+                 if m.lineage.get("fingerprint") == fp_of(m.seg_id)}
     for m in new_metas:
         all_metas[m.seg_id] = m
     manifest = Manifest(
@@ -405,6 +489,11 @@ def build_index(
             "fingerprint": fingerprint,
             "build_secs": build_secs,
             "resumed_segments": len(done_ids),
+            "file_lineage": file_ranges is not None,
+            "files_read": (len(read_source)
+                           if isinstance(read_source, list)
+                           else (len(_paths) if bases_futures is not None
+                                 else None)),
         },
     )
     write_manifest(index_dir, manifest)

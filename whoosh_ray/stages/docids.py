@@ -98,15 +98,26 @@ def conv_bases_local(paths: list[str], conv_col: str = "conv_id",
 
 
 @ray.remote(num_cpus=1)
-def _files_spans(paths: list[str], conv_col: str, turn_col: str) -> pa.Table:
+def _files_spans(paths: list[str], conv_col: str, turn_col: str):
+    """Per-chunk conv spans + per-FILE conv ranges (for file-level
+    lineage/pruning)."""
+    import pyarrow.compute as _pc
     import pyarrow.parquet as _pq
 
     parts = []
+    file_rows = []
     for path in paths:
         t = _pq.read_table(path, columns=[conv_col, turn_col])
         parts.append(t.group_by(conv_col).aggregate([(turn_col, "max")]))
-    return (pa.concat_tables(parts).group_by(conv_col)
-            .aggregate([(f"{turn_col}_max", "max")]))
+        if t.num_rows:
+            file_rows.append((path,
+                              _pc.min(t[conv_col]).as_py(),
+                              _pc.max(t[conv_col]).as_py()))
+        else:
+            file_rows.append((path, None, None))
+    merged = (pa.concat_tables(parts).group_by(conv_col)
+              .aggregate([(f"{turn_col}_max", "max")]))
+    return merged, file_rows
 
 
 def conv_bases_submit(paths: list[str], conv_col: str = "conv_id",
@@ -125,13 +136,53 @@ def conv_bases_collect(futures: list, turn_col: str = "turn_idx",
                        conv_col: str = "conv_id"):
     """Combine the per-chunk span tables (tiny — #convs rows) with a
     second C++ hash aggregate and prefix-sum the docid bases."""
-    parts = ray.get(futures)
+    results = ray.get(futures)
+    parts = [r[0] for r in results]
+    file_spans = {path: (lo, hi)
+                  for r in results for path, lo, hi in r[1]}
     merged = (pa.concat_tables(parts)
               .group_by(conv_col)
               .aggregate([(f"{turn_col}_max_max", "max")]))
     keys = _np_bytes(merged[conv_col])
-    return _bases_from_spans(keys,
-                             merged[f"{turn_col}_max_max_max"].to_numpy())
+    keys, bases, span = _bases_from_spans(
+        keys, merged[f"{turn_col}_max_max_max"].to_numpy())
+    return keys, bases, span, file_spans
+
+
+def file_docid_ranges(keys: np.ndarray, bases: np.ndarray, span: int,
+                      file_spans: dict, paths: list[str]):
+    """Per-file [lo, hi) docid ranges — valid ONLY when the files
+    partition the conv-id space in sorted, non-overlapping runs
+    (time-ordered log shards).  Returns None when that doesn't hold,
+    in which case file-level lineage is not applicable."""
+    width = keys.dtype.itemsize
+    ranges = []
+    prev_hi = None
+    for p in paths:
+        lo_k, hi_k = file_spans.get(p, (None, None))
+        if lo_k is None:
+            ranges.append((p, 0, 0))
+            continue
+        if prev_hi is not None and str(lo_k) < str(prev_hi):
+            # conv ranges out of order / interleaved: docid shifts on
+            # append could leave a segment's overlapping-file set
+            # unchanged while its rows changed, so file-level lineage
+            # would be UNSOUND here — disable it (callers fall back to
+            # the whole-input fingerprint).  A conv straddling two
+            # adjacent files (equality) is fine: appends still leave
+            # old conv bases untouched.
+            return None
+        prev_hi = hi_k
+        lo_b = np.array([str(lo_k).encode()], dtype=f"S{width}")
+        hi_b = np.array([str(hi_k).encode()], dtype=f"S{width}")
+        i_lo = int(np.searchsorted(keys, lo_b[0]))
+        i_hi = int(np.searchsorted(keys, hi_b[0]))
+        if i_lo >= len(keys) or i_hi >= len(keys):
+            return None
+        lo = int(bases[i_lo])
+        hi = int(bases[i_hi + 1]) if i_hi + 1 < len(bases) else int(span)
+        ranges.append((p, lo, hi))
+    return ranges
 
 
 def conv_bases_tasks(paths: list[str], conv_col: str = "conv_id",
@@ -141,8 +192,9 @@ def conv_bases_tasks(paths: list[str], conv_col: str = "conv_id",
     combines the (tiny) partials and prefix-sums the bases.  This is the
     sharded variant the module docstring describes — the partial tables
     are #convs-sized, so the driver never touches the raw turn rows."""
-    return conv_bases_collect(conv_bases_submit(paths, conv_col, turn_col),
-                              turn_col, conv_col)
+    keys, bases, span, _ = conv_bases_collect(
+        conv_bases_submit(paths, conv_col, turn_col), turn_col, conv_col)
+    return keys, bases, span
 
 
 def _bases_from_spans(keys: np.ndarray, max_turn: np.ndarray):
@@ -158,7 +210,8 @@ def with_docids(ds: ray.data.Dataset, *, conv_col: str = "conv_id",
                 docid_col: str | None = None,
                 bases_ds: ray.data.Dataset | None = None,
                 local_paths: list[str] | None = None,
-                bases_futures: list | None = None) -> tuple[ray.data.Dataset, int]:
+                bases_futures: list | None = None,
+                bases_precomputed: tuple | None = None) -> tuple[ray.data.Dataset, int]:
     """Attach the ``docid`` column; returns (dataset, docid span).
 
     The (keys, bases) pair is fetched from the object store once per
@@ -175,9 +228,11 @@ def with_docids(ds: ray.data.Dataset, *, conv_col: str = "conv_id",
         hi = ds.max(docid_col)
         return ds.map_batches(from_col, batch_format="pyarrow"), int(hi) + 1
 
-    if bases_futures is not None:
-        keys, bases, span = conv_bases_collect(bases_futures, turn_col,
-                                               conv_col)
+    if bases_precomputed is not None:
+        keys, bases, span = bases_precomputed
+    elif bases_futures is not None:
+        keys, bases, span, _ = conv_bases_collect(bases_futures, turn_col,
+                                                  conv_col)
     elif local_paths is not None:
         if len(local_paths) >= 8:
             keys, bases, span = conv_bases_tasks(local_paths, conv_col,

@@ -168,12 +168,14 @@ class FusedSegmentWriter:
             from whoosh_ray.stages.write_seg import commit_segment_meta
 
             seg_size = int(self.commit["seg_size"])
+            fp_of = self.commit.get("fp_of")
+            fp = fp_of(seg_id) if fp_of else self.commit["fingerprint"]
             commit_segment_meta(
                 self.index_dir, seg_id,
                 docid_base=seg_id * seg_size,
                 doc_count=group.num_rows,
                 field_lengths=field_sums,
-                lineage={"fingerprint": self.commit["fingerprint"],
+                lineage={"fingerprint": fp,
                          "docid_range": [seg_id * seg_size,
                                          (seg_id + 1) * seg_size],
                          "source": self.commit.get("source", "<dataset>")},

@@ -52,3 +52,33 @@ def test_fanout_matches_local(index_dir):
         r2 = fan.search(q, limit=10)
         assert r1.docids.tolist() == r2.docids.tolist(), q
         np.testing.assert_array_equal(r1.scores, r2.scores)
+
+
+def test_fanout_djm_andnot_boundary_handoff(index_dir):
+    """DisjunctionMax / AndNot now fan out with boundary-state handoff:
+    results must be IDENTICAL to the global evaluation (whose
+    cross-segment cursor-leak / first-doc-escape quirks are themselves
+    whoosh-oracle-pinned)."""
+    from whoosh_ray.search import AndNot, DisjunctionMax, Or, Searcher, Term
+    from whoosh_ray.search.dist import FanoutSearcher
+
+    local = Searcher(index_dir)
+    fan = FanoutSearcher(index_dir, num_shards=3)
+    cases = [
+        DisjunctionMax([Term("text", "deploy"), Term("text", "render")]),
+        DisjunctionMax([Term("text", "cluster"), Term("text", "error"),
+                        Term("text", "deploy")], boost=1.5),
+        DisjunctionMax([Or([Term("text", "deploy"), Term("text", "error")]),
+                        Term("text", "render")]),
+        AndNot(Term("text", "deploy"), Term("text", "render")),
+        AndNot(Term("text", "render"), Term("text", "deploy")),
+        AndNot(Or([Term("text", "deploy"), Term("text", "cluster")]),
+               Term("text", "error")),
+    ]
+    for q in cases:
+        for limit in (10, 100, None):
+            a = local.search(q, limit=limit)
+            b = fan.search(q, limit=limit)
+            assert a.docids.tolist() == b.docids.tolist(), (q, limit)
+            np.testing.assert_allclose(a.scores, b.scores, rtol=1e-12,
+                                       err_msg=str(q))

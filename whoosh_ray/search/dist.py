@@ -17,9 +17,14 @@ Two Ray-native shapes (SURVEY.md §2.6 MultiMatcher / §4 mapping):
    every shard returns its local top-k, merged with the (-score, docid)
    tie-break.  This is the MultiMatcher concatenation (wrappers.py:118-253)
    turned into a scatter-gather; exact for segment-decomposable queries
-   (Term/And/Or/Phrase/expansions — not DisjunctionMax/AndNot whose
-   reference quirks leak across segment boundaries; those route to the
-   global path).
+   (Term/And/Or/Phrase/expansions).  DisjunctionMax and AndNot — whose
+   reference quirks leak across boundaries — fan out too, via a
+   boundary-state handoff: shards are CONTIGUOUS docid ranges, each
+   shard receives every leaf's first match in later shards (the doc an
+   unchecked cursor would sit on at the boundary) for the cursor-max
+   leak, and AndNot's first-doc-escape is resolved from the shards'
+   reported local firsts.  Only nested block-joins still route to the
+   local global path.
 """
 
 from __future__ import annotations
@@ -139,12 +144,7 @@ class SegmentShardActor:
                 out.update(seg.all_terms(fieldname))
         return sorted(out)
 
-    def topk(self, qblob: bytes, stats: dict, limit: int):
-        """Phase 2: evaluate with driver-merged global stats."""
-        import pickle
-
-        q = pickle.loads(qblob)
-        s = _ShardSearcher(self.manifest, self.segments, stats)
+    def _concat_eval(self, s, q):
         parts_i, parts_s = [], []
         for seg in self.segments:
             ids, sc = s.eval(q, seg)
@@ -152,11 +152,93 @@ class SegmentShardActor:
                 parts_i.append(ids)
                 parts_s.append(sc)
         if not parts_i:
-            return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
-        ids = np.concatenate(parts_i)
-        sc = np.concatenate(parts_s)
+            return (np.empty(0, dtype=np.int64),
+                    np.empty(0, dtype=np.float64))
+        return np.concatenate(parts_i), np.concatenate(parts_s)
+
+    def topk(self, qblob: bytes, stats: dict, limit: int):
+        """Phase 2: evaluate with driver-merged global stats."""
+        import pickle
+
+        q = pickle.loads(qblob)
+        s = _ShardSearcher(self.manifest, self.segments, stats)
+        ids, sc = self._concat_eval(s, q)
+        if not len(ids):
+            return ids, sc
         order = np.lexsort((ids, -sc))[:limit]
         return ids[order], sc[order]
+
+    def subquery_heads(self, qblobs: list[bytes], stats: dict):
+        """Phase 2a for DisjunctionMax: each subquery's FIRST local
+        match (docid, score) — the boundary state later shards leak
+        into earlier ones (binary.py:369-376's unchecked cursors)."""
+        import pickle
+
+        s = _ShardSearcher(self.manifest, self.segments, stats)
+        # keep every unpickled query alive for the whole call: the eval
+        # cache keys by id(q), and a freed object's address can be
+        # reused by the next pickle.loads
+        qs = [pickle.loads(qb) for qb in qblobs]
+        out = []
+        for q in qs:
+            ids, sc = self._concat_eval(s, q)
+            out.append((int(ids[0]), float(sc[0])) if len(ids) else None)
+        return out
+
+    def djm_topk(self, qblobs: list[bytes], stats: dict, extras: list,
+                 boost: float, limit: int):
+        """Phase 2b: cursor-max union with each leaf's next-match-after-
+        this-shard appended, reproducing the reference's cross-boundary
+        cursor leak exactly; results clipped back to this shard's docid
+        range."""
+        import pickle
+
+        from whoosh_ray.search import matching
+
+        s = _ShardSearcher(self.manifest, self.segments, stats)
+        qs = [pickle.loads(qb) for qb in qblobs]  # hold refs: id(q) cache
+        parts = []
+        for q, extra in zip(qs, extras):
+            ids, sc = self._concat_eval(s, q)
+            if extra is not None:
+                ids = np.concatenate((ids, [np.int64(extra[0])]))
+                sc = np.concatenate((sc, [np.float64(extra[1])]))
+            parts.append((ids, sc))
+        uids, out = matching.union_max_cursor(parts)
+        if not len(uids):
+            return uids, out
+        lo = min(seg.meta.docid_range()[0] for seg in self.segments)
+        hi = max(seg.meta.docid_range()[1] for seg in self.segments)
+        keep = (uids >= lo) & (uids < hi)
+        uids, out = uids[keep], out[keep]
+        if boost != 1.0:
+            out = out * boost
+        order = np.lexsort((uids, -out))[:limit]
+        return uids[order], out[order]
+
+    def andnot_local(self, ablob: bytes, bblob: bytes, stats: dict,
+                     boost: float, limit: int):
+        """AndNot per shard + the boundary state the first-doc-escape
+        quirk needs: (top ids, top scores, first_a (docid, score) or
+        None, first_b docid or None, first_a_excluded)."""
+        import pickle
+
+        from whoosh_ray.search import matching
+
+        s = _ShardSearcher(self.manifest, self.segments, stats)
+        qa, qb_ = pickle.loads(ablob), pickle.loads(bblob)  # hold refs
+        a_ids, a_sc = self._concat_eval(s, qa)
+        b_ids, _ = self._concat_eval(s, qb_)
+        res_i, res_s = matching.diff((a_ids, a_sc), b_ids)
+        if boost != 1.0:
+            res_s = res_s * boost
+        first_a = ((int(a_ids[0]), float(a_sc[0]) * boost)
+                   if len(a_ids) else None)
+        first_b = int(b_ids[0]) if len(b_ids) else None
+        excluded = bool(len(a_ids) and (not len(res_i)
+                                        or int(res_i[0]) != int(a_ids[0])))
+        order = np.lexsort((res_i, -res_s))[:limit]
+        return res_i[order], res_s[order], first_a, first_b, excluded
 
 
 class _ShardSearcher(Searcher):
@@ -195,21 +277,21 @@ class FanoutSearcher:
 
         self.index_dir = index_dir
         self.manifest = read_manifest(index_dir)
-        seg_ids = sorted(m.seg_id for m in self.manifest.segments)
-        shards = [seg_ids[i::num_shards] for i in range(num_shards)]
-        shards = [s for s in shards if s]
+        # CONTIGUOUS docid-range shards (not strided): the boundary-state
+        # handoff for DisjunctionMax/AndNot needs shards ordered by docid
+        metas = sorted(self.manifest.segments,
+                       key=lambda m: m.docid_range()[0])
+        seg_ids = [m.seg_id for m in metas]
+        k = max(1, min(num_shards, len(seg_ids)))
+        size = -(-len(seg_ids) // k)
+        shards = [seg_ids[i: i + size] for i in range(0, len(seg_ids), size)]
         self.actors = [SegmentShardActor.remote(index_dir, s) for s in shards]
         self._local = Searcher(index_dir)  # fallback for leaky operators
 
-    def search(self, q: Query, limit: int = 10) -> Results:
-        import pickle
-
-        if _has_nondecomposable(q):
-            return self._local.search(q, limit)
-        q = q.expansion_queries(self._local)[0]
-        terms = q.terms()
+    def _merged_stats(self, terms) -> dict:
         # phase 1: merge per-shard term stats into global stats
-        stats_parts = ray.get([a.term_stats.remote(terms) for a in self.actors])
+        stats_parts = ray.get([a.term_stats.remote(terms)
+                               for a in self.actors])
         merged: dict = {}
         for part in stats_parts:
             for key, st in part.items():
@@ -221,13 +303,84 @@ class FanoutSearcher:
                                                     st["min_length"])
                 else:
                     merged[key] = dict(st)
-        # phase 2: broadcast query + stats, gather per-shard top-k
-        qblob = pickle.dumps(q)
-        tops = ray.get([a.topk.remote(qblob, merged, limit)
-                        for a in self.actors])
-        ids = np.concatenate([t[0] for t in tops]) if tops else np.empty(0, np.int64)
-        sc = np.concatenate([t[1] for t in tops]) if tops else np.empty(0)
+        return merged
+
+    def _finish(self, ids_list, sc_list, limit) -> Results:
+        ids = (np.concatenate(ids_list) if ids_list
+               else np.empty(0, np.int64))
+        sc = np.concatenate(sc_list) if sc_list else np.empty(0)
         order = np.lexsort((ids, -sc))
         if limit is not None:
             order = order[:limit]
         return Results(self._local, ids[order], sc[order])
+
+    def search(self, q: Query, limit: int = 10) -> Results:
+        import pickle
+
+        q = q.expansion_queries(self._local)[0]
+        if (isinstance(q, DisjunctionMax) and q.subqueries
+                and not any(_has_nondecomposable(s) for s in q.subqueries)):
+            return self._djm_fanout(q, limit)
+        if (isinstance(q, AndNot)
+                and not _has_nondecomposable(q.a)
+                and not _has_nondecomposable(q.b)):
+            return self._andnot_fanout(q, limit)
+        if _has_nondecomposable(q):
+            return self._local.search(q, limit)
+        merged = self._merged_stats(q.terms())
+        # phase 2: broadcast query + stats, gather per-shard top-k
+        qblob = pickle.dumps(q)
+        tops = ray.get([a.topk.remote(qblob, merged, limit)
+                        for a in self.actors])
+        return self._finish([t[0] for t in tops], [t[1] for t in tops],
+                            limit)
+
+    def _djm_fanout(self, q, limit) -> Results:
+        """Distributed DisjunctionMax with the reference's cursor-leak
+        quirk preserved across shard boundaries: each shard receives,
+        per leaf, the leaf's first match in LATER shards (phase 2a
+        heads), which is exactly the state an unchecked cursor would
+        sit on at the boundary."""
+        import pickle
+
+        qblobs = [pickle.dumps(s) for s in q.subqueries]
+        merged = self._merged_stats(q.terms())
+        heads = ray.get([a.subquery_heads.remote(qblobs, merged)
+                         for a in self.actors])
+        n, nleaf = len(self.actors), len(qblobs)
+        extras = [[None] * nleaf for _ in range(n)]
+        nxt: list = [None] * nleaf
+        for s_idx in range(n - 1, -1, -1):
+            extras[s_idx] = list(nxt)
+            for li in range(nleaf):
+                if heads[s_idx][li] is not None:
+                    nxt[li] = heads[s_idx][li]
+        tops = ray.get([
+            a.djm_topk.remote(qblobs, merged, extras[i], q.boost, limit)
+            for i, a in enumerate(self.actors)])
+        return self._finish([t[0] for t in tops], [t[1] for t in tops],
+                            limit)
+
+    def _andnot_fanout(self, q, limit) -> Results:
+        """Distributed AndNot preserving the first-doc-escape quirk:
+        shards report their local firsts; the docid-ordered first
+        becomes the global first, and its owner's exclusion flag decides
+        whether the escaped doc is re-added."""
+        import pickle
+
+        terms = q.terms()
+        merged = self._merged_stats(terms)
+        outs = ray.get([
+            a.andnot_local.remote(pickle.dumps(q.a), pickle.dumps(q.b),
+                                  merged, q.boost, limit)
+            for a in self.actors])
+        ids_list = [o[0] for o in outs]
+        sc_list = [o[1] for o in outs]
+        first_a = next((o[2] for o in outs if o[2] is not None), None)
+        first_b = next((o[3] for o in outs if o[3] is not None), None)
+        excluded = next((o[4] for o in outs if o[2] is not None), False)
+        if (first_a is not None and first_b is not None
+                and first_a[0] != first_b and excluded):
+            ids_list = [np.array([first_a[0]], dtype=np.int64)] + ids_list
+            sc_list = [np.array([first_a[1]])] + sc_list
+        return self._finish(ids_list, sc_list, limit)

@@ -103,6 +103,16 @@ COMMA_SEPARATED = AnalyzerSpec(pattern=r"[^,]+", lowercase=False,
 # PathTokenizer (tokenizers.py:320-337): prefixes of a /-path
 PATH = AnalyzerSpec(pattern=r"[^/]+", lowercase=False, stopwords=None,
                     minsize=0)
+# FancyAnalyzer (analyzers.py:229-254): whitespace-gaps tokenizer |
+# IntraWordFilter | LowercaseFilter | StopFilter — stream parity with
+# the reference incl. IntraWord's quirks (test_tokenfilters)
+FANCY = AnalyzerSpec(chain=(
+    ("tokenizer", (r"\s+", True)),
+    ("intraword", ("-_'\"()!@#$%^&*[]{}<>\\|;:,./?`~=+",
+                   True, True, False, False)),
+    ("lowercase", ()),
+    ("stop", (tuple(sorted(STOP_WORDS)), 2, None, True)),
+))
 
 
 @dataclass

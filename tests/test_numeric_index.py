@@ -1,0 +1,128 @@
+"""Tiered numeric term indexing (VERDICT r1 missing #10): NumericRange
+over an indexed NUMERIC field must produce the same docsets/scores as
+the stored-column scan and the whoosh NUMERIC oracle, while reading
+only covering-term postings."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from tests.oracle import oracle_search
+from whoosh_ray.pipelines.build import build_index
+from whoosh_ray.search import NumericRange, Searcher, Term
+from whoosh_ray.search.query import NumericRange as NR
+from whoosh_ray.state.schema import FieldSpec, IndexSchema
+
+
+def test_covering_cells_exact():
+    rng = np.random.default_rng(5)
+    for _ in range(300):
+        a = int(rng.integers(0, 5000))
+        b = a + int(rng.integers(0, 4000))
+        cells = NR._covering(a, b, step=4)
+        covered = sorted(v for sh, p in cells
+                         for v in range(p << sh, (p + 1) << sh))
+        assert covered == list(range(a, b + 1)), (a, b)
+        # minimality-ish: bounded by 2 * 2^step cells per tier
+        from collections import Counter
+
+        per_tier = Counter(sh for sh, _ in cells)
+        assert all(c <= 2 * 16 for c in per_tier.values())
+
+
+@pytest.fixture(scope="module")
+def built(tmp_path_factory):
+    import random
+
+    import pyarrow.parquet as pq
+
+    random.seed(11)
+    rows = []
+    for i in range(400):
+        rows.append({
+            "key": f"d{i:04d}",
+            "text": " ".join(random.choices(
+                ["alfa", "bravo", "charlie", "delta"], k=8)),
+            "num": random.randint(-500, 500),
+            "rowid": i,
+        })
+    t = pa.Table.from_pylist(rows)
+    d = tmp_path_factory.mktemp("numix")
+    (d / "src").mkdir()
+    pq.write_table(t, str(d / "src" / "p.parquet"))
+    schema = IndexSchema(fields=(FieldSpec.text("text"),
+                                 FieldSpec.id("key"),
+                                 FieldSpec.numeric("num")))
+    build_index(str(d / "src"), str(d / "index"), schema, seg_size=64,
+                docid_col="rowid")
+    return t, str(d / "index")
+
+
+RANGES = [
+    (0, 100, False, False), (-500, 500, False, False),
+    (-123, 45, True, False), (-1, 1, False, True),
+    (None, 0, False, False), (7, None, False, False),
+    (250, 250, False, False), (10, 9, False, False),
+    (None, None, False, False), (-600, 600, False, False),
+]
+
+
+def test_indexed_range_matches_ground_truth(built):
+    t, ix = built
+    s = Searcher(ix)
+    nums = np.asarray(t["num"].to_pylist())
+    for lo, hi, sx, ex in RANGES:
+        q = NumericRange("num", lo, hi, startexcl=sx, endexcl=ex)
+        got = s.search(q, limit=None).docids.tolist()
+        mask = np.ones(len(nums), dtype=bool)
+        if lo is not None:
+            mask &= (nums > lo) if sx else (nums >= lo)
+        if hi is not None:
+            mask &= (nums < hi) if ex else (nums <= hi)
+        want = np.flatnonzero(mask).tolist()
+        assert got == want, (lo, hi, sx, ex)
+        # constant score = boost
+        r = s.search(q, limit=None)
+        assert (r.scores == 1.0).all() or len(r.scores) == 0
+
+
+def test_indexed_range_matches_whoosh_numeric(built):
+    t, ix = built
+    from tests.conftest import load_whoosh_oracle
+
+    load_whoosh_oracle()
+    from whoosh import fields
+    from whoosh.analysis import StandardAnalyzer
+    from whoosh.filedb.filestore import RamStorage
+    from whoosh.query import NumericRange as WNR
+
+    wix = RamStorage().create_index(fields.Schema(
+        key=fields.ID(stored=True),
+        text=fields.TEXT(analyzer=StandardAnalyzer()),
+        num=fields.NUMERIC(int, 32, signed=True)))
+    w = wix.writer()
+    for row in t.to_pylist():
+        w.add_document(key=row["key"], text=row["text"], num=row["num"])
+    w.commit()
+
+    s = Searcher(ix)
+    for lo, hi, sx, ex in RANGES:
+        mine = s.search(NumericRange("num", lo, hi, startexcl=sx,
+                                     endexcl=ex), limit=None)
+        ref = oracle_search(wix, WNR("num", lo, hi, startexcl=sx,
+                                     endexcl=ex), limit=None)
+        assert mine.docids.tolist() == [d for d, _ in ref], (lo, hi, sx, ex)
+        np.testing.assert_allclose(mine.scores, [sc for _, sc in ref],
+                                   rtol=1e-9)
+
+
+def test_combined_with_text_query(built):
+    t, ix = built
+    from whoosh_ray.search import And
+
+    s = Searcher(ix)
+    r = s.search(And([Term("text", "alfa"),
+                      NumericRange("num", 0, 200)]), limit=None)
+    nums = np.asarray(t["num"].to_pylist())
+    for d in r.docids:
+        assert 0 <= nums[int(d)] <= 200

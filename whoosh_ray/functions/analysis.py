@@ -86,6 +86,12 @@ class AnalyzerSpec:
     # sub-chains.
     chain: tuple | None = None
     mode: str = "index"
+    # Tiered numeric indexing (fields.py:658-671 semantics, own byte
+    # format): ``numeric=(bits, step)`` emits, per value v (offset to
+    # unsigned), one term per tier: "{shift:02d}:{v >> shift:x}".  A
+    # NumericRange over such a field expands to the minimal covering
+    # term set instead of scanning the stored column.
+    numeric: tuple | None = None
 
     def compile(self) -> "VectorAnalyzer":
         return VectorAnalyzer(self)
@@ -166,6 +172,8 @@ class VectorAnalyzer:
         spec = self.spec
         if isinstance(texts, pd.Series):
             texts = texts.to_numpy()
+        if spec.numeric is not None:
+            return self._numeric_call(texts)
         if self._chain is not None:
             return self._chain_call(texts)
         if spec.ngram is not None:
@@ -265,6 +273,31 @@ class VectorAnalyzer:
         first_orig[has_any] = orig_pos[cuts[:-1][has_any]]
         positions = (first_orig[row_ids] + rank_in_row).astype(np.int32)
         return TokenizedBatch(row_ids, terms, positions, row_lengths)
+
+    def _numeric_call(self, values) -> TokenizedBatch:
+        """Tiered numeric terms: one token per tier per value."""
+        bits, step = self.spec.numeric
+        n = len(values)
+        vals = np.asarray(values)
+        mask_valid = ~pd.isna(vals)
+        v = np.zeros(n, dtype=np.int64)
+        v[mask_valid] = np.asarray(vals[mask_valid], dtype=np.int64)
+        u = (v + (1 << (bits - 1))).astype(np.uint64)
+        shifts = list(range(0, bits, step))
+        rows_v = np.flatnonzero(mask_valid)
+        nv = len(rows_v)
+        row_ids = np.repeat(rows_v, len(shifts))
+        terms = np.empty(nv * len(shifts), dtype=object)
+        k = 0
+        for i in rows_v:
+            uv = int(u[i])
+            for sh in shifts:
+                terms[k] = f"{sh:02d}:{uv >> sh:x}"
+                k += 1
+        positions = np.zeros(nv * len(shifts), dtype=np.int32)
+        counts = np.zeros(n, dtype=np.int64)
+        counts[rows_v] = len(shifts)
+        return TokenizedBatch(row_ids, terms, positions, counts)
 
     def _chain_call(self, texts) -> TokenizedBatch:
         """Generic filter-chain path (tokenfilters.py): per-row generator

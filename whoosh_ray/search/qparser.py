@@ -360,6 +360,17 @@ class QueryParser:
         lo, hi = re.split(r"\s+TO\s+", body, maxsplit=1)
         lo = lo.strip().lower() or None
         hi = hi.strip().lower() or None
+        try:
+            spec = self.schema.field(field)
+        except KeyError:
+            spec = None
+        if spec is not None and spec.kind == "numeric":
+            from whoosh_ray.search.query import NumericRange
+
+            return NumericRange(field,
+                                int(lo) if lo is not None else None,
+                                int(hi) if hi is not None else None,
+                                startexcl=startexcl, endexcl=endexcl)
         return TermRange(field, lo, hi, startexcl=startexcl, endexcl=endexcl)
 
 

@@ -770,6 +770,81 @@ class NumericRange(ColumnQuery):
 
         super().__init__(column, pred, boost)
 
+    @staticmethod
+    def _covering(a: int, b: int, step: int,
+                  bits: int = 64) -> list[tuple[int, int]]:
+        """Minimal covering cells (shift, prefix) of the inclusive
+        unsigned range [a, b] — the tiered-term range decomposition
+        (ranges.py:220-317 semantics).  Cells never exceed the top
+        indexed tier (the largest multiple of ``step`` below ``bits``)."""
+        out: list[tuple[int, int]] = []
+        max_shift = ((bits - 1) // step) * step
+        shift = 0
+        while a <= b:
+            if shift >= max_shift:
+                # top indexed tier: enumerate its cells directly ([a, b]
+                # is tier-aligned by construction at this point)
+                out.extend((max_shift, p)
+                           for p in range(a >> max_shift,
+                                          (b >> max_shift) + 1))
+                break
+            align = 1 << (shift + step)
+            unit = 1 << shift
+            while a <= b and a % align != 0:
+                out.append((shift, a >> shift))
+                a += unit
+            if a > b:
+                break
+            # b is the INCLUSIVE end: the cell block is aligned when
+            # b+1 is a multiple of align
+            while a <= b and (b + 1) % align != 0:
+                out.append((shift, b >> shift))
+                b -= unit
+            if a > b:
+                break
+            shift += step
+        return out
+
+    def docs_scores(self, searcher, seg):
+        spec = None
+        try:
+            spec = searcher.schema.field(self.column)
+        except KeyError:
+            pass
+        def _int_ok(x):
+            return x is None or isinstance(x, (int, np.integer))
+
+        if (spec is None or spec.kind != "numeric"
+                or spec.analyzer.numeric is None
+                or not _int_ok(self.start) or not _int_ok(self.end)):
+            # stored-column scan fallback (non-indexed columns,
+            # float/datetime bounds)
+            return super().docs_scores(searcher, seg)
+        bits, step = spec.analyzer.numeric
+        off = 1 << (bits - 1)
+        lo = 0 if self.start is None else int(self.start) + off
+        if self.start is not None and self.startexcl:
+            lo += 1
+        hi = (1 << bits) - 1 if self.end is None else int(self.end) + off
+        if self.end is not None and self.endexcl:
+            hi -= 1
+        lo = max(lo, 0)
+        hi = min(hi, (1 << bits) - 1)
+        if lo > hi:
+            return matching.empty()
+        parts = []
+        for shift, prefix in self._covering(lo, hi, step, bits):
+            # round shift UP to an indexed tier; widen + post-filter?
+            # tiers exist at every multiple of step and _covering only
+            # emits multiples of step by construction
+            p = seg.postings(self.column, f"{shift:02d}:{prefix:x}")
+            if p is not None:
+                parts.append(p.docids)
+        if not parts:
+            return matching.empty()
+        ids = np.unique(np.concatenate(parts))
+        return ids, np.full(len(ids), self.boost, dtype=np.float64)
+
 
 class DateRange(NumericRange):
     """Datetime range on a stored timestamp column (reference

@@ -50,6 +50,21 @@ class FieldSpec:
                          scorable=False, positions=False, boost=boost,
                          fmt="existence")
 
+    @staticmethod
+    def numeric(name: str, *, bits: int = 32, step: int = 4,
+                stored: bool = True, boost: float = 1.0) -> "FieldSpec":
+        """NUMERIC field with tiered shift terms (fields.py:658-671
+        semantics, own term format): NumericRange queries over it expand
+        to a minimal covering term set — an INDEXED range path whose I/O
+        is bounded by matching postings instead of a full stored-column
+        scan."""
+        return FieldSpec(name=name, kind="numeric",
+                         analyzer=AnalyzerSpec(pattern=None, stopwords=None,
+                                               minsize=0, lowercase=False,
+                                               numeric=(bits, step)),
+                         stored=stored, scorable=False, positions=False,
+                         boost=boost, fmt="existence")
+
     def to_json(self) -> dict:
         d = asdict(self)
         a = asdict(self.analyzer)
@@ -67,7 +82,7 @@ class FieldSpec:
             return (tuple(tuplize(v) for v in x)
                     if isinstance(x, (list, tuple)) else x)
 
-        for k in ("substitute", "ngram", "charmap", "chain"):
+        for k in ("substitute", "ngram", "charmap", "chain", "numeric"):
             if a.get(k) is not None:
                 a[k] = tuplize(a[k])
         return FieldSpec(analyzer=AnalyzerSpec(**a), **d)

@@ -96,10 +96,24 @@ class SegmentReader:
 
     # ---- terms ----
 
+    # process-level stats cache: segments are immutable (any rewrite is
+    # an atomic replace that changes mtime/size), so fresh Searcher
+    # instances in the same process share the loaded stats tables
+    _STATS_CACHE: dict = {}
+
     @property
     def stats(self) -> pa.Table:
         if self._stats is None:
-            self._stats = pq.read_table(self._terms_path, columns=TERM_STAT_COLS)
+            st = os.stat(self._terms_path)
+            key = (self._terms_path, st.st_size, st.st_mtime_ns)
+            cached = SegmentReader._STATS_CACHE.get(key)
+            if cached is None:
+                cached = pq.read_table(self._terms_path,
+                                       columns=TERM_STAT_COLS)
+                if len(SegmentReader._STATS_CACHE) > 4096:
+                    SegmentReader._STATS_CACHE.clear()
+                SegmentReader._STATS_CACHE[key] = cached
+            self._stats = cached
         return self._stats
 
     def term_info(self, field: str, term: str) -> dict | None:

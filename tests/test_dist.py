@@ -82,3 +82,30 @@ def test_fanout_djm_andnot_boundary_handoff(index_dir):
             assert a.docids.tolist() == b.docids.tolist(), (q, limit)
             np.testing.assert_allclose(a.scores, b.scores, rtol=1e-12,
                                        err_msg=str(q))
+
+
+def test_fanout_nested_parent(index_dir):
+    """NestedParent fans out via the last-parent boundary handoff:
+    identical to the global evaluation incl. blocks spanning shard
+    boundaries and the per_parent_limit global rank cut."""
+    from whoosh_ray.search import Or, Searcher, Term
+    from whoosh_ray.search.dist import FanoutSearcher
+    from whoosh_ray.search.nested import NestedParent
+
+    local = Searcher(index_dir)
+    fan = FanoutSearcher(index_dir, num_shards=3)
+    cases = [
+        NestedParent(Term("role", "user"), Term("text", "deploy")),
+        NestedParent(Term("role", "user"),
+                     Or([Term("text", "deploy"), Term("text", "render")])),
+        NestedParent(Term("role", "user"), Term("text", "deploy"),
+                     per_parent_limit=2),
+        NestedParent(Term("role", "user"), Term("text", "deploy"),
+                     per_parent_limit=1),
+    ]
+    for q in cases:
+        for limit in (10, None):
+            a = local.search(q, limit=limit)
+            b = fan.search(q, limit=limit)
+            assert a.docids.tolist() == b.docids.tolist(), (q.per_parent_limit, limit)
+            np.testing.assert_allclose(a.scores, b.scores, rtol=1e-12)

@@ -23,8 +23,10 @@ Two Ray-native shapes (SURVEY.md §2.6 MultiMatcher / §4 mapping):
    shard receives every leaf's first match in later shards (the doc an
    unchecked cursor would sit on at the boundary) for the cursor-max
    leak, and AndNot's first-doc-escape is resolved from the shards'
-   reported local firsts.  Only nested block-joins still route to the
-   local global path.
+   reported local firsts.  NestedParent (sum scoring) fans out with a
+   last-parent handoff so blocks spanning shard boundaries aggregate
+   correctly; NestedChildren / custom nested score_fn still route to
+   the local global path.
 """
 
 from __future__ import annotations
@@ -216,6 +218,59 @@ class SegmentShardActor:
         order = np.lexsort((uids, -out))[:limit]
         return uids[order], out[order]
 
+    def last_parent(self, pblob: bytes, stats: dict):
+        """Boundary state for NestedParent: this shard's LAST matching
+        parent docid (None if no parent matches here)."""
+        import pickle
+
+        s = _ShardSearcher(self.manifest, self.segments, stats)
+        qp = pickle.loads(pblob)
+        p_ids, _ = self._concat_eval(s, qp)
+        return int(p_ids[-1]) if len(p_ids) else None
+
+    def nested_parent_partial(self, pblob: bytes, cblob: bytes,
+                              stats: dict, prev_parent,
+                              per_parent_limit):
+        """Per-shard NestedParent partials: each resident child is
+        credited to the closest parent docid <= it — including
+        ``prev_parent``, the last parent in EARLIER shards, so blocks
+        spanning the boundary aggregate correctly.  Returns
+        (parent_ids, flat child scores in docid order, offsets); child
+        lists are truncated to ``per_parent_limit`` locally (the driver
+        re-applies the GLOBAL rank cut when combining shards)."""
+        import pickle
+
+        s = _ShardSearcher(self.manifest, self.segments, stats)
+        qp, qc = pickle.loads(pblob), pickle.loads(cblob)
+        p_ids, _ = self._concat_eval(s, qp)
+        c_ids, c_scores = self._concat_eval(s, qc)
+        if prev_parent is not None:
+            p_ids = np.concatenate(([np.int64(prev_parent)], p_ids))
+        if not len(p_ids) or not len(c_ids):
+            return (np.empty(0, dtype=np.int64), np.empty(0),
+                    np.zeros(1, dtype=np.int64))
+        pos = np.searchsorted(p_ids, c_ids, side="right") - 1
+        valid = pos >= 0
+        pos, c_scores = pos[valid], c_scores[valid]
+        if not len(pos):
+            return (np.empty(0, dtype=np.int64), np.empty(0),
+                    np.zeros(1, dtype=np.int64))
+        change = np.empty(len(pos), dtype=bool)
+        change[0] = True
+        change[1:] = pos[1:] != pos[:-1]
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], len(pos))
+        if per_parent_limit:
+            keep_ends = np.minimum(ends, starts + per_parent_limit)
+        else:
+            keep_ends = ends
+        parents = p_ids[pos[starts]]
+        parts = [c_scores[s0:e0] for s0, e0 in zip(starts, keep_ends)]
+        flat = np.concatenate(parts) if parts else np.empty(0)
+        offsets = np.concatenate(
+            ([0], np.cumsum([len(p) for p in parts])))
+        return parents, flat, offsets
+
     def andnot_local(self, ablob: bytes, bblob: bytes, stats: dict,
                      boost: float, limit: int):
         """AndNot per shard + the boundary state the first-doc-escape
@@ -325,6 +380,12 @@ class FanoutSearcher:
                 and not _has_nondecomposable(q.a)
                 and not _has_nondecomposable(q.b)):
             return self._andnot_fanout(q, limit)
+        from whoosh_ray.search.nested import NestedParent
+
+        if (isinstance(q, NestedParent) and q.score_fn is None
+                and not _has_nondecomposable(q.parents)
+                and not _has_nondecomposable(q.child)):
+            return self._nested_parent_fanout(q, limit)
         if _has_nondecomposable(q):
             return self._local.search(q, limit)
         merged = self._merged_stats(q.terms())
@@ -360,6 +421,43 @@ class FanoutSearcher:
             for i, a in enumerate(self.actors)])
         return self._finish([t[0] for t in tops], [t[1] for t in tops],
                             limit)
+
+    def _nested_parent_fanout(self, q, limit) -> Results:
+        """Distributed NestedParent (sum scoring): shards report
+        per-parent ordered child-score lists (credited through the
+        last-parent boundary state), the driver concatenates each
+        parent's lists in shard order, applies the global
+        per_parent_limit rank cut, and sums."""
+        import pickle
+
+        pblob = pickle.dumps(q.parents)
+        cblob = pickle.dumps(q.child)
+        merged = self._merged_stats(q.terms())
+        lasts = ray.get([a.last_parent.remote(pblob, merged)
+                         for a in self.actors])
+        prev = [None] * len(self.actors)
+        run = None
+        for i in range(len(self.actors)):
+            prev[i] = run
+            if lasts[i] is not None:
+                run = lasts[i]
+        parts = ray.get([
+            a.nested_parent_partial.remote(pblob, cblob, merged, prev[i],
+                                           q.per_parent_limit)
+            for i, a in enumerate(self.actors)])
+        acc: dict[int, list] = {}
+        for parents, flat, offsets in parts:  # shard (docid) order
+            for j, p in enumerate(parents.tolist()):
+                acc.setdefault(p, []).extend(
+                    flat[offsets[j]: offsets[j + 1]].tolist())
+        if not acc:
+            return Results(self._local, np.empty(0, dtype=np.int64),
+                           np.empty(0, dtype=np.float64))
+        lim = q.per_parent_limit
+        ids = np.array(sorted(acc), dtype=np.int64)
+        sc = np.array([sum(acc[p][:lim] if lim else acc[p])
+                       for p in ids.tolist()])
+        return self._finish([ids], [sc], limit)
 
     def _andnot_fanout(self, q, limit) -> Results:
         """Distributed AndNot preserving the first-doc-escape quirk:

@@ -10,9 +10,11 @@ docs AFTER it up to the next parent (any parent), each scored ``boost``.
 
 Vectorized: parents/children evaluate globally; the parent-of-child map
 is one searchsorted over the sorted parent docid array, child-score
-combination one bincount (sum) / reduceat.  Evaluation is global-only
-(the parent map spans segment boundaries); the distributed fan-out
-routes these queries to the driver path.
+combination one bincount (sum) / reduceat.  The parent map spans
+segment boundaries, so local evaluation is global-only — but the
+distributed fan-out handles NestedParent (sum scoring) with a
+last-parent boundary handoff (search/dist.py); NestedChildren and
+custom score_fn still route to the driver path.
 """
 
 from __future__ import annotations

@@ -67,3 +67,26 @@ def test_unsorted_files_fall_back_to_full_fingerprint(tmp_path):
     assert not m.settings["file_lineage"]
     s = Searcher(str(tmp_path / "ix"))
     assert s.doc_count_all == n
+
+
+def test_stream_mode_resume(tmp_path):
+    """mode=stream commits the same per-segment lineage: a deleted
+    segment rebuilds, the rest resume."""
+    import glob
+    import shutil
+
+    src = tmp_path / "src"
+    src.mkdir()
+    t = generate_transcripts(n_convs=400, seed=13)
+    pq.write_table(t, str(src / "p.parquet"))
+    ix = str(tmp_path / "ix")
+    m1 = build_index(str(src), ix, transcripts_schema(), seg_size=256,
+                     mode="stream")
+    segs = sorted(glob.glob(ix + "/segments/seg=*"))
+    assert len(segs) == len(m1.segments)
+    shutil.rmtree(segs[1])
+    m2 = build_index(str(src), ix, transcripts_schema(), seg_size=256,
+                     mode="stream")
+    assert m2.settings["resumed_segments"] == len(segs) - 1
+    s = Searcher(ix)
+    assert s.doc_count_all == t.num_rows

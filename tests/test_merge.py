@@ -157,3 +157,59 @@ def test_hierarchical_optimize(tmp_path):
     assert before_s == after_s
     for k in before_r:
         assert before_r[k] == after_r[k]
+
+
+def test_merge_crash_between_rename_and_retire(tmp_path):
+    """ADVICE r1: a crash AFTER the merged segment is renamed into place
+    but BEFORE the inputs are retired must not lose or double-count
+    documents — the reseal drops segments named in a survivor's
+    merged_from lineage."""
+    import shutil as _sh
+
+    import pyarrow.parquet as pq
+
+    import whoosh_ray.pipelines.merge as M
+
+    (tmp_path / "src").mkdir()
+    pq.write_table(generate_transcripts(n_convs=60, seed=9),
+                   str(tmp_path / "src" / "p.parquet"))
+    build_index(str(tmp_path / "src"), str(tmp_path / "index"),
+                transcripts_schema(), seg_size=64)
+    ix = str(tmp_path / "index")
+    before_r, before_s = snapshot(ix)
+
+    from whoosh_ray.state.manifest import read_manifest
+
+    manifest = read_manifest(ix)
+    plan = M.plan_optimize(manifest.segments, 1)
+    next_id = max(m.seg_id for m in manifest.segments) + 1
+    worker = M.MergeWorker(ix)
+
+    orig_rmtree = M.shutil.rmtree
+
+    def crashing_rmtree(path, **kw):
+        # the merged output landed (os.replace already ran); "crash"
+        # before any input dir is retired
+        if "/segments/seg=" in str(path):
+            return
+        return orig_rmtree(path, **kw)
+
+    M.shutil.rmtree = crashing_rmtree
+    try:
+        worker._merge(plan[0], next_id)
+    finally:
+        M.shutil.rmtree = orig_rmtree
+
+    # both the merged segment AND every input dir now exist on disk
+    import glob
+
+    assert len(glob.glob(ix + "/segments/seg=*")) == len(plan[0]) + 1
+
+    # recovery = any reseal (here: a MERGE_SMALL call with no plan)
+    m = M.merge_segments(ix, policy="MERGE_SMALL")
+    assert [s.seg_id for s in m.segments] == [next_id]
+    after_r, after_s = snapshot(ix)
+    assert before_s == after_s
+    for k in before_r:
+        assert before_r[k][0] == after_r[k][0]
+        np.testing.assert_array_equal(before_r[k][1], after_r[k][1])

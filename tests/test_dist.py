@@ -109,3 +109,27 @@ def test_fanout_nested_parent(index_dir):
             b = fan.search(q, limit=limit)
             assert a.docids.tolist() == b.docids.tolist(), (q.per_parent_limit, limit)
             np.testing.assert_allclose(a.scores, b.scores, rtol=1e-12)
+
+
+def test_fanout_nested_children(index_dir):
+    """NestedChildren fans out by counting ranges open at each shard
+    edge; identical to the global evaluation incl. the duplicate-
+    emission quirk."""
+    from whoosh_ray.search import Searcher, Term
+    from whoosh_ray.search.dist import FanoutSearcher
+    from whoosh_ray.search.nested import NestedChildren
+
+    local = Searcher(index_dir)
+    for shards in (2, 3, 5):
+        fan = FanoutSearcher(index_dir, num_shards=shards)
+        for q in [NestedChildren(Term("role", "user"),
+                                 Term("text", "deploy")),
+                  NestedChildren(Term("role", "user"),
+                                 Term("text", "cluster"), boost=2.0),
+                  NestedChildren(Term("role", "tool"),
+                                 Term("text", "render"))]:
+            for limit in (10, None):
+                a = local.search(q, limit=limit)
+                b = fan.search(q, limit=limit)
+                assert a.docids.tolist() == b.docids.tolist(), (shards, limit)
+                np.testing.assert_allclose(a.scores, b.scores)

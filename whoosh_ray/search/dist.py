@@ -25,8 +25,9 @@ Two Ray-native shapes (SURVEY.md §2.6 MultiMatcher / §4 mapping):
    leak, and AndNot's first-doc-escape is resolved from the shards'
    reported local firsts.  NestedParent (sum scoring) fans out with a
    last-parent handoff so blocks spanning shard boundaries aggregate
-   correctly; NestedChildren / custom nested score_fn still route to
-   the local global path.
+   correctly, and NestedChildren with an open-range count per shard
+   edge (duplicate-emission quirk preserved); only custom nested
+   score_fn still routes to the local global path.
 """
 
 from __future__ import annotations
@@ -271,6 +272,69 @@ class SegmentShardActor:
             ([0], np.cumsum([len(p) for p in parts])))
         return parents, flat, offsets
 
+    def nested_children_info(self, pblob: bytes, cblob: bytes,
+                             stats: dict):
+        """Phase A for NestedChildren: (first_parent, has_parent,
+        n_matches_after_last_parent, n_matches)."""
+        import pickle
+
+        s = _ShardSearcher(self.manifest, self.segments, stats)
+        qp, qc = pickle.loads(pblob), pickle.loads(cblob)
+        p_ids, _ = self._concat_eval(s, qp)
+        m_ids, _ = self._concat_eval(s, qc)
+        first_p = int(p_ids[0]) if len(p_ids) else None
+        if len(p_ids):
+            # a range stays open past the shard edge iff NO local parent
+            # lies strictly after the match — note >=: a match that IS
+            # the last parent doc still opens (its closer is elsewhere)
+            n_after = int((m_ids >= p_ids[-1]).sum()) if len(m_ids) else 0
+        else:
+            n_after = len(m_ids)
+        return first_p, bool(len(p_ids)), n_after, len(m_ids)
+
+    def nested_children_emit(self, pblob: bytes, cblob: bytes,
+                             stats: dict, k_in: int, boost: float,
+                             limit):
+        """Phase B: emit this shard's child docs — ``k_in`` copies of
+        the run from the shard start to its first parent (ranges opened
+        by earlier shards' matches), plus each local match's run up to
+        the next local parent, clipped at the shard end (the remainder
+        continues in later shards via their ``k_in``).  Duplicate
+        emission for overlapping ranges is the reference's own quirk
+        and is preserved."""
+        import pickle
+
+        s = _ShardSearcher(self.manifest, self.segments, stats)
+        qp, qc = pickle.loads(pblob), pickle.loads(cblob)
+        p_ids, _ = self._concat_eval(s, qp)
+        m_ids, _ = self._concat_eval(s, qc)
+        all_parts = [seg.all_docids() for seg in self.segments]
+        all_ids = (np.concatenate(all_parts) if all_parts
+                   else np.empty(0, dtype=np.int64))
+        shard_hi = (max(seg.meta.docid_range()[1]
+                        for seg in self.segments))
+        out = []
+        # inherited open ranges end at this shard's first parent
+        if k_in > 0 and len(all_ids):
+            p_first = int(p_ids[0]) if len(p_ids) else shard_hi
+            b = np.searchsorted(all_ids, p_first)
+            run = all_ids[:b]
+            out.extend([run] * k_in)
+        for m in m_ids:
+            lo = int(m) + 1
+            j = np.searchsorted(p_ids, lo, side="right")
+            hi = int(p_ids[j]) if j < len(p_ids) else shard_hi
+            a = np.searchsorted(all_ids, lo)
+            b = np.searchsorted(all_ids, hi)
+            out.append(all_ids[a:b])
+        if not out:
+            return (np.empty(0, dtype=np.int64),
+                    np.empty(0, dtype=np.float64))
+        ids = np.sort(np.concatenate(out))
+        if limit is not None:
+            ids = ids[:limit]
+        return ids, np.full(len(ids), boost, dtype=np.float64)
+
     def andnot_local(self, ablob: bytes, bblob: bytes, stats: dict,
                      boost: float, limit: int):
         """AndNot per shard + the boundary state the first-doc-escape
@@ -380,12 +444,16 @@ class FanoutSearcher:
                 and not _has_nondecomposable(q.a)
                 and not _has_nondecomposable(q.b)):
             return self._andnot_fanout(q, limit)
-        from whoosh_ray.search.nested import NestedParent
+        from whoosh_ray.search.nested import NestedChildren, NestedParent
 
         if (isinstance(q, NestedParent) and q.score_fn is None
                 and not _has_nondecomposable(q.parents)
                 and not _has_nondecomposable(q.child)):
             return self._nested_parent_fanout(q, limit)
+        if (isinstance(q, NestedChildren)
+                and not _has_nondecomposable(q.parents)
+                and not _has_nondecomposable(q.child)):
+            return self._nested_children_fanout(q, limit)
         if _has_nondecomposable(q):
             return self._local.search(q, limit)
         merged = self._merged_stats(q.terms())
@@ -458,6 +526,31 @@ class FanoutSearcher:
         sc = np.array([sum(acc[p][:lim] if lim else acc[p])
                        for p in ids.tolist()])
         return self._finish([ids], [sc], limit)
+
+    def _nested_children_fanout(self, q, limit) -> Results:
+        """Distributed NestedChildren: the boundary state is the COUNT
+        of ranges still open at each shard edge (a match with no parent
+        before the edge keeps emitting into the next shard) — shards
+        emit that many copies of their head run, preserving the
+        reference's duplicate-emission quirk."""
+        import pickle
+
+        pblob = pickle.dumps(q.parents)
+        cblob = pickle.dumps(q.child)
+        merged = self._merged_stats(q.terms())
+        infos = ray.get([a.nested_children_info.remote(pblob, cblob,
+                                                       merged)
+                         for a in self.actors])
+        k_in = [0] * len(self.actors)
+        for i in range(1, len(self.actors)):
+            _fp, has_p, n_after, _n = infos[i - 1]
+            k_in[i] = n_after + (k_in[i - 1] if not has_p else 0)
+        outs = ray.get([
+            a.nested_children_emit.remote(pblob, cblob, merged, k_in[i],
+                                          q.boost, limit)
+            for i, a in enumerate(self.actors)])
+        return self._finish([o[0] for o in outs], [o[1] for o in outs],
+                            limit)
 
     def _andnot_fanout(self, q, limit) -> Results:
         """Distributed AndNot preserving the first-doc-escape quirk:

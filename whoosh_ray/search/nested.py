@@ -13,8 +13,9 @@ is one searchsorted over the sorted parent docid array, child-score
 combination one bincount (sum) / reduceat.  The parent map spans
 segment boundaries, so local evaluation is global-only — but the
 distributed fan-out handles NestedParent (sum scoring) with a
-last-parent boundary handoff (search/dist.py); NestedChildren and
-custom score_fn still route to the driver path.
+last-parent boundary handoff and NestedChildren with an open-range
+count per shard edge (search/dist.py); only custom score_fn still
+routes to the driver path.
 """
 
 from __future__ import annotations

@@ -133,3 +133,39 @@ def test_fanout_nested_children(index_dir):
                 b = fan.search(q, limit=limit)
                 assert a.docids.tolist() == b.docids.tolist(), (shards, limit)
                 np.testing.assert_allclose(a.scores, b.scores)
+
+
+def test_fanout_nested_children_boundary_parent(tmp_path):
+    """Engineered edge: the match sits on the last doc of a shard and a
+    PARENT sits exactly on the next shard's first doc — that parent doc
+    is still a child of the open range (strictly-greater closer)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from whoosh_ray.pipelines.build import build_index
+    from whoosh_ray.search import Searcher, Term
+    from whoosh_ray.search.dist import FanoutSearcher
+    from whoosh_ray.search.nested import NestedChildren
+    from whoosh_ray.state.schema import FieldSpec, IndexSchema
+
+    roles = ["p", "c", "c", "c", "p", "c", "p", "c"]  # parent at docid 4
+    texts = ["x", "x", "x", "match", "x", "x", "x", "x"]  # match at 3
+    t = pa.table({
+        "rowid": pa.array(range(8), type=pa.int64()),
+        "role": pa.array(roles),
+        "text": pa.array(texts),
+    })
+    (tmp_path / "src").mkdir()
+    pq.write_table(t, str(tmp_path / "src" / "p.parquet"))
+    schema = IndexSchema(fields=(FieldSpec.text("text"),
+                                 FieldSpec.id("role")))
+    build_index(str(tmp_path / "src"), str(tmp_path / "ix"), schema,
+                seg_size=4, docid_col="rowid")
+    local = Searcher(str(tmp_path / "ix"))
+    fan = FanoutSearcher(str(tmp_path / "ix"), num_shards=2)
+    q = NestedChildren(Term("role", "p"), Term("text", "match"))
+    a = local.search(q, limit=None)
+    b = fan.search(q, limit=None)
+    # global semantics: range (3, first parent > 4) = docs {4, 5}
+    assert a.docids.tolist() == [4, 5]
+    assert b.docids.tolist() == a.docids.tolist()

@@ -287,14 +287,20 @@ class SegmentShardActor:
             # a range stays open past the shard edge iff NO local parent
             # lies strictly after the match — note >=: a match that IS
             # the last parent doc still opens (its closer is elsewhere)
-            n_after = int((m_ids >= p_ids[-1]).sum()) if len(m_ids) else 0
+            open_mask = m_ids >= p_ids[-1] if len(m_ids) else m_ids
         else:
-            n_after = len(m_ids)
-        return first_p, bool(len(p_ids)), n_after, len(m_ids)
+            open_mask = np.ones(len(m_ids), dtype=bool)
+        n_after = int(open_mask.sum()) if len(m_ids) else 0
+        # open ranges whose lo lands EXACTLY on the next shard's first
+        # docid: their closer is the first parent STRICTLY past it
+        shard_hi = max(seg.meta.docid_range()[1] for seg in self.segments)
+        n_edge = (int(((m_ids + 1 == shard_hi) & open_mask).sum())
+                  if len(m_ids) else 0)
+        return first_p, bool(len(p_ids)), n_after, n_edge
 
     def nested_children_emit(self, pblob: bytes, cblob: bytes,
-                             stats: dict, k_in: int, boost: float,
-                             limit):
+                             stats: dict, k_in: int, k_edge: int,
+                             boost: float, limit):
         """Phase B: emit this shard's child docs — ``k_in`` copies of
         the run from the shard start to its first parent (ranges opened
         by earlier shards' matches), plus each local match's run up to
@@ -313,13 +319,21 @@ class SegmentShardActor:
                    else np.empty(0, dtype=np.int64))
         shard_hi = (max(seg.meta.docid_range()[1]
                         for seg in self.segments))
+        shard_lo = min(seg.meta.docid_range()[0] for seg in self.segments)
         out = []
-        # inherited open ranges end at this shard's first parent
+        # inherited open ranges end at this shard's first parent —
+        # except ranges whose lo IS the shard start (k_edge of them): a
+        # parent sitting exactly at the boundary doc is still a child
+        # for those, so their closer is the first parent strictly past
+        # shard_lo
         if k_in > 0 and len(all_ids):
             p_first = int(p_ids[0]) if len(p_ids) else shard_hi
-            b = np.searchsorted(all_ids, p_first)
-            run = all_ids[:b]
-            out.extend([run] * k_in)
+            run = all_ids[: np.searchsorted(all_ids, p_first)]
+            j = np.searchsorted(p_ids, shard_lo, side="right")
+            closer_strict = int(p_ids[j]) if j < len(p_ids) else shard_hi
+            run_edge = all_ids[: np.searchsorted(all_ids, closer_strict)]
+            out.extend([run] * (k_in - k_edge))
+            out.extend([run_edge] * k_edge)
         for m in m_ids:
             lo = int(m) + 1
             j = np.searchsorted(p_ids, lo, side="right")
@@ -542,12 +556,16 @@ class FanoutSearcher:
                                                        merged)
                          for a in self.actors])
         k_in = [0] * len(self.actors)
+        k_edge = [0] * len(self.actors)
         for i in range(1, len(self.actors)):
-            _fp, has_p, n_after, _n = infos[i - 1]
+            _fp, has_p, n_after, n_edge = infos[i - 1]
             k_in[i] = n_after + (k_in[i - 1] if not has_p else 0)
+            # edge ranges only ever come from the immediately previous
+            # shard (an inherited range's lo predates that boundary)
+            k_edge[i] = n_edge
         outs = ray.get([
             a.nested_children_emit.remote(pblob, cblob, merged, k_in[i],
-                                          q.boost, limit)
+                                          k_edge[i], q.boost, limit)
             for i, a in enumerate(self.actors)])
         return self._finish([o[0] for o in outs], [o[1] for o in outs],
                             limit)

@@ -226,6 +226,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return ir.facet_count(_searcher(sf_dir), Term("text", "spark"),
                               "source")
 
+    def ir_numeric_range(sf_dir):
+        """Indexed tiered-numeric range (covering-cell postings, no
+        column scan) AND'd with a text term."""
+        from whoosh_ray.search import And, NumericRange
+
+        s = _searcher(sf_dir)
+        r = s.search(And([Term("text", "table"),
+                          NumericRange("n_chars", 120, 480,
+                                       endexcl=True)]), limit=None)
+        return pa.table({
+            "docid": pa.array(np.sort(r.docids), type=pa.int64()),
+        })
+
     def ir_facet_query(sf_dir):
         """QueryFacet grouping (first-matching-query key, other=
         fallback) with Count maptype — facet-family driver check."""
@@ -459,6 +472,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ir_prefix": ir_prefix,
         "ir_facet_source": ir_facet_source,
         "ir_facet_query": ir_facet_query,
+        "ir_numeric_range": ir_numeric_range,
         "ir_sorted_nchars": ir_sorted_nchars,
         "ir_collapse_lang": ir_collapse_lang,
         "dedup_exact": dedup_exact_q,
@@ -503,6 +517,13 @@ SELECT d.source AS source, count(*)::BIGINT AS n
 FROM documents d WHERE d.doc_id IN
   (SELECT doc_id FROM postings WHERE term = 'spark')
 GROUP BY d.source ORDER BY d.source
+""",
+        "ir_numeric_range": rf"""
+WITH {_base_ctes()}
+SELECT d.doc_id AS docid FROM documents d
+WHERE d.doc_id IN (SELECT doc_id FROM postings WHERE term = 'table')
+  AND d.n_chars >= 120 AND d.n_chars < 480
+ORDER BY docid
 """,
         "ir_facet_query": rf"""
 WITH {_base_ctes()}

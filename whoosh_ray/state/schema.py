@@ -162,6 +162,9 @@ def documents_schema(*, positions: bool = True) -> IndexSchema:
             FieldSpec.text("text", stored=True, positions=positions),
             FieldSpec.id("lang", stored=True),
             FieldSpec.id("source", stored=True),
+            # indexed tiered numeric terms: range queries read covering
+            # postings instead of scanning the stored column
+            FieldSpec.numeric("n_chars", stored=True),
         ),
-        stored_columns=("doc_id", "n_chars"),
+        stored_columns=("doc_id",),
     )

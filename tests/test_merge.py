@@ -213,3 +213,94 @@ def test_merge_crash_between_rename_and_retire(tmp_path):
     for k in before_r:
         assert before_r[k][0] == after_r[k][0]
         np.testing.assert_array_equal(before_r[k][1], after_r[k][1])
+
+
+def test_resume_build_after_merge_no_duplicates(tmp_path):
+    """ADVICE r2 (high): build -> OPTIMIZE merge -> build(resume=True)
+    must reconcile by docid range (a merged segment's fresh seg id never
+    equals docid // seg_size) — no re-indexed rows, no duplicate hits."""
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "src"
+    src.mkdir()
+    pq.write_table(generate_transcripts(n_convs=60, seed=9),
+                   str(src / "p.parquet"))
+    ix = str(tmp_path / "index")
+    m1 = build_index(str(src), ix, transcripts_schema(), seg_size=64)
+    before_r, before_s = snapshot(ix)
+
+    merge_segments(ix, policy="OPTIMIZE")
+    m3 = build_index(str(src), ix, transcripts_schema(), seg_size=64)
+    assert m3.doc_count_all == m1.doc_count_all
+    assert m3.settings["resumed_segments"] == len(m3.segments) == 1
+    after_r, after_s = snapshot(ix)
+    assert before_s["dc"] == after_s["dc"]
+    for k in before_r:
+        assert before_r[k][0] == after_r[k][0]
+        assert len(after_r[k][0]) == len(set(after_r[k][0]))
+
+
+def test_resume_after_partial_merge(tmp_path):
+    """Mixed manifest (merged + unmerged segments) resumes cleanly."""
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "src"
+    src.mkdir()
+    pq.write_table(generate_transcripts(n_convs=60, seed=9),
+                   str(src / "p.parquet"))
+    ix = str(tmp_path / "index")
+    m1 = build_index(str(src), ix, transcripts_schema(), seg_size=64)
+    assert len(m1.segments) > 3
+    merge_segments(ix, policy="OPTIMIZE", target_segments=3)
+    m3 = build_index(str(src), ix, transcripts_schema(), seg_size=64)
+    assert m3.doc_count_all == m1.doc_count_all
+    assert m3.settings["resumed_segments"] == len(m3.segments)
+    ranges = sorted(m.docid_range() for m in m3.segments)
+    for (a0, a1), (b0, b1) in zip(ranges, ranges[1:]):
+        assert b0 >= a1  # pairwise disjoint
+
+
+def test_merge_reseal_does_not_resurrect_stale_dirs(tmp_path):
+    """ADVICE r2 (medium): a segment dir excluded from the sealed
+    manifest (e.g. stale after a source change) must not be resurrected
+    by a later merge_segments reseal with an overlapping docid range."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "src"
+    src.mkdir()
+    pq.write_table(generate_transcripts(n_convs=60, seed=9),
+                   str(src / "p.parquet"))
+    ix = str(tmp_path / "index")
+    m1 = build_index(str(src), ix, transcripts_schema(), seg_size=64)
+    dc = m1.doc_count_all
+
+    # plant a stale committed dir overlapping segment 0's range, with a
+    # bogus fingerprint (as a crashed/abandoned run would leave behind)
+    segroot = os.path.join(ix, "segments")
+    real0 = os.path.join(segroot, "seg=00000")
+    stale = os.path.join(segroot, "seg=09999")
+    import shutil
+
+    shutil.copytree(real0, stale)
+    mj = json.load(open(os.path.join(stale, "meta.json")))
+    mj["seg_id"] = 9999
+    mj["lineage"]["fingerprint"] = "bogus"
+    json.dump(mj, open(os.path.join(stale, "meta.json"), "w"))
+
+    # a rebuild excludes the stale dir from its seal AND retires it
+    m2 = build_index(str(src), ix, transcripts_schema(), seg_size=64)
+    assert m2.doc_count_all == dc
+    assert not os.path.exists(stale)
+
+    # and even if one appears between build and merge, the reseal's
+    # disjointness sweep drops it rather than double-counting
+    shutil.copytree(real0, stale)
+    json.dump(mj, open(os.path.join(stale, "meta.json"), "w"))
+    m3 = merge_segments(ix, policy="OPTIMIZE")
+    assert m3.doc_count_all == dc
+    ranges = sorted(m.docid_range() for m in m3.segments)
+    for (a0, a1), (b0, b1) in zip(ranges, ranges[1:]):
+        assert b0 >= a1

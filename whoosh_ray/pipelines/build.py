@@ -190,34 +190,69 @@ def build_index(
         _ftoks = [(lo, hi, _ftok(p)) for p, lo, hi in file_ranges]
         _ss = seg_size
 
-        def fp_of(seg_id: int) -> str:
-            s0, s1 = seg_id * _ss, (seg_id + 1) * _ss
-            toks = [t for lo, hi, t in _ftoks if lo < s1 and hi > s0]
+        def fp_of_range(r0: int, r1: int) -> str:
+            toks = [t for lo, hi, t in _ftoks if lo < r1 and hi > r0]
             h = hashlib.sha256(
                 (schema_hash + "|" + "|".join(toks)).encode())
             return "fl-" + h.hexdigest()[:16]
+
+        def fp_of(seg_id: int) -> str:
+            return fp_of_range(seg_id * _ss, (seg_id + 1) * _ss)
     else:
+        def fp_of_range(r0: int, r1: int) -> str:
+            return fingerprint
+
         def fp_of(seg_id: int) -> str:
             return fingerprint
 
     # ---- resume set (needs fingerprints; file path also prunes reads) ----
-    done = completed_segments(index_dir) if resume else {}
-    done_ids = sorted(
-        s for s, m in done.items()
-        if m.lineage.get("fingerprint") == fp_of(s)
-        and m.metrics.get("complete")
-    )
+    # Reconciled by DOCID RANGE, not seg id: a merged segment carries a
+    # fresh seg id but covers the union of its inputs' ranges, so the
+    # "already indexed" test must be interval membership.  Fingerprint
+    # validity: a merged segment validates each constituent range
+    # (lineage["fp_parts"], written by merge.py) against the current
+    # input files; plain segments validate their own range.
+    def _meta_valid(m) -> bool:
+        if not m.metrics.get("complete"):
+            return False
+        parts = m.lineage.get("fp_parts")
+        if parts:
+            return all(p[2] == fp_of_range(int(p[0]), int(p[1]))
+                       for p in parts)
+        return m.lineage.get("fingerprint") == fp_of_range(*m.docid_range())
+
+    done = ({s: m for s, m in completed_segments(index_dir).items()
+             if _meta_valid(m)} if resume else {})
+    done_ranges = sorted(m.docid_range() for m in done.values())
+    # resumed ranges are disjoint by construction; guard anyway so a
+    # corrupted segment store fails loudly instead of double-counting
+    for (a0, a1), (b0, b1) in zip(done_ranges, done_ranges[1:]):
+        if b0 < a1:
+            raise RuntimeError(
+                f"resume found overlapping committed docid ranges "
+                f"[{a0},{a1}) and [{b0},{b1}) in {index_dir}")
 
     # ---- build the input dataset (pruned to needed files if possible) ----
+    def _covered(lo: int, hi: int) -> bool:
+        """True iff [lo, hi) is fully inside the resumed ranges."""
+        pos = lo
+        for r0, r1 in done_ranges:
+            if r1 <= pos:
+                continue
+            if r0 > pos:
+                return False
+            pos = r1
+            if pos >= hi:
+                return True
+        return pos >= hi
+
     read_source = source
-    if file_ranges is not None and done_ids:
-        done_set = set(done_ids)
+    if file_ranges is not None and done_ranges:
         needed = []
         for p, lo, hi in file_ranges:
             if hi <= lo:
                 continue
-            s_first, s_last = lo // seg_size, (hi - 1) // seg_size
-            if any(s not in done_set for s in range(s_first, s_last + 1)):
+            if not _covered(lo, hi):
                 needed.append(p)
         read_source = needed
 
@@ -282,13 +317,15 @@ def build_index(
     n_seg_est = max(1, -(-span // seg_size))
     num_partitions = int(min(n_seg_est, max(8 * _ncpu, 64)))
 
-    if done_ids and ds is not None:
-        done_arr = np.array(done_ids, dtype=np.int64)
+    if done_ranges and ds is not None:
+        starts = np.array([r[0] for r in done_ranges], dtype=np.int64)
+        ends = np.array([r[1] for r in done_ranges], dtype=np.int64)
 
         def drop_done(batch: pa.Table) -> pa.Table:
-            seg = batch["seg"].to_numpy()
-            keep = ~np.isin(seg, done_arr)
-            return batch.filter(pa.array(keep))
+            docid = batch["docid"].to_numpy()
+            idx = np.searchsorted(starts, docid, side="right") - 1
+            covered = (idx >= 0) & (docid < ends[np.clip(idx, 0, None)])
+            return batch.filter(pa.array(~covered))
 
         ds = ds.map_batches(drop_done, batch_format="pyarrow")
 
@@ -476,8 +513,7 @@ def build_index(
         new_metas.append(meta)
 
     # ---- manifest seal: resumed segments + new segments ----
-    all_metas = {m.seg_id: m for m in done.values()
-                 if m.lineage.get("fingerprint") == fp_of(m.seg_id)}
+    all_metas = {m.seg_id: m for m in done.values()}  # pre-validated above
     for m in new_metas:
         all_metas[m.seg_id] = m
     manifest = Manifest(
@@ -488,7 +524,7 @@ def build_index(
             "docid_span": span,
             "fingerprint": fingerprint,
             "build_secs": build_secs,
-            "resumed_segments": len(done_ids),
+            "resumed_segments": len(done),
             "file_lineage": file_ranges is not None,
             "files_read": (len(read_source)
                            if isinstance(read_source, list)
@@ -497,6 +533,22 @@ def build_index(
         },
     )
     write_manifest(index_dir, manifest)
+
+    # ---- retire segment dirs excluded from the seal ----
+    # A committed dir whose fingerprint no longer matches (source file
+    # changed, or a merged segment whose range was rebuilt) is dead: if
+    # left on disk, merge_segments' crash-recovery dir scan would
+    # resurrect it into the manifest with an overlapping docid range.
+    sealed = set(all_metas)
+    for name in os.listdir(segroot):
+        if not name.startswith("seg="):
+            continue
+        try:
+            sid = int(name.split("=", 1)[1])
+        except ValueError:
+            continue
+        if sid not in sealed:
+            _shutil.rmtree(os.path.join(segroot, name), ignore_errors=True)
     return manifest
 
 

@@ -318,6 +318,18 @@ class MergeWorker:
                 field_lengths[k] = field_lengths.get(k, 0) + v
         for k, v in removed_fl.items():
             field_lengths[k] = field_lengths.get(k, 0) - v
+        # fp_parts: each constituent (lo, hi, fingerprint) so build-resume
+        # can re-validate a merged segment range-by-range against the
+        # current input files (build.py _meta_valid); inputs that are
+        # themselves merges contribute their own parts
+        fp_parts: list[list] = []
+        for m in metas:
+            parts = m.lineage.get("fp_parts")
+            if parts:
+                fp_parts.extend([list(p) for p in parts])
+            elif m.lineage.get("fingerprint"):
+                lo, hi = m.docid_range()
+                fp_parts.append([lo, hi, m.lineage["fingerprint"]])
         merged_meta = SegmentMeta(
             seg_id=new_id,
             docid_base=min(m.docid_base for m in metas),
@@ -326,6 +338,7 @@ class MergeWorker:
             lineage={"merged_from": seg_ids,
                      **{k: v for k, v in metas[0].lineage.items()
                         if k == "fingerprint"},
+                     "fp_parts": fp_parts,
                      "docid_range": [
                          min(m.docid_range()[0] for m in metas),
                          max(m.docid_range()[1] for m in metas)]},
@@ -376,6 +389,39 @@ def merge_segments(index_dir: str, policy: str = "MERGE_SMALL",
                                        seg_dirname(sid)),
                           ignore_errors=True)
             del survivors[sid]
+    # disjointness guard: the dir scan exists for crash recovery, but it
+    # must never resurrect a stale dir the previous build/reseal excluded
+    # from its manifest.  On a docid-range overlap, prefer the segment the
+    # CURRENT manifest knows about and drop (and delete) the stranger;
+    # an overlap among manifest members is unrecoverable — fail loudly.
+    known = {m.seg_id for m in manifest.segments} | {
+        int(it["new_seg"]) for it in (items if plan else [])}
+
+    def _drop(meta):
+        shutil.rmtree(os.path.join(index_dir, "segments",
+                                   seg_dirname(meta.seg_id)),
+                      ignore_errors=True)
+        del survivors[meta.seg_id]
+
+    kept: list[SegmentMeta] = []
+    for m in sorted(survivors.values(), key=lambda m: m.docid_range()):
+        while kept and m is not None \
+                and m.docid_range()[0] < kept[-1].docid_range()[1]:
+            prev = kept[-1]
+            stranger = next((x for x in (prev, m)
+                             if x.seg_id not in known), None)
+            if stranger is None:
+                raise RuntimeError(
+                    f"merge reseal: overlapping docid ranges "
+                    f"{prev.docid_range()} (seg {prev.seg_id}) and "
+                    f"{m.docid_range()} (seg {m.seg_id}) in {index_dir}")
+            _drop(stranger)
+            if stranger is m:
+                m = None
+            else:
+                kept.pop()
+        if m is not None:
+            kept.append(m)
     manifest = Manifest(schema=manifest.schema,
                         segments=sorted(survivors.values(),
                                         key=lambda m: m.seg_id),

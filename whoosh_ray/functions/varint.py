@@ -50,10 +50,28 @@ def encode(values: np.ndarray) -> bytes:
 
 
 def decode(buf: bytes | memoryview | np.ndarray, count: int | None = None) -> np.ndarray:
-    """Decode a varint stream to an int64 array (vectorized, no Python loop)."""
+    """Decode a varint stream to an int64 array (vectorized, no Python loop
+    for large streams; a scalar loop for tiny ones — the numpy machinery
+    costs ~50 us of fixed overhead per call, which dominated block-header
+    reads on many-segment cold queries)."""
     b = np.frombuffer(buf, dtype=np.uint8)
     if b.size == 0:
         return np.empty(0, dtype=np.int64)
+    if b.size <= 80:
+        out = []
+        val = 0
+        shift = 0
+        for byte in bytes(b):
+            if byte & 0x80:
+                val |= (byte & 0x7F) << shift
+                shift += 7
+            else:
+                out.append(val | (byte << shift))
+                val = 0
+                shift = 0
+        if count is not None and count != len(out):
+            raise ValueError(f"expected {count} varints, decoded {len(out)}")
+        return np.array(out, dtype=np.int64)
     is_last = (b & 0x80) == 0
     # value index for every byte = number of terminators strictly before it
     value_id = np.empty(b.shape, dtype=np.int64)

@@ -220,7 +220,9 @@ class MergeWorker:
         removed_fl: dict[str, int] = {}
         n_docs_removed = 0
         for d in dirs:
-            t = pq.read_table(os.path.join(d, "terms.parquet"))
+            from whoosh_ray.state.segment import read_terms_file
+
+            t = read_terms_file(d)
             dd = pq.read_table(os.path.join(d, "docs.parquet"))
             dels = _read_deletes(d)
             if len(dels):

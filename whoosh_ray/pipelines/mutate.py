@@ -122,7 +122,9 @@ def add_documents(index_dir: str, source, *, conv_col: str = "conv_id",
             pa.array(docs["docid"].to_numpy() + old_span, type=pa.int64()))
         write_docs_file(tmp, shifted)
         # terms: shift docids inside blobs (decode -> +offset -> re-encode)
-        terms = pq.read_table(os.path.join(src_dir, "terms.parquet"))
+        from whoosh_ray.state.segment import read_terms_file
+
+        terms = read_terms_file(src_dir)
         posts = terms["postings"].to_pylist()
         new_blobs = []
         for blob in posts:

@@ -49,12 +49,18 @@ def _sorted_factorize(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _atomic_emit(index_dir: str, seg_id: int, filename: str, write_fn) -> None:
-    """Write one segment file via temp-dir + rename (idempotent on retry)."""
+    """Write one segment file (plus any sidecars the writer produced,
+    e.g. blobs.bin next to terms.parquet) via temp-dir + rename
+    (idempotent on retry).  Sidecars move BEFORE the named file so the
+    named file's presence implies its sidecars are in place."""
     seg_dir = os.path.join(index_dir, "segments", seg_dirname(seg_id))
     tmp = seg_dir + f".tmp-{filename}-{os.getpid()}"
     os.makedirs(tmp, exist_ok=True)
     write_fn(tmp)
     os.makedirs(seg_dir, exist_ok=True)
+    for name in sorted(os.listdir(tmp)):
+        if name != filename:
+            os.replace(os.path.join(tmp, name), os.path.join(seg_dir, name))
     os.replace(os.path.join(tmp, filename), os.path.join(seg_dir, filename))
     os.rmdir(tmp)
 

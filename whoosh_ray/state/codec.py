@@ -270,15 +270,27 @@ class BlobReader:
         self._buf = memoryview(blob)
         b = np.frombuffer(self._buf, dtype=np.uint8)
         self._bytes = b
-        # Parse header + dir with a single bounded varint scan.
-        # Count varints needed: 2 header + 4*nblocks (known after header).
-        pos, (n, nblocks) = self._read_varints(0, 2)
-        self.npostings = int(n)
-        nblocks = int(nblocks)
-        pos, counts = self._read_varints(pos, nblocks)
-        pos, ld = self._read_varints(pos, nblocks)
-        pos, de = self._read_varints(pos, nblocks)
-        pos, te = self._read_varints(pos, nblocks)
+        # Parse header + dir with ONE scalar varint scan: the header is
+        # 2 + 4*nblocks small values (tens of bytes) — a single Python
+        # loop beats five numpy-assisted scans' fixed overhead by ~10x
+        # on the many-(segment x term) cold-query path.
+        vals, pos = self._scan_header(bytes(self._buf[:512]))
+        if vals is None:  # header larger than the fast window
+            pos, (n, nblocks) = self._read_varints(0, 2)
+            self.npostings = int(n)
+            nblocks = int(nblocks)
+            pos, counts = self._read_varints(pos, nblocks)
+            pos, ld = self._read_varints(pos, nblocks)
+            pos, de = self._read_varints(pos, nblocks)
+            pos, te = self._read_varints(pos, nblocks)
+        else:
+            self.npostings = vals[0]
+            nblocks = vals[1]
+            a = np.array(vals[2:], dtype=np.int64)
+            counts = a[:nblocks]
+            ld = a[nblocks: 2 * nblocks]
+            de = a[2 * nblocks: 3 * nblocks]
+            te = a[3 * nblocks: 4 * nblocks]
         maxw = np.frombuffer(self._buf[pos:pos + 4 * nblocks],
                              dtype=np.float32).copy()
         pos += 4 * nblocks
@@ -300,15 +312,41 @@ class BlobReader:
         self._tf0 = pos + int(self.dir.docid_ends[-1]) if nblocks else pos
         self._len0 = self._tf0 + (int(self.dir.tf_ends[-1]) if nblocks else 0)
 
+    @staticmethod
+    def _scan_header(window: bytes):
+        """Scalar-decode the 2 + 4*nblocks header varints from a bounded
+        prefix window.  Returns (values, end_pos), or (None, 0) if the
+        header did not fit the window (rare giant dirs — vector path)."""
+        vals = []
+        need = 2
+        val = 0
+        shift = 0
+        for pos, byte in enumerate(window):
+            if byte & 0x80:
+                val |= (byte & 0x7F) << shift
+                shift += 7
+            else:
+                vals.append(val | (byte << shift))
+                val = 0
+                shift = 0
+                if len(vals) == 2:
+                    need = 2 + 4 * vals[1]
+                if len(vals) == need:
+                    return vals, pos + 1
+        return None, 0
+
     def _read_varints(self, pos: int, count: int):
         """Scan exactly ``count`` varints starting at byte ``pos``."""
         if count == 0:
             return pos, np.empty(0, dtype=np.int64)
         b = self._bytes
-        # find the end: the count-th terminator byte from pos
-        is_last = (b[pos:] & 0x80) == 0
-        term_idx = np.flatnonzero(is_last[: self._scan_limit(count)])
+        # find the end: the count-th terminator byte from pos (scan only
+        # the bounded window, not the whole blob tail)
+        window = b[pos: pos + self._scan_limit(count)]
+        is_last = (window & 0x80) == 0
+        term_idx = np.flatnonzero(is_last)
         if len(term_idx) < count:
+            is_last = (b[pos:] & 0x80) == 0
             term_idx = np.flatnonzero(is_last)
         end = pos + int(term_idx[count - 1]) + 1
         vals = varint.decode(self._buf[pos:end], count)

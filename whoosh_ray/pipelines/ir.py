@@ -174,7 +174,8 @@ def facet_count(searcher: Searcher, q: Query, facet_col: str) -> pa.Table:
     agg = part.groupby(facet_col).sum("n").sort(facet_col).to_pandas()
     if not len(agg) or facet_col not in agg.columns:
         # a zero-match query: the empty groupby loses its columns
-        key_t = part.schema().field(facet_col).type
+        sch = part.schema()
+        key_t = dict(zip(sch.names, sch.types))[facet_col]
         return pa.table({facet_col: pa.array([], type=key_t),
                          "n": pa.array([], type=pa.int64())})
     return pa.table({facet_col: pa.array(agg[facet_col]),

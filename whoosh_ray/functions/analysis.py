@@ -129,6 +129,12 @@ class TokenizedBatch:
     terms: np.ndarray     # object array of str
     positions: np.ndarray  # int32, renumbered position within its row
     row_lengths: np.ndarray  # int64 per input row: surviving token count
+    # optional per-token attributes: boosts (DelimitedAttributeFilter —
+    # None means all 1.0) and char spans (Characters format — None when
+    # not requested)
+    boosts: np.ndarray | None = None       # float64
+    startchars: np.ndarray | None = None   # int64
+    endchars: np.ndarray | None = None     # int64
 
 
 class VectorAnalyzer:
@@ -168,7 +174,7 @@ class VectorAnalyzer:
             out.append(list(terms[cuts[i]: cuts[i + 1]]))
         return out
 
-    def __call__(self, texts) -> TokenizedBatch:
+    def __call__(self, texts, with_chars: bool = False) -> TokenizedBatch:
         spec = self.spec
         if isinstance(texts, pd.Series):
             texts = texts.to_numpy()
@@ -180,7 +186,13 @@ class VectorAnalyzer:
             return self._ngram_call(texts)
         n = len(texts)
         token_lists: list[list[str]] = []
+        span_lists: list = []
         counts = np.empty(n, dtype=np.int64)
+        if with_chars and (self._breakmap is not None or self._re is None
+                           or spec.gaps):
+            raise ValueError(
+                "char-offset payloads are supported on the regex "
+                "tokenizer path only (Characters format)")
         if self._breakmap is not None:
             from whoosh_ray.functions.charset import charset_tokenize_row
 
@@ -201,6 +213,17 @@ class VectorAnalyzer:
                 toks = [w for w in split(t or "") if w]
                 token_lists.append(toks)
                 counts[i] = len(toks)
+        elif with_chars:
+            finditer = self._re.finditer
+            for i, t in enumerate(texts):
+                toks, spans = [], []
+                if t:
+                    for m in finditer(t):
+                        toks.append(m.group(0))
+                        spans.append(m.span())
+                token_lists.append(toks)
+                span_lists.append(spans)
+                counts[i] = len(toks)
         else:
             findall = self._re.findall
             for i, t in enumerate(texts):
@@ -214,6 +237,11 @@ class VectorAnalyzer:
                                   empty.astype(np.int32), np.zeros(n, dtype=np.int64))
 
         flat = np.concatenate([np.asarray(t, dtype=object) for t in token_lists if t])
+        sc_flat = ec_flat = None
+        if with_chars:
+            all_spans = [sp for spans in span_lists for sp in spans]
+            sc_flat = np.array([sp[0] for sp in all_spans], dtype=np.int64)
+            ec_flat = np.array([sp[1] for sp in all_spans], dtype=np.int64)
         row_ids = np.repeat(np.arange(n, dtype=np.int64), counts)
         # original (pre-filter) position of each token within its row
         pre_cuts = np.concatenate(([np.int64(0)], np.cumsum(counts)))
@@ -261,6 +289,9 @@ class VectorAnalyzer:
         terms = s.to_numpy()[keep]
         row_ids = row_ids[keep]
         orig_pos = orig_pos[keep]
+        if with_chars:
+            sc_flat = sc_flat[keep]
+            ec_flat = ec_flat[keep]
         # surviving token count per row
         row_lengths = np.bincount(row_ids, minlength=n).astype(np.int64)
         # Renumbered positions (StopFilter renumber=True, filters.py:300-311):
@@ -272,7 +303,8 @@ class VectorAnalyzer:
         has_any = row_lengths > 0
         first_orig[has_any] = orig_pos[cuts[:-1][has_any]]
         positions = (first_orig[row_ids] + rank_in_row).astype(np.int32)
-        return TokenizedBatch(row_ids, terms, positions, row_lengths)
+        return TokenizedBatch(row_ids, terms, positions, row_lengths,
+                              startchars=sc_flat, endchars=ec_flat)
 
     def _numeric_call(self, values) -> TokenizedBatch:
         """Tiered numeric terms: one token per tier per value."""
@@ -302,23 +334,27 @@ class VectorAnalyzer:
     def _chain_call(self, texts) -> TokenizedBatch:
         """Generic filter-chain path (tokenfilters.py): per-row generator
         chains for the stream-restructuring filters."""
-        from whoosh_ray.functions.tokenfilters import analyze_row
+        from whoosh_ray.functions.tokenfilters import analyze_row_boosts
 
         tokenize, fns = self._chain
         n = len(texts)
-        rows, terms, positions = [], [], []
+        rows, terms, positions, boosts = [], [], [], []
         for i, t in enumerate(texts):
-            for text, pos in analyze_row(t or "", tokenize, fns):
+            for text, pos, boost in analyze_row_boosts(t or "", tokenize, fns):
                 rows.append(i)
                 terms.append(text)
                 positions.append(pos)
+                boosts.append(boost)
         row_ids = np.asarray(rows, dtype=np.int64)
         counts = np.bincount(row_ids, minlength=n).astype(np.int64)
+        barr = np.asarray(boosts, dtype=np.float64)
         return TokenizedBatch(
             row_ids,
             np.asarray(terms, dtype=object),
             np.asarray(positions, dtype=np.int32),
             counts,
+            boosts=None if (len(barr) == 0 or bool(np.all(barr == 1.0)))
+            else barr,
         )
 
     def _ngram_call(self, texts) -> TokenizedBatch:
@@ -374,7 +410,8 @@ class VectorAnalyzer:
             counts,
         )
 
-    def aggregate(self, texts, with_positions: bool = False):
+    def aggregate(self, texts, with_positions: bool = False,
+                  with_chars: bool = False):
         """Per-(row, term) aggregation — the Format.word_values analogue.
 
         The reference folds the token stream of each field value into
@@ -390,7 +427,7 @@ class VectorAnalyzer:
         with positions ``pos_values``/``pos_offsets`` (flat int32 + group
         offsets, ready for ``pa.ListArray.from_arrays``).
         """
-        tb = self(texts)
+        tb = self(texts, with_chars=with_chars) if with_chars else self(texts)
         n_tok = len(tb.terms)
         if n_tok == 0:
             out = dict(
@@ -403,6 +440,9 @@ class VectorAnalyzer:
             if with_positions:
                 out["pos_values"] = np.empty(0, dtype=np.int32)
                 out["pos_offsets"] = np.zeros(1, dtype=np.int32)
+            if with_chars:
+                out["char_starts"] = np.empty(0, dtype=np.int64)
+                out["char_ends"] = np.empty(0, dtype=np.int64)
             return out
 
         tcode, term_dict = pd.factorize(tb.terms, sort=False)
@@ -426,4 +466,14 @@ class VectorAnalyzer:
             p = tb.positions[order]
             out["pos_values"] = p.astype(np.int32)
             out["pos_offsets"] = np.append(starts, n_tok).astype(np.int32)
+        if with_chars:
+            out["char_starts"] = tb.startchars[order]
+            out["char_ends"] = tb.endchars[order]
+        if tb.boosts is not None:
+            # per-(row, term) scoring weight = sum of token boosts
+            # (Frequency/Positions word_values, formats.py:182-263);
+            # omitted when every weight equals the tf (no boost in play)
+            w = np.add.reduceat(tb.boosts[order], starts)
+            if not np.array_equal(w, out["tfs"].astype(np.float64)):
+                out["weights"] = w
         return out

@@ -35,14 +35,15 @@ import unicodedata
 
 
 class Token:
-    __slots__ = ("text", "pos")
+    __slots__ = ("text", "pos", "boost")
 
-    def __init__(self, text: str, pos: int):
+    def __init__(self, text: str, pos: int, boost: float = 1.0):
         self.text = text
         self.pos = pos
+        self.boost = boost
 
     def copy(self) -> "Token":
-        return Token(self.text, self.pos)
+        return Token(self.text, self.pos, self.boost)
 
 
 def _is_lower(ch: str) -> bool:
@@ -115,17 +116,18 @@ def charset_filter(tokens, charmap):
 
 
 def delimited_attribute_filter(tokens, delimiter="^"):
-    """DelimitedAttributeFilter parity (filters.py:375-436) for the
-    observable part under the default posting formats: the delimited
-    payload is stripped from the token text.  The attribute value
-    itself (token.boost) is parsed-and-dropped — the reference's
-    Frequency/Positions formats ignore ``token.boost`` too, so indexed
-    output is identical; carrying per-token weights would need a
-    posting-weight column (documented format decision)."""
+    """DelimitedAttributeFilter parity (filters.py:375-436): the
+    delimited payload is stripped from the token text and parsed into
+    ``token.boost``, which the writers fold into per-posting scoring
+    weights exactly like the reference's Frequency/Positions
+    ``word_values`` (formats.py:182-263: weight = sum of token
+    boosts)."""
     for t in tokens:
         pos = t.text.find(delimiter)
         if pos > -1:
-            float(t.text[pos + 1:]) if t.text[pos + 1:] else None
+            attr = t.text[pos + 1:]
+            if attr:
+                t.boost = float(attr)
             t.text = t.text[:pos]
         yield t
 
@@ -464,3 +466,10 @@ def _apply(fns, tokens):
 
 def analyze_row(text: str, tokenize, fns) -> list[tuple[str, int]]:
     return [(t.text, t.pos) for t in _apply(fns, tokenize(text))]
+
+
+def analyze_row_boosts(text: str, tokenize, fns) -> list[tuple[str, int, float]]:
+    """analyze_row + per-token boost (DelimitedAttributeFilter carries
+    the parsed ``word^boost`` value into posting weights, reference
+    filters.py:375-436 + Frequency.word_values formats.py:182-196)."""
+    return [(t.text, t.pos, t.boost) for t in _apply(fns, tokenize(text))]

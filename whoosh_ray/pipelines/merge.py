@@ -117,6 +117,12 @@ def plan_optimize(metas: list[SegmentMeta],
     return [g for g in groups if len(g) > 1]
 
 
+def _terms_schema():
+    from whoosh_ray.state.segment import TERMS_ARROW_SCHEMA
+
+    return TERMS_ARROW_SCHEMA
+
+
 def _read_deletes(seg_dir: str) -> np.ndarray:
     p = os.path.join(seg_dir, "deletes.json")
     if not os.path.exists(p):
@@ -146,11 +152,13 @@ def _expunge(terms: pa.Table, docs: pa.Table,
     fields = terms["field"].to_numpy(zero_copy_only=False)
     posts = terms["postings"].to_pylist()
     poss = terms["positions"].to_pylist()
+    chs = (terms["chars"].to_pylist() if "chars" in terms.column_names
+           else [b""] * terms.num_rows)
     stats = {c: terms[c].to_numpy(zero_copy_only=False)
              for c in _COMBINE_COLS}
     tvals = terms["term"].to_numpy(zero_copy_only=False)
     removed_fl: dict[str, int] = {}
-    out: dict[str, list] = {c: [] for c in terms.column_names}
+    out: dict[str, list] = {f.name: [] for f in _terms_schema()}
     for i in range(terms.num_rows):
         p = codec.BlobReader(posts[i]).decode_all()
         keep = ~np.isin(p.docids, deletes, assume_unique=True)
@@ -162,29 +170,40 @@ def _expunge(terms: pa.Table, docs: pa.Table,
                 out[c].append(stats[c][i])
             out["postings"].append(posts[i])
             out["positions"].append(poss[i])
+            out["chars"].append(chs[i])
             continue
         fname = str(fields[i])
         removed_fl[fname] = removed_fl.get(fname, 0) + int(p.tfs[~keep].sum())
         if nkeep == 0:
             continue
         ids, tfs, lens = p.docids[keep], p.tfs[keep], p.len_bytes[keep]
+        w = p.weights[keep] if p.weights is not None else None
         out["field"].append(fields[i])
         out["term"].append(tvals[i])
         out["df"].append(nkeep)
         out["sum_tf"].append(int(tfs.sum()))
-        out["total_weight"].append(float(tfs.sum()))
-        out["max_weight"].append(np.float32(tfs.max()))
+        out["total_weight"].append(float(w.sum()) if w is not None
+                                   else float(tfs.sum()))
+        out["max_weight"].append(np.float32(w.max()) if w is not None
+                                 else np.float32(tfs.max()))
         out["min_length"].append(np.uint8(lens.min()))
         out["max_length"].append(np.uint8(lens.max()))
         out["min_docid"].append(int(ids[0]))
         out["max_docid"].append(int(ids[-1]))
-        out["postings"].append(codec.encode_postings(ids, tfs, lens))
+        out["postings"].append(codec.encode_postings(ids, tfs, lens,
+                                                     weights=w))
         if poss[i]:
             plists = codec.decode_positions(poss[i], p.tfs)
             out["positions"].append(codec.encode_positions(
                 [pl for pl, k in zip(plists, keep) if k]))
         else:
             out["positions"].append(b"")
+        if chs[i]:
+            spans = codec.decode_chars(chs[i], p.tfs)
+            out["chars"].append(codec.encode_chars(
+                [sp for sp, k in zip(spans, keep) if k]))
+        else:
+            out["chars"].append(b"")
 
     from whoosh_ray.state.segment import TERMS_ARROW_SCHEMA
 
@@ -261,9 +280,12 @@ class MergeWorker:
             starts = np.flatnonzero(change)
             ends = np.append(starts[1:], len(tvals))
 
-            rows = {name: [] for name in terms.column_names}
+            rows = {f.name: [] for f in TERMS_ARROW_SCHEMA}
             posts = terms["postings"].to_pylist()
             poss = terms["positions"].to_pylist()
+            chs = (terms["chars"].to_pylist()
+                   if "chars" in terms.column_names
+                   else [b""] * terms.num_rows)
             col = {c: terms[c].to_numpy(zero_copy_only=False)
                    for c in _COMBINE_COLS}
             for s, e in zip(starts, ends):
@@ -281,13 +303,20 @@ class MergeWorker:
                 if e - s == 1:
                     rows["postings"].append(posts[s])
                     rows["positions"].append(poss[s])
+                    rows["chars"].append(chs[s])
                 else:
                     parts = [codec.BlobReader(posts[j]).decode_all()
                              for j in range(s, e)]
                     ids = np.concatenate([p.docids for p in parts])
                     tfs = np.concatenate([p.tfs for p in parts])
                     lens = np.concatenate([p.len_bytes for p in parts])
-                    rows["postings"].append(codec.encode_postings(ids, tfs, lens))
+                    w = None
+                    if any(p.weights is not None for p in parts):
+                        w = np.concatenate([
+                            p.weights if p.weights is not None
+                            else p.tfs.astype(np.float32) for p in parts])
+                    rows["postings"].append(
+                        codec.encode_postings(ids, tfs, lens, weights=w))
                     if any(poss[j] for j in range(s, e)):
                         plists = []
                         for j in range(s, e):
@@ -296,6 +325,14 @@ class MergeWorker:
                         rows["positions"].append(codec.encode_positions(plists))
                     else:
                         rows["positions"].append(b"")
+                    if all(chs[j] for j in range(s, e)):
+                        spans = []
+                        for j in range(s, e):
+                            spans.extend(codec.decode_chars(chs[j],
+                                                            parts[j - s].tfs))
+                        rows["chars"].append(codec.encode_chars(spans))
+                    else:
+                        rows["chars"].append(b"")
 
             merged_terms = pa.table(
                 {f.name: pa.array(rows[f.name], type=f.type)

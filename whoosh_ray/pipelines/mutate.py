@@ -130,7 +130,8 @@ def add_documents(index_dir: str, source, *, conv_col: str = "conv_id",
         for blob in posts:
             p = codec.BlobReader(blob).decode_all()
             new_blobs.append(codec.encode_postings(
-                p.docids + old_span, p.tfs, p.len_bytes))
+                p.docids + old_span, p.tfs, p.len_bytes,
+                weights=p.weights))
         terms = terms.set_column(
             terms.column_names.index("postings"), "postings",
             pa.array(new_blobs, type=pa.large_binary()))

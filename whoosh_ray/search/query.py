@@ -81,7 +81,7 @@ class Term(Query):
         if p is None:
             return matching.empty()
         scorer = searcher.scorer(self.fieldname, self.text)
-        scores = scorer.score_array(p.tfs, p.len_bytes)
+        scores = scorer.score_array(p.score_weights, p.len_bytes)
         if self.boost != 1.0:
             scores = scores * self.boost
         return p.docids, scores
@@ -654,7 +654,7 @@ class Ordered(Sequence):
         for (_, w), p in zip(words, plists):
             scorer = searcher.scorer(f, w)
             idx = np.searchsorted(p.docids, match_ids)
-            scores += scorer.score_array(p.tfs[idx], p.len_bytes[idx])
+            scores += scorer.score_array(p.score_weights[idx], p.len_bytes[idx])
         if self.boost != 1.0:
             scores = scores * self.boost
         return match_ids, scores
@@ -924,7 +924,7 @@ class Phrase(Query):
         for w, p in zip(self.words, plists):
             scorer = searcher.scorer(f, w)
             idx = np.searchsorted(p.docids, match_ids)
-            scores += scorer.score_array(p.tfs[idx], p.len_bytes[idx])
+            scores += scorer.score_array(p.score_weights[idx], p.len_bytes[idx])
         if self.boost != 1.0:
             scores = scores * self.boost
         return match_ids, scores

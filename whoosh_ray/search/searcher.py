@@ -563,6 +563,23 @@ class Searcher:
             return self.segments[i]
         raise KeyError(docid)
 
+    def char_offsets(self, docid: int, field: str,
+                     term: str) -> list[tuple[int, int]]:
+        """Exact (startchar, endchar) spans of ``term`` in a document's
+        field, from the stored Characters payload (no re-tokenize).
+        Empty list when the term doesn't occur or the field has no
+        chars payloads."""
+        seg = self.seg_of(docid)
+        spans = seg.char_spans(field, term)
+        if spans is None:
+            return []
+        docids, per_posting = spans
+        j = int(np.searchsorted(docids, docid))
+        if j >= len(docids) or docids[j] != docid:
+            return []
+        sc, ec = per_posting[j]
+        return list(zip(sc.tolist(), ec.tolist()))
+
     def stored(self, docids: np.ndarray, columns: list[str] | None = None) -> pa.Table:
         segs = self._seg_index_of(docids)
         parts = []

@@ -55,7 +55,7 @@ def term_topk_segment(searcher, seg, fieldname: str, text: str, k: int,
     scorer = searcher.scorer(fieldname, text)
     if not isinstance(scorer, BM25FScorer):
         p = reader.decode_all()
-        scores = scorer.score_array(p.tfs, p.len_bytes) * boost
+        scores = scorer.score_array(p.score_weights, p.len_bytes) * boost
         return p.docids, scores
     d = reader.dir
     quals = _block_qualities(scorer, d) * boost
@@ -74,7 +74,7 @@ def term_topk_segment(searcher, seg, fieldname: str, text: str, k: int,
         if n_kept >= k:
             break
     p = _apply_deletes(seg, reader.decode_blocks(mask))
-    scores = scorer.score_array(p.tfs, p.len_bytes) * boost
+    scores = scorer.score_array(p.score_weights, p.len_bytes) * boost
     # phase 2: the true k-th score bounds which remaining blocks matter
     if len(scores) >= k:
         kth = np.partition(scores, len(scores) - k)[len(scores) - k]
@@ -84,7 +84,7 @@ def term_topk_segment(searcher, seg, fieldname: str, text: str, k: int,
     more = (quals > thr) & ~mask
     if more.any():
         p2 = _apply_deletes(seg, reader.decode_blocks(more))
-        s2 = scorer.score_array(p2.tfs, p2.len_bytes) * boost
+        s2 = scorer.score_array(p2.score_weights, p2.len_bytes) * boost
         ids = np.concatenate([p.docids, p2.docids])
         sc = np.concatenate([scores, s2])
         o = np.argsort(ids, kind="stable")
@@ -98,8 +98,9 @@ def _apply_deletes(seg, p):
     if len(seg.deletes):
         keep = seg._mask_deleted(p.docids)
         if not keep.all():
-            return codec.Postings(p.docids[keep], p.tfs[keep],
-                                  p.len_bytes[keep])
+            return codec.Postings(
+                p.docids[keep], p.tfs[keep], p.len_bytes[keep],
+                p.weights[keep] if p.weights is not None else None)
     return p
 
 
@@ -152,7 +153,7 @@ def or_terms_topk(searcher, terms: list[tuple[str, str, float]], k: int):
                 p = _apply_deletes(seg, reader.decode_blocks(mask))
             else:
                 p = _apply_deletes(seg, reader.decode_all())
-            s = scorer.score_array(p.tfs, p.len_bytes) * b
+            s = scorer.score_array(p.score_weights, p.len_bytes) * b
             parts_ids.append(p.docids)
             parts_sc.append(s)
         if not parts_ids:

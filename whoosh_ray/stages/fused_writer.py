@@ -97,7 +97,8 @@ class FusedSegmentWriter:
         for f in sorted(self.schema.fields, key=lambda f: f.name):
             texts = group[f.name].to_numpy(zero_copy_only=False)
             agg = self._analyzers[f.name].aggregate(
-                texts, with_positions=f.positions)
+                texts, with_positions=f.positions,
+                with_chars=getattr(f, "chars", False))
             rows = agg["row_ids"]
             if len(rows) == 0:
                 continue
@@ -114,6 +115,8 @@ class FusedSegmentWriter:
             p_docids = p_docids[sort]
             tfs = agg["tfs"][sort].astype(np.int64)
             len_bytes = length_to_byte(agg["row_lengths"])[rows][sort]
+            weights = (agg["weights"][sort].astype(np.float64)
+                       if "weights" in agg else None)
 
             change = np.empty(len(sort), dtype=bool)
             change[0] = True
@@ -122,7 +125,7 @@ class FusedSegmentWriter:
             ends = np.append(starts[1:], len(sort))
 
             blobs = codec.encode_postings_batch(p_docids, tfs, len_bytes,
-                                                starts)
+                                                starts, weights=weights)
             if f.positions:
                 flat, offs = _reorder_lists(agg["pos_values"].astype(np.int64),
                                             agg["pos_offsets"].astype(np.int64),
@@ -131,22 +134,41 @@ class FusedSegmentWriter:
                                                         ends)
             else:
                 posblobs = [b""] * len(starts)
+            if getattr(f, "chars", False):
+                sc, offs_c = _reorder_lists(agg["char_starts"].astype(np.int64),
+                                            agg["pos_offsets"].astype(np.int64),
+                                            sort)
+                ec, _ = _reorder_lists(agg["char_ends"].astype(np.int64),
+                                       agg["pos_offsets"].astype(np.int64),
+                                       sort)
+                charblobs = codec.encode_chars_batch(sc, ec, offs_c,
+                                                     starts, ends)
+            else:
+                charblobs = [b""] * len(starts)
 
             n_terms = len(starts)
+            w32 = (weights.astype(np.float32) if weights is not None
+                   else None)
             chunk = {
                 "field": np.repeat(f.name, n_terms),
                 "term": tdict[dorder][trank_s[starts]],
                 "df": (ends - starts).astype(np.int64),
                 "sum_tf": np.add.reduceat(tfs, starts),
-                "max_weight": np.maximum.reduceat(tfs, starts).astype(np.float32),
+                "max_weight": (np.maximum.reduceat(w32, starts)
+                               if w32 is not None
+                               else np.maximum.reduceat(tfs, starts)
+                               .astype(np.float32)),
                 "min_length": np.minimum.reduceat(len_bytes, starts),
                 "max_length": np.maximum.reduceat(len_bytes, starts),
                 "min_docid": p_docids[starts],
                 "max_docid": p_docids[ends - 1],
                 "postings": blobs,
                 "positions": posblobs,
+                "chars": charblobs,
             }
-            chunk["total_weight"] = chunk["sum_tf"].astype(np.float64)
+            chunk["total_weight"] = (np.add.reduceat(weights, starts)
+                                     if weights is not None
+                                     else chunk["sum_tf"].astype(np.float64))
             field_chunks.append(chunk)
             field_sums[f.name] = int(tfs.sum())
             n_postings += len(sort)
@@ -154,7 +176,7 @@ class FusedSegmentWriter:
         cols = {}
         for fld in TERMS_ARROW_SCHEMA:
             vals = [c[fld.name] for c in field_chunks]
-            if fld.name in ("postings", "positions"):
+            if fld.name in ("postings", "positions", "chars"):
                 flatv = [b for v in vals for b in v]
                 cols[fld.name] = pa.array(flatv, type=fld.type)
             else:

@@ -163,6 +163,9 @@ class EncodeSegmentTerms:
                 cols[f.name] = pa.array(blobs, type=f.type)
             elif f.name == "positions":
                 cols[f.name] = pa.array(posblobs, type=f.type)
+            elif f.name == "chars":
+                # boost/chars-bearing schemas build via mode="fused"
+                cols[f.name] = pa.array([b""] * n_terms, type=f.type)
             else:
                 cols[f.name] = pa.array(out[f.name], type=f.type)
         table = pa.table(cols)

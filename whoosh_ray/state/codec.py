@@ -71,15 +71,33 @@ class Postings:
     docids: np.ndarray     # int64
     tfs: np.ndarray        # int64
     len_bytes: np.ndarray  # uint8
+    # per-posting float32 scoring weights (sum of token boosts), present
+    # only when some weight differs from tf — the reference stores the
+    # same minified array('f') (whoosh3.py:745-829); absent => weight==tf
+    weights: np.ndarray | None = None
+
+    @property
+    def score_weights(self) -> np.ndarray:
+        """Weights to score with: the boost-aware array when stored,
+        else the integer tfs (Frequency-format default)."""
+        return self.weights if self.weights is not None else self.tfs
 
 
 def encode_postings(docids: np.ndarray, tfs: np.ndarray,
-                    len_bytes: np.ndarray) -> bytes:
-    """Encode one term's postings (already docid-sorted) into a blob."""
+                    len_bytes: np.ndarray,
+                    weights: np.ndarray | None = None) -> bytes:
+    """Encode one term's postings (already docid-sorted) into a blob.
+
+    ``weights`` (optional float array of per-posting boost-aware scoring
+    weights) is appended as a raw float32 tail; its presence is implied
+    by blob length (exactly 4*n extra bytes) so the base layout stays
+    byte-identical when weights are absent."""
     n = len(docids)
     docids = np.asarray(docids, dtype=np.int64)
     tfs = np.asarray(tfs, dtype=np.int64)
     len_bytes = np.asarray(len_bytes, dtype=np.uint8)
+    if weights is not None:
+        weights = np.asarray(weights, dtype=np.float32)
     nblocks = (n + BLOCK_SIZE - 1) // BLOCK_SIZE
 
     # Per-block stats, vectorized via reduceat on block starts.
@@ -87,7 +105,8 @@ def encode_postings(docids: np.ndarray, tfs: np.ndarray,
     ends = np.minimum(starts + BLOCK_SIZE, n)
     counts = ends - starts
     last_docids = docids[ends - 1]
-    max_tfs = np.maximum.reduceat(tfs, starts)
+    max_tfs = (np.maximum.reduceat(weights, starts) if weights is not None
+               else np.maximum.reduceat(tfs, starts))
     min_lens = np.minimum.reduceat(len_bytes, starts)
     max_lens = np.maximum.reduceat(len_bytes, starts)
 
@@ -115,8 +134,9 @@ def encode_postings(docids: np.ndarray, tfs: np.ndarray,
         min_lens.astype(np.uint8).tobytes(),
         max_lens.astype(np.uint8).tobytes(),
     ]
+    tail = weights.tobytes() if weights is not None else b""
     return b"".join([header, *dir_parts, docid_stream, tf_stream,
-                     len_bytes.tobytes()])
+                     len_bytes.tobytes(), tail])
 
 
 def _varint_sizes(values: np.ndarray) -> np.ndarray:
@@ -131,7 +151,8 @@ def _varint_sizes(values: np.ndarray) -> np.ndarray:
 
 def encode_postings_batch(docids: np.ndarray, tfs: np.ndarray,
                           len_bytes: np.ndarray,
-                          term_starts: np.ndarray) -> list[bytes]:
+                          term_starts: np.ndarray,
+                          weights: np.ndarray | None = None) -> list[bytes]:
     """Encode MANY terms' postings in one vectorized pass.
 
     ``docids``/``tfs``/``len_bytes`` are the segment's postings sorted by
@@ -157,7 +178,11 @@ def encode_postings_batch(docids: np.ndarray, tfs: np.ndarray,
     counts = block_ends - block_starts
     term_of_block = term_of_post[block_starts]
     last_docids = docids[block_ends - 1]
-    max_tfs = np.maximum.reduceat(tfs, block_starts)
+    if weights is not None:
+        weights = np.asarray(weights, dtype=np.float32)
+        max_tfs = np.maximum.reduceat(weights, block_starts)
+    else:
+        max_tfs = np.maximum.reduceat(tfs, block_starts)
     min_lens = np.minimum.reduceat(len_bytes, block_starts)
     max_lens = np.maximum.reduceat(len_bytes, block_starts)
     # blocks per term + first block index of each term
@@ -211,9 +236,10 @@ def encode_postings_batch(docids: np.ndarray, tfs: np.ndarray,
     mv_doc = memoryview(docid_stream.tobytes())
     mv_tf = memoryview(tf_stream.tobytes())
     mv_len = memoryview(len_bytes.tobytes())
+    w_bytes = weights.tobytes() if weights is not None else None
     for i in range(n_terms):
         b0, b1 = int(tb[i]), int(tb[i] + nblocks[i])
-        out.append(b"".join((
+        parts = (
             mv_h[h_off[2 * i]: h_off[2 * i + 2]],
             mv_c[counts_off[b0]: counts_off[b1]],
             mv_ld[ld_off[b0]: ld_off[b1]],
@@ -225,7 +251,11 @@ def encode_postings_batch(docids: np.ndarray, tfs: np.ndarray,
             mv_doc[docid_csum[term_starts[i]]: docid_csum[term_ends[i]]],
             mv_tf[tf_csum[term_starts[i]]: tf_csum[term_ends[i]]],
             mv_len[term_starts[i]: term_ends[i]],
-        )))
+        )
+        if w_bytes is not None:
+            parts = parts + (w_bytes[4 * term_starts[i]:
+                                     4 * term_ends[i]],)
+        out.append(b"".join(parts))
     return out
 
 
@@ -311,6 +341,11 @@ class BlobReader:
         self._docid0 = pos
         self._tf0 = pos + int(self.dir.docid_ends[-1]) if nblocks else pos
         self._len0 = self._tf0 + (int(self.dir.tf_ends[-1]) if nblocks else 0)
+        # optional float32 weights tail (implied by exact length)
+        self._w0 = self._len0 + self.npostings
+        self.has_weights = (self.npostings > 0 and
+                            len(self._buf) - self._w0
+                            == 4 * self.npostings)
 
     @staticmethod
     def _scan_header(window: bytes):
@@ -365,7 +400,9 @@ class BlobReader:
             self._buf[self._docid0:self._docid0 + int(d.docid_ends[-1])], n))
         tfs = varint.decode(self._buf[self._tf0:self._tf0 + int(d.tf_ends[-1])], n)
         lens = np.frombuffer(self._buf[self._len0:self._len0 + n], dtype=np.uint8)
-        return Postings(docids, tfs, lens)
+        w = (np.frombuffer(self._buf[self._w0:self._w0 + 4 * n],
+                           dtype=np.float32) if self.has_weights else None)
+        return Postings(docids, tfs, lens, w)
 
     def decode_blocks(self, block_mask: np.ndarray) -> Postings:
         """Decode only the selected blocks (block-max WAND skip path)."""
@@ -406,7 +443,14 @@ class BlobReader:
         lens = np.concatenate([
             b[self._len0 + int(post_starts[i]):
               self._len0 + int(post_ends[i])] for i in sel])
-        return Postings(docids, tfs, lens.view(np.uint8))
+        w = None
+        if self.has_weights:
+            wall = np.frombuffer(
+                self._buf[self._w0: self._w0 + 4 * self.npostings],
+                dtype=np.float32)
+            w = np.concatenate([wall[int(post_starts[i]):
+                                     int(post_ends[i])] for i in sel])
+        return Postings(docids, tfs, lens.view(np.uint8), w)
 
 
 def encode_positions(positions_per_posting: list[np.ndarray]) -> bytes:
@@ -452,3 +496,90 @@ def decode_positions(blob: bytes | memoryview, tfs: np.ndarray) -> list[np.ndarr
     """Inverse of :func:`encode_positions` for the whole term."""
     flat, offsets = decode_positions_flat(blob, tfs)
     return [flat[offsets[i]: offsets[i + 1]] for i in range(len(tfs))]
+
+
+# ---- character-offset payloads (Characters format parity,
+# reference formats.py:266-335: per occurrence (pos, startchar, endchar);
+# positions already have their own stream, so this blob stores only the
+# char span per occurrence, aligned with the positions stream) ----
+
+def _zigzag(v: np.ndarray) -> np.ndarray:
+    return np.where(v >= 0, 2 * v, -2 * v - 1)
+
+
+def _unzigzag(u: np.ndarray) -> np.ndarray:
+    return np.where(u % 2 == 0, u // 2, -(u + 1) // 2)
+
+
+def encode_chars_batch(sc_flat: np.ndarray, ec_flat: np.ndarray,
+                       post_offsets: np.ndarray,
+                       term_post_starts: np.ndarray,
+                       term_post_ends: np.ndarray) -> list[bytes]:
+    """Vectorized char-span payloads for many terms: per occurrence an
+    interleaved (zigzag(startchar - prev endchar), length) varint pair,
+    deltas resetting at each posting's first occurrence (zigzag because
+    overlapping tokens — ngrams, intraword subwords — can step
+    backwards)."""
+    sc = np.asarray(sc_flat, dtype=np.int64)
+    ec = np.asarray(ec_flat, dtype=np.int64)
+    total = len(sc)
+    d_sc = np.empty_like(sc)
+    if total:
+        d_sc[1:] = sc[1:] - ec[:-1]
+        starts = np.asarray(post_offsets[:-1], dtype=np.int64)
+        starts = starts[starts < total]
+        d_sc[starts] = sc[starts]
+    inter = np.empty(2 * total, dtype=np.int64)
+    inter[0::2] = _zigzag(d_sc)
+    inter[1::2] = ec - sc
+    stream, off = _varint_stream(inter)
+    mv = memoryview(stream)
+    out = []
+    for s, e in zip(term_post_starts, term_post_ends):
+        lo = int(post_offsets[int(s)])
+        hi = int(post_offsets[int(e)])
+        out.append(bytes(mv[off[2 * lo]: off[2 * hi]]))
+    return out
+
+
+def encode_chars(spans_per_posting: list) -> bytes:
+    """One term's char payload from per-posting (sc, ec) array pairs."""
+    if not spans_per_posting:
+        return b""
+    scs = [np.asarray(s, dtype=np.int64) for s, _ in spans_per_posting]
+    ecs = [np.asarray(e, dtype=np.int64) for _, e in spans_per_posting]
+    tfs = np.array([len(s) for s in scs], dtype=np.int64)
+    offsets = np.concatenate(([0], np.cumsum(tfs)))
+    sc = np.concatenate(scs) if scs else np.empty(0, dtype=np.int64)
+    ec = np.concatenate(ecs) if ecs else np.empty(0, dtype=np.int64)
+    return encode_chars_batch(sc, ec, offsets, np.array([0]),
+                              np.array([len(tfs)]))[0]
+
+
+def decode_chars_flat(blob: bytes | memoryview,
+                      tfs: np.ndarray) -> tuple[np.ndarray, np.ndarray,
+                                                np.ndarray]:
+    """Decode a term's char payload: (startchars, endchars, offsets)."""
+    tfs = np.asarray(tfs, dtype=np.int64)
+    total = int(tfs.sum())
+    offsets = np.concatenate(([0], np.cumsum(tfs)))
+    vals = varint.decode(blob, 2 * total)
+    if total == 0:
+        e = np.empty(0, dtype=np.int64)
+        return e, e.copy(), offsets
+    d_sc = _unzigzag(vals[0::2])
+    lens = vals[1::2]
+    c = np.cumsum(d_sc + lens)  # running endchar within the segment sum
+    starts = offsets[:-1]
+    base = np.zeros(len(starts), dtype=np.int64)
+    base[1:] = c[starts[1:] - 1]
+    ec = c - np.repeat(base, tfs)
+    sc = ec - lens
+    return sc, ec, offsets
+
+
+def decode_chars(blob: bytes | memoryview, tfs: np.ndarray) -> list:
+    """Per-posting (sc, ec) array pairs — inverse of encode_chars."""
+    sc, ec, offsets = decode_chars_flat(blob, tfs)
+    return [(sc[offsets[i]: offsets[i + 1]], ec[offsets[i]: offsets[i + 1]])
+            for i in range(len(tfs))]

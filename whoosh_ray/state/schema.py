@@ -34,15 +34,21 @@ class FieldSpec:
     stored: bool = True
     scorable: bool = True          # store per-doc quantized length; BM25-scored
     positions: bool = False        # store position payloads (phrase support)
+    chars: bool = False            # store char-span payloads (Characters fmt)
     boost: float = 1.0
     fmt: str = "frequency"         # "frequency" | "existence"
 
     @staticmethod
     def text(name: str, *, stored: bool = True, positions: bool = False,
-             boost: float = 1.0, analyzer: AnalyzerSpec = STANDARD) -> "FieldSpec":
+             chars: bool = False, boost: float = 1.0,
+             analyzer: AnalyzerSpec = STANDARD) -> "FieldSpec":
+        """``chars=True`` additionally stores per-occurrence character
+        spans (the reference's Characters format, formats.py:266-335)
+        for exact highlight offsets without retokenizing; implies
+        positions."""
         return FieldSpec(name=name, kind="text", analyzer=analyzer, stored=stored,
-                         scorable=True, positions=positions, boost=boost,
-                         fmt="frequency")
+                         scorable=True, positions=positions or chars,
+                         chars=chars, boost=boost, fmt="frequency")
 
     @staticmethod
     def id(name: str, *, stored: bool = True, boost: float = 1.0) -> "FieldSpec":

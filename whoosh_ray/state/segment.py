@@ -36,7 +36,8 @@ TERM_STAT_COLS = [
 
 # blob locator columns (blobs.bin format): byte offset + length of each
 # term's postings / positions blobs in the segment's blobs.bin sidecar
-BLOB_LOC_COLS = ["post_off", "post_len", "pos_off", "pos_len"]
+BLOB_LOC_COLS = ["post_off", "post_len", "pos_off", "pos_len",
+                 "chars_off", "chars_len"]
 
 TERMS_ARROW_SCHEMA = pa.schema(
     [
@@ -52,6 +53,7 @@ TERMS_ARROW_SCHEMA = pa.schema(
         ("max_docid", pa.int64()),
         ("postings", pa.large_binary()),
         ("positions", pa.large_binary()),
+        ("chars", pa.large_binary()),
     ]
 )
 
@@ -288,6 +290,26 @@ class SegmentReader:
         self._blob_cache[key] = out
         return out
 
+    def char_spans(self, field: str, term: str):
+        """Per-posting character spans for a chars-format field
+        (Characters payloads, reference formats.py:266-335): returns
+        (docids, [(startchars, endchars) arrays]) aligned by posting,
+        or None when absent.  Exact highlight offsets without
+        re-tokenizing the stored text."""
+        idx = self._find(field, term)
+        if idx is None or not self.has_bin:
+            return None
+        t = self.stats
+        if "chars_len" not in t.column_names:
+            return None
+        cl = int(t["chars_len"][idx].as_py())
+        if cl == 0:
+            return None
+        blob = self._pread(int(t["chars_off"][idx].as_py()), cl)
+        r = self.blob_reader(field, term)
+        p = r.decode_all()
+        return p.docids, codec.decode_chars(blob, p.tfs)
+
     def blob_reader(self, field: str, term: str) -> codec.BlobReader | None:
         blobs = self._load_blobs(field, term)
         if blobs is None:
@@ -310,8 +332,9 @@ class SegmentReader:
             if len(self.deletes):
                 keep = self._mask_deleted(p.docids)
                 if not keep.all():
-                    out = codec.Postings(p.docids[keep], p.tfs[keep],
-                                         p.len_bytes[keep])
+                    out = codec.Postings(
+                        p.docids[keep], p.tfs[keep], p.len_bytes[keep],
+                        p.weights[keep] if p.weights is not None else None)
         if len(cache) > 256:
             cache.clear()
         cache[(field, term)] = self._MISS if out is None else out
@@ -387,26 +410,33 @@ def write_terms_file(seg_dir: str, table: pa.Table) -> None:
     every cold query read O(index size) instead of O(terms hit)
     (VERDICT r2 #1).  The reference's posting files are offset-addressed
     for the same reason (codec/whoosh3.py W3Codec .pst files)."""
-    posts = table["postings"].to_pylist()
-    poss = table["positions"].to_pylist()
-    plen = np.array([len(b) for b in posts], dtype=np.int64)
-    zlen = np.array([len(b) for b in poss], dtype=np.int64)
-    post_off = np.zeros(len(plen), dtype=np.int64)
-    if len(plen):
-        np.cumsum(plen[:-1], out=post_off[1:])
-    base = int(plen.sum())
-    pos_off = np.full(len(zlen), base, dtype=np.int64)
-    if len(zlen):
-        pos_off[1:] += np.cumsum(zlen[:-1])
+    blob_cols = ["postings", "positions"]
+    if "chars" in table.column_names:
+        blob_cols.append("chars")
+    sections = [table[c].to_pylist() for c in blob_cols]
+    if "chars" not in table.column_names:
+        sections.append([b""] * table.num_rows)
+        blob_cols.append("chars")
+    offs, lens, base = [], [], 0
+    for blobs in sections:
+        ln = np.array([len(b) for b in blobs], dtype=np.int64)
+        off = np.full(len(ln), base, dtype=np.int64)
+        if len(ln):
+            off[1:] += np.cumsum(ln[:-1])
+        offs.append(off)
+        lens.append(ln)
+        base += int(ln.sum())
     with open(os.path.join(seg_dir, "blobs.bin"), "wb") as f:
-        for b in posts:
-            f.write(b)
-        for b in poss:
-            f.write(b)
-    out = table.drop_columns(["postings", "positions"])
-    for name, arr in (("post_off", post_off), ("post_len", plen),
-                      ("pos_off", pos_off), ("pos_len", zlen)):
-        out = out.append_column(name, pa.array(arr, type=pa.int64()))
+        for blobs in sections:
+            for b in blobs:
+                f.write(b)
+    out = table.drop_columns([c for c in ("postings", "positions", "chars")
+                              if c in table.column_names])
+    loc_names = (("post_off", "post_len"), ("pos_off", "pos_len"),
+                 ("chars_off", "chars_len"))
+    for (oname, lname), off, ln in zip(loc_names, offs, lens):
+        out = out.append_column(oname, pa.array(off, type=pa.int64()))
+        out = out.append_column(lname, pa.array(ln, type=pa.int64()))
     pq.write_table(out, os.path.join(seg_dir, "terms.parquet"),
                    row_group_size=4096,
                    sorting_columns=[pq.SortingColumn(0), pq.SortingColumn(1)])
@@ -418,20 +448,29 @@ def read_terms_file(seg_dir: str) -> pa.Table:
     segments; point reads go through SegmentReader instead).  Transparent
     over both the blobs.bin format and the legacy inline format."""
     t = pq.read_table(os.path.join(seg_dir, "terms.parquet"))
-    if "postings" in t.column_names:
+    if "postings" in t.column_names:  # legacy inline format
+        if "chars" not in t.column_names:
+            t = t.append_column(
+                "chars", pa.array([b""] * t.num_rows, type=pa.large_binary()))
         return t
     with open(os.path.join(seg_dir, "blobs.bin"), "rb") as f:
         blob = f.read()
     mv = memoryview(blob)
-    po = t["post_off"].to_numpy()
-    pl = t["post_len"].to_numpy()
-    zo = t["pos_off"].to_numpy()
-    zl = t["pos_len"].to_numpy()
-    posts = [bytes(mv[o: o + n]) for o, n in zip(po, pl)]
-    poss = [bytes(mv[o: o + n]) for o, n in zip(zo, zl)]
-    t = t.drop_columns(["post_off", "post_len", "pos_off", "pos_len"])
-    t = t.append_column("postings", pa.array(posts, type=pa.large_binary()))
-    t = t.append_column("positions", pa.array(poss, type=pa.large_binary()))
+    out_cols = {"postings": ("post_off", "post_len"),
+                "positions": ("pos_off", "pos_len")}
+    if "chars_off" in t.column_names:
+        out_cols["chars"] = ("chars_off", "chars_len")
+    drop = [c for pair in out_cols.values() for c in pair]
+    rebuilt = {}
+    for name, (oc, lc) in out_cols.items():
+        o = t[oc].to_numpy()
+        ln = t[lc].to_numpy()
+        rebuilt[name] = [bytes(mv[a: a + b]) for a, b in zip(o, ln)]
+    t = t.drop_columns(drop)
+    for name in ("postings", "positions", "chars"):
+        vals = rebuilt.get(name, [b""] * t.num_rows)
+        t = t.append_column(name,
+                            pa.array(vals, type=pa.large_binary()))
     return t
 
 

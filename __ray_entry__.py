@@ -239,6 +239,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "docid": pa.array(np.sort(r.docids), type=pa.int64()),
         })
 
+    def ir_date_range(sf_dir):
+        """INDEXED DateRange (tiered shift terms on epoch-microsecond
+        int64, covering-cell postings — no timestamp-column scan)
+        AND'd with an event_type ID term over the events table."""
+        import datetime
+
+        from whoosh_ray.pipelines.ir import events_searcher
+        from whoosh_ray.search import And, DateRange
+
+        s = events_searcher(sf_dir)
+        r = s.search(And([Term("event_type", "purchase"),
+                          DateRange("ts",
+                                    datetime.datetime(2024, 1, 3),
+                                    datetime.datetime(2024, 1, 10),
+                                    endexcl=True)]), limit=None)
+        ids = s.stored(np.sort(r.docids), columns=["event_id"])
+        return pa.table({
+            "event_id": pa.array(np.sort(ids["event_id"].to_numpy()),
+                                 type=pa.int64()),
+        })
+
     def ir_facet_query(sf_dir):
         """QueryFacet grouping (first-matching-query key, other=
         fallback) with Count maptype — facet-family driver check."""
@@ -473,6 +494,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ir_facet_source": ir_facet_source,
         "ir_facet_query": ir_facet_query,
         "ir_numeric_range": ir_numeric_range,
+        "ir_date_range": ir_date_range,
         "ir_sorted_nchars": ir_sorted_nchars,
         "ir_collapse_lang": ir_collapse_lang,
         "dedup_exact": dedup_exact_q,
@@ -524,6 +546,12 @@ SELECT d.doc_id AS docid FROM documents d
 WHERE d.doc_id IN (SELECT doc_id FROM postings WHERE term = 'table')
   AND d.n_chars >= 120 AND d.n_chars < 480
 ORDER BY docid
+""",
+        "ir_date_range": """
+SELECT event_id FROM events
+WHERE event_type = 'purchase'
+  AND ts >= TIMESTAMP '2024-01-03' AND ts < TIMESTAMP '2024-01-10'
+ORDER BY event_id
 """,
         "ir_facet_query": rf"""
 WITH {_base_ctes()}

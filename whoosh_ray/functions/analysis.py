@@ -313,8 +313,19 @@ class VectorAnalyzer:
         vals = np.asarray(values)
         mask_valid = ~pd.isna(vals)
         v = np.zeros(n, dtype=np.int64)
-        v[mask_valid] = np.asarray(vals[mask_valid], dtype=np.int64)
-        u = (v + (1 << (bits - 1))).astype(np.uint64)
+        sub = vals[mask_valid]
+        if np.issubdtype(np.asarray(sub).dtype, np.datetime64):
+            # DATETIME-on-NUMERIC (reference fields.py:783-907): index
+            # the epoch-microsecond int64
+            sub = np.asarray(sub, dtype="datetime64[us]").astype(np.int64)
+        v[mask_valid] = np.asarray(sub, dtype=np.int64)
+        if bits >= 64:
+            # offset-to-unsigned must wrap mod 2**64 (int64 + 2**63
+            # overflows); two's-complement reinterpretation + uint add
+            # gives exactly v + 2**63 mod 2**64
+            u = v.astype(np.uint64) + np.uint64(1 << 63)
+        else:
+            u = (v + (1 << (bits - 1))).astype(np.uint64)
         shifts = list(range(0, bits, step))
         rows_v = np.flatnonzero(mask_valid)
         nv = len(rows_v)

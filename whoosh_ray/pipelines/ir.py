@@ -37,6 +37,23 @@ def documents_searcher(sf_dir: str) -> Searcher:
     return _SEARCHERS[key]
 
 
+def events_searcher(sf_dir: str) -> Searcher:
+    """Build-or-resume the events index (event_type ID + INDEXED
+    DATETIME ts) for sf_dir; cache the searcher."""
+    from whoosh_ray.state.schema import events_schema
+
+    src = os.path.join(sf_dir, "events.parquet")
+    index_dir = os.path.join(
+        "/tmp/whoosh_ray_cache",
+        "events-" + sf_dir.strip("/").replace("/", "_"))
+    key = index_dir
+    if key not in _SEARCHERS:
+        manifest = build_index(src, index_dir, events_schema(),
+                               seg_size=4096, docid_col="event_id")
+        _SEARCHERS[key] = Searcher(index_dir, manifest)
+    return _SEARCHERS[key]
+
+
 def topk_table(searcher: Searcher, q: Query, limit: int = 10) -> pa.Table:
     """(rank, docid, score) for a query — the flagship top-k output."""
     r = searcher.search(q, limit=limit)

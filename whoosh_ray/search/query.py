@@ -805,28 +805,39 @@ class NumericRange(ColumnQuery):
             shift += step
         return out
 
+    def _int_bounds(self):
+        """(start, end) as ints for the indexed tiered-term path, or
+        None to fall back to the stored-column scan."""
+        def _int_ok(x):
+            return x is None or isinstance(x, (int, np.integer))
+
+        if not _int_ok(self.start) or not _int_ok(self.end):
+            return None
+        return (None if self.start is None else int(self.start),
+                None if self.end is None else int(self.end))
+
     def docs_scores(self, searcher, seg):
         spec = None
         try:
             spec = searcher.schema.field(self.column)
         except KeyError:
             pass
-        def _int_ok(x):
-            return x is None or isinstance(x, (int, np.integer))
-
-        if (spec is None or spec.kind != "numeric"
-                or spec.analyzer.numeric is None
-                or not _int_ok(self.start) or not _int_ok(self.end)):
+        bounds = None
+        if (spec is not None and spec.kind == "numeric"
+                and spec.analyzer.numeric is not None):
+            bounds = self._int_bounds()
+        if bounds is None:
             # stored-column scan fallback (non-indexed columns,
-            # float/datetime bounds)
+            # float bounds, unconvertible datetimes)
             return super().docs_scores(searcher, seg)
+        istart, iend = bounds
         bits, step = spec.analyzer.numeric
         off = 1 << (bits - 1)
-        lo = 0 if self.start is None else int(self.start) + off
-        if self.start is not None and self.startexcl:
+        lo = 0 if istart is None else istart + off
+        if istart is not None and self.startexcl:
             lo += 1
-        hi = (1 << bits) - 1 if self.end is None else int(self.end) + off
-        if self.end is not None and self.endexcl:
+        hi = (1 << bits) - 1 if iend is None else iend + off
+        if iend is not None and self.endexcl:
             hi -= 1
         lo = max(lo, 0)
         hi = min(hi, (1 << bits) - 1)
@@ -847,8 +858,23 @@ class NumericRange(ColumnQuery):
 
 
 class DateRange(NumericRange):
-    """Datetime range on a stored timestamp column (reference
-    DATETIME-on-NUMERIC machinery, fields.py:783-907)."""
+    """Datetime range: over a ``FieldSpec.datetime`` field it expands to
+    covering tiered shift terms on the epoch-microsecond int64 exactly
+    like NumericRange (reference DATETIME-on-NUMERIC machinery,
+    fields.py:783-907); otherwise it scans the stored timestamp
+    column (same doc set, conformance-tested)."""
+
+    @staticmethod
+    def _to_micros(x):
+        if x is None:
+            return None
+        return int(np.datetime64(x, "us").astype(np.int64))
+
+    def _int_bounds(self):
+        try:
+            return (self._to_micros(self.start), self._to_micros(self.end))
+        except (ValueError, TypeError):
+            return None
 
 
 class Phrase(Query):

@@ -57,6 +57,20 @@ class FieldSpec:
                          fmt="existence")
 
     @staticmethod
+    def datetime(name: str, *, step: int = 8, stored: bool = True,
+                 boost: float = 1.0) -> "FieldSpec":
+        """DATETIME field (reference fields.py:783-907): tiered shift
+        terms over the epoch-microsecond int64 (64 bits, shift step 8 —
+        the reference's DATETIME defaults), so DateRange queries expand
+        to covering postings instead of scanning the stored column."""
+        return FieldSpec(name=name, kind="numeric",
+                         analyzer=AnalyzerSpec(pattern=None, stopwords=None,
+                                               minsize=0, lowercase=False,
+                                               numeric=(64, step)),
+                         stored=stored, scorable=False, positions=False,
+                         boost=boost, fmt="existence")
+
+    @staticmethod
     def numeric(name: str, *, bits: int = 32, step: int = 4,
                 stored: bool = True, boost: float = 1.0) -> "FieldSpec":
         """NUMERIC field with tiered shift terms (fields.py:658-671
@@ -173,4 +187,17 @@ def documents_schema(*, positions: bool = True) -> IndexSchema:
             FieldSpec.numeric("n_chars", stored=True),
         ),
         stored_columns=("doc_id",),
+    )
+
+
+def events_schema() -> IndexSchema:
+    """Event stream corpus: /root/testdata/sf*/events.parquet — an ID
+    field on event_type plus an INDEXED DATETIME on ts, so DateRange
+    filters read covering postings instead of scanning the column."""
+    return IndexSchema(
+        fields=(
+            FieldSpec.id("event_type", stored=True),
+            FieldSpec.datetime("ts", stored=True),
+        ),
+        stored_columns=("event_id", "user_id", "value"),
     )

@@ -102,6 +102,18 @@ class Expander:
         self.top_total += float(weights.sum())
 
     def add_document(self, docid: int) -> None:
+        # prefer the stored term vector (no re-analysis; reference
+        # Expander.add_document uses reader.vector when the field has
+        # one, classify.py:123-130); fall back to re-tokenizing the
+        # stored text — same weights (tf), different latency
+        vec = (self.searcher.vector(docid, self.fieldname)
+               if hasattr(self.searcher, "vector") else None)
+        if vec is not None:
+            terms, weights = vec
+            for w, wt in zip(terms, weights):
+                self.topN_weight[w] += wt
+            self.top_total += float(sum(weights))
+            return
         stored = self.searcher.stored(np.array([docid]),
                                       columns=[self.fieldname])
         if stored.num_rows:

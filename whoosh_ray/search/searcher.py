@@ -563,6 +563,27 @@ class Searcher:
             return self.segments[i]
         raise KeyError(docid)
 
+    def has_vector(self, fieldname: str) -> bool:
+        try:
+            spec = self.schema.field(fieldname)
+        except KeyError:
+            return False
+        return bool(getattr(spec, "vector", False))
+
+    def vector(self, docid: int, fieldname: str):
+        """Stored per-doc term vector (terms, weights) for a
+        ``vector=True`` field (FieldType(vector=...) parity,
+        reference whoosh3.py:156-277 / reading.py vector()); None when
+        the field stores no vectors."""
+        if not self.has_vector(fieldname):
+            return None
+        cols = [f"{fieldname}__vector_terms",
+                f"{fieldname}__vector_weights"]
+        t = self.stored(np.array([docid]), columns=cols)
+        if not t.num_rows:
+            return None
+        return (t[cols[0]][0].as_py(), t[cols[1]][0].as_py())
+
     def char_offsets(self, docid: int, field: str,
                      term: str) -> list[tuple[int, int]]:
         """Exact (startchar, endchar) spans of ``term`` in a document's

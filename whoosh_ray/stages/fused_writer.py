@@ -79,20 +79,38 @@ class FusedSegmentWriter:
         group = group.take(pa.array(order))
         docids = group["docid"].to_numpy()
 
-        # ---- docs file (stored fields only)
+        # ---- docs file (stored fields only); deferred when a field
+        # stores term vectors (they come out of the tokenize pass below)
         keep = {f.name for f in self.schema.fields if f.stored}
         keep.update(self.schema.stored_columns)
         stored_cols = ["docid"] + [
             c for c in group.column_names
             if c != "docid" and c != "seg" and c in keep]
         docs_table = group.select(stored_cols)
-        _atomic_emit(self.index_dir, seg_id, "docs.parquet",
-                     lambda tmp: write_docs_file(tmp, docs_table))
+        has_vectors = any(getattr(f, "vector", False)
+                          for f in self.schema.fields)
+        if not has_vectors:
+            _atomic_emit(self.index_dir, seg_id, "docs.parquet",
+                         lambda tmp: write_docs_file(tmp, docs_table))
         t_docs = time.time() - t0
 
         # ---- per-field tokenize + encode, fields in sorted name order
         field_chunks = []
         field_sums: dict[str, int] = {}
+        n_docs = group.num_rows
+        # per-doc term vectors (FieldType(vector=...) parity): default
+        # every vector field to empty lists so docs schema stays uniform
+        # across segments even when a group has zero surviving tokens
+        vector_cols: dict[str, pa.Array] = {}
+        for f in self.schema.fields:
+            if getattr(f, "vector", False):
+                z = np.zeros(n_docs + 1, dtype=np.int32)
+                vector_cols[f"{f.name}__vector_terms"] = \
+                    pa.ListArray.from_arrays(pa.array(z, type=pa.int32()),
+                                             pa.array([], type=pa.string()))
+                vector_cols[f"{f.name}__vector_weights"] = \
+                    pa.ListArray.from_arrays(pa.array(z, type=pa.int32()),
+                                             pa.array([], type=pa.float64()))
         n_postings = 0
         for f in sorted(self.schema.fields, key=lambda f: f.name):
             texts = group[f.name].to_numpy(zero_copy_only=False)
@@ -109,6 +127,25 @@ class FusedSegmentWriter:
             rank = np.empty(len(dorder), dtype=np.int64)
             rank[dorder] = np.arange(len(dorder))
             trank = rank[tcode]
+            if getattr(f, "vector", False):
+                # per-doc (term, weight) lists in term order, aligned
+                # with the docid-sorted docs rows
+                vorder = np.lexsort((trank, rows))
+                vcounts = np.bincount(rows, minlength=n_docs)
+                voff = np.zeros(n_docs + 1, dtype=np.int32)
+                np.cumsum(vcounts, out=voff[1:])
+                vterms = tdict[dorder][trank[vorder]]
+                vw = (agg["weights"][vorder].astype(np.float64)
+                      if "weights" in agg
+                      else agg["tfs"][vorder].astype(np.float64))
+                vector_cols[f"{f.name}__vector_terms"] = \
+                    pa.ListArray.from_arrays(
+                        pa.array(voff, type=pa.int32()),
+                        pa.array(vterms, type=pa.string()))
+                vector_cols[f"{f.name}__vector_weights"] = \
+                    pa.ListArray.from_arrays(
+                        pa.array(voff, type=pa.int32()),
+                        pa.array(vw, type=pa.float64()))
             p_docids = docids[rows]
             sort = np.lexsort((p_docids, trank))
             trank_s = trank[sort]
@@ -172,6 +209,12 @@ class FusedSegmentWriter:
             field_chunks.append(chunk)
             field_sums[f.name] = int(tfs.sum())
             n_postings += len(sort)
+
+        if has_vectors:
+            for name, arr in vector_cols.items():
+                docs_table = docs_table.append_column(name, arr)
+            _atomic_emit(self.index_dir, seg_id, "docs.parquet",
+                         lambda tmp: write_docs_file(tmp, docs_table))
 
         cols = {}
         for fld in TERMS_ARROW_SCHEMA:

@@ -35,20 +35,25 @@ class FieldSpec:
     scorable: bool = True          # store per-doc quantized length; BM25-scored
     positions: bool = False        # store position payloads (phrase support)
     chars: bool = False            # store char-span payloads (Characters fmt)
+    vector: bool = False           # store per-doc term vectors (key_terms)
     boost: float = 1.0
     fmt: str = "frequency"         # "frequency" | "existence"
 
     @staticmethod
     def text(name: str, *, stored: bool = True, positions: bool = False,
-             chars: bool = False, boost: float = 1.0,
+             chars: bool = False, vector: bool = False, boost: float = 1.0,
              analyzer: AnalyzerSpec = STANDARD) -> "FieldSpec":
         """``chars=True`` additionally stores per-occurrence character
         spans (the reference's Characters format, formats.py:266-335)
         for exact highlight offsets without retokenizing; implies
-        positions."""
+        positions.  ``vector=True`` stores per-document (term, weight)
+        vectors in docs.parquet (FieldType(vector=...) parity,
+        whoosh3.py:156-277) so key_terms/more_like read the vector
+        instead of re-analyzing the stored text."""
         return FieldSpec(name=name, kind="text", analyzer=analyzer, stored=stored,
                          scorable=True, positions=positions or chars,
-                         chars=chars, boost=boost, fmt="frequency")
+                         chars=chars, vector=vector, boost=boost,
+                         fmt="frequency")
 
     @staticmethod
     def id(name: str, *, stored: bool = True, boost: float = 1.0) -> "FieldSpec":

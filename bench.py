@@ -136,6 +136,57 @@ def _run_inner() -> dict:
     batch_search(ix, qset, limit=10, concurrency=min(4, NUM_CPUS))
     queries["queryset_dist_sec"] = round(time.time() - t0, 3)
 
+    # -------- COLD-searcher latency on the many-segment index (the
+    # VERDICT r2 #1 criterion: 8-query set < 1s on 100+ segments without
+    # OPTIMIZE).  Process caches cleared; page cache stays warm — this
+    # measures searcher construction + stats/blob reads + query eval.
+    # Keys deliberately end in "secs" (not "_sec") so diagnostics don't
+    # inflate the headline total.
+    import whoosh_ray.state.segment as _seg
+
+    _seg.SegmentReader._STATS_CACHE.clear()
+    _seg._TERMS_DATASET_CACHE.clear()
+    s_cold = Searcher(ix)
+    t0 = time.time()
+    for q in qset:
+        s_cold.search_topk(q, limit=10)
+    queries["queryset_cold_secs"] = round(time.time() - t0, 3)
+    queries["n_segments"] = len(s_cold.segments)
+
+    # -------- exchange-bytes evidence: fused sort-shuffle vs stream
+    # direct routing (VERDICT r2 #3).  Fused moves the RAW docid+seg
+    # rows through the sort-based all-to-all; stream ships tokenized
+    # posting slices + stored rows straight to owner actors exactly
+    # once.  Both measured on the same corpus.
+    from whoosh_ray.stages.docids import with_docids
+    from whoosh_ray.stages.stream_writer import build_stream
+    import pyarrow as _pa
+
+    seg_size = int(Searcher(ix).manifest.settings["seg_size"])
+    pre = ray.data.read_parquet(src)
+    pre, _span = with_docids(pre, conv_col="conv_id", turn_col="turn_idx")
+
+    def _add_seg(b: "_pa.Table") -> "_pa.Table":
+        import pyarrow.compute as _pc
+
+        return b.append_column(
+            "seg", _pc.divide(b["docid"], seg_size).cast(_pa.int64()))
+
+    fused_input = pre.map_batches(_add_seg,
+                                  batch_format="pyarrow").materialize()
+    queries["exchange_fused_mb"] = round(
+        fused_input.size_bytes() / 1e6, 1)
+    ix_stream = f"/tmp/wr_bench/ixs-sf{sf}-{NUM_CPUS}"
+    shutil.rmtree(ix_stream, ignore_errors=True)
+    os.makedirs(os.path.join(ix_stream, "segments"), exist_ok=True)
+    t0 = time.time()
+    stream_stats = build_stream(pre, ix_stream, transcripts_schema(),
+                                seg_size)
+    queries["build_stream_secs"] = round(time.time() - t0, 3)
+    queries["exchange_stream_mb"] = round(
+        stream_stats.attrs.get("exchange_bytes", 0) / 1e6, 1)
+    shutil.rmtree(ix_stream, ignore_errors=True)
+
     # -------- documents corpus: build + extras (timed)
     docs_path = os.path.join(SF_DIR, "documents.parquet")
     ix_docs = f"/tmp/wr_bench/ixdocs-sf{sf}-{NUM_CPUS}"

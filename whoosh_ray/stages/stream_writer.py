@@ -216,9 +216,14 @@ class StreamRouter(TokenizePostings):
         refs = [self.actors[i].add.remote(per_actor_post[i], per_actor_doc[i])
                 for i in range(k)
                 if per_actor_post[i] or per_actor_doc[i]]
+        # bytes handed across the map -> owner exchange (the stream
+        # mode's entire inter-node traffic; evidence for BENCH/BASELINE)
+        shipped = (sum(t.nbytes for _, t in post_slices)
+                   + sum(t.nbytes for _, t in doc_slices))
         # blocking hand-off: backpressure + exactly-once-complete semantics
         total = sum(ray.get(refs)) if refs else 0
-        return pa.table({"rows": pa.array([int(total)], type=pa.int64())})
+        return pa.table({"rows": pa.array([int(total)], type=pa.int64()),
+                         "bytes": pa.array([int(shipped)], type=pa.int64())})
 
 
 def build_stream(ds, index_dir: str, schema: IndexSchema, seg_size: int,
@@ -239,8 +244,8 @@ def build_stream(ds, index_dir: str, schema: IndexSchema, seg_size: int,
         # tasks (not an actor pool): the router is stateless beyond the
         # compiled analyzers; the task pool soaks up every CPU not held
         # by the (near-free) buffer actors
-        ds.map_batches(router, batch_format="pyarrow",
-                       batch_size=tokenize_batch_size).materialize()
+        acct = ds.map_batches(router, batch_format="pyarrow",
+                              batch_size=tokenize_batch_size).materialize()
         parts = ray.get([a.finalize.remote() for a in actors])
     finally:
         for a in actors:
@@ -248,4 +253,10 @@ def build_stream(ds, index_dir: str, schema: IndexSchema, seg_size: int,
     rows = [r for p in parts for r in p]
     cols = ["seg", "doc_count", "min_docid", "max_docid", "n_terms",
             "n_postings", "field_lengths", "docs_secs", "terms_secs"]
-    return pd.DataFrame(rows, columns=cols)
+    df = pd.DataFrame(rows, columns=cols)
+    try:
+        df.attrs["exchange_bytes"] = int(
+            acct.sum("bytes") if acct.count() else 0)
+    except Exception:
+        pass
+    return df

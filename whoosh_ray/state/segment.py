@@ -410,16 +410,28 @@ def write_terms_file(seg_dir: str, table: pa.Table) -> None:
     every cold query read O(index size) instead of O(terms hit)
     (VERDICT r2 #1).  The reference's posting files are offset-addressed
     for the same reason (codec/whoosh3.py W3Codec .pst files)."""
-    blob_cols = ["postings", "positions"]
-    if "chars" in table.column_names:
-        blob_cols.append("chars")
-    sections = [table[c].to_pylist() for c in blob_cols]
-    if "chars" not in table.column_names:
-        sections.append([b""] * table.num_rows)
-        blob_cols.append("chars")
+    n = table.num_rows
+
+    def _section(name):
+        """(contiguous data memoryview, per-row lengths) zero-copy from
+        the large_binary column's offsets/data buffers — no per-blob
+        Python bytes objects (that copy cost doubled build time)."""
+        if name not in table.column_names:
+            return memoryview(b""), np.zeros(n, dtype=np.int64)
+        arr = table[name].combine_chunks()
+        bufs = arr.buffers()
+        odt = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+        o = np.frombuffer(bufs[1], dtype=odt, count=len(arr) + 1,
+                          offset=arr.offset * np.dtype(odt).itemsize
+                          ).astype(np.int64)
+        lens = np.diff(o)
+        data = memoryview(bufs[2])[o[0]: o[-1]] if bufs[2] is not None \
+            else memoryview(b"")
+        return data, lens
+
+    sections = [_section(c) for c in ("postings", "positions", "chars")]
     offs, lens, base = [], [], 0
-    for blobs in sections:
-        ln = np.array([len(b) for b in blobs], dtype=np.int64)
+    for _, ln in sections:
         off = np.full(len(ln), base, dtype=np.int64)
         if len(ln):
             off[1:] += np.cumsum(ln[:-1])
@@ -427,9 +439,8 @@ def write_terms_file(seg_dir: str, table: pa.Table) -> None:
         lens.append(ln)
         base += int(ln.sum())
     with open(os.path.join(seg_dir, "blobs.bin"), "wb") as f:
-        for blobs in sections:
-            for b in blobs:
-                f.write(b)
+        for data, _ in sections:
+            f.write(data)
     out = table.drop_columns([c for c in ("postings", "positions", "chars")
                               if c in table.column_names])
     loc_names = (("post_off", "post_len"), ("pos_off", "pos_len"),

@@ -21,7 +21,48 @@ COVERED = [
     "3pm", "10:25am", "10:25:17am",
     "next tuesday", "next friday", "last friday", "last tuesday",
     "next monday", "last sunday",
+    # ---- full-grammar matrix (reference tests/test_dateparse.py) ----
+    # time
+    "13:05", "3 pm", "10pm", "10 pm", "3am", "3:15 am", "5:10pm",
+    "12:45am", "12:45pm", "5:45:05 pm", "noon", "midnight",
+    # dmy permutations incl. commas and ordinals
+    "25 may 2011", "may 2 2011", "2011 25 may", "2011 may 5",
+    "apr", "september", "2001", "july 2525", "nov 30",
+    "25 may, 2011", "may 2nd, 2011", "2011, 25 may", "2011, may 5th",
+    "this month", "this year",
+    # plusdate (relative deltas)
+    "+1hr", "+5mins", "+20s", "- 2 h", "- 25 minutes", "-400 secs",
+    "+1hr 5m", "-8hr 12m", "+1hr 5s", "+1hr 12m 5s", "-1hr 5s",
+    "-1hr 12m 5s", "+1y", "+2mo", "+3w", "+5d", "+5days", "-6yr",
+    "- 7 mons", "-8 wks", "- 9 dy", "+1y 12mo 400d", "-7mo 8d",
+    "+5wks 2d", "-1y 1w", "+1y 2d 5h 12s", "-3 weeks",
+    # dayname
+    "next sunday", "last sun", "next th", "next thur",
+    # bundles (time + date in any order)
+    "mar 29 1972 2:45am", "16:10:45 14 february 2005",
+    "1985 sept 12 12:01", "5pm 21st oct 2005", "5:59:59pm next thur",
+    "5:10pm",
+    # ranges
+    "last tuesday to next tuesday", "last monday to dec 25",
+    "oct 25 to feb 14", "3am oct 12 to 5pm", "3am feb 12 to 5pm today",
+    "feb to oct", "oct 25 2005 11am to 5pm tomorrow",
+    "oct 5 2005 to november 20", "2007 to 2010", "2007 to oct 12",
+    "-2d to +1w", "feb to nov", "2005 to 10 oct 2009",
+    "jan 12 to oct 10 2009", "jan to oct 2009",
 ]
+
+REJECTED = [
+    # reference grammar rejects these (None); we raise ValueError
+    "28:91", "15 am", "24:00", "12:65", "25 2525",
+    "may 32 2005", "2005 may 32", "2005-13-32",
+]
+
+
+def test_rejected_expressions(english):
+    for x in REJECTED:
+        assert english.date_from(x, BASE) is None, x
+        with pytest.raises(ValueError):
+            date_from(x, BASE)
 
 
 @pytest.fixture(scope="module")
@@ -55,7 +96,7 @@ def test_extensions_beyond_reference(english):
 
 
 def test_uncovered_raises():
-    for x in ["the day before pearl harbor", "-3 weeks", ""]:
+    for x in ["the day before pearl harbor", ""]:
         with pytest.raises(ValueError):
             date_from(x, BASE)
 

@@ -61,6 +61,11 @@ class AnalyzerSpec:
     maxsize: int | None = None
     gaps: bool = False  # RegexTokenizer(gaps=True): pattern splits instead
     stem: bool = False
+    # LanguageAnalyzer (analyzers.py:253-296): snowball stemmer for the
+    # given two-letter language code (currently "de"/"es" — fuzz-tested
+    # output parity with the reference's shipped stemmers); combine
+    # with per-language stopwords via language_analyzer()
+    lang: str | None = None
     substitute: tuple[str, str] | None = None  # (pattern, replacement)
     reverse: bool = False
     strip: bool = False
@@ -95,6 +100,23 @@ class AnalyzerSpec:
 
     def compile(self) -> "VectorAnalyzer":
         return VectorAnalyzer(self)
+
+
+def language_analyzer(lang: str) -> AnalyzerSpec:
+    """LanguageAnalyzer preset (reference analyzers.py:253-296):
+    RegexTokenizer | LowercaseFilter | StopFilter(per-language list) |
+    snowball StemFilter.  Stopword lists cover 14 languages (Snowball
+    project data, functions/lang_stopwords_data.py); stemming parity is
+    implemented for "de" and "es" — other languages get the stop list
+    only (documented divergence: the reference also stems them)."""
+    from whoosh_ray.functions.lang_stopwords_data import STOPLISTS
+
+    if lang not in STOPLISTS:
+        raise ValueError(f"no stopword list for language {lang!r}")
+    from whoosh_ray.functions.snowball import STEMMERS
+
+    return AnalyzerSpec(stopwords=frozenset(STOPLISTS[lang]), minsize=2,
+                        lang=lang if lang in STEMMERS else None)
 
 
 STANDARD = AnalyzerSpec()
@@ -269,16 +291,20 @@ class VectorAnalyzer:
             pat, rep = self._sub, spec.substitute[1]
             s = pd.Series([pat.sub(rep, x) for x in s.to_numpy()],
                           dtype=object)
-        if spec.stem:
-            from whoosh_ray.functions.porter import stem as porter_stem
+        if spec.stem or spec.lang:
+            if spec.stem:
+                from whoosh_ray.functions.porter import stem as stem_fn
+            else:
+                from whoosh_ray.functions.snowball import STEMMERS
 
+                stem_fn = STEMMERS[spec.lang]
             cache = self._stem_cache
             vals = s.to_numpy()
             out = np.empty(len(vals), dtype=object)
             for i, w in enumerate(vals):
                 st = cache.get(w)
                 if st is None:
-                    st = porter_stem(w)
+                    st = stem_fn(w)
                     if len(cache) < 50000:  # morph.py cachesize parity
                         cache[w] = st
                 out[i] = st

@@ -171,3 +171,30 @@ def test_char_offsets_match_reference(chars_engine, chars_oracle, term):
         # spans point at the actual term text
         for sc, ec in ours:
             assert CHAR_DOCS[docid][sc:ec].lower() == term
+
+
+def test_highlights_from_chars_match_retokenize(chars_engine):
+    """Searcher.highlights on a chars field uses stored spans (no
+    re-tokenize) and produces the same snippets as the retokenize path
+    with the same fragmenter."""
+    from whoosh_ray.search.highlight import Highlighter, PinpointFragmenter
+
+    for docid, term in [(0, "quick"), (1, "box"), (2, "quickly")]:
+        via_spans = chars_engine.highlights(docid, "text", {term})
+        text = chars_engine.stored(np.array([docid]),
+                                   columns=["text"])["text"][0].as_py()
+        hl = Highlighter(fragmenter=PinpointFragmenter())
+        via_retok = hl.highlight(text, {term})
+        assert via_spans == via_retok
+        if term in text.lower():
+            assert "<b" in via_spans
+
+
+def test_rich_payloads_require_fused_mode(tmp_path):
+    schema = IndexSchema(fields=(
+        FieldSpec.text("text", stored=True, chars=True),
+    ), stored_columns=("doc_id",))
+    pq.write_table(_table(), str(tmp_path / "src.parquet"))
+    with pytest.raises(ValueError, match="fused"):
+        build_index(str(tmp_path / "src.parquet"), str(tmp_path / "ix"),
+                    schema, docid_col="doc_id", mode="stream")

@@ -113,6 +113,17 @@ def build_index(
     Returns the sealed :class:`Manifest`.
     """
     t_start = time.time()
+    # chars / vector / token-boost payloads are produced by the fused
+    # writer only; the alternate modes would silently drop them
+    if mode != "fused":
+        rich = [f.name for f in schema.fields
+                if getattr(f, "chars", False) or getattr(f, "vector", False)
+                or (f.analyzer.chain is not None
+                    and any(k == "delimited" for k, _ in f.analyzer.chain))]
+        if rich:
+            raise ValueError(
+                f"fields {rich} use chars/vector/boost payloads — "
+                f"supported by mode='fused' only (got mode={mode!r})")
     segroot = os.path.join(index_dir, "segments")
     os.makedirs(segroot, exist_ok=True)
 

@@ -382,6 +382,21 @@ class Highlighter:
                                   minscore=minscore)
         return self.formatter.format(fragments)
 
+    def highlight_spans(self, text: str, spans, top: int = 3,
+                        minscore: int = 1) -> str:
+        """Highlight from precomputed matched (startchar, endchar)
+        spans — the Characters-payload path (Searcher.char_offsets):
+        no re-tokenization of the stored text.  Geometry-identical to
+        :meth:`highlight` when used with span-driven fragmenters
+        (PinpointFragmenter)."""
+        tokens = [Token(text=text[sc:ec].lower(), startchar=sc,
+                        endchar=ec, matched=True)
+                  for sc, ec in sorted(set(map(tuple, spans)))]
+        fragments = self.fragmenter.fragment_tokens(text, tokens)
+        fragments = top_fragments(fragments, top, self.scorer, self.order,
+                                  minscore=minscore)
+        return self.formatter.format(fragments)
+
 
 def highlight_batch(texts, terms, top: int = 3, **kwargs) -> list[str]:
     """Highlight a batch of stored texts (the map_batches body for

@@ -584,6 +584,34 @@ class Searcher:
             return None
         return (t[cols[0]][0].as_py(), t[cols[1]][0].as_py())
 
+    def highlights(self, docid: int, fieldname: str, terms, *,
+                   top: int = 3, fragmenter=None, formatter=None) -> str:
+        """Highlighted snippets for one hit.  On a ``chars=True`` field
+        the matched spans come straight from the stored Characters
+        payloads (no re-tokenize); otherwise the stored text is
+        re-tokenized (the reference's fallback, highlight.py:506-590)."""
+        from whoosh_ray.search.highlight import (Highlighter,
+                                                 PinpointFragmenter)
+
+        stored = self.stored(np.array([docid]), columns=[fieldname])
+        if not stored.num_rows:
+            return ""
+        text = stored[fieldname][0].as_py() or ""
+        spec = None
+        try:
+            spec = self.schema.field(fieldname)
+        except KeyError:
+            pass
+        if spec is not None and getattr(spec, "chars", False):
+            spans = []
+            for t in set(terms):
+                spans.extend(self.char_offsets(docid, fieldname, t))
+            hl = Highlighter(fragmenter=fragmenter or PinpointFragmenter(),
+                             formatter=formatter)
+            return hl.highlight_spans(text, spans, top=top)
+        hl = Highlighter(fragmenter=fragmenter, formatter=formatter)
+        return hl.highlight(text, set(terms), top=top)
+
     def char_offsets(self, docid: int, field: str,
                      term: str) -> list[tuple[int, int]]:
         """Exact (startchar, endchar) spans of ``term`` in a document's

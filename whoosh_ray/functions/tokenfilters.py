@@ -367,6 +367,7 @@ def compile_chain(chain: tuple, mode: str = "index"):
       ("intraword", (delims, sw, sn, mw, mn))
       ("biword", (sep,))      ("shingle", (size, sep))
       ("compound", (words, keep_compound))
+      ("dmetaphone", (primary_boost, secondary_boost, combine))
       ("tee", (chain_a, chain_b, ...))          — interleave sub-chains
       ("multi", ((mode, chain), ...))           — pick sub-chain by mode
     """
@@ -421,6 +422,13 @@ def _compile_filter(kind: str, params, mode: str):
         words, keep = params
         ws = frozenset(words)
         return lambda toks: compound_word_filter(toks, ws, keep)
+    if kind == "dmetaphone":
+        from whoosh_ray.functions.dmetaphone import dmetaphone_filter
+
+        pboost, sboost, combine = params
+        cache: dict = {}
+        return lambda toks: dmetaphone_filter(toks, pboost, sboost,
+                                              combine, cache)
     if kind == "tee":
         sub = [compile_chain((("tokenizer", (r"\S+", False)),) + tuple(c),
                              mode)[1] for c in params]

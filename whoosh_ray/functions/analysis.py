@@ -203,7 +203,15 @@ class VectorAnalyzer:
         if spec.numeric is not None:
             return self._numeric_call(texts)
         if self._chain is not None:
-            return self._chain_call(texts)
+            if with_chars:
+                from whoosh_ray.functions.tokenfilters import chain_chars_safe
+
+                if not chain_chars_safe(spec.chain):
+                    raise ValueError(
+                        "char-offset payloads through a filter chain need "
+                        "a chars-safe chain (text-only rewrites); "
+                        "stream-restructuring filters don't carry spans")
+            return self._chain_call(texts, with_chars=with_chars)
         if spec.ngram is not None:
             return self._ngram_call(texts)
         n = len(texts)
@@ -368,20 +376,34 @@ class VectorAnalyzer:
         counts[rows_v] = len(shifts)
         return TokenizedBatch(row_ids, terms, positions, counts)
 
-    def _chain_call(self, texts) -> TokenizedBatch:
+    def _chain_call(self, texts, with_chars: bool = False) -> TokenizedBatch:
         """Generic filter-chain path (tokenfilters.py): per-row generator
         chains for the stream-restructuring filters."""
-        from whoosh_ray.functions.tokenfilters import analyze_row_boosts
+        from whoosh_ray.functions.tokenfilters import (analyze_row_boosts,
+                                                       analyze_row_full)
 
         tokenize, fns = self._chain
         n = len(texts)
         rows, terms, positions, boosts = [], [], [], []
-        for i, t in enumerate(texts):
-            for text, pos, boost in analyze_row_boosts(t or "", tokenize, fns):
-                rows.append(i)
-                terms.append(text)
-                positions.append(pos)
-                boosts.append(boost)
+        scs, ecs = [], []
+        if with_chars:
+            for i, t in enumerate(texts):
+                for text, pos, boost, sc, ec in analyze_row_full(
+                        t or "", tokenize, fns):
+                    rows.append(i)
+                    terms.append(text)
+                    positions.append(pos)
+                    boosts.append(boost)
+                    scs.append(sc)
+                    ecs.append(ec)
+        else:
+            for i, t in enumerate(texts):
+                for text, pos, boost in analyze_row_boosts(t or "",
+                                                           tokenize, fns):
+                    rows.append(i)
+                    terms.append(text)
+                    positions.append(pos)
+                    boosts.append(boost)
         row_ids = np.asarray(rows, dtype=np.int64)
         counts = np.bincount(row_ids, minlength=n).astype(np.int64)
         barr = np.asarray(boosts, dtype=np.float64)
@@ -392,6 +414,8 @@ class VectorAnalyzer:
             counts,
             boosts=None if (len(barr) == 0 or bool(np.all(barr == 1.0)))
             else barr,
+            startchars=np.asarray(scs, dtype=np.int64) if with_chars else None,
+            endchars=np.asarray(ecs, dtype=np.int64) if with_chars else None,
         )
 
     def _ngram_call(self, texts) -> TokenizedBatch:
@@ -448,7 +472,7 @@ class VectorAnalyzer:
         )
 
     def aggregate(self, texts, with_positions: bool = False,
-                  with_chars: bool = False):
+                  with_chars: bool = False, with_boosts: bool = False):
         """Per-(row, term) aggregation — the Format.word_values analogue.
 
         The reference folds the token stream of each field value into
@@ -480,6 +504,8 @@ class VectorAnalyzer:
             if with_chars:
                 out["char_starts"] = np.empty(0, dtype=np.int64)
                 out["char_ends"] = np.empty(0, dtype=np.int64)
+            if with_boosts:
+                out["occ_boosts"] = np.empty(0, dtype=np.float64)
             return out
 
         tcode, term_dict = pd.factorize(tb.terms, sort=False)
@@ -506,6 +532,12 @@ class VectorAnalyzer:
         if with_chars:
             out["char_starts"] = tb.startchars[order]
             out["char_ends"] = tb.endchars[order]
+        if with_boosts:
+            # per-OCCURRENCE boosts in the same (group-major) order as
+            # pos_values — the PositionBoosts/CharacterBoosts payload
+            # stream (reference formats.py:339-481)
+            out["occ_boosts"] = (tb.boosts[order] if tb.boosts is not None
+                                 else np.ones(n_tok, dtype=np.float64))
         if tb.boosts is not None:
             # per-(row, term) scoring weight = sum of token boosts
             # (Frequency/Positions word_values, formats.py:182-263);

@@ -35,15 +35,21 @@ import unicodedata
 
 
 class Token:
-    __slots__ = ("text", "pos", "boost")
+    __slots__ = ("text", "pos", "boost", "startchar", "endchar")
 
-    def __init__(self, text: str, pos: int, boost: float = 1.0):
+    def __init__(self, text: str, pos: int, boost: float = 1.0,
+                 startchar: int | None = None, endchar: int | None = None):
         self.text = text
         self.pos = pos
         self.boost = boost
+        # char offsets into the ORIGINAL text (reference Token.startchar/
+        # endchar when chars=True); None when chars aren't tracked
+        self.startchar = startchar
+        self.endchar = endchar
 
     def copy(self) -> "Token":
-        return Token(self.text, self.pos, self.boost)
+        return Token(self.text, self.pos, self.boost,
+                     self.startchar, self.endchar)
 
 
 def _is_lower(ch: str) -> bool:
@@ -128,6 +134,10 @@ def delimited_attribute_filter(tokens, delimiter="^"):
             attr = t.text[pos + 1:]
             if attr:
                 t.boost = float(attr)
+            if t.endchar is not None:
+                # strip the delimiter+payload from the char span too
+                # (reference filters.py:430: endchar -= len(text) - pos)
+                t.endchar -= len(t.text) - pos
             t.text = t.text[:pos]
         yield t
 
@@ -379,16 +389,38 @@ def compile_chain(chain: tuple, mode: str = "index"):
 
     rex = re.compile(pattern, re.UNICODE)
 
-    def tokenize(text: str):
+    def tokenize(text: str, with_chars: bool = False):
         if gaps:
+            if with_chars:
+                raise ValueError("char offsets need a non-gaps tokenizer")
             words = [w for w in rex.split(text or "") if w]
-        else:
-            words = rex.findall(text or "")
+            return (Token(w, i) for i, w in enumerate(words))
+        if with_chars:
+            return (Token(m.group(0), i, startchar=m.start(), endchar=m.end())
+                    for i, m in enumerate(rex.finditer(text or "")))
+        words = rex.findall(text or "")
         return (Token(w, i) for i, w in enumerate(words))
 
     fns = [_compile_filter(kind, params, mode) for kind, params in items]
     fns = [f for f in fns if f is not None]
     return tokenize, fns
+
+
+# Filters that preserve/adjust token char spans correctly (the reference
+# leaves t.startchar/endchar pointing at the ORIGINAL text for text-only
+# rewrites; stream-restructuring filters synthesize spans we don't model)
+CHARS_SAFE_FILTERS = frozenset(
+    ["lowercase", "strip", "stop", "charset", "delimited", "stem"])
+
+
+def chain_chars_safe(chain: tuple) -> bool:
+    """True when every filter in the chain keeps char offsets exact."""
+    for kind, _params in chain:
+        if kind == "tokenizer":
+            continue
+        if kind not in CHARS_SAFE_FILTERS:
+            return False
+    return True
 
 
 def _compile_filter(kind: str, params, mode: str):
@@ -481,3 +513,13 @@ def analyze_row_boosts(text: str, tokenize, fns) -> list[tuple[str, int, float]]
     the parsed ``word^boost`` value into posting weights, reference
     filters.py:375-436 + Frequency.word_values formats.py:182-196)."""
     return [(t.text, t.pos, t.boost) for t in _apply(fns, tokenize(text))]
+
+
+def analyze_row_full(text: str, tokenize,
+                     fns) -> list[tuple[str, int, float, int, int]]:
+    """analyze_row_boosts + char spans: (text, pos, boost, startchar,
+    endchar) per surviving token — the CharacterBoosts token stream
+    (reference formats.py:415-481).  Requires a chars-safe chain
+    (``chain_chars_safe``)."""
+    return [(t.text, t.pos, t.boost, t.startchar, t.endchar)
+            for t in _apply(fns, tokenize(text, with_chars=True))]

@@ -118,6 +118,7 @@ def build_index(
     if mode != "fused":
         rich = [f.name for f in schema.fields
                 if getattr(f, "chars", False) or getattr(f, "vector", False)
+                or getattr(f, "token_boosts", False)
                 or (f.analyzer.chain is not None
                     and any(k == "delimited" for k, _ in f.analyzer.chain))]
         if rich:

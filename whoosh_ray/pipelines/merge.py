@@ -154,6 +154,8 @@ def _expunge(terms: pa.Table, docs: pa.Table,
     poss = terms["positions"].to_pylist()
     chs = (terms["chars"].to_pylist() if "chars" in terms.column_names
            else [b""] * terms.num_rows)
+    bst = (terms["boosts"].to_pylist() if "boosts" in terms.column_names
+           else [b""] * terms.num_rows)
     stats = {c: terms[c].to_numpy(zero_copy_only=False)
              for c in _COMBINE_COLS}
     tvals = terms["term"].to_numpy(zero_copy_only=False)
@@ -171,6 +173,7 @@ def _expunge(terms: pa.Table, docs: pa.Table,
             out["postings"].append(posts[i])
             out["positions"].append(poss[i])
             out["chars"].append(chs[i])
+            out["boosts"].append(bst[i])
             continue
         fname = str(fields[i])
         removed_fl[fname] = removed_fl.get(fname, 0) + int(p.tfs[~keep].sum())
@@ -204,6 +207,12 @@ def _expunge(terms: pa.Table, docs: pa.Table,
                 [sp for sp, k in zip(spans, keep) if k]))
         else:
             out["chars"].append(b"")
+        if bst[i]:
+            blists = codec.decode_boosts(bst[i], p.tfs)
+            out["boosts"].append(codec.encode_boosts(
+                [bl for bl, k in zip(blists, keep) if k]))
+        else:
+            out["boosts"].append(b"")
 
     from whoosh_ray.state.segment import TERMS_ARROW_SCHEMA
 
@@ -286,6 +295,9 @@ class MergeWorker:
             chs = (terms["chars"].to_pylist()
                    if "chars" in terms.column_names
                    else [b""] * terms.num_rows)
+            bst = (terms["boosts"].to_pylist()
+                   if "boosts" in terms.column_names
+                   else [b""] * terms.num_rows)
             col = {c: terms[c].to_numpy(zero_copy_only=False)
                    for c in _COMBINE_COLS}
             for s, e in zip(starts, ends):
@@ -304,6 +316,7 @@ class MergeWorker:
                     rows["postings"].append(posts[s])
                     rows["positions"].append(poss[s])
                     rows["chars"].append(chs[s])
+                    rows["boosts"].append(bst[s])
                 else:
                     parts = [codec.BlobReader(posts[j]).decode_all()
                              for j in range(s, e)]
@@ -333,6 +346,14 @@ class MergeWorker:
                         rows["chars"].append(codec.encode_chars(spans))
                     else:
                         rows["chars"].append(b"")
+                    if all(bst[j] for j in range(s, e)):
+                        blists = []
+                        for j in range(s, e):
+                            blists.extend(codec.decode_boosts(bst[j],
+                                                              parts[j - s].tfs))
+                        rows["boosts"].append(codec.encode_boosts(blists))
+                    else:
+                        rows["boosts"].append(b"")
 
             merged_terms = pa.table(
                 {f.name: pa.array(rows[f.name], type=f.type)

@@ -279,8 +279,11 @@ class Searcher:
             for s, _ in todo:  # mixed blob formats: per-segment loads
                 s.stats
             return
-        cols = TERM_STAT_COLS + (BLOB_LOC_COLS if todo[0][0].has_bin else [])
-        t = terms_dataset([s for s, _ in todo]).to_table(columns=cols)
+        ds = terms_dataset([s for s, _ in todo])
+        cols = TERM_STAT_COLS + ([c for c in BLOB_LOC_COLS
+                                  if c in ds.schema.names]
+                                 if todo[0][0].has_bin else [])
+        t = ds.to_table(columns=cols)
         starts = np.array([s.meta.docid_range()[0] for s, _ in todo],
                           dtype=np.int64)
         mind = t["min_docid"].to_numpy()
@@ -628,6 +631,40 @@ class Searcher:
             return []
         sc, ec = per_posting[j]
         return list(zip(sc.tolist(), ec.tolist()))
+
+    def position_boosts(self, docid: int, field: str,
+                        term: str) -> list[tuple[int, float]]:
+        """(pos, boost) per occurrence of ``term`` in a document's field
+        — the reference's ``value_as("position_boosts")`` on the
+        PositionBoosts format (formats.py:339-412).  Empty list when the
+        term doesn't occur or no boost payloads are stored."""
+        seg = self.seg_of(docid)
+        pb = seg.boost_payloads(field, term)
+        if pb is None or pb[1] is None:
+            return []
+        docids, poss, _chars, boosts = pb
+        j = int(np.searchsorted(docids, docid))
+        if j >= len(docids) or docids[j] != docid:
+            return []
+        return list(zip(poss[j].tolist(),
+                        [float(b) for b in boosts[j]]))
+
+    def character_boosts(self, docid: int, field: str,
+                         term: str) -> list[tuple[int, int, int, float]]:
+        """(pos, startchar, endchar, boost) per occurrence — the
+        reference's ``value_as("character_boosts")`` on the
+        CharacterBoosts format (formats.py:415-481)."""
+        seg = self.seg_of(docid)
+        pb = seg.boost_payloads(field, term, with_chars=True)
+        if pb is None or pb[1] is None or pb[2] is None:
+            return []
+        docids, poss, chars, boosts = pb
+        j = int(np.searchsorted(docids, docid))
+        if j >= len(docids) or docids[j] != docid:
+            return []
+        sc, ec = chars[j]
+        return list(zip(poss[j].tolist(), sc.tolist(), ec.tolist(),
+                        [float(b) for b in boosts[j]]))
 
     def stored(self, docids: np.ndarray, columns: list[str] | None = None) -> pa.Table:
         segs = self._seg_index_of(docids)

@@ -116,7 +116,8 @@ class FusedSegmentWriter:
             texts = group[f.name].to_numpy(zero_copy_only=False)
             agg = self._analyzers[f.name].aggregate(
                 texts, with_positions=f.positions,
-                with_chars=getattr(f, "chars", False))
+                with_chars=getattr(f, "chars", False),
+                with_boosts=getattr(f, "token_boosts", False))
             rows = agg["row_ids"]
             if len(rows) == 0:
                 continue
@@ -182,6 +183,14 @@ class FusedSegmentWriter:
                                                      starts, ends)
             else:
                 charblobs = [b""] * len(starts)
+            if getattr(f, "token_boosts", False):
+                occ, offs_b = _reorder_lists(agg["occ_boosts"],
+                                             agg["pos_offsets"].astype(np.int64),
+                                             sort)
+                boostblobs = codec.encode_boosts_batch(occ, offs_b,
+                                                       starts, ends)
+            else:
+                boostblobs = [b""] * len(starts)
 
             n_terms = len(starts)
             w32 = (weights.astype(np.float32) if weights is not None
@@ -202,6 +211,7 @@ class FusedSegmentWriter:
                 "postings": blobs,
                 "positions": posblobs,
                 "chars": charblobs,
+                "boosts": boostblobs,
             }
             chunk["total_weight"] = (np.add.reduceat(weights, starts)
                                      if weights is not None
@@ -219,7 +229,7 @@ class FusedSegmentWriter:
         cols = {}
         for fld in TERMS_ARROW_SCHEMA:
             vals = [c[fld.name] for c in field_chunks]
-            if fld.name in ("postings", "positions", "chars"):
+            if fld.name in ("postings", "positions", "chars", "boosts"):
                 flatv = [b for v in vals for b in v]
                 cols[fld.name] = pa.array(flatv, type=fld.type)
             else:

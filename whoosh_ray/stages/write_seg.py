@@ -163,7 +163,7 @@ class EncodeSegmentTerms:
                 cols[f.name] = pa.array(blobs, type=f.type)
             elif f.name == "positions":
                 cols[f.name] = pa.array(posblobs, type=f.type)
-            elif f.name == "chars":
+            elif f.name in ("chars", "boosts"):
                 # boost/chars-bearing schemas build via mode="fused"
                 cols[f.name] = pa.array([b""] * n_terms, type=f.type)
             else:

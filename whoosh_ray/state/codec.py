@@ -583,3 +583,53 @@ def decode_chars(blob: bytes | memoryview, tfs: np.ndarray) -> list:
     sc, ec, offsets = decode_chars_flat(blob, tfs)
     return [(sc[offsets[i]: offsets[i + 1]], ec[offsets[i]: offsets[i + 1]])
             for i in range(len(tfs))]
+
+
+# ---- per-occurrence boost payloads (PositionBoosts / CharacterBoosts) ----
+#
+# The reference's PositionBoosts/CharacterBoosts formats store one boost
+# per token occurrence inside the posting value (formats.py:339-481,
+# pickled (delta, boost) tuples).  Here the occurrence grouping is already
+# implied by the posting tfs (same layout as positions), so the payload is
+# simply a raw little-endian float32 per occurrence — zero-copy decodable
+# with np.frombuffer.  The reference's float boosts round-trip through
+# array('f') block storage, so float32 matches its precision.
+
+
+def encode_boosts_batch(boosts_flat: np.ndarray,
+                        post_offsets: np.ndarray,
+                        term_post_starts: np.ndarray,
+                        term_post_ends: np.ndarray) -> list[bytes]:
+    """Vectorized per-term boost payloads: slice one contiguous f4 buffer
+    by the postings' occurrence offsets."""
+    raw = np.ascontiguousarray(np.asarray(boosts_flat, dtype="<f4")).tobytes()
+    mv = memoryview(raw)
+    out = []
+    for s, e in zip(term_post_starts, term_post_ends):
+        lo = int(post_offsets[int(s)])
+        hi = int(post_offsets[int(e)])
+        out.append(bytes(mv[4 * lo: 4 * hi]))
+    return out
+
+
+def encode_boosts(boosts_per_posting: list) -> bytes:
+    """One term's boost payload from per-posting boost arrays."""
+    if not boosts_per_posting:
+        return b""
+    arrs = [np.asarray(a, dtype="<f4") for a in boosts_per_posting]
+    return np.concatenate(arrs).astype("<f4").tobytes()
+
+
+def decode_boosts_flat(blob: bytes | memoryview,
+                       tfs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(flat float32 boosts, per-posting offsets)."""
+    tfs = np.asarray(tfs, dtype=np.int64)
+    offsets = np.concatenate(([0], np.cumsum(tfs)))
+    vals = np.frombuffer(bytes(blob), dtype="<f4")
+    return vals, offsets
+
+
+def decode_boosts(blob: bytes | memoryview, tfs: np.ndarray) -> list:
+    """Per-posting boost arrays — inverse of encode_boosts."""
+    vals, offsets = decode_boosts_flat(blob, tfs)
+    return [vals[offsets[i]: offsets[i + 1]] for i in range(len(tfs))]

@@ -35,24 +35,32 @@ class FieldSpec:
     scorable: bool = True          # store per-doc quantized length; BM25-scored
     positions: bool = False        # store position payloads (phrase support)
     chars: bool = False            # store char-span payloads (Characters fmt)
+    token_boosts: bool = False     # store per-occurrence boost payloads
     vector: bool = False           # store per-doc term vectors (key_terms)
     boost: float = 1.0
     fmt: str = "frequency"         # "frequency" | "existence"
 
     @staticmethod
     def text(name: str, *, stored: bool = True, positions: bool = False,
-             chars: bool = False, vector: bool = False, boost: float = 1.0,
+             chars: bool = False, token_boosts: bool = False,
+             vector: bool = False, boost: float = 1.0,
              analyzer: AnalyzerSpec = STANDARD) -> "FieldSpec":
         """``chars=True`` additionally stores per-occurrence character
         spans (the reference's Characters format, formats.py:266-335)
         for exact highlight offsets without retokenizing; implies
-        positions.  ``vector=True`` stores per-document (term, weight)
-        vectors in docs.parquet (FieldType(vector=...) parity,
-        whoosh3.py:156-277) so key_terms/more_like read the vector
-        instead of re-analyzing the stored text."""
+        positions.  ``token_boosts=True`` stores one boost per token
+        occurrence (the reference's PositionBoosts format,
+        formats.py:339-412; with ``chars=True`` too, CharacterBoosts,
+        formats.py:415-481); implies positions.  ``vector=True`` stores
+        per-document (term, weight) vectors in docs.parquet
+        (FieldType(vector=...) parity, whoosh3.py:156-277) so
+        key_terms/more_like read the vector instead of re-analyzing the
+        stored text."""
         return FieldSpec(name=name, kind="text", analyzer=analyzer, stored=stored,
-                         scorable=True, positions=positions or chars,
-                         chars=chars, vector=vector, boost=boost,
+                         scorable=True,
+                         positions=positions or chars or token_boosts,
+                         chars=chars, token_boosts=token_boosts,
+                         vector=vector, boost=boost,
                          fmt="frequency")
 
     @staticmethod

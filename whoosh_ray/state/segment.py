@@ -37,7 +37,10 @@ TERM_STAT_COLS = [
 # blob locator columns (blobs.bin format): byte offset + length of each
 # term's postings / positions blobs in the segment's blobs.bin sidecar
 BLOB_LOC_COLS = ["post_off", "post_len", "pos_off", "pos_len",
-                 "chars_off", "chars_len"]
+                 "chars_off", "chars_len", "boosts_off", "boosts_len"]
+
+# binary payload columns, in blobs.bin section order
+BLOB_COLS = ("postings", "positions", "chars", "boosts")
 
 TERMS_ARROW_SCHEMA = pa.schema(
     [
@@ -54,6 +57,7 @@ TERMS_ARROW_SCHEMA = pa.schema(
         ("postings", pa.large_binary()),
         ("positions", pa.large_binary()),
         ("chars", pa.large_binary()),
+        ("boosts", pa.large_binary()),
     ]
 )
 
@@ -161,8 +165,11 @@ class SegmentReader:
             key = (self._terms_path, st.st_size, st.st_mtime_ns)
             cached = SegmentReader._STATS_CACHE.get(key)
             if cached is None:
-                cols = TERM_STAT_COLS + (BLOB_LOC_COLS if self.has_bin
-                                         else [])
+                cols = TERM_STAT_COLS
+                if self.has_bin:
+                    # older segments lack the boosts locator pair
+                    names = pq.read_schema(self._terms_path).names
+                    cols = cols + [c for c in BLOB_LOC_COLS if c in names]
                 cached = pq.read_table(self._terms_path, columns=cols)
                 if len(SegmentReader._STATS_CACHE) > 4096:
                     SegmentReader._STATS_CACHE.clear()
@@ -310,6 +317,34 @@ class SegmentReader:
         p = r.decode_all()
         return p.docids, codec.decode_chars(blob, p.tfs)
 
+    def boost_payloads(self, field: str, term: str, with_chars: bool = False):
+        """Per-occurrence boost payloads (PositionBoosts/CharacterBoosts
+        decode surface, reference formats.py:339-481): returns
+        (docids, positions, chars, boosts) where positions/boosts are
+        lists of per-posting arrays aligned by posting, chars is a list
+        of per-posting (sc, ec) pairs (or None unless requested/stored).
+        None when the term is absent or no boost payloads are stored."""
+        idx = self._find(field, term)
+        if idx is None or not self.has_bin:
+            return None
+        t = self.stats
+        if "boosts_len" not in t.column_names:
+            return None
+        bl = int(t["boosts_len"][idx].as_py())
+        if bl == 0:
+            return None
+        blob = self._pread(int(t["boosts_off"][idx].as_py()), bl)
+        blobs = self._load_blobs(field, term)
+        p = codec.BlobReader(blobs[0]).decode_all()
+        boosts = codec.decode_boosts(blob, p.tfs)
+        poss = (codec.decode_positions(blobs[1], p.tfs)
+                if blobs[1] else None)
+        chars = None
+        if with_chars:
+            cs = self.char_spans(field, term)
+            chars = cs[1] if cs is not None else None
+        return p.docids, poss, chars, boosts
+
     def blob_reader(self, field: str, term: str) -> codec.BlobReader | None:
         blobs = self._load_blobs(field, term)
         if blobs is None:
@@ -429,7 +464,7 @@ def write_terms_file(seg_dir: str, table: pa.Table) -> None:
             else memoryview(b"")
         return data, lens
 
-    sections = [_section(c) for c in ("postings", "positions", "chars")]
+    sections = [_section(c) for c in BLOB_COLS]
     offs, lens, base = [], [], 0
     for _, ln in sections:
         off = np.full(len(ln), base, dtype=np.int64)
@@ -441,10 +476,10 @@ def write_terms_file(seg_dir: str, table: pa.Table) -> None:
     with open(os.path.join(seg_dir, "blobs.bin"), "wb") as f:
         for data, _ in sections:
             f.write(data)
-    out = table.drop_columns([c for c in ("postings", "positions", "chars")
+    out = table.drop_columns([c for c in BLOB_COLS
                               if c in table.column_names])
     loc_names = (("post_off", "post_len"), ("pos_off", "pos_len"),
-                 ("chars_off", "chars_len"))
+                 ("chars_off", "chars_len"), ("boosts_off", "boosts_len"))
     for (oname, lname), off, ln in zip(loc_names, offs, lens):
         out = out.append_column(oname, pa.array(off, type=pa.int64()))
         out = out.append_column(lname, pa.array(ln, type=pa.int64()))
@@ -460,9 +495,10 @@ def read_terms_file(seg_dir: str) -> pa.Table:
     over both the blobs.bin format and the legacy inline format."""
     t = pq.read_table(os.path.join(seg_dir, "terms.parquet"))
     if "postings" in t.column_names:  # legacy inline format
-        if "chars" not in t.column_names:
-            t = t.append_column(
-                "chars", pa.array([b""] * t.num_rows, type=pa.large_binary()))
+        for name in ("chars", "boosts"):
+            if name not in t.column_names:
+                t = t.append_column(name, pa.array([b""] * t.num_rows,
+                                                   type=pa.large_binary()))
         return t
     with open(os.path.join(seg_dir, "blobs.bin"), "rb") as f:
         blob = f.read()
@@ -471,6 +507,8 @@ def read_terms_file(seg_dir: str) -> pa.Table:
                 "positions": ("pos_off", "pos_len")}
     if "chars_off" in t.column_names:
         out_cols["chars"] = ("chars_off", "chars_len")
+    if "boosts_off" in t.column_names:
+        out_cols["boosts"] = ("boosts_off", "boosts_len")
     drop = [c for pair in out_cols.values() for c in pair]
     rebuilt = {}
     for name, (oc, lc) in out_cols.items():
@@ -478,7 +516,7 @@ def read_terms_file(seg_dir: str) -> pa.Table:
         ln = t[lc].to_numpy()
         rebuilt[name] = [bytes(mv[a: a + b]) for a, b in zip(o, ln)]
     t = t.drop_columns(drop)
-    for name in ("postings", "positions", "chars"):
+    for name in BLOB_COLS:
         vals = rebuilt.get(name, [b""] * t.num_rows)
         t = t.append_column(name,
                             pa.array(vals, type=pa.large_binary()))

@@ -106,9 +106,11 @@ def language_analyzer(lang: str) -> AnalyzerSpec:
     """LanguageAnalyzer preset (reference analyzers.py:253-296):
     RegexTokenizer | LowercaseFilter | StopFilter(per-language list) |
     snowball StemFilter.  Stopword lists cover 14 languages (Snowball
-    project data, functions/lang_stopwords_data.py); stemming parity is
-    implemented for "de" and "es" — other languages get the stop list
-    only (documented divergence: the reference also stems them)."""
+    project data, functions/lang_stopwords_data.py); stemming parity
+    (functions/snowball.py, fuzz-matched against the reference) covers
+    every language with a stemmer in functions/snowball.STEMMERS —
+    languages without one (e.g. "tr", which the reference also cannot
+    stem) get the stop list only."""
     from whoosh_ray.functions.lang_stopwords_data import STOPLISTS
 
     if lang not in STOPLISTS:

@@ -1,21 +1,31 @@
-"""Snowball stemmers for German and Spanish.
+"""Snowball stemmers (all languages the reference engine ships).
 
-The algorithms are published (snowballstem.org: german/stemmer.html,
-spanish/stemmer.html); this module implements them as suffix tables +
-small step functions over a (word, r1, r2[, rv]) state, matching the
-REFERENCE engine's shipped stemmers output-for-output (fuzz-tested in
-tests/test_language.py) — including the translation quirks its
-NLTK-heritage code carries (first-match precedence over ordered suffix
-tuples rather than longest-match, clamped negative slices when a
-region is shorter than the probe window, and region strings that are
-deliberately NOT updated in some branches).  Reference:
-/root/reference/src/whoosh/lang/snowball/german.py and spanish.py —
-behavioral parity targets, not code sources.
+The algorithms are published (snowballstem.org); this module implements
+them as suffix tables + small step functions over a (word, r1, r2[, rv])
+state, matching the REFERENCE engine's shipped stemmers
+output-for-output (fuzz-tested in tests/test_language.py) — including
+the translation quirks its NLTK-heritage code carries (first-match
+precedence over ordered suffix tuples rather than longest-match,
+clamped negative slices when a region is shorter than the probe window,
+region strings that are deliberately NOT updated in some branches, and
+the Scandinavian R1 three-letter floor computed as ``word[3:]``).
+Reference: /root/reference/src/whoosh/lang/snowball/*.py — behavioral
+parity targets, not code sources.
 """
 
 from __future__ import annotations
 
 # ---------------------------------------------------------------- regions
+
+
+def _r1_scand(word: str, vowels: str) -> str:
+    """Scandinavian R1: standard R1 but the region before it must hold
+    at least three letters; the reference applies the floor as
+    ``word[3:]`` when the boundary falls earlier (snowball/bases.py:33-44)."""
+    for i in range(1, len(word)):
+        if word[i] not in vowels and word[i - 1] in vowels:
+            return word[3:] if i + 1 < 3 else word[i + 1:]
+    return ""
 
 
 def _r1r2(word: str, vowels: str) -> tuple[str, str]:
@@ -287,4 +297,933 @@ def stem_es(word: str) -> str:
     return word.translate(_ES_DEACCENT)
 
 
-STEMMERS = {"de": stem_de, "es": stem_es}
+# ---------------------------------------------------------------- danish
+
+_DA_VOWELS = "aeiouy\xe6\xe5\xf8"
+_DA_S_END = "abcdfghjklmnoprtvyz\xe5"
+_DA_STEP1 = ("erendes", "erende", "hedens", "ethed", "erede", "heden",
+             "heder", "endes", "ernes", "erens", "erets", "ered", "ende",
+             "erne", "eren", "erer", "heds", "enes", "eres", "eret",
+             "hed", "ene", "ere", "ens", "ers", "ets", "en", "er", "es",
+             "et", "e", "s")
+_DA_STEP2 = ("gd", "dt", "gt", "kt")
+_DA_STEP3 = ("elig", "l\xf8st", "lig", "els", "ig")
+_DA_DOUBLE = ("bb", "cc", "dd", "ff", "gg", "hh", "jj", "kk", "ll",
+              "mm", "nn", "pp", "qq", "rr", "ss", "tt", "vv", "ww",
+              "xx", "zz")
+
+
+def stem_da(word: str) -> str:
+    word = word.lower()
+    r1 = _r1_scand(word, _DA_VOWELS)
+
+    for sfx in _DA_STEP1:
+        if r1.endswith(sfx):
+            if sfx == "s":
+                if word[-2] in _DA_S_END:
+                    word, r1 = word[:-1], r1[:-1]
+            else:
+                n = len(sfx)
+                word, r1 = word[:-n], r1[:-n]
+            break
+
+    for sfx in _DA_STEP2:
+        if r1.endswith(sfx):
+            word, r1 = word[:-1], r1[:-1]
+            break
+
+    if r1.endswith("igst"):
+        word, r1 = word[:-2], r1[:-2]
+    for sfx in _DA_STEP3:
+        if r1.endswith(sfx):
+            if sfx == "l\xf8st":
+                word, r1 = word[:-1], r1[:-1]
+            else:
+                n = len(sfx)
+                word, r1 = word[:-n], r1[:-n]
+                if r1.endswith(_DA_STEP2):
+                    word, r1 = word[:-1], r1[:-1]
+            break
+
+    # undouble a final double consonant (only on words > 3 letters)
+    for dc in _DA_DOUBLE:
+        if word.endswith(dc) and len(word) > 3:
+            word = word[:-1]
+            break
+    return word
+
+
+# ---------------------------------------------------------------- swedish
+
+_SV_VOWELS = "aeiouy\xe4\xe5\xf6"
+_SV_S_END = "bcdfghjklmnoprtvy"
+_SV_STEP1 = ("heterna", "hetens", "heter", "heten", "anden", "arnas",
+             "ernas", "ornas", "andes", "andet", "arens", "arna",
+             "erna", "orna", "ande", "arne", "aste", "aren", "ades",
+             "erns", "ade", "are", "ern", "ens", "het", "ast", "ad",
+             "en", "ar", "er", "or", "as", "es", "at", "a", "e", "s")
+_SV_STEP2 = ("dd", "gd", "nn", "dt", "gt", "kt", "tt")
+_SV_STEP3 = ("fullt", "l\xf6st", "els", "lig", "ig")
+
+
+def stem_sv(word: str) -> str:
+    word = word.lower()
+    r1 = _r1_scand(word, _SV_VOWELS)
+
+    for sfx in _SV_STEP1:
+        if r1.endswith(sfx):
+            if sfx == "s":
+                if word[-2] in _SV_S_END:
+                    word, r1 = word[:-1], r1[:-1]
+            else:
+                n = len(sfx)
+                word, r1 = word[:-n], r1[:-n]
+            break
+
+    for sfx in _SV_STEP2:
+        if r1.endswith(sfx):
+            word, r1 = word[:-1], r1[:-1]
+            break
+
+    for sfx in _SV_STEP3:
+        if r1.endswith(sfx):
+            if sfx in ("els", "lig", "ig"):
+                word = word[:-len(sfx)]
+            else:  # fullt / löst: drop only the final letter
+                word = word[:-1]
+            break
+    return word
+
+
+# --------------------------------------------------------------- norwegian
+
+_NO_VOWELS = "aeiouy\xe6\xe5\xf8"
+_NO_S_END = "bcdfghjlmnoprtvyz"
+_NO_STEP1 = ("hetenes", "hetene", "hetens", "heter", "heten", "endes",
+             "ande", "ende", "edes", "enes", "erte", "ede", "ane",
+             "ene", "ens", "ers", "ets", "het", "ast", "ert", "en",
+             "ar", "er", "as", "es", "et", "a", "e", "s")
+_NO_STEP2 = ("dt", "vt")
+_NO_STEP3 = ("hetslov", "eleg", "elig", "elov", "slov", "leg", "eig",
+             "lig", "els", "lov", "ig")
+
+
+def stem_no(word: str) -> str:
+    word = word.lower()
+    r1 = _r1_scand(word, _NO_VOWELS)
+
+    for sfx in _NO_STEP1:
+        if r1.endswith(sfx):
+            if sfx in ("erte", "ert"):
+                word = word[:-len(sfx)] + "er"
+                r1 = r1[:-len(sfx)] + "er"
+            elif sfx == "s":
+                if (word[-2] in _NO_S_END
+                        or (word[-2] == "k" and word[-3] not in _NO_VOWELS)):
+                    word, r1 = word[:-1], r1[:-1]
+            else:
+                n = len(sfx)
+                word, r1 = word[:-n], r1[:-n]
+            break
+
+    for sfx in _NO_STEP2:
+        if r1.endswith(sfx):
+            word, r1 = word[:-1], r1[:-1]
+            break
+
+    for sfx in _NO_STEP3:
+        if r1.endswith(sfx):
+            word = word[:-len(sfx)]
+            break
+    return word
+
+
+# ----------------------------------------------------------------- dutch
+
+_NL_VOWELS = "aeiouy\xe8"
+_NL_STEP1 = ("heden", "ene", "en", "se", "s")
+_NL_STEP3B = ("baar", "lijk", "bar", "end", "ing", "ig")
+_NL_DEACCENT = str.maketrans("\xe4\xe1\xeb\xe9\xed\xef\xf6\xf3\xfc\xfa",
+                             "aaeeiioouu")
+
+
+def _nl_undouble(word: str, r1: str, r2: str) -> tuple[str, str, str]:
+    if word.endswith(("kk", "dd", "tt")):
+        return word[:-1], r1[:-1], r2[:-1]
+    return word, r1, r2
+
+
+def stem_nl(word: str) -> str:
+    word = word.lower().translate(_NL_DEACCENT)
+    step2_ok = False
+
+    # initial y / y-after-vowel / i-between-vowels become consonant marks
+    if word.startswith("y"):
+        word = "Y" + word[1:]
+    for i in range(1, len(word)):
+        if word[i - 1] in _NL_VOWELS and word[i] == "y":
+            word = word[:i] + "Y" + word[i + 1:]
+    for i in range(1, len(word) - 1):
+        if (word[i - 1] in _NL_VOWELS and word[i] == "i"
+                and word[i + 1] in _NL_VOWELS):
+            word = word[:i] + "I" + word[i + 1:]
+
+    r1, r2 = _r1r2(word, _NL_VOWELS)
+    # R1 floor: region before R1 must hold >= 3 letters (r2 NOT redone)
+    for i in range(1, len(word)):
+        if word[i] not in _NL_VOWELS and word[i - 1] in _NL_VOWELS:
+            if i + 1 < 3:
+                r1 = word[3:]
+            break
+
+    # STEP 1
+    for sfx in _NL_STEP1:
+        if r1.endswith(sfx):
+            n = len(sfx)
+            if sfx == "heden":
+                word = word[:-5] + "heid"
+                r1 = r1[:-5] + "heid"
+                if r2.endswith("heden"):
+                    r2 = r2[:-5] + "heid"
+            elif (sfx in ("ene", "en") and not word.endswith("heden")
+                  and word[-n - 1] not in _NL_VOWELS
+                  and word[-n - 3:-n] != "gem"):
+                word, r1, r2 = _nl_undouble(word[:-n], r1[:-n], r2[:-n])
+            elif (sfx in ("se", "s") and word[-n - 1] not in _NL_VOWELS
+                  and word[-n - 1] != "j"):
+                word, r1, r2 = word[:-n], r1[:-n], r2[:-n]
+            break
+
+    # STEP 2
+    if r1.endswith("e") and word[-2] not in _NL_VOWELS:
+        step2_ok = True
+        word, r1, r2 = _nl_undouble(word[:-1], r1[:-1], r2[:-1])
+
+    # STEP 3a
+    if r2.endswith("heid") and word[-5] != "c":
+        word, r1, r2 = word[:-4], r1[:-4], r2[:-4]
+        if (r1.endswith("en") and word[-3] not in _NL_VOWELS
+                and word[-5:-2] != "gem"):
+            word, r1, r2 = _nl_undouble(word[:-2], r1[:-2], r2[:-2])
+
+    # STEP 3b: derivational suffixes
+    for sfx in _NL_STEP3B:
+        if r2.endswith(sfx):
+            if sfx in ("end", "ing"):
+                word, r2 = word[:-3], r2[:-3]
+                if r2.endswith("ig") and word[-3] != "e":
+                    word = word[:-2]
+                elif word.endswith(("kk", "dd", "tt")):
+                    word = word[:-1]
+            elif sfx == "ig":
+                if word[-3] != "e":
+                    word = word[:-2]
+            elif sfx == "lijk":
+                word, r1 = word[:-4], r1[:-4]
+                if r1.endswith("e") and word[-2] not in _NL_VOWELS:
+                    word = word[:-1]
+                    if word.endswith(("kk", "dd", "tt")):
+                        word = word[:-1]
+            elif sfx == "baar":
+                word = word[:-4]
+            elif sfx == "bar":
+                if step2_ok:
+                    word = word[:-3]
+            break
+
+    # STEP 4: undouble vowel (CVVC tail -> CVC)
+    if (len(word) >= 4 and word[-1] not in _NL_VOWELS and word[-1] != "I"
+            and word[-3:-1] in ("aa", "ee", "oo", "uu")
+            and word[-4] not in _NL_VOWELS):
+        word = word[:-3] + word[-3] + word[-1]
+
+    return word.replace("I", "i").replace("Y", "y")
+
+
+# ---------------------------------------------------------------- english
+
+_EN_VOWELS = "aeiouy"
+_EN_DOUBLE = ("bb", "dd", "ff", "gg", "mm", "nn", "pp", "rr", "tt")
+_EN_LI_END = "cdeghkmnrt"
+_EN_STEP0 = ("'s'", "'s", "'")
+_EN_STEP1A = ("sses", "ied", "ies", "us", "ss", "s")
+_EN_STEP1B = ("eedly", "ingly", "edly", "eed", "ing", "ed")
+_EN_STEP2 = ("ization", "ational", "fulness", "ousness", "iveness",
+             "tional", "biliti", "lessli", "entli", "ation", "alism",
+             "aliti", "ousli", "iviti", "fulli", "enci", "anci", "abli",
+             "izer", "ator", "alli", "bli", "ogi", "li")
+_EN_STEP3 = ("ational", "tional", "alize", "icate", "iciti", "ative",
+             "ical", "ness", "ful")
+_EN_STEP4 = ("ement", "ance", "ence", "able", "ible", "ment", "ant",
+             "ent", "ism", "ate", "iti", "ous", "ive", "ize", "ion",
+             "al", "er", "ic")
+# irregular forms + stems frozen by the published algorithm's exception
+# lists (english/stemmer.html "exceptional forms")
+_EN_SPECIAL = {
+    "skis": "ski", "skies": "sky", "dying": "die", "lying": "lie",
+    "tying": "tie", "idly": "idl", "gently": "gentl", "ugly": "ugli",
+    "early": "earli", "only": "onli", "singly": "singl", "sky": "sky",
+    "news": "news", "howe": "howe", "atlas": "atlas", "cosmos": "cosmos",
+    "bias": "bias", "andes": "andes", "inning": "inning",
+    "innings": "inning", "outing": "outing", "outings": "outing",
+    "canning": "canning", "cannings": "canning", "herring": "herring",
+    "herrings": "herring", "earring": "earring", "earrings": "earring",
+    "proceed": "proceed", "proceeds": "proceed", "proceeded": "proceed",
+    "proceeding": "proceed", "exceed": "exceed", "exceeds": "exceed",
+    "exceeded": "exceed", "exceeding": "exceed", "succeed": "succeed",
+    "succeeds": "succeed", "succeeded": "succeed",
+    "succeeding": "succeed",
+}
+
+
+def _en_repl(word, r1, r2, n, repl, r2_short=""):
+    """Replace an n-char suffix with ``repl`` in word/r1/r2; a region
+    shorter than the suffix collapses to "" (or the reference's odd
+    ``r2_short`` sentinel — "e" for the ation/ive families)."""
+    word = word[:-n] + repl
+    r1 = (r1[:-n] + repl) if len(r1) >= n else ""
+    r2 = (r2[:-n] + repl) if len(r2) >= n else r2_short
+    return word, r1, r2
+
+
+def stem_en(word: str) -> str:
+    word = word.lower()
+    if word in _EN_SPECIAL:
+        return _EN_SPECIAL[word]
+
+    word = (word.replace("’", "'").replace("‘", "'")
+            .replace("‛", "'"))
+    if word.startswith("'"):
+        word = word[1:]
+    if word.startswith("y"):
+        word = "Y" + word[1:]
+    for i in range(1, len(word)):
+        if word[i - 1] in _EN_VOWELS and word[i] == "y":
+            word = word[:i] + "Y" + word[i + 1:]
+
+    # R1 with the published gener-/commun-/arsen- prefix exception
+    if word.startswith(("gener", "commun", "arsen")):
+        r1 = word[5:] if word.startswith(("gener", "arsen")) else word[6:]
+        r2 = ""
+        for i in range(1, len(r1)):
+            if r1[i] not in _EN_VOWELS and r1[i - 1] in _EN_VOWELS:
+                r2 = r1[i + 1:]
+                break
+    else:
+        r1, r2 = _r1r2(word, _EN_VOWELS)
+
+    # STEP 0: apostrophe suffixes
+    for sfx in _EN_STEP0:
+        if word.endswith(sfx):
+            n = len(sfx)
+            word, r1, r2 = word[:-n], r1[:-n], r2[:-n]
+            break
+
+    # STEP 1a
+    for sfx in _EN_STEP1A:
+        if word.endswith(sfx):
+            if sfx == "sses":
+                word, r1, r2 = word[:-2], r1[:-2], r2[:-2]
+            elif sfx in ("ied", "ies"):
+                n = 2 if len(word[:-3]) > 1 else 1
+                word, r1, r2 = word[:-n], r1[:-n], r2[:-n]
+            elif sfx == "s":
+                if any(ch in _EN_VOWELS for ch in word[:-2]):
+                    word, r1, r2 = word[:-1], r1[:-1], r2[:-1]
+            break
+
+    # STEP 1b
+    for sfx in _EN_STEP1B:
+        if word.endswith(sfx):
+            n = len(sfx)
+            if sfx in ("eed", "eedly"):
+                if r1.endswith(sfx):
+                    word, r1, r2 = _en_repl(word, r1, r2, n, "ee")
+            elif any(ch in _EN_VOWELS for ch in word[:-n]):
+                word, r1, r2 = word[:-n], r1[:-n], r2[:-n]
+                if word.endswith(("at", "bl", "iz")):
+                    word += "e"
+                    r1 += "e"
+                    if len(word) > 5 or len(r1) >= 3:
+                        r2 += "e"
+                elif word.endswith(_EN_DOUBLE):
+                    word, r1, r2 = word[:-1], r1[:-1], r2[:-1]
+                elif ((r1 == "" and len(word) >= 3
+                       and word[-1] not in _EN_VOWELS
+                       and word[-1] not in "wxY"
+                       and word[-2] in _EN_VOWELS
+                       and word[-3] not in _EN_VOWELS)
+                      or (r1 == "" and len(word) == 2
+                          and word[0] in _EN_VOWELS
+                          and word[1] not in _EN_VOWELS)):
+                    # short-word CVC tail: restore the e; the reference
+                    # only extends non-empty regions here
+                    word += "e"
+                    if r1:
+                        r1 += "e"
+                    if r2:
+                        r2 += "e"
+            break
+
+    # STEP 1c: y -> i after a consonant
+    if len(word) > 2 and word[-1] in "yY" and word[-2] not in _EN_VOWELS:
+        word = word[:-1] + "i"
+        r1 = (r1[:-1] + "i") if r1 else ""
+        r2 = (r2[:-1] + "i") if r2 else ""
+
+    # STEP 2
+    for sfx in _EN_STEP2:
+        if word.endswith(sfx):
+            n = len(sfx)
+            if r1.endswith(sfx):
+                if sfx in ("tional", "entli", "fulli", "lessli"):
+                    word, r1, r2 = word[:-2], r1[:-2], r2[:-2]
+                elif sfx in ("enci", "anci", "abli"):
+                    word, r1, r2 = _en_repl(word, r1, r2, 1, "e")
+                elif sfx in ("izer", "ization"):
+                    word, r1, r2 = _en_repl(word, r1, r2, n, "ize")
+                elif sfx in ("ational", "ation", "ator"):
+                    word, r1, r2 = _en_repl(word, r1, r2, n, "ate",
+                                            r2_short="e")
+                elif sfx in ("alism", "aliti", "alli"):
+                    word, r1, r2 = _en_repl(word, r1, r2, n, "al")
+                elif sfx == "fulness":
+                    word, r1, r2 = word[:-4], r1[:-4], r2[:-4]
+                elif sfx in ("ousli", "ousness"):
+                    word, r1, r2 = _en_repl(word, r1, r2, n, "ous")
+                elif sfx in ("iveness", "iviti"):
+                    word, r1, r2 = _en_repl(word, r1, r2, n, "ive",
+                                            r2_short="e")
+                elif sfx in ("biliti", "bli"):
+                    word, r1, r2 = _en_repl(word, r1, r2, n, "ble")
+                elif sfx == "ogi":
+                    if word[-4] == "l":
+                        word, r1, r2 = word[:-1], r1[:-1], r2[:-1]
+                elif sfx == "li":
+                    if word[-3] in _EN_LI_END:
+                        word, r1, r2 = word[:-2], r1[:-2], r2[:-2]
+            break
+
+    # STEP 3
+    for sfx in _EN_STEP3:
+        if word.endswith(sfx):
+            n = len(sfx)
+            if r1.endswith(sfx):
+                if sfx == "tional":
+                    word, r1, r2 = word[:-2], r1[:-2], r2[:-2]
+                elif sfx == "ational":
+                    word, r1, r2 = _en_repl(word, r1, r2, n, "ate")
+                elif sfx == "alize":
+                    word, r1, r2 = word[:-3], r1[:-3], r2[:-3]
+                elif sfx in ("icate", "iciti", "ical"):
+                    word, r1, r2 = _en_repl(word, r1, r2, n, "ic")
+                elif sfx in ("ful", "ness"):
+                    word, r1, r2 = word[:-n], r1[:-n], r2[:-n]
+                elif sfx == "ative":
+                    if r2.endswith(sfx):
+                        word, r1, r2 = word[:-5], r1[:-5], r2[:-5]
+            break
+
+    # STEP 4
+    for sfx in _EN_STEP4:
+        if word.endswith(sfx):
+            n = len(sfx)
+            if r2.endswith(sfx):
+                if sfx == "ion":
+                    if word[-4] in "st":
+                        word, r1, r2 = word[:-3], r1[:-3], r2[:-3]
+                else:
+                    word, r1, r2 = word[:-n], r1[:-n], r2[:-n]
+            break
+
+    # STEP 5
+    if r2.endswith("l") and word[-2] == "l":
+        word = word[:-1]
+    elif r2.endswith("e"):
+        word = word[:-1]
+    elif r1.endswith("e"):
+        if len(word) >= 4 and (word[-2] in _EN_VOWELS or word[-2] in "wxY"
+                               or word[-3] not in _EN_VOWELS
+                               or word[-4] in _EN_VOWELS):
+            word = word[:-1]
+
+    return word.replace("Y", "y")
+
+
+# ----------------------------------------------------------------- french
+
+_FR_VOWELS = "aeiouy\xe2\xe0\xeb\xe9\xea\xe8\xef\xee\xf4\xfb\xf9"
+_FR_STEP1 = ("issements", "issement", "atrices", "atrice", "ateurs",
+             "ations", "logies", "usions", "utions", "ements", "amment",
+             "emment", "ances", "iqUes", "ismes", "ables", "istes",
+             "ateur", "ation", "logie", "usion", "ution", "ences",
+             "ement", "euses", "ments", "ance", "iqUe", "isme", "able",
+             "iste", "ence", "it\xe9s", "ives", "eaux", "euse", "ment",
+             "eux", "it\xe9", "ive", "ifs", "aux", "if")
+_FR_STEP2A = ("issaIent", "issantes", "iraIent", "issante", "issants",
+              "issions", "irions", "issais", "issait", "issant",
+              "issent", "issiez", "issons", "irais", "irait", "irent",
+              "iriez", "irons", "iront", "isses", "issez", "\xeemes",
+              "\xeetes", "irai", "iras", "irez", "isse", "ies", "ira",
+              "\xeet", "ie", "ir", "is", "it", "i")
+_FR_STEP2B = ("eraIent", "assions", "erions", "assent", "assiez",
+              "\xe8rent", "erais", "erait", "eriez", "erons", "eront",
+              "aIent", "antes", "asses", "ions", "erai", "eras", "erez",
+              "\xe2mes", "\xe2tes", "ante", "ants", "asse", "\xe9es",
+              "era", "iez", "ais", "ait", "ant", "\xe9e", "\xe9s", "er",
+              "ez", "\xe2t", "ai", "as", "\xe9", "a")
+_FR_2B_ER = ("eraIent", "erions", "\xe8rent", "erais", "erait", "eriez",
+             "erons", "eront", "erai", "eras", "erez", "\xe9es", "era",
+             "iez", "\xe9e", "\xe9s", "er", "ez", "\xe9")
+_FR_2B_A = ("assions", "assent", "assiez", "aIent", "antes", "asses",
+            "\xe2mes", "\xe2tes", "ante", "ants", "asse", "ais", "ait",
+            "ant", "\xe2t", "ai", "as", "a")
+_FR_STEP4 = ("i\xe8re", "I\xe8re", "ion", "ier", "Ier", "e", "\xeb")
+
+
+def _rv_fr(word: str) -> str:
+    """French RV: after the third letter when the word starts with two
+    vowels or par/col/tap; else after the first non-initial vowel."""
+    if len(word) < 2:
+        return ""
+    if (word.startswith(("par", "col", "tap"))
+            or (word[0] in _FR_VOWELS and word[1] in _FR_VOWELS)):
+        return word[3:]
+    for i in range(1, len(word)):
+        if word[i] in _FR_VOWELS:
+            return word[i + 1:]
+    return ""
+
+
+def stem_fr(word: str) -> str:
+    word = word.lower()
+    step1_ok = rv_ending = s2a_ok = s2b_ok = False
+
+    # consonant marks: qU, intervocalic U/I, vowel-adjacent Y
+    for i in range(1, len(word)):
+        if word[i - 1] == "q" and word[i] == "u":
+            word = word[:i] + "U" + word[i + 1:]
+    for i in range(1, len(word) - 1):
+        if word[i - 1] in _FR_VOWELS and word[i + 1] in _FR_VOWELS:
+            if word[i] == "u":
+                word = word[:i] + "U" + word[i + 1:]
+            elif word[i] == "i":
+                word = word[:i] + "I" + word[i + 1:]
+        if ((word[i - 1] in _FR_VOWELS or word[i + 1] in _FR_VOWELS)
+                and word[i] == "y"):
+            word = word[:i] + "Y" + word[i + 1:]
+
+    r1, r2 = _r1r2(word, _FR_VOWELS)
+    rv = _rv_fr(word)
+
+    # STEP 1 — NOTE: region membership here is SUBSTRING containment
+    # ("suffix in r2"), the reference's quirk, not an endswith probe
+    for sfx in _FR_STEP1:
+        if word.endswith(sfx):
+            n = len(sfx)
+            if sfx == "eaux":
+                word = word[:-1]
+                step1_ok = True
+            elif sfx in ("euse", "euses"):
+                if sfx in r2:
+                    word = word[:-n]
+                    step1_ok = True
+                elif sfx in r1:
+                    word = word[:-n] + "eux"
+                    step1_ok = True
+            elif sfx in ("ement", "ements") and sfx in rv:
+                word = word[:-n]
+                step1_ok = True
+                if word[-2:] == "iv" and "iv" in r2:
+                    word = word[:-2]
+                    if word[-2:] == "at" and "at" in r2:
+                        word = word[:-2]
+                elif word[-3:] == "eus":
+                    if "eus" in r2:
+                        word = word[:-3]
+                    elif "eus" in r1:
+                        word = word[:-1] + "x"
+                elif word[-3:] in ("abl", "iqU"):
+                    if "abl" in r2 or "iqU" in r2:
+                        word = word[:-3]
+                elif word[-3:] in ("i\xe8r", "I\xe8r"):
+                    if "i\xe8r" in rv or "I\xe8r" in rv:
+                        word = word[:-3] + "i"
+            elif sfx == "amment" and sfx in rv:
+                word = word[:-6] + "ant"
+                rv = rv[:-6] + "ant"
+                rv_ending = True
+            elif sfx == "emment" and sfx in rv:
+                word = word[:-6] + "ent"
+                rv_ending = True
+            elif (sfx in ("ment", "ments") and sfx in rv
+                  and not rv.startswith(sfx)
+                  and rv[rv.rindex(sfx) - 1] in _FR_VOWELS):
+                word = word[:-n]
+                rv = rv[:-n]
+                rv_ending = True
+            elif sfx == "aux" and sfx in r1:
+                word = word[:-2] + "l"
+                step1_ok = True
+            elif (sfx in ("issement", "issements") and sfx in r1
+                  and word[-n - 1] not in _FR_VOWELS):
+                word = word[:-n]
+                step1_ok = True
+            elif sfx in ("ance", "iqUe", "isme", "able", "iste", "eux",
+                         "ances", "iqUes", "ismes", "ables",
+                         "istes") and sfx in r2:
+                word = word[:-n]
+                step1_ok = True
+            elif sfx in ("atrice", "ateur", "ation", "atrices",
+                         "ateurs", "ations") and sfx in r2:
+                word = word[:-n]
+                step1_ok = True
+                if word[-2:] == "ic":
+                    word = word[:-2] if "ic" in r2 else word[:-2] + "iqU"
+            elif sfx in ("logie", "logies") and sfx in r2:
+                word = word[:-n] + "log"
+                step1_ok = True
+            elif sfx in ("usion", "ution", "usions", "utions") and sfx in r2:
+                word = word[:-n] + "u"
+                step1_ok = True
+            elif sfx in ("ence", "ences") and sfx in r2:
+                word = word[:-n] + "ent"
+                step1_ok = True
+            elif sfx in ("it\xe9", "it\xe9s") and sfx in r2:
+                word = word[:-n]
+                step1_ok = True
+                if word[-4:] == "abil":
+                    word = word[:-4] if "abil" in r2 else word[:-2] + "l"
+                elif word[-2:] == "ic":
+                    word = word[:-2] if "ic" in r2 else word[:-2] + "iqU"
+                elif word[-2:] == "iv":
+                    if "iv" in r2:
+                        word = word[:-2]
+            elif sfx in ("if", "ive", "ifs", "ives") and sfx in r2:
+                word = word[:-n]
+                step1_ok = True
+                if word[-2:] == "at" and "at" in r2:
+                    word = word[:-2]
+                    if word[-2:] == "ic":
+                        word = word[:-2] if "ic" in r2 else word[:-2] + "iqU"
+            break
+
+    # STEP 2a / 2b
+    if not step1_ok or rv_ending:
+        for sfx in _FR_STEP2A:
+            if word.endswith(sfx):
+                if (sfx in rv and len(rv) > len(sfx)
+                        and rv[rv.rindex(sfx) - 1] not in _FR_VOWELS):
+                    word = word[:-len(sfx)]
+                    s2a_ok = True
+                break
+        if not s2a_ok:
+            for sfx in _FR_STEP2B:
+                if rv.endswith(sfx):
+                    if sfx == "ions":
+                        if "ions" in r2:
+                            word = word[:-4]
+                            s2b_ok = True
+                    elif sfx in _FR_2B_ER:
+                        word = word[:-len(sfx)]
+                        s2b_ok = True
+                    elif sfx in _FR_2B_A:
+                        word = word[:-len(sfx)]
+                        rv = rv[:-len(sfx)]
+                        s2b_ok = True
+                        if rv.endswith("e"):
+                            word = word[:-1]
+                    break
+
+    if step1_ok or s2a_ok or s2b_ok:
+        # STEP 3
+        if word[-1] == "Y":
+            word = word[:-1] + "i"
+        elif word[-1] == "\xe7":
+            word = word[:-1] + "c"
+    else:
+        # STEP 4: residual suffixes
+        if (len(word) >= 2 and word[-1] == "s"
+                and word[-2] not in "aiou\xe8s"):
+            word = word[:-1]
+        for sfx in _FR_STEP4:
+            if word.endswith(sfx):
+                if sfx in rv:
+                    if sfx == "ion" and sfx in r2 and rv[-4] in "st":
+                        word = word[:-3]
+                    elif sfx in ("ier", "i\xe8re", "Ier", "I\xe8re"):
+                        word = word[:-len(sfx)] + "i"
+                    elif sfx == "e":
+                        word = word[:-1]
+                    elif sfx == "\xeb" and word[-3:-1] == "gu":
+                        word = word[:-1]
+                    break
+
+    # STEP 5: undouble
+    if word.endswith(("enn", "onn", "ett", "ell", "eill")):
+        word = word[:-1]
+
+    # STEP 6: un-accent the last vowel when not final
+    for i in range(1, len(word)):
+        if word[-i] in _FR_VOWELS:
+            if i != 1 and word[-i] in ("\xe9", "\xe8"):
+                word = word[:-i] + "e" + word[len(word) - i + 1:]
+            break
+
+    return word.replace("I", "i").replace("U", "u").replace("Y", "y")
+
+
+# ---------------------------------------------------------------- italian
+
+_IT_VOWELS = "aeiou\xe0\xe8\xec\xf2\xf9"
+_IT_STEP0 = ("gliela", "gliele", "glieli", "glielo", "gliene", "sene",
+             "mela", "mele", "meli", "melo", "mene", "tela", "tele",
+             "teli", "telo", "tene", "cela", "cele", "celi", "celo",
+             "cene", "vela", "vele", "veli", "velo", "vene", "gli",
+             "ci", "la", "le", "li", "lo", "mi", "ne", "si", "ti", "vi")
+_IT_STEP1 = ("atrice", "atrici", "azione", "azioni", "uzione", "uzioni",
+             "usione", "usioni", "amento", "amenti", "imento", "imenti",
+             "amente", "abile", "abili", "ibile", "ibili", "mente",
+             "atore", "atori", "logia", "logie", "anza", "anze", "iche",
+             "ichi", "ismo", "ismi", "ista", "iste", "isti", "ist\xe0",
+             "ist\xe8", "ist\xec", "ante", "anti", "enza", "enze",
+             "ico", "ici", "ica", "ice", "oso", "osi", "osa", "ose",
+             "it\xe0", "ivo", "ivi", "iva", "ive")
+_IT_STEP2 = ("erebbero", "irebbero", "assero", "assimo", "eranno",
+             "erebbe", "eremmo", "ereste", "eresti", "essero", "iranno",
+             "irebbe", "iremmo", "ireste", "iresti", "iscano", "iscono",
+             "issero", "arono", "avamo", "avano", "avate", "eremo",
+             "erete", "erono", "evamo", "evano", "evate", "iremo",
+             "irete", "irono", "ivamo", "ivano", "ivate", "ammo",
+             "ando", "asse", "assi", "emmo", "enda", "ende", "endi",
+             "endo", "erai", "erei", "Yamo", "iamo", "immo", "irai",
+             "irei", "isca", "isce", "isci", "isco", "ano", "are",
+             "ata", "ate", "ati", "ato", "ava", "avi", "avo", "er\xe0",
+             "ere", "er\xf2", "ete", "eva", "evi", "evo", "ir\xe0",
+             "ire", "ir\xf2", "ita", "ite", "iti", "ito", "iva", "ivi",
+             "ivo", "ono", "uta", "ute", "uti", "uto", "ar", "ir")
+_IT_GRAVE = str.maketrans("\xe1\xe9\xed\xf3\xfa", "\xe0\xe8\xec\xf2\xf9")
+
+
+def stem_it(word: str) -> str:
+    word = word.lower().translate(_IT_GRAVE)
+    step1_ok = False
+
+    for i in range(1, len(word)):
+        if word[i - 1] == "q" and word[i] == "u":
+            word = word[:i] + "U" + word[i + 1:]
+    for i in range(1, len(word) - 1):
+        if word[i - 1] in _IT_VOWELS and word[i + 1] in _IT_VOWELS:
+            if word[i] == "u":
+                word = word[:i] + "U" + word[i + 1:]
+            elif word[i] == "i":
+                word = word[:i] + "I" + word[i + 1:]
+
+    r1, r2 = _r1r2(word, _IT_VOWELS)
+    rv = _rv(word, _IT_VOWELS)
+
+    # STEP 0: attached pronoun
+    for sfx in _IT_STEP0:
+        if rv.endswith(sfx):
+            n = len(sfx)
+            if rv[-n - 4:-n] in ("ando", "endo"):
+                word, r1, r2, rv = word[:-n], r1[:-n], r2[:-n], rv[:-n]
+            elif rv[-n - 2:-n] in ("ar", "er", "ir"):
+                word = word[:-n] + "e"
+                r1 = r1[:-n] + "e"
+                r2 = r2[:-n] + "e"
+                rv = rv[:-n] + "e"
+            break
+
+    # STEP 1: standard suffixes
+    for sfx in _IT_STEP1:
+        if word.endswith(sfx):
+            n = len(sfx)
+            if sfx == "amente" and r1.endswith(sfx):
+                step1_ok = True
+                word, r2, rv = word[:-6], r2[:-6], rv[:-6]
+                if r2.endswith("iv"):
+                    word, r2, rv = word[:-2], r2[:-2], rv[:-2]
+                    if r2.endswith("at"):
+                        word, rv = word[:-2], rv[:-2]
+                elif r2.endswith(("os", "ic")):
+                    word, rv = word[:-2], rv[:-2]
+                elif r2.endswith("abil"):
+                    word, rv = word[:-4], rv[:-4]
+            elif (sfx in ("amento", "amenti", "imento", "imenti")
+                  and rv.endswith(sfx)):
+                step1_ok = True
+                word, rv = word[:-6], rv[:-6]
+            elif r2.endswith(sfx):
+                step1_ok = True
+                if sfx in ("azione", "azioni", "atore", "atori"):
+                    word, r2, rv = word[:-n], r2[:-n], rv[:-n]
+                    if r2.endswith("ic"):
+                        word, rv = word[:-2], rv[:-2]
+                elif sfx in ("logia", "logie"):
+                    # reference quirk (italian.py:166-168): rv is rebuilt
+                    # from the ALREADY-truncated word, double-truncating
+                    word = word[:-2]
+                    rv = word[:-2]
+                elif sfx in ("uzione", "uzioni", "usione", "usioni"):
+                    word, rv = word[:-5], rv[:-5]
+                elif sfx in ("enza", "enze"):
+                    word = word[:-2] + "te"
+                    rv = rv[:-2] + "te"
+                elif sfx == "it\xe0":
+                    word, r2, rv = word[:-3], r2[:-3], rv[:-3]
+                    if r2.endswith(("ic", "iv")):
+                        word, rv = word[:-2], rv[:-2]
+                    elif r2.endswith("abil"):
+                        word, rv = word[:-4], rv[:-4]
+                elif sfx in ("ivo", "ivi", "iva", "ive"):
+                    word, r2, rv = word[:-3], r2[:-3], rv[:-3]
+                    if r2.endswith("at"):
+                        word, r2, rv = word[:-2], r2[:-2], rv[:-2]
+                        if r2.endswith("ic"):
+                            word, rv = word[:-2], rv[:-2]
+                else:
+                    word, rv = word[:-n], rv[:-n]
+            break
+
+    # STEP 2: verb suffixes
+    if not step1_ok:
+        for sfx in _IT_STEP2:
+            if rv.endswith(sfx):
+                word, rv = word[:-len(sfx)], rv[:-len(sfx)]
+                break
+
+    # STEP 3a: final vowel (+ trailing i)
+    if rv.endswith(("a", "e", "i", "o", "\xe0", "\xe8", "\xec", "\xf2")):
+        word, rv = word[:-1], rv[:-1]
+        if rv.endswith("i"):
+            word, rv = word[:-1], rv[:-1]
+
+    # STEP 3b
+    if rv.endswith(("ch", "gh")):
+        word = word[:-1]
+
+    return word.replace("I", "i").replace("U", "u")
+
+
+# -------------------------------------------------------------- portuguese
+
+_PT_VOWELS = "aeiou\xe1\xe9\xed\xf3\xfa\xe2\xea\xf4"
+_PT_STEP1 = ("amentos", "imentos", "uciones", "amento", "imento",
+             "adoras", "adores", "a\xe7o~es", "log\xedas", "\xeancias",
+             "amente", "idades", "ismos", "istas", "adora", "a\xe7a~o",
+             "antes", "\xe2ncia", "log\xeda", "uci\xf3n", "\xeancia",
+             "mente", "idade", "ezas", "icos", "icas", "ismo",
+             "\xe1vel", "\xedvel", "ista", "osos", "osas", "ador",
+             "ante", "ivas", "ivos", "iras", "eza", "ico", "ica",
+             "oso", "osa", "iva", "ivo", "ira")
+_PT_STEP2 = ("ar\xedamos", "er\xedamos", "ir\xedamos", "\xe1ssemos",
+             "\xeassemos", "\xedssemos", "ar\xedeis", "er\xedeis",
+             "ir\xedeis", "\xe1sseis", "\xe9sseis", "\xedsseis",
+             "\xe1ramos", "\xe9ramos", "\xedramos", "\xe1vamos",
+             "aremos", "eremos", "iremos", "ariam", "eriam", "iriam",
+             "assem", "essem", "issem", "ara~o", "era~o", "ira~o",
+             "arias", "erias", "irias", "ardes", "erdes", "irdes",
+             "asses", "esses", "isses", "astes", "estes", "istes",
+             "\xe1reis", "areis", "\xe9reis", "ereis", "\xedreis",
+             "ireis", "\xe1veis", "\xedamos", "armos", "ermos", "irmos",
+             "aria", "eria", "iria", "asse", "esse", "isse", "aste",
+             "este", "iste", "arei", "erei", "irei", "aram", "eram",
+             "iram", "avam", "arem", "erem", "irem", "ando", "endo",
+             "indo", "adas", "idas", "ar\xe1s", "aras", "er\xe1s",
+             "eras", "ir\xe1s", "avas", "ares", "eres", "ires",
+             "\xedeis", "ados", "idos", "\xe1mos", "amos", "emos",
+             "imos", "iras", "ada", "ida", "ar\xe1", "ara", "er\xe1",
+             "era", "ir\xe1", "ava", "iam", "ado", "ido", "ias", "ais",
+             "eis", "ira", "ia", "ei", "am", "em", "ar", "er", "ir",
+             "as", "es", "is", "eu", "iu", "ou")
+_PT_STEP4 = ("os", "a", "i", "o", "\xe1", "\xed", "\xf3")
+
+
+def stem_pt(word: str) -> str:
+    word = word.lower().replace("\xe3", "a~").replace("\xf5", "o~")
+    step1_ok = step2_ok = False
+
+    r1, r2 = _r1r2(word, _PT_VOWELS)
+    rv = _rv(word, _PT_VOWELS)
+
+    # STEP 1: standard suffixes
+    for sfx in _PT_STEP1:
+        if word.endswith(sfx):
+            n = len(sfx)
+            if sfx == "amente" and r1.endswith(sfx):
+                step1_ok = True
+                word, r2, rv = word[:-6], r2[:-6], rv[:-6]
+                if r2.endswith("iv"):
+                    word, r2, rv = word[:-2], r2[:-2], rv[:-2]
+                    if r2.endswith("at"):
+                        word, rv = word[:-2], rv[:-2]
+                elif r2.endswith(("os", "ic", "ad")):
+                    word, rv = word[:-2], rv[:-2]
+            elif (sfx in ("ira", "iras") and rv.endswith(sfx)
+                  and word[-n - 1:-n] == "e"):
+                step1_ok = True
+                word = word[:-n] + "ir"
+                rv = rv[:-n] + "ir"
+            elif r2.endswith(sfx):
+                step1_ok = True
+                if sfx in ("log\xeda", "log\xedas"):
+                    word, rv = word[:-2], rv[:-2]
+                elif sfx in ("uci\xf3n", "uciones"):
+                    word = word[:-n] + "u"
+                    rv = rv[:-n] + "u"
+                elif sfx in ("\xeancia", "\xeancias"):
+                    word = word[:-n] + "ente"
+                    rv = rv[:-n] + "ente"
+                elif sfx == "mente":
+                    word, r2, rv = word[:-5], r2[:-5], rv[:-5]
+                    if r2.endswith(("ante", "avel", "\xedvel")):
+                        word, rv = word[:-4], rv[:-4]
+                elif sfx in ("idade", "idades"):
+                    word, r2, rv = word[:-n], r2[:-n], rv[:-n]
+                    if r2.endswith(("ic", "iv")):
+                        word, rv = word[:-2], rv[:-2]
+                    elif r2.endswith("abil"):
+                        word, rv = word[:-4], rv[:-4]
+                elif sfx in ("iva", "ivo", "ivas", "ivos"):
+                    word, r2, rv = word[:-n], r2[:-n], rv[:-n]
+                    if r2.endswith("at"):
+                        word, rv = word[:-2], rv[:-2]
+                else:
+                    word, rv = word[:-n], rv[:-n]
+            break
+
+    # STEP 2: verb suffixes
+    if not step1_ok:
+        for sfx in _PT_STEP2:
+            if rv.endswith(sfx):
+                step2_ok = True
+                word, rv = word[:-len(sfx)], rv[:-len(sfx)]
+                break
+
+    # STEP 3
+    if (step1_ok or step2_ok) and rv.endswith("i") and word[-2] == "c":
+        word, rv = word[:-1], rv[:-1]
+
+    # STEP 4: residual suffix
+    if not step1_ok and not step2_ok:
+        for sfx in _PT_STEP4:
+            if rv.endswith(sfx):
+                word, rv = word[:-len(sfx)], rv[:-len(sfx)]
+                break
+
+    # STEP 5
+    if rv.endswith(("e", "\xe9", "\xea")):
+        word, rv = word[:-1], rv[:-1]
+        if ((word.endswith("gu") and rv.endswith("u"))
+                or (word.endswith("ci") and rv.endswith("i"))):
+            word = word[:-1]
+    elif word.endswith("\xe7"):
+        word = word[:-1] + "c"
+
+    return word.replace("a~", "\xe3").replace("o~", "\xf5")
+
+
+STEMMERS = {"de": stem_de, "es": stem_es, "da": stem_da, "sv": stem_sv,
+            "no": stem_no, "nl": stem_nl, "en": stem_en, "fr": stem_fr,
+            "it": stem_it, "pt": stem_pt}

@@ -78,6 +78,49 @@ LANGS = {
             "ação", "ações", "ava", "áveis", "íamos", "ariam",
             "assem", "eiro", "eira", "ando", "endo", "indo", "ar",
             "er", "ir", "os", "as", "a", "e", "o", "ã", "ões"]),
+    "fi": (("finnish", "FinnishStemmer"), "abcdefghijklmnopqrstuvwxyzäö",
+           ["kaan", "sti", "kin", "han", "nsa", "mme", "si", "ni",
+            "an", "en", "siin", "tten", "seen", "hin", "den", "tta",
+            "ssa", "sta", "lla", "lta", "lle", "ksi", "ine", "ta",
+            "na", "a", "n", "impi", "mmi", "eja", "issa", "ille",
+            "iksi", "iin", "t", "et", "ien", "ään", "kö", "pä"]),
+    "hu": (("hungarian", "HungarianStemmer"),
+           "abcdefghijklmnopqrstuvwxyzöüáéíóõúû",
+           ["al", "el", "ként", "ban", "ben", "nak", "nek", "val",
+            "vel", "tól", "ról", "ból", "hoz", "nál", "ért", "kor",
+            "ba", "ra", "ig", "at", "ul", "vá", "en", "on", "n", "t",
+            "ánként", "án", "én", "astul", "stul", "ké", "éi", "é",
+            "ájuk", "unk", "juk", "ánk", "nk", "uk", "em", "om", "od",
+            "ja", "je", "m", "d", "a", "e", "o", "á", "jaitok",
+            "aitok", "jaim", "eink", "itek", "jeik", "aim", "ai",
+            "ik", "i", "ák", "ék", "ök", "ok", "ek", "ak", "k"]),
+    "ro": (("romanian", "RomanianStemmer"),
+           "abcdefghijklmnopqrstuvwxyzăâîşţ",
+           ["iilor", "ului", "elor", "iile", "ilor", "atei", "aţie",
+            "aţia", "aua", "ele", "iua", "iei", "ile", "ul", "ea",
+            "ii", "abilitate", "ibilitate", "ivitate", "icitate",
+            "icator", "aţiune", "atoare", "itoare", "iciva", "icala",
+            "ativa", "atori", "itiva", "itor", "abila", "itate",
+            "oasa", "anta", "ator", "iune", "isme", "ista", "ata",
+            "uta", "ita", "ica", "osi", "ant", "iva", "ism", "ist",
+            "at", "ut", "it", "ic", "os", "iv", "seserăţi", "aserăm",
+            "ească", "arăţi", "ează", "eşti", "eaţi", "urăm", "asem",
+            "are", "ire", "ind", "eze", "esc", "eam", "iau", "aşi",
+            "ară", "ase", "aţi", "sei", "ez", "am", "ea", "ui", "ăm",
+            "se", "ie", "a", "e", "i", "ă"]),
+    "ru": (("russian", "RussianStemmer"),
+           "абвгдежзийклмнопрстуфхцчшщъыьэюя",
+           ["ившись", "ывшись", "вшись", "ивши", "вши", "ив", "в",
+            "ся", "сь", "ший", "щий", "его", "ого", "ему", "ими",
+            "ыми", "их", "ых", "ую", "яя", "ее", "ие", "ые", "ое",
+            "ей", "ий", "ой", "ем", "им", "ым", "ом", "ешь", "ейте",
+            "уйте", "ует", "ишь", "ете", "ют", "ила", "ыла", "ена",
+            "ите", "или", "ыли", "ило", "ено", "ят", "ены", "ить",
+            "ыть", "ла", "на", "ли", "ло", "но", "ет", "ны", "ть",
+            "уй", "ил", "ен", "ит", "л", "н", "иями", "иях", "ями",
+            "иям", "ах", "ию", "ья", "ев", "ов", "ье", "еи", "ии",
+            "ам", "а", "е", "и", "й", "о", "у", "ы", "ь", "ость",
+            "ост", "ейше", "ейш", "нн"]),
 }
 
 
@@ -124,10 +167,49 @@ def test_stemmer_fuzz_parity(ref_stem, lang):
         assert mine(w) == refs(w), w
 
 
+def test_isri_arabic_fuzz_parity():
+    load_whoosh_oracle()
+    from whoosh.lang.isri import ISRIStemmer
+
+    from whoosh_ray.functions.isri import stem_ar
+
+    ref = ISRIStemmer()
+    letters = "ابتثجحخدذرزسشصضطظعغفقكلمنهويةئؤءآأإى"
+    pre = list(ref.p3) + list(ref.p2) + list(ref.p1) + [""]
+    suf = list(ref.s3) + list(ref.s2) + list(ref.s1) + [""]
+    rng = random.Random(5)
+    for _ in range(12000):
+        w = (rng.choice(pre)
+             + "".join(rng.choices(letters + "ًٌٍَُِّْ", k=rng.randint(1, 9)))
+             + rng.choice(suf))
+        assert stem_ar(w) == ref.stem(w), w
+    for w in ref.stop_words:
+        assert stem_ar(w) == ref.stem(w)
+
+
 def test_stoplist_only_languages():
     # tr has a stop list but no stemmer (same as the reference registry)
     a = language_analyzer("tr").compile()
     assert a.token_lists(["bu bir kedi ve köpek"])[0] == \
         ["bir", "kedi", "köpek"]
-    with pytest.raises(ValueError):
-        language_analyzer("xx")
+
+
+def test_degraded_and_alias_languages(ref_stem):
+    load_whoosh_oracle()
+    from whoosh.analysis import LanguageAnalyzer
+
+    # ro: stemmer but NO stop list -> no stop filter, no minsize floor
+    sent = "copiii alergau fericiti prin gradinile orasului"
+    ours = language_analyzer("ro").compile().token_lists([sent])[0]
+    theirs = [t.text for t in LanguageAnalyzer("ro")(sent)]
+    assert ours == theirs
+    # unknown language degrades to tokenize+lowercase (reference quirk)
+    sent2 = "Some WORDS here"
+    ours2 = language_analyzer("xx").compile().token_lists([sent2])[0]
+    theirs2 = [t.text for t in LanguageAnalyzer("xx")(sent2)]
+    assert ours2 == theirs2 == ["some", "words", "here"]
+    # aliases resolve like the reference registry
+    assert (language_analyzer("english").lang
+            == language_analyzer("eng").lang
+            == language_analyzer("en").lang == "en")
+    assert language_analyzer("français").lang == "fr"

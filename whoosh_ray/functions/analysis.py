@@ -102,23 +102,43 @@ class AnalyzerSpec:
         return VectorAnalyzer(self)
 
 
+# ISO-639 aliases accepted by the reference's language registry
+# (lang/__init__.py:46-85): 3-letter codes, English names, native names.
+LANG_ALIASES = {
+    "ara": "ar", "dan": "da", "nld": "nl", "eng": "en", "fin": "fi",
+    "fra": "fr", "deu": "de", "hun": "hu", "ita": "it", "nor": "no",
+    "por": "pt", "ron": "ro", "rus": "ru", "spa": "es", "swe": "sv",
+    "tur": "tr",
+    "arabic": "ar", "danish": "da", "dutch": "nl", "english": "en",
+    "finnish": "fi", "french": "fr", "german": "de", "hungarian": "hu",
+    "italian": "it", "norwegian": "no", "portuguese": "pt",
+    "romanian": "ro", "russian": "ru", "spanish": "es", "swedish": "sv",
+    "turkish": "tr",
+    "العربية": "ar", "dansk": "da", "nederlands": "nl", "suomi": "fi",
+    "français": "fr", "deutsch": "de", "magyar": "hu", "italiano": "it",
+    "norsk": "no", "português": "pt", "русский язык": "ru",
+    "español": "es", "svenska": "sv", "türkçe": "tr",
+}
+
+
 def language_analyzer(lang: str) -> AnalyzerSpec:
     """LanguageAnalyzer preset (reference analyzers.py:253-296):
     RegexTokenizer | LowercaseFilter | StopFilter(per-language list) |
-    snowball StemFilter.  Stopword lists cover 14 languages (Snowball
-    project data, functions/lang_stopwords_data.py); stemming parity
-    (functions/snowball.py, fuzz-matched against the reference) covers
-    every language with a stemmer in functions/snowball.STEMMERS —
-    languages without one (e.g. "tr", which the reference also cannot
-    stem) get the stop list only."""
+    StemFilter.  Degrades exactly like the reference: a language
+    without a stop list (ro, ar) skips the StopFilter (and with it the
+    minsize-2 floor), one without a stemmer (tr) skips the StemFilter,
+    and an unknown language yields a plain lowercasing tokenizer
+    rather than raising.  Stemming parity (functions/snowball.py +
+    functions/isri.py, fuzz-matched) covers all 15 stemmed languages."""
     from whoosh_ray.functions.lang_stopwords_data import STOPLISTS
-
-    if lang not in STOPLISTS:
-        raise ValueError(f"no stopword list for language {lang!r}")
     from whoosh_ray.functions.snowball import STEMMERS
 
-    return AnalyzerSpec(stopwords=frozenset(STOPLISTS[lang]), minsize=2,
-                        lang=lang if lang in STEMMERS else None)
+    lang = LANG_ALIASES.get(lang, lang)
+    has_stop = lang in STOPLISTS
+    return AnalyzerSpec(
+        stopwords=frozenset(STOPLISTS[lang]) if has_stop else None,
+        minsize=2 if has_stop else 0,
+        lang=lang if lang in STEMMERS else None)
 
 
 STANDARD = AnalyzerSpec()

@@ -1224,6 +1224,744 @@ def stem_pt(word: str) -> str:
     return word.replace("a~", "\xe3").replace("o~", "\xf5")
 
 
+# ---------------------------------------------------------------- finnish
+
+_FI_VOWELS = "aeiouy\xe4\xf6"
+_FI_RESTRICTED = "aeiou\xe4\xf6"
+_FI_LONG = ("aa", "ee", "ii", "oo", "uu", "\xe4\xe4", "\xf6\xf6")
+_FI_CONS = "bcdfghjklmnpqrstvwxz"
+_FI_DOUBLE = ("bb", "cc", "dd", "ff", "gg", "hh", "jj", "kk", "ll",
+              "mm", "nn", "pp", "qq", "rr", "ss", "tt", "vv", "ww",
+              "xx", "zz")
+_FI_STEP1 = ("kaan", "k\xe4\xe4n", "sti", "kin", "han", "h\xe4n",
+             "ko", "k\xf6", "pa", "p\xe4")
+_FI_STEP2 = ("nsa", "ns\xe4", "mme", "nne", "si", "ni", "an", "\xe4n",
+             "en")
+_FI_STEP3 = ("siin", "tten", "seen", "han", "hen", "hin", "hon",
+             "h\xe4n", "h\xf6n", "den", "tta", "tt\xe4", "ssa",
+             "ss\xe4", "sta", "st\xe4", "lla", "ll\xe4", "lta",
+             "lt\xe4", "lle", "ksi", "ine", "ta", "t\xe4", "na",
+             "n\xe4", "a", "\xe4", "n")
+_FI_STEP4 = ("impi", "impa", "imp\xe4", "immi", "imma", "imm\xe4",
+             "mpi", "mpa", "mp\xe4", "mmi", "mma", "mm\xe4", "eja",
+             "ej\xe4")
+_FI_ILLATIVE = ("han", "hen", "hin", "hon", "h\xe4n", "h\xf6n")
+_FI_PLURAL_I = ("siin", "den", "tten")
+
+
+def stem_fi(word: str) -> str:
+    """Finnish snowball (snowballstem.org/algorithms/finnish).  Quirks
+    kept from the reference (lang/snowball/finnish.py): the ``sti``
+    particle tests ``"sti" in r2`` as a SUBSTRING, and step 1's other
+    particles break without removal when the preceding letter check
+    fails (first-match, no fallback)."""
+    word = word.lower()
+    r1, r2 = _r1r2(word, _FI_VOWELS)
+
+    # step 1: particles
+    for sfx in _FI_STEP1:
+        if r1.endswith(sfx):
+            if sfx == "sti":
+                if sfx in r2:
+                    word, r1, r2 = word[:-3], r1[:-3], r2[:-3]
+            elif word[-len(sfx) - 1] in "ntaeiouy\xe4\xf6":
+                n = len(sfx)
+                word, r1, r2 = word[:-n], r1[:-n], r2[:-n]
+            break
+
+    # step 2: possessives
+    for sfx in _FI_STEP2:
+        if r1.endswith(sfx):
+            if sfx == "si":
+                if word[-3] != "k":
+                    word, r1, r2 = word[:-2], r1[:-2], r2[:-2]
+            elif sfx == "ni":
+                word, r1, r2 = word[:-2], r1[:-2], r2[:-2]
+                if word.endswith("kse"):
+                    word = word[:-3] + "ksi"
+                if r1.endswith("kse"):
+                    r1 = r1[:-3] + "ksi"
+                if r2.endswith("kse"):
+                    r2 = r2[:-3] + "ksi"
+            elif sfx == "an":
+                if (word[-4:-2] in ("ta", "na")
+                        or word[-5:-2] in ("ssa", "sta", "lla", "lta")):
+                    word, r1, r2 = word[:-2], r1[:-2], r2[:-2]
+            elif sfx == "\xe4n":
+                if (word[-4:-2] in ("t\xe4", "n\xe4")
+                        or word[-5:-2] in ("ss\xe4", "st\xe4", "ll\xe4",
+                                           "lt\xe4")):
+                    word, r1, r2 = word[:-2], r1[:-2], r2[:-2]
+            elif sfx == "en":
+                if word[-5:-2] in ("lle", "ine"):
+                    word, r1, r2 = word[:-2], r1[:-2], r2[:-2]
+            else:
+                word, r1, r2 = word[:-3], r1[:-3], r2[:-3]
+            break
+
+    # step 3: cases
+    step3 = False
+    for sfx in _FI_STEP3:
+        if r1.endswith(sfx):
+            if sfx in _FI_ILLATIVE:
+                # h<V>n drops only after the harmonizing vowel <V>
+                if word[-4] == sfx[1]:
+                    word, r1, r2 = word[:-3], r1[:-3], r2[:-3]
+                    step3 = True
+            elif sfx in _FI_PLURAL_I:
+                n = len(sfx)
+                if (word[-n - 1] == "i"
+                        and word[-n - 2] in _FI_RESTRICTED):
+                    word, r1, r2 = word[:-n], r1[:-n], r2[:-n]
+                    step3 = True
+                else:
+                    continue
+            elif sfx == "seen":
+                if word[-6:-4] in _FI_LONG:
+                    word, r1, r2 = word[:-4], r1[:-4], r2[:-4]
+                    step3 = True
+                else:
+                    continue
+            elif sfx in ("a", "\xe4"):
+                if word[-2] in _FI_VOWELS and word[-3] in _FI_CONS:
+                    word, r1, r2 = word[:-1], r1[:-1], r2[:-1]
+                    step3 = True
+            elif sfx in ("tta", "tt\xe4"):
+                if word[-4] == "e":
+                    word, r1, r2 = word[:-3], r1[:-3], r2[:-3]
+                    step3 = True
+            elif sfx == "n":
+                word, r1, r2 = word[:-1], r1[:-1], r2[:-1]
+                step3 = True
+                if word[-2:] == "ie" or word[-2:] in _FI_LONG:
+                    word, r1, r2 = word[:-1], r1[:-1], r2[:-1]
+            else:
+                n = len(sfx)
+                word, r1, r2 = word[:-n], r1[:-n], r2[:-n]
+                step3 = True
+            break
+
+    # step 4: comparatives / other endings (conditioned on R2)
+    for sfx in _FI_STEP4:
+        if r2.endswith(sfx):
+            if sfx in ("mpi", "mpa", "mp\xe4", "mmi", "mma", "mm\xe4"):
+                if word[-5:-3] != "po":
+                    word, r1, r2 = word[:-3], r1[:-3], r2[:-3]
+            else:
+                n = len(sfx)
+                word, r1, r2 = word[:-n], r1[:-n], r2[:-n]
+            break
+
+    # step 5: plurals
+    if step3 and r1[-1:] in ("i", "j"):
+        word, r1 = word[:-1], r1[:-1]
+    elif (not step3 and len(r1) >= 2 and r1[-1] == "t"
+          and r1[-2] in _FI_VOWELS):
+        word, r1, r2 = word[:-1], r1[:-1], r2[:-1]
+        if r2.endswith("imma"):
+            word, r1 = word[:-4], r1[:-4]
+        elif r2.endswith("mma") and r2[-5:-3] != "po":
+            word, r1 = word[:-3], r1[:-3]
+
+    # step 6: tidying
+    if r1[-2:] in _FI_LONG:
+        word, r1 = word[:-1], r1[:-1]
+    if len(r1) >= 2 and r1[-2] in _FI_CONS and r1[-1] in "a\xe4ei":
+        word, r1 = word[:-1], r1[:-1]
+    if r1.endswith(("oj", "uj")):
+        word, r1 = word[:-1], r1[:-1]
+    if r1.endswith("jo"):
+        word, r1 = word[:-1], r1[:-1]
+    # undouble the consonant that starts the final CC(V*) cluster
+    for i in range(1, len(word)):
+        if word[-i] in _FI_VOWELS:
+            continue
+        if i == 1:
+            if word[-2:] in _FI_DOUBLE:
+                word = word[:-1]
+        elif word[-i - 1:-i + 1] in _FI_DOUBLE:
+            word = word[:-i] + word[-i + 1:]
+        break
+
+    return word
+
+
+# ---------------------------------------------------------------- hungarian
+
+_HU_VOWELS = "aeiou\xf6\xfc\xe1\xe9\xed\xf3\xf5\xfa\xfb"
+_HU_DIGRAPHS = ("cs", "dz", "dzs", "gy", "ly", "ny", "ty", "zs")
+_HU_DOUBLE = ("bb", "cc", "ccs", "dd", "ff", "gg", "ggy", "jj", "kk",
+              "ll", "lly", "mm", "nn", "nny", "pp", "rr", "ss", "ssz",
+              "tt", "tty", "vv", "zz", "zzs")
+_HU_STEP2 = ("k\xe9ppen", "onk\xe9nt", "enk\xe9nt", "ank\xe9nt",
+             "k\xe9pp", "k\xe9nt", "ban", "ben", "nak", "nek", "val",
+             "vel", "t\xf3l", "t\xf5l", "r\xf3l", "r\xf5l", "b\xf3l",
+             "b\xf5l", "hoz", "hez", "h\xf6z", "n\xe1l", "n\xe9l",
+             "\xe9rt", "kor", "ba", "be", "ra", "re", "ig", "at", "et",
+             "ot", "\xf6t", "ul", "\xfcl", "v\xe1", "v\xe9", "en", "on",
+             "an", "\xf6n", "n", "t")
+_HU_STEP3 = ("\xe1nk\xe9nt", "\xe1n", "\xe9n")
+_HU_STEP4 = ("astul", "est\xfcl", "\xe1stul", "\xe9st\xfcl", "stul",
+             "st\xfcl")
+_HU_STEP6 = ("ok\xe9", "\xf6k\xe9", "ak\xe9", "ek\xe9", "\xe1k\xe9",
+             "\xe1\xe9i", "\xe9k\xe9", "\xe9\xe9i", "k\xe9", "\xe9i",
+             "\xe9\xe9", "\xe9")
+_HU_STEP7 = ("\xe1juk", "\xe9j\xfck", "\xfcnk", "unk", "juk",
+             "j\xfck", "\xe1nk", "\xe9nk", "nk", "uk", "\xfck", "em",
+             "om", "am", "od", "ed", "ad", "\xf6d", "ja", "je",
+             "\xe1m", "\xe1d", "\xe9m", "\xe9d", "m", "d", "a", "e",
+             "o", "\xe1", "\xe9")
+_HU_STEP7_A = ("\xe1nk", "\xe1juk", "\xe1m", "\xe1d", "\xe1")
+_HU_STEP7_E = ("\xe9nk", "\xe9j\xfck", "\xe9m", "\xe9d", "\xe9")
+_HU_STEP8 = ("jaitok", "jeitek", "jaink", "jeink", "aitok", "eitek",
+             "\xe1itok", "\xe9itek", "jaim", "jeim", "jaid", "jeid",
+             "eink", "aink", "itek", "jeik", "jaik", "\xe1ink",
+             "\xe9ink", "aim", "eim", "aid", "eid", "jai", "jei",
+             "ink", "aik", "eik", "\xe1im", "\xe1id", "\xe1ik",
+             "\xe9im", "\xe9id", "\xe9ik", "im", "id", "ai", "ei",
+             "ik", "\xe1i", "\xe9i", "i")
+_HU_STEP8_A = ("\xe1im", "\xe1id", "\xe1i", "\xe1ink", "\xe1itok",
+               "\xe1ik")
+_HU_STEP8_E = ("\xe9im", "\xe9id", "\xe9i", "\xe9ink", "\xe9itek",
+               "\xe9ik")
+_HU_STEP9 = ("\xe1k", "\xe9k", "\xf6k", "ok", "ek", "ak", "k")
+
+
+def _r1_hu(word: str) -> str:
+    """Hungarian R1 with the reference's digraph quirk (hungarian.py:
+    252-256): a vowel-initial word probes the digraph TUPLE in order
+    for containment anywhere in word[1:], and R1 then starts after the
+    first occurrence of that digraph's LAST letter in the whole word —
+    not after the digraph itself."""
+    if word[0] in _HU_VOWELS:
+        for dg in _HU_DIGRAPHS:
+            if dg in word[1:]:
+                return word[word.index(dg[-1]) + 1:]
+        for i in range(1, len(word)):
+            if word[i] not in _HU_VOWELS:
+                return word[i + 1:]
+        return ""
+    for i in range(1, len(word)):
+        if word[i] in _HU_VOWELS:
+            return word[i + 1:]
+    return ""
+
+
+def _hu_norm_ae(word: str, r1: str) -> tuple[str, str]:
+    """Normalize a trailing accented a/e after a removal."""
+    if r1.endswith("\xe1"):
+        word, r1 = word[:-1] + "a", r1[:-1] + "a"
+    elif r1.endswith("\xe9"):
+        word, r1 = word[:-1] + "e", r1[:-1] + "e"
+    return word, r1
+
+
+def stem_hu(word: str) -> str:
+    """Hungarian snowball (snowballstem.org/algorithms/hungarian).
+    Reference quirks (lang/snowball/hungarian.py): the step-1/step-5
+    undoubling always rewrites ``word[:-4] + word[-3]`` (resp. -3/-2)
+    even for three-letter double consonants, and step 1 never removes
+    the al/el suffix itself."""
+    word = word.lower()
+    r1 = _r1_hu(word)
+
+    # step 1: instrumental case — undouble only
+    if r1.endswith(("al", "el")):
+        for dc in _HU_DOUBLE:
+            if word[-2 - len(dc):-2] == dc:
+                word = word[:-4] + word[-3]
+                if r1[-2 - len(dc):-2] == dc:
+                    r1 = r1[:-4] + r1[-3]
+                break
+
+    # step 2: frequent cases
+    for sfx in _HU_STEP2:
+        if word.endswith(sfx):
+            if r1.endswith(sfx):
+                n = len(sfx)
+                word, r1 = word[:-n], r1[:-n]
+                word, r1 = _hu_norm_ae(word, r1)
+            break
+
+    # step 3: special cases
+    for sfx in _HU_STEP3:
+        if r1.endswith(sfx):
+            if sfx == "\xe9n":
+                word, r1 = word[:-2] + "e", r1[:-2] + "e"
+            else:
+                n = len(sfx)
+                word, r1 = word[:-n] + "a", r1[:-n] + "a"
+            break
+
+    # step 4: other cases
+    for sfx in _HU_STEP4:
+        if r1.endswith(sfx):
+            if sfx == "\xe1stul":
+                word, r1 = word[:-5] + "a", r1[:-5] + "a"
+            elif sfx == "\xe9st\xfcl":
+                word, r1 = word[:-5] + "e", r1[:-5] + "e"
+            else:
+                n = len(sfx)
+                word, r1 = word[:-n], r1[:-n]
+            break
+
+    # step 5: factive case — undouble only
+    for sfx in ("\xe1", "\xe9"):
+        if r1.endswith(sfx):
+            for dc in _HU_DOUBLE:
+                if word[-1 - len(dc):-1] == dc:
+                    word = word[:-3] + word[-2]
+                    if r1[-1 - len(dc):-1] == dc:
+                        r1 = r1[:-3] + r1[-2]
+                    break
+
+    # step 6: owned
+    for sfx in _HU_STEP6:
+        if r1.endswith(sfx):
+            if sfx in ("\xe1k\xe9", "\xe1\xe9i"):
+                word, r1 = word[:-3] + "a", r1[:-3] + "a"
+            elif sfx in ("\xe9k\xe9", "\xe9\xe9i", "\xe9\xe9"):
+                n = len(sfx)
+                word, r1 = word[:-n] + "e", r1[:-n] + "e"
+            else:
+                n = len(sfx)
+                word, r1 = word[:-n], r1[:-n]
+            break
+
+    # step 7: singular owner suffixes
+    for sfx in _HU_STEP7:
+        if word.endswith(sfx):
+            if r1.endswith(sfx):
+                n = len(sfx)
+                if sfx in _HU_STEP7_A:
+                    word, r1 = word[:-n] + "a", r1[:-n] + "a"
+                elif sfx in _HU_STEP7_E:
+                    word, r1 = word[:-n] + "e", r1[:-n] + "e"
+                else:
+                    word, r1 = word[:-n], r1[:-n]
+            break
+
+    # step 8: plural owner suffixes
+    for sfx in _HU_STEP8:
+        if word.endswith(sfx):
+            if r1.endswith(sfx):
+                n = len(sfx)
+                if sfx in _HU_STEP8_A:
+                    word, r1 = word[:-n] + "a", r1[:-n] + "a"
+                elif sfx in _HU_STEP8_E:
+                    word, r1 = word[:-n] + "e", r1[:-n] + "e"
+                else:
+                    word, r1 = word[:-n], r1[:-n]
+            break
+
+    # step 9: plural suffixes
+    for sfx in _HU_STEP9:
+        if word.endswith(sfx):
+            if r1.endswith(sfx):
+                if sfx == "\xe1k":
+                    word = word[:-2] + "a"
+                elif sfx == "\xe9k":
+                    word = word[:-2] + "e"
+                else:
+                    word = word[:-len(sfx)]
+            break
+
+    return word
+
+
+# ---------------------------------------------------------------- romanian
+
+_RO_VOWELS = "aeiouă\xe2\xee"
+_RO_STEP0 = ("iilor", "ului", "elor", "iile", "ilor", "atei",
+             "aţie", "aţia", "aua", "ele", "iua", "iei",
+             "ile", "ul", "ea", "ii")
+_RO_STEP1 = ("abilitate", "abilitati", "abilităţi",
+             "ibilitate", "abilităi", "ivitate", "ivitati",
+             "ivităţi", "icitate", "icitati",
+             "icităţi", "icatori", "ivităi",
+             "icităi", "icator", "aţiune", "atoare",
+             "ătoare", "iţiune", "itoare", "iciva", "icive",
+             "icivi", "icivă", "icala", "icale", "icali",
+             "icală", "ativa", "ative", "ativi", "ativă",
+             "atori", "ători", "itiva", "itive", "itivi",
+             "itivă", "itori", "iciv", "ical", "ativ", "ator",
+             "ător", "itiv", "itor")
+_RO_STEP1_ABIL = ("abilitate", "abilitati", "abilităi",
+                  "abilităţi")
+_RO_STEP1_IV = ("ivitate", "ivitati", "ivităi",
+                "ivităţi")
+_RO_STEP1_IC = ("icitate", "icitati", "icităi",
+                "icităţi", "icator", "icatori", "iciv",
+                "iciva", "icive", "icivi", "icivă", "ical",
+                "icala", "icale", "icali", "icală")
+_RO_STEP1_AT = ("ativ", "ativa", "ative", "ativi", "ativă",
+                "aţiune", "atoare", "ator", "atori",
+                "ătoare", "ător", "ători")
+_RO_STEP1_IT = ("itiv", "itiva", "itive", "itivi", "itivă",
+                "iţiune", "itoare", "itor", "itori")
+_RO_STEP2 = ("abila", "abile", "abili", "abilă", "ibila",
+             "ibile", "ibili", "ibilă", "atori", "itate",
+             "itati", "ităţi", "abil", "ibil", "oasa",
+             "oasă", "oase", "anta", "ante", "anti",
+             "antă", "ator", "ităi", "iune", "iuni",
+             "isme", "ista", "iste", "isti", "istă",
+             "işti", "ata", "ată", "ati", "ate", "uta",
+             "ută", "uti", "ute", "ita", "ită", "iti",
+             "ite", "ica", "ice", "ici", "ică", "osi",
+             "oşi", "ant", "iva", "ive", "ivi", "ivă",
+             "ism", "ist", "at", "ut", "it", "ic", "os", "iv")
+_RO_STEP2_IST = ("ism", "isme", "ist", "ista", "iste", "isti",
+                 "istă", "işti")
+_RO_STEP3 = ("seserăţi", "aserăţi",
+             "iserăţi", "\xe2serăţi",
+             "userăţi", "seserăm", "aserăm",
+             "iserăm", "\xe2serăm", "userăm",
+             "serăţi", "seseşi", "seseră",
+             "ească", "arăţi", "urăţi",
+             "irăţi", "\xe2răţi", "aseşi",
+             "aseră", "iseşi", "iseră", "\xe2seşi",
+             "\xe2seră", "useşi", "useră",
+             "serăm", "sesem", "indu", "\xe2ndu", "ează",
+             "eşti", "eşte", "ăşti",
+             "ăşte", "eaţi", "iaţi", "arăm",
+             "urăm", "irăm", "\xe2răm", "asem",
+             "isem", "\xe2sem", "usem", "seşi", "seră",
+             "sese", "are", "ere", "ire", "\xe2re", "ind", "\xe2nd",
+             "eze", "ezi", "esc", "ăsc", "eam", "eai", "eau",
+             "iam", "iai", "iau", "aşi", "ară", "uşi",
+             "ură", "işi", "iră", "\xe2şi",
+             "\xe2ră", "ase", "ise", "\xe2se", "use", "aţi",
+             "eţi", "iţi", "\xe2ţi", "sei", "ez",
+             "am", "ai", "au", "ea", "ia", "ui", "\xe2i", "ăm",
+             "em", "im", "\xe2m", "se")
+_RO_STEP3_S = ("seserăţi", "seserăm",
+               "serăţi", "seseşi", "seseră",
+               "serăm", "sesem", "seşi", "seră",
+               "sese", "aţi", "eţi", "iţi",
+               "\xe2ţi", "sei", "ăm", "em", "im",
+               "\xe2m", "se")
+
+
+def stem_ro(word: str) -> str:
+    """Romanian snowball (snowballstem.org/algorithms/romanian).
+    Reference quirks (lang/snowball/romanian.py): region membership is
+    a SUBSTRING test (``suffix in r1``), R1/R2 are never re-sliced as
+    the word shrinks, step 0's aua/atei/ile branch removes only two
+    letters, and step 3's non-s-group guard indexes the FIRST
+    occurrence of the suffix in RV and excludes ``u`` from its
+    preceding-vowel set."""
+    word = word.lower()
+    step1_success = False
+    step2_success = False
+
+    # mark intervocalic i/u as consonants
+    for i in range(1, len(word) - 1):
+        if word[i - 1] in _RO_VOWELS and word[i + 1] in _RO_VOWELS:
+            if word[i] == "u":
+                word = word[:i] + "U" + word[i + 1:]
+            elif word[i] == "i":
+                word = word[:i] + "I" + word[i + 1:]
+
+    r1, r2 = _r1r2(word, _RO_VOWELS)
+    rv = _rv(word, _RO_VOWELS)
+
+    # STEP 0: plurals and simplifications (word/rv only; r1 frozen)
+    for sfx in _RO_STEP0:
+        if word.endswith(sfx):
+            if sfx in r1:
+                if sfx in ("ul", "ului"):
+                    word = word[:-len(sfx)]
+                    rv = rv[:-len(sfx)] if sfx in rv else ""
+                elif (sfx in ("aua", "atei")
+                      or (sfx == "ile" and word[-5:-3] != "ab")):
+                    word = word[:-2]
+                elif sfx in ("ea", "ele", "elor"):
+                    word = word[:-len(sfx)] + "e"
+                    rv = rv[:-len(sfx)] + "e" if sfx in rv else ""
+                elif sfx in ("ii", "iua", "iei", "iile", "iilor",
+                             "ilor"):
+                    word = word[:-len(sfx)] + "i"
+                    rv = rv[:-len(sfx)] + "i" if sfx in rv else ""
+                elif sfx in ("aţie", "aţia"):
+                    word = word[:-1]
+            break
+
+    # STEP 1: combining suffixes, repeated to a fixed point
+    while True:
+        replaced = False
+        for sfx in _RO_STEP1:
+            if word.endswith(sfx):
+                if sfx in r1:
+                    step1_success = True
+                    replaced = True
+                    if sfx in _RO_STEP1_ABIL:
+                        word = word[:-len(sfx)] + "abil"
+                    elif sfx == "ibilitate":
+                        word = word[:-5]
+                    elif sfx in _RO_STEP1_IV:
+                        word = word[:-len(sfx)] + "iv"
+                    elif sfx in _RO_STEP1_IC:
+                        word = word[:-len(sfx)] + "ic"
+                    elif sfx in _RO_STEP1_AT:
+                        word = word[:-len(sfx)] + "at"
+                        if sfx in r2:
+                            r2 = r2[:-len(sfx)] + "at"
+                    elif sfx in _RO_STEP1_IT:
+                        word = word[:-len(sfx)] + "it"
+                        if sfx in r2:
+                            r2 = r2[:-len(sfx)] + "it"
+                else:
+                    step1_success = False
+                break
+        if not replaced:
+            break
+
+    # STEP 2: standard suffixes
+    for sfx in _RO_STEP2:
+        if word.endswith(sfx):
+            if sfx in r2:
+                step2_success = True
+                if sfx in ("iune", "iuni"):
+                    if word[-5] == "ţ":
+                        word = word[:-5] + "t"
+                elif sfx in _RO_STEP2_IST:
+                    word = word[:-len(sfx)] + "ist"
+                else:
+                    word = word[:-len(sfx)]
+            break
+
+    # STEP 3: verb suffixes (only if steps 1-2 did nothing)
+    if not step1_success and not step2_success:
+        for sfx in _RO_STEP3:
+            if word.endswith(sfx):
+                if sfx in rv:
+                    if sfx in _RO_STEP3_S:
+                        word = word[:-len(sfx)]
+                        rv = rv[:-len(sfx)]
+                    elif (not rv.startswith(sfx)
+                          and rv[rv.index(sfx) - 1]
+                          not in "aeioă\xe2\xee"):
+                        word = word[:-len(sfx)]
+                    break
+
+    # STEP 4: final vowel
+    for sfx in ("ie", "a", "e", "i", "ă"):
+        if word.endswith(sfx):
+            if sfx in rv:
+                word = word[:-len(sfx)]
+            break
+
+    return word.replace("I", "i").replace("U", "u")
+
+
+# ---------------------------------------------------------------- russian
+
+# Romanization per the reference's table (lang/snowball/russian.py:
+# 354-386) — ALA-LC-style with i^a / i^u / e` / i` / t^s digraph marks.
+_RU_CYR2ROM = (
+    ("А", "a"), ("а", "a"), ("Б", "b"), ("б", "b"),
+    ("В", "v"), ("в", "v"), ("Г", "g"), ("г", "g"),
+    ("Д", "d"), ("д", "d"), ("Е", "e"), ("е", "e"),
+    ("Ё", "e"), ("ё", "e"), ("Ж", "zh"), ("ж", "zh"),
+    ("З", "z"), ("з", "z"), ("И", "i"), ("и", "i"),
+    ("Й", "i`"), ("й", "i`"), ("К", "k"), ("к", "k"),
+    ("Л", "l"), ("л", "l"), ("М", "m"), ("м", "m"),
+    ("Н", "n"), ("н", "n"), ("О", "o"), ("о", "o"),
+    ("П", "p"), ("п", "p"), ("Р", "r"), ("р", "r"),
+    ("С", "s"), ("с", "s"), ("Т", "t"), ("т", "t"),
+    ("У", "u"), ("у", "u"), ("Ф", "f"), ("ф", "f"),
+    ("Х", "kh"), ("х", "kh"), ("Ц", "t^s"),
+    ("ц", "t^s"), ("Ч", "ch"), ("ч", "ch"),
+    ("Ш", "sh"), ("ш", "sh"), ("Щ", "shch"),
+    ("щ", "shch"), ("Ъ", "''"), ("ъ", "''"),
+    ("Ы", "y"), ("ы", "y"), ("Ь", "'"), ("ь", "'"),
+    ("Э", "e`"), ("э", "e`"), ("Ю", "i^u"),
+    ("ю", "i^u"), ("Я", "i^a"), ("я", "i^a"),
+)
+# The inverse chain runs in the reference's exact order — longer marks
+# first (shch before sh before s…), with "e" deliberately replaced
+# BEFORE "zh"/"z" just as the reference does.
+_RU_ROM2CYR = (
+    ("i^u", "ю"), ("i^a", "я"), ("shch", "щ"),
+    ("kh", "х"), ("t^s", "ц"), ("ch", "ч"),
+    ("e`", "э"), ("i`", "й"), ("sh", "ш"),
+    ("k", "к"), ("e", "е"), ("zh", "ж"),
+    ("a", "а"), ("b", "б"), ("v", "в"), ("g", "г"),
+    ("d", "д"), ("z", "з"), ("i", "и"), ("l", "л"),
+    ("m", "м"), ("n", "н"), ("o", "о"), ("p", "п"),
+    ("r", "р"), ("s", "с"), ("t", "т"), ("u", "у"),
+    ("f", "ф"), ("''", "ъ"), ("y", "ы"),
+    ("'", "ь"),
+)
+
+_RU_GERUND = ("ivshis'", "yvshis'", "vshis'", "ivshi", "yvshi", "vshi",
+              "iv", "yv", "v")
+_RU_GERUND_A = ("v", "vshi", "vshis'")
+
+# adjectival = (participle prefix | "") + adjective ending; the "a-
+# conditioned" subset is the plain-participle prefixes.  The reference
+# carries one typo'd entry — 'ui^ushchaia' for ui^ushch+ai^a — which we
+# keep verbatim (russian.py:34).
+_RU_ADJ_ENDINGS = ("i^ui^u", "i^ai^a", "imi", "ymi", "ego", "ogo",
+                   "emu", "omu", "ikh", "ykh", "ui^u", "ai^a", "oi^u",
+                   "ei^u", "ee", "ie", "ye", "oe", "ei`", "ii`", "yi`",
+                   "oi`", "em", "im", "ym", "om")
+_RU_PART_A = ("em", "nn", "vsh", "i^ushch", "shch")
+_RU_PART_PLAIN = ("ivsh", "yvsh", "ui^ushch")
+
+
+def _ru_adjectival() -> tuple[tuple[str, ...], frozenset]:
+    full = {p + e for p in _RU_PART_A + _RU_PART_PLAIN + ("",)
+            for e in _RU_ADJ_ENDINGS}
+    full.discard("ui^ushchai^a")
+    full.add("ui^ushchaia")           # reference typo, kept on purpose
+    special = frozenset(p + e for p in _RU_PART_A
+                        for e in _RU_ADJ_ENDINGS)
+    ordered = tuple(sorted(full, key=lambda s: (-len(s), s)))
+    return ordered, special
+
+
+_RU_ADJECTIVAL, _RU_ADJ_A = _ru_adjectival()
+_RU_REFLEXIVE = ("si^a", "s'")
+_RU_VERB = ("esh'", "ei`te", "ui`te", "ui^ut", "ish'", "ete", "i`te",
+            "i^ut", "nno", "ila", "yla", "ena", "ite", "ili", "yli",
+            "ilo", "ylo", "eno", "i^at", "uet", "eny", "it'", "yt'",
+            "ui^u", "la", "na", "li", "em", "lo", "no", "et", "ny",
+            "t'", "ei`", "ui`", "il", "yl", "im", "ym", "en", "it",
+            "yt", "i^u", "i`", "l", "n")
+_RU_VERB_A = frozenset(("la", "na", "ete", "i`te", "li", "i`", "l",
+                        "em", "n", "lo", "no", "et", "i^ut", "ny",
+                        "t'", "esh'", "nno"))
+_RU_NOUN = ("ii^ami", "ii^akh", "i^ami", "ii^am", "i^akh", "ami",
+            "iei`", "i^am", "iem", "akh", "ii^u", "'i^u", "ii^a",
+            "'i^a", "ev", "ov", "ie", "'e", "ei", "ii", "ei`", "oi`",
+            "ii`", "em", "am", "om", "i^u", "i^a", "a", "e", "i",
+            "i`", "o", "u", "y", "'")
+_RU_VOWELS_ROM = "AUEaeiouy"
+
+
+def _ru_regions(word: str) -> tuple[str, str]:
+    """RV and R2 on the romanized word, with i^a/i^u/e` packed to
+    single markers while scanning (russian.py:305-336)."""
+    packed = (word.replace("i^a", "A").replace("i^u", "U")
+              .replace("e`", "E"))
+    r1 = r2 = rv = ""
+    for i in range(1, len(packed)):
+        if packed[i] not in _RU_VOWELS_ROM and packed[i - 1] in _RU_VOWELS_ROM:
+            r1 = packed[i + 1:]
+            break
+    for i in range(1, len(r1)):
+        if r1[i] not in _RU_VOWELS_ROM and r1[i - 1] in _RU_VOWELS_ROM:
+            r2 = r1[i + 1:]
+            break
+    for i in range(len(packed)):
+        if packed[i] in _RU_VOWELS_ROM:
+            rv = packed[i + 1:]
+            break
+    unpack = lambda s: (s.replace("A", "i^a").replace("U", "i^u")
+                        .replace("E", "e`"))
+    return unpack(rv), unpack(r2)
+
+
+def _ru_preceded_by_a(rv: str, n: int) -> bool:
+    return (rv[-n - 3:-n] == "i^a" or rv[-n - 1:-n] == "a")
+
+
+def stem_ru(word: str) -> str:
+    """Russian snowball (snowballstem.org/algorithms/russian) over the
+    reference's romanized alphabet: Cyrillic input is transliterated,
+    stemmed, and transliterated back; pure latin-1 input is stemmed
+    as already-romanized text.  No lowercasing (reference quirk)."""
+    cyrillic = any(ord(c) > 255 for c in word)
+    if cyrillic:
+        for cyr, rom in _RU_CYR2ROM:
+            word = word.replace(cyr, rom)
+
+    rv, r2 = _ru_regions(word)
+
+    # step 1: perfective gerund, else reflexive + adjectival/verb/noun
+    step1 = False
+    for sfx in _RU_GERUND:
+        if rv.endswith(sfx):
+            n = len(sfx)
+            if sfx in _RU_GERUND_A and not _ru_preceded_by_a(rv, n):
+                continue
+            word, r2, rv = word[:-n], r2[:-n], rv[:-n]
+            step1 = True
+            break
+
+    if not step1:
+        for sfx in _RU_REFLEXIVE:
+            if rv.endswith(sfx):
+                n = len(sfx)
+                word, r2, rv = word[:-n], r2[:-n], rv[:-n]
+                break
+
+        removed = False
+        for sfx in _RU_ADJECTIVAL:
+            if rv.endswith(sfx):
+                n = len(sfx)
+                if sfx in _RU_ADJ_A and not _ru_preceded_by_a(rv, n):
+                    continue
+                word, r2, rv = word[:-n], r2[:-n], rv[:-n]
+                removed = True
+                break
+
+        if not removed:
+            for sfx in _RU_VERB:
+                if rv.endswith(sfx):
+                    n = len(sfx)
+                    if sfx in _RU_VERB_A and not _ru_preceded_by_a(rv, n):
+                        continue
+                    word, r2, rv = word[:-n], r2[:-n], rv[:-n]
+                    removed = True
+                    break
+
+        if not removed:
+            for sfx in _RU_NOUN:
+                if rv.endswith(sfx):
+                    n = len(sfx)
+                    word, r2, rv = word[:-n], r2[:-n], rv[:-n]
+                    break
+
+    # step 2: final i
+    if rv.endswith("i"):
+        word, r2 = word[:-1], r2[:-1]
+
+    # step 3: derivational (R2)
+    for sfx in ("ost'", "ost"):
+        if r2.endswith(sfx):
+            word = word[:-len(sfx)]
+            break
+
+    # step 4: undouble n / superlative / soft sign
+    undoubled = superlative = False
+    if word.endswith("nn"):
+        word = word[:-1]
+        undoubled = True
+    if not undoubled:
+        for sfx in ("ei`she", "ei`sh"):
+            if word.endswith(sfx):
+                word = word[:-len(sfx)]
+                superlative = True
+                break
+        if word.endswith("nn"):
+            word = word[:-1]
+    if not undoubled and not superlative and word.endswith("'"):
+        word = word[:-1]
+
+    if cyrillic:
+        for rom, cyr in _RU_ROM2CYR:
+            word = word.replace(rom, cyr)
+    return word
+
+
+from whoosh_ray.functions.isri import stem_ar  # noqa: E402  (ar is ISRI, not snowball)
+
+# Every language the reference's stemmer_for_language registry resolves
+# (lang/__init__.py:113-131): 14 snowball classes + the ISRI Arabic
+# stemmer.  Turkish has a stop list but no stemmer there either.
 STEMMERS = {"de": stem_de, "es": stem_es, "da": stem_da, "sv": stem_sv,
             "no": stem_no, "nl": stem_nl, "en": stem_en, "fr": stem_fr,
-            "it": stem_it, "pt": stem_pt}
+            "it": stem_it, "pt": stem_pt, "fi": stem_fi, "hu": stem_hu,
+            "ro": stem_ro, "ru": stem_ru, "ar": stem_ar}

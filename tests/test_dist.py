@@ -111,6 +111,36 @@ def test_fanout_nested_parent(index_dir):
             np.testing.assert_allclose(a.scores, b.scores, rtol=1e-12)
 
 
+def test_fanout_nested_parent_score_fn(index_dir):
+    """Custom score_fn NestedParent fans out too: shards ship each
+    parent's docid-ordered child-score list and the driver applies the
+    user's reduction — identical to the global evaluation (reference
+    nested.py:128-145 semantics)."""
+    import statistics
+
+    from whoosh_ray.search import Or, Searcher, Term
+    from whoosh_ray.search.dist import FanoutSearcher
+    from whoosh_ray.search.nested import NestedParent
+
+    local = Searcher(index_dir)
+    fan = FanoutSearcher(index_dir, num_shards=3)
+    cases = [
+        NestedParent(Term("role", "user"), Term("text", "deploy"),
+                     score_fn=max),
+        NestedParent(Term("role", "user"),
+                     Or([Term("text", "deploy"), Term("text", "render")]),
+                     score_fn=statistics.mean),
+        NestedParent(Term("role", "user"), Term("text", "deploy"),
+                     per_parent_limit=2, score_fn=min),
+    ]
+    for q in cases:
+        for limit in (10, None):
+            a = local.search(q, limit=limit)
+            b = fan.search(q, limit=limit)
+            assert a.docids.tolist() == b.docids.tolist(), (q.score_fn, limit)
+            np.testing.assert_allclose(a.scores, b.scores, rtol=1e-12)
+
+
 def test_fanout_nested_children(index_dir):
     """NestedChildren fans out by counting ranges open at each shard
     edge; identical to the global evaluation incl. the duplicate-

@@ -23,11 +23,11 @@ Two Ray-native shapes (SURVEY.md §2.6 MultiMatcher / §4 mapping):
    shard receives every leaf's first match in later shards (the doc an
    unchecked cursor would sit on at the boundary) for the cursor-max
    leak, and AndNot's first-doc-escape is resolved from the shards'
-   reported local firsts.  NestedParent (sum scoring) fans out with a
-   last-parent handoff so blocks spanning shard boundaries aggregate
-   correctly, and NestedChildren with an open-range count per shard
-   edge (duplicate-emission quirk preserved); only custom nested
-   score_fn still routes to the local global path.
+   reported local firsts.  NestedParent (sum or custom score_fn,
+   reduced driver-side) fans out with a last-parent handoff so blocks
+   spanning shard boundaries aggregate correctly, and NestedChildren
+   with an open-range count per shard edge (duplicate-emission quirk
+   preserved).
 """
 
 from __future__ import annotations
@@ -460,7 +460,7 @@ class FanoutSearcher:
             return self._andnot_fanout(q, limit)
         from whoosh_ray.search.nested import NestedChildren, NestedParent
 
-        if (isinstance(q, NestedParent) and q.score_fn is None
+        if (isinstance(q, NestedParent)
                 and not _has_nondecomposable(q.parents)
                 and not _has_nondecomposable(q.child)):
             return self._nested_parent_fanout(q, limit)
@@ -505,11 +505,16 @@ class FanoutSearcher:
                             limit)
 
     def _nested_parent_fanout(self, q, limit) -> Results:
-        """Distributed NestedParent (sum scoring): shards report
-        per-parent ordered child-score lists (credited through the
-        last-parent boundary state), the driver concatenates each
-        parent's lists in shard order, applies the global
-        per_parent_limit rank cut, and sums."""
+        """Distributed NestedParent: shards report per-parent ordered
+        child-score lists (credited through the last-parent boundary
+        state), the driver concatenates each parent's lists in shard
+        order, applies the global per_parent_limit rank cut, and
+        reduces — sum by default, or the user's ``score_fn`` over the
+        docid-ordered child-score list (reference nested.py:128-145
+        combines child scores the same way).  Partitioning assumption:
+        an arbitrary score_fn needs EVERY child score of a parent, so
+        the per-parent lists are driver-sized; per_parent_limit bounds
+        them when set."""
         import pickle
 
         pblob = pickle.dumps(q.parents)
@@ -537,7 +542,8 @@ class FanoutSearcher:
                            np.empty(0, dtype=np.float64))
         lim = q.per_parent_limit
         ids = np.array(sorted(acc), dtype=np.int64)
-        sc = np.array([sum(acc[p][:lim] if lim else acc[p])
+        reduce = q.score_fn if q.score_fn is not None else sum
+        sc = np.array([reduce(acc[p][:lim] if lim else acc[p])
                        for p in ids.tolist()])
         return self._finish([ids], [sc], limit)
 

@@ -12,10 +12,10 @@ Vectorized: parents/children evaluate globally; the parent-of-child map
 is one searchsorted over the sorted parent docid array, child-score
 combination one bincount (sum) / reduceat.  The parent map spans
 segment boundaries, so local evaluation is global-only — but the
-distributed fan-out handles NestedParent (sum scoring) with a
+distributed fan-out handles NestedParent (sum or custom score_fn,
+reduced driver-side over per-shard child-score lists) with a
 last-parent boundary handoff and NestedChildren with an open-range
-count per shard edge (search/dist.py); only custom score_fn still
-routes to the driver path.
+count per shard edge (search/dist.py).
 """
 
 from __future__ import annotations

@@ -111,6 +111,39 @@ def test_fanout_nested_parent(index_dir):
             np.testing.assert_allclose(a.scores, b.scores, rtol=1e-12)
 
 
+def test_fanout_filter_mask(index_dir):
+    """filter=/mask= on the fan-out path: roaring blobs broadcast to
+    the shards (plain queries, applied pre-cut) or applied driver-side
+    (quirk fan-outs) — identical to the local FilterCollector
+    semantics for every coercible argument kind."""
+    from whoosh_ray.functions.idsets import RoaringIdSet
+    from whoosh_ray.search.dist import FanoutSearcher
+    from whoosh_ray.search.query import AndNot
+    from whoosh_ray.search.nested import NestedParent
+
+    local = Searcher(index_dir)
+    fan = FanoutSearcher(index_dir, num_shards=3)
+    base = Or([Term("text", "deploy"), Term("text", "cluster")])
+    allow_q = Term("role", "user")
+    allow_ids = local.search(allow_q, limit=None).docids
+    deny_set = RoaringIdSet(allow_ids[::2])
+    cases = [
+        (base, dict(filter=allow_q)),
+        (base, dict(filter=RoaringIdSet(allow_ids))),
+        (base, dict(filter=allow_ids.tolist(), mask=deny_set)),
+        (base, dict(mask=deny_set)),
+        (AndNot(base, Term("text", "error")), dict(filter=allow_q)),
+        (NestedParent(Term("role", "user"), Term("text", "deploy")),
+         dict(mask=deny_set)),
+    ]
+    for q, kw in cases:
+        for limit in (5, None):
+            a = local.search(q, limit=limit, **kw)
+            b = fan.search(q, limit=limit, **kw)
+            assert a.docids.tolist() == b.docids.tolist(), (q, kw, limit)
+            np.testing.assert_allclose(a.scores, b.scores, rtol=1e-12)
+
+
 def test_fanout_nested_parent_score_fn(index_dir):
     """Custom score_fn NestedParent fans out too: shards ship each
     parent's docid-ordered child-score list and the driver applies the

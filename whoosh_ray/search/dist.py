@@ -159,13 +159,25 @@ class SegmentShardActor:
                     np.empty(0, dtype=np.float64))
         return np.concatenate(parts_i), np.concatenate(parts_s)
 
-    def topk(self, qblob: bytes, stats: dict, limit: int):
-        """Phase 2: evaluate with driver-merged global stats."""
+    def topk(self, qblob: bytes, stats: dict, limit: int,
+             fblob: bytes | None = None, mblob: bytes | None = None):
+        """Phase 2: evaluate with driver-merged global stats.
+        ``fblob``/``mblob`` are roaring id-set blobs (broadcast ONCE
+        via ray.put, auto-dereferenced here) applied BEFORE the local
+        top-k cut so filter-then-limit matches the global order."""
         import pickle
+
+        from whoosh_ray.functions.idsets import RoaringIdSet
 
         q = pickle.loads(qblob)
         s = _ShardSearcher(self.manifest, self.segments, stats)
         ids, sc = self._concat_eval(s, q)
+        if fblob is not None and len(ids):
+            keep = RoaringIdSet.from_bytes(fblob).contains(ids)
+            ids, sc = ids[keep], sc[keep]
+        if mblob is not None and len(ids):
+            keep = ~RoaringIdSet.from_bytes(mblob).contains(ids)
+            ids, sc = ids[keep], sc[keep]
         if not len(ids):
             return ids, sc
         order = np.lexsort((ids, -sc))[:limit]
@@ -447,33 +459,78 @@ class FanoutSearcher:
             order = order[:limit]
         return Results(self._local, ids[order], sc[order])
 
-    def search(self, q: Query, limit: int = 10) -> Results:
+    def _as_roaring(self, obj):
+        """Driver-side coercion of a filter/mask argument (query,
+        Results, DocIdSet, iterable) to a roaring set ready for ONE
+        ``ray.put`` broadcast."""
+        from whoosh_ray.functions.idsets import RoaringIdSet
+
+        resolved = self._local._as_docid_set(obj)
+        return (resolved if isinstance(resolved, RoaringIdSet)
+                else RoaringIdSet(np.asarray(resolved, dtype=np.int64)
+                                  if not hasattr(resolved, "to_array")
+                                  else resolved.to_array()))
+
+    def search(self, q: Query, limit: int = 10, *,
+               filter=None, mask=None) -> Results:
+        """``filter``/``mask`` ship to the shards as roaring blobs —
+        ``ray.put`` once, dereferenced in every actor call — and are
+        applied shard-side BEFORE the local top-k cut (the scale path).
+        The quirk fan-outs (DisjunctionMax / AndNot / Nested) compute
+        boundary state from the UNFILTERED stream, so for them the
+        shards return their full result sets and the driver applies
+        the sets before the rank cut — correct, but driver-sized in
+        the match count; prefer plain queries for huge filtered
+        scans."""
         import pickle
+
+        allow = self._as_roaring(filter) if filter is not None else None
+        deny = self._as_roaring(mask) if mask is not None else None
+        filtered = allow is not None or deny is not None
+        inner_limit = None if filtered else limit
+
+        def _cut(res: Results) -> Results:
+            if not filtered:
+                return res
+            ids, sc = res.docids, res.scores
+            if allow is not None and len(ids):
+                keep = allow.contains(ids)
+                ids, sc = ids[keep], sc[keep]
+            if deny is not None and len(ids):
+                keep = ~deny.contains(ids)
+                ids, sc = ids[keep], sc[keep]
+            if limit is not None:
+                ids, sc = ids[:limit], sc[:limit]
+            return Results(self._local, ids, sc)
 
         q = q.expansion_queries(self._local)[0]
         if (isinstance(q, DisjunctionMax) and q.subqueries
                 and not any(_has_nondecomposable(s) for s in q.subqueries)):
-            return self._djm_fanout(q, limit)
+            return _cut(self._djm_fanout(q, inner_limit))
         if (isinstance(q, AndNot)
                 and not _has_nondecomposable(q.a)
                 and not _has_nondecomposable(q.b)):
-            return self._andnot_fanout(q, limit)
+            return _cut(self._andnot_fanout(q, inner_limit))
         from whoosh_ray.search.nested import NestedChildren, NestedParent
 
         if (isinstance(q, NestedParent)
                 and not _has_nondecomposable(q.parents)
                 and not _has_nondecomposable(q.child)):
-            return self._nested_parent_fanout(q, limit)
+            return _cut(self._nested_parent_fanout(q, inner_limit))
         if (isinstance(q, NestedChildren)
                 and not _has_nondecomposable(q.parents)
                 and not _has_nondecomposable(q.child)):
-            return self._nested_children_fanout(q, limit)
+            return _cut(self._nested_children_fanout(q, inner_limit))
         if _has_nondecomposable(q):
-            return self._local.search(q, limit)
+            return self._local.search(q, limit, filter=allow, mask=deny)
         merged = self._merged_stats(q.terms())
-        # phase 2: broadcast query + stats, gather per-shard top-k
+        # phase 2: broadcast query + stats + set blobs (ray.put once —
+        # actors deref the same object, nothing re-ships per call),
+        # gather per-shard FILTERED top-k
         qblob = pickle.dumps(q)
-        tops = ray.get([a.topk.remote(qblob, merged, limit)
+        fref = ray.put(allow.to_bytes()) if allow is not None else None
+        mref = ray.put(deny.to_bytes()) if deny is not None else None
+        tops = ray.get([a.topk.remote(qblob, merged, limit, fref, mref)
                         for a in self.actors])
         return self._finish([t[0] for t in tops], [t[1] for t in tops],
                             limit)

@@ -83,6 +83,15 @@ class Results:
             raise ValueError("search() was not run with terms=True")
         return {k for k, v in self.termdocs.items() if docid in v}
 
+    def docid_set(self):
+        """The result docids as a compact DocIdSet (roaring above the
+        container cutoff) — the broadcastable currency for chaining
+        ``search(filter=...)`` calls and for shipping to shard actors
+        (reference: Results.docs / docset, searching.py:1046-1070)."""
+        from whoosh_ray.functions.idsets import as_id_set
+
+        return as_id_set(self.docids)
+
     def to_arrow(self, columns: list[str] | None = None) -> pa.Table:
         """(rank, docid, score) + stored fields, in rank order."""
         stored = self.searcher.stored(self.docids, columns=columns)
@@ -226,11 +235,18 @@ class Searcher:
 
     # ---- search ----
 
-    def _as_docid_set(self, obj) -> np.ndarray:
+    def _as_docid_set(self, obj):
+        """Queries/Results resolve to their docids; DocIdSet objects
+        (functions/idsets.py — roaring/bitmap/sorted) pass through so
+        the keep-mask uses their vectorized ``contains`` kernel."""
+        from whoosh_ray.functions.idsets import DocIdSet
+
         if isinstance(obj, Query):
             return self.search(obj, limit=None).docids
         if isinstance(obj, Results):
             return obj.docids
+        if isinstance(obj, DocIdSet):
+            return obj
         return np.asarray(sorted(int(d) for d in obj), dtype=np.int64)
 
     def _preload_terms(self, q: Query) -> None:
@@ -330,10 +346,12 @@ class Searcher:
         self._preload_terms(q)
         docids, scores = q.global_docs_scores(self)
         if allow is not None and len(docids):
-            keep = np.isin(docids, allow, assume_unique=True)
+            keep = (allow.contains(docids) if hasattr(allow, "contains")
+                    else np.isin(docids, allow, assume_unique=True))
             docids, scores = docids[keep], scores[keep]
         if deny is not None and len(docids):
-            keep = ~np.isin(docids, deny, assume_unique=True)
+            keep = ~(deny.contains(docids) if hasattr(deny, "contains")
+                     else np.isin(docids, deny, assume_unique=True))
             docids, scores = docids[keep], scores[keep]
         if getattr(self.weighting, "use_final", False) and len(docids):
             # reference final() hook (scoring.py:51-76): per-doc score

@@ -317,6 +317,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         pdf = pdf.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
         return pa.Table.from_pandas(pdf, preserve_index=False)
 
+    def dedup_embed_pairs(sf_dir):
+        """Embedding-cosine near-dup pairs, EXACT (broadcast-matmul
+        scan; the LSH-bucketed variant embed_cosine_lsh is the no-
+        broadcast 100-TB path, pytest-verified for exact precision)."""
+        import ray.data
+
+        from whoosh_ray.pipelines.dedup import embed_cosine_pairs
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "embeddings.parquet"),
+            columns=["vec_id", "embedding"])
+        pdf = embed_cosine_pairs(ds, threshold=0.4)
+        return pa.table({
+            "id_a": pa.array(pdf["id_a"], type=pa.int64()),
+            "id_b": pa.array(pdf["id_b"], type=pa.int64()),
+            "cosine": pa.array(np.round(pdf["cosine"].to_numpy(), 6),
+                               type=pa.float64()),
+        })
+
     def knn_top10(sf_dir):
         import pyarrow.parquet as pq
 
@@ -500,6 +519,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": dedup_exact_q,
         "dedup_jaccard_pairs": dedup_jaccard_pairs,
         "dedup_minhash_pairs": dedup_minhash_pairs,
+        "dedup_embed_pairs": dedup_embed_pairs,
         "knn_top10": knn_top10,
         "text_token_stats": text_token_stats,
         "text_fingerprints": text_fingerprints,
@@ -614,6 +634,15 @@ WHERE len(list_distinct(list_concat(a.shingles, b.shingles))) > 0
   AND len(list_intersect(a.shingles, b.shingles))::DOUBLE /
       len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5
 ORDER BY doc_a, doc_b
+""",
+        "dedup_embed_pairs": """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                               b.embedding::DOUBLE[]), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                             b.embedding::DOUBLE[]) >= 0.4::DOUBLE
+ORDER BY id_a, id_b
 """,
         "knn_top10": """
 WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),

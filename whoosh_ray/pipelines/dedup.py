@@ -514,3 +514,208 @@ class SimHasher:
             out[i] = np.packbits((v > 0)[::-1]).view(np.uint64)[0]
         return batch.append_column("simhash",
                                    pa.array(out.astype(np.int64), type=pa.int64()))
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup (over the embeddings table: vec_id,
+# list<float> embedding).  Two paths:
+#
+# - embed_cosine_pairs: EXACT all-pairs — the corpus'
+#   L2-normalized matrix broadcast once (ray.put), each batch does one
+#   BLAS matmul slice against it and emits (id_a < id_b, cosine >=
+#   threshold).  O(N^2/P) distributed compute, zero shuffle; the
+#   broadcast side must fit the object store, which bounds it at ~10^7
+#   vectors x 64 dims — the test/oracle scale path.
+# - embed_cosine_lsh: the 100-TB path — random-hyperplane signatures
+#   (sign of x . R, banded like minhash-LSH) bucket the corpus with NO
+#   broadcast of the matrix; candidate pairs are exact-verified on a
+#   candidate-sized semi-join (roaring id-set broadcast filters the
+#   corpus read).  Recall < 1 by construction (tuned by n_bands x
+#   band_bits for the target threshold); precision is exact.
+# ---------------------------------------------------------------------------
+
+
+def collect_normalized(ds: ray.data.Dataset, *, id_col: str = "vec_id",
+                       emb_col: str = "embedding"):
+    """Driver-side (ids, L2-normalized float64 matrix) — the BROADCAST
+    side of the exact pair scan.  Column-pruned read; rows stream in
+    batches and stack once."""
+    from whoosh_ray.pipelines.knn import _stack_embeddings
+
+    ids_parts, mats = [], []
+    for batch in ds.select_columns([id_col, emb_col]).iter_batches(
+            batch_format="pyarrow", batch_size=8192):
+        ids_parts.append(batch[id_col].to_numpy())
+        mats.append(_stack_embeddings(batch, emb_col))
+    ids = (np.concatenate(ids_parts) if ids_parts
+           else np.empty(0, dtype=np.int64))
+    mat = np.vstack(mats) if mats else np.empty((0, 0))
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    return ids.astype(np.int64), mat / norms[:, None]
+
+
+class EmbedPairFinder:
+    """map_batches: this batch's rows x the broadcast corpus — emit
+    every pair with cosine >= threshold and batch_id < corpus_id (each
+    unordered pair is produced by exactly one side)."""
+
+    def __init__(self, corpus_ref, threshold: float,
+                 id_col: str = "vec_id", emb_col: str = "embedding"):
+        self.corpus_ref = corpus_ref
+        self.threshold = threshold
+        self.id_col = id_col
+        self.emb_col = emb_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from whoosh_ray.pipelines.knn import _stack_embeddings
+        from whoosh_ray.stages.bcast import get_broadcast
+
+        cids, cmat = get_broadcast(self.corpus_ref)
+        ids = batch[self.id_col].to_numpy()
+        mat = _stack_embeddings(batch, self.emb_col)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        sims = (mat / norms[:, None]) @ cmat.T  # (nbatch, ncorpus)
+        keep = (sims >= self.threshold) & (ids[:, None] < cids[None, :])
+        bi, ci = np.nonzero(keep)
+        return pa.table({
+            "id_a": pa.array(ids[bi], type=pa.int64()),
+            "id_b": pa.array(cids[ci], type=pa.int64()),
+            "cosine": pa.array(sims[bi, ci], type=pa.float64()),
+        })
+
+
+def embed_cosine_pairs(ds: ray.data.Dataset, *,
+                       threshold: float = 0.4,
+                       id_col: str = "vec_id",
+                       emb_col: str = "embedding") -> pd.DataFrame:
+    """Exact embedding-cosine near-dup pairs (id_a < id_b, cosine >=
+    threshold), driver-sized by contract."""
+    ids, mat = collect_normalized(ds, id_col=id_col, emb_col=emb_col)
+    ref = ray.put((ids, mat))
+    pairs = ds.map_batches(
+        EmbedPairFinder(ref, threshold, id_col, emb_col),
+        batch_format="pyarrow", batch_size=4096)
+    pdf = pairs.to_pandas()
+    if "id_a" not in pdf.columns:  # all-empty blocks drop the schema
+        return _empty_cosine_pairs()
+    return (pdf.sort_values(["id_a", "id_b"], kind="mergesort")
+            .reset_index(drop=True))
+
+
+def _empty_cosine_pairs() -> pd.DataFrame:
+    return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                         "id_b": pd.Series([], dtype=np.int64),
+                         "cosine": pd.Series([], dtype=np.float64)})
+
+
+class HyperplaneSigner:
+    """map_batches: banded random-hyperplane signatures.  The plane
+    matrix is regenerated per worker from (seed, dim) — deterministic,
+    nothing to broadcast; sign bits pack into one uint64 bucket key per
+    band (band_bits <= 64)."""
+
+    def __init__(self, n_bands: int, band_bits: int, seed: int,
+                 id_col: str = "vec_id", emb_col: str = "embedding"):
+        assert band_bits <= 64
+        self.n_bands = n_bands
+        self.band_bits = band_bits
+        self.seed = seed
+        self.id_col = id_col
+        self.emb_col = emb_col
+        self._planes = None  # lazily built: dim known at first batch
+
+    def _planes_for(self, dim: int) -> np.ndarray:
+        if self._planes is None:
+            rng = np.random.default_rng(self.seed)
+            self._planes = rng.standard_normal(
+                (dim, self.n_bands * self.band_bits))
+        return self._planes
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from whoosh_ray.pipelines.knn import _stack_embeddings
+
+        ids = batch[self.id_col].to_numpy()
+        mat = _stack_embeddings(batch, self.emb_col)
+        if not len(ids):
+            return pa.table({"band": pa.array([], type=pa.int64()),
+                             "bucket": pa.array([], type=pa.int64()),
+                             "doc_id": pa.array([], type=pa.int64())})
+        bits = (mat @ self._planes_for(mat.shape[1])) > 0
+        bits = bits.reshape(len(ids), self.n_bands, self.band_bits)
+        weights = (np.uint64(1) << np.arange(self.band_bits,
+                                             dtype=np.uint64))
+        buckets = (bits.astype(np.uint64) * weights).sum(axis=2)
+        band_idx = np.tile(np.arange(self.n_bands), len(ids))
+        return pa.table({
+            "band": pa.array(band_idx, type=pa.int64()),
+            "bucket": pa.array(buckets.reshape(-1).astype(np.int64),
+                               type=pa.int64()),
+            "doc_id": pa.array(np.repeat(ids, self.n_bands),
+                               type=pa.int64()),
+        })
+
+
+def embed_cosine_lsh(ds: ray.data.Dataset, *,
+                     threshold: float = 0.9,
+                     n_bands: int = 16, band_bits: int = 8,
+                     seed: int = 23, max_bucket: int = 1000,
+                     id_col: str = "vec_id",
+                     emb_col: str = "embedding") -> pd.DataFrame:
+    """Near-dup pairs via cosine LSH: hyperplane-sign bands bucket the
+    corpus (shuffle on (band, bucket) only — the matrix is never
+    broadcast), candidate pairs are exact-verified against just the
+    candidate rows (roaring id-set semi-join).  For a target cosine t
+    the per-pair detection probability is
+    1 - (1 - (1 - acos(t)/pi)^band_bits)^n_bands — the defaults give
+    ~0.99+ at t = 0.9; raise n_bands (or shorten bands) for lower
+    thresholds."""
+    import ray as _ray
+
+    from whoosh_ray.functions.idsets import RoaringIdSet
+    from whoosh_ray.stages.grouping import groups_in_blocks
+
+    ncpu = int(_ray.cluster_resources().get("CPU", 8))
+    ds = ds.repartition(2 * ncpu)
+    sigs = ds.map_batches(
+        HyperplaneSigner(n_bands, band_bits, seed, id_col, emb_col),
+        batch_format="pyarrow")
+    cand = groups_in_blocks(
+        sigs, ["band", "bucket"],
+        _bucket_pairs_block(["band", "bucket"], "doc_id", max_bucket,
+                            "embed_cosine_lsh"))
+
+    # candidate pairs are candidate-sized by LSH contract: dedup across
+    # bands driver-side (a Ray groupby here would pay ~10s of fixed
+    # shuffle overhead for a driver-sized table)
+    cpairs = cand.to_pandas()
+    if "doc_a" not in cpairs.columns or not len(cpairs):
+        return _empty_cosine_pairs()
+    cpairs = cpairs.drop_duplicates(["doc_a", "doc_b"])
+    cand_ids = RoaringIdSet(np.union1d(cpairs["doc_a"].to_numpy(),
+                                       cpairs["doc_b"].to_numpy()))
+    id_ref = ray.put(cand_ids.to_bytes())
+
+    def only_candidates(batch: pa.Table) -> pa.Table:
+        from whoosh_ray.functions.idsets import RoaringIdSet as _R
+        from whoosh_ray.stages.bcast import get_broadcast
+
+        allow = _R.from_bytes(get_broadcast(id_ref))
+        return batch.filter(
+            pa.array(allow.contains(batch[id_col].to_numpy())))
+
+    ids, mat = collect_normalized(
+        ds.map_batches(only_candidates, batch_format="pyarrow"),
+        id_col=id_col, emb_col=emb_col)
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    ia = np.searchsorted(ids, cpairs["doc_a"].to_numpy())
+    ib = np.searchsorted(ids, cpairs["doc_b"].to_numpy())
+    cos = np.einsum("ij,ij->i", mat[ia], mat[ib])
+    out = pd.DataFrame({"id_a": cpairs["doc_a"].to_numpy(),
+                        "id_b": cpairs["doc_b"].to_numpy(),
+                        "cosine": cos})
+    out = out[out["cosine"] >= threshold]
+    return (out.sort_values(["id_a", "id_b"], kind="mergesort")
+            .reset_index(drop=True))

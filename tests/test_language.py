@@ -213,3 +213,31 @@ def test_degraded_and_alias_languages(ref_stem):
             == language_analyzer("eng").lang
             == language_analyzer("en").lang == "en")
     assert language_analyzer("français").lang == "fr"
+
+
+def test_pystemmer_filter_facade():
+    """PyStemmerFilter (reference morph.py:152-217) facade: named
+    snowball algorithms resolve through the alias registry to the
+    fuzz-verified stemmers when the C extension is absent; the ignore
+    set and ValueError-on-unknown behaviors match the reference API."""
+    import pytest
+
+    from whoosh_ray.functions.analysis import AnalyzerSpec
+    from whoosh_ray.functions.snowball import (STEMMERS,
+                                               pystemmer_algorithms,
+                                               resolve_stemmer)
+
+    spec = AnalyzerSpec(chain=(
+        ("tokenizer", (r"\w+", False)),
+        ("lowercase", ()),
+        ("pystemmer", ("spanish", ("corriendo",), 10000)),
+    ))
+    out = spec.compile().token_lists(["Corriendo gatos saltando"])[0]
+    assert out == ["corriendo", "gat", "salt"]  # ignore honored
+
+    assert resolve_stemmer("russian")("кошки") == STEMMERS["ru"]("кошки")
+    assert resolve_stemmer("pt") is STEMMERS["pt"]
+    with pytest.raises(ValueError):
+        resolve_stemmer("klingon")
+    algos = pystemmer_algorithms()
+    assert "spanish" in algos and len(algos) == 15

@@ -89,6 +89,54 @@ def test_span_queries_match_oracle(engine, oracle, whoosh_oracle):
                                    err_msg=repr(refq))
 
 
+def test_classic_spannear_matches_oracle(engine, oracle, whoosh_oracle):
+    """Classic binary SpanNear incl. nested trees and phrase()'s
+    balanced-tree shape (reference spans.py:342-490); the unordered
+    cases exercise the end-based skip over wide merged spans."""
+    from whoosh.query import Term as WT
+    from whoosh.query.spans import SpanNear as WSpanNear
+
+    from whoosh_ray.search.spans import SpanNear
+
+    t = lambda w: Term("text", w)  # noqa: E731
+    wt = lambda w: WT("text", w)  # noqa: E731
+    cases = [
+        (SpanNear(t("november"), t("deploy")),
+         WSpanNear(wt("november"), wt("deploy"))),
+        (SpanNear(t("november"), t("deploy"), slop=3),
+         WSpanNear(wt("november"), wt("deploy"), slop=3)),
+        (SpanNear(t("deploy"), t("november"), slop=4, ordered=False),
+         WSpanNear(wt("deploy"), wt("november"), slop=4, ordered=False)),
+        (SpanNear(t("november"), t("november"), slop=5, mindist=2),
+         WSpanNear(wt("november"), wt("november"), slop=5, mindist=2)),
+        (SpanNear(SpanNear(t("november"), t("november"), slop=3),
+                  t("camelcase"), slop=5, ordered=False),
+         WSpanNear(WSpanNear(wt("november"), wt("november"), slop=3),
+                   wt("camelcase"), slop=5, ordered=False)),
+        (SpanNear.phrase("text", ["november", "november", "deploy"],
+                         slop=3),
+         WSpanNear.phrase("text", ["november", "november", "deploy"],
+                          slop=3)),
+        (SpanNear.phrase("text",
+                         ["november", "big", "time", "november"],
+                         slop=4, ordered=False),
+         WSpanNear.phrase("text",
+                          ["november", "big", "time", "november"],
+                          slop=4, ordered=False)),
+    ]
+    n_nonempty = 0
+    for myq, refq in cases:
+        mine = [(int(d), float(s)) for d, s in engine.search(myq, limit=None)]
+        ref = [(int(d), float(s))
+               for d, s in oracle_search(oracle, refq, limit=None)]
+        assert [d for d, _ in mine] == [d for d, _ in ref], refq
+        np.testing.assert_allclose([x for _, x in mine],
+                                   [x for _, x in ref], rtol=1e-9,
+                                   err_msg=repr(refq))
+        n_nonempty += bool(mine)
+    assert n_nonempty >= 5  # the cases genuinely match documents
+
+
 def test_nested_queries_match_oracle(engine, oracle):
     from whoosh.query import Term as WT
     from whoosh.query.nested import NestedChildren as WNestedChildren

@@ -1965,3 +1965,39 @@ STEMMERS = {"de": stem_de, "es": stem_es, "da": stem_da, "sv": stem_sv,
             "no": stem_no, "nl": stem_nl, "en": stem_en, "fr": stem_fr,
             "it": stem_it, "pt": stem_pt, "fi": stem_fi, "hu": stem_hu,
             "ro": stem_ro, "ru": stem_ru, "ar": stem_ar}
+
+
+def resolve_stemmer(lang: str):
+    """PyStemmerFilter._get_stemmer_fn facade (reference
+    analysis/morph.py:152-217 wraps the py-stemmer C extension and
+    raises ImportError without it).  Here the C extension is used when
+    importable and otherwise the name resolves — via the same aliases
+    the reference's language registry accepts — to the fuzz-verified
+    pure implementations above; unknown algorithms raise ValueError."""
+    try:
+        import Stemmer  # C extension; absent in this environment
+
+        s = Stemmer.Stemmer(lang)
+        return s.stemWord
+    except ImportError:
+        pass
+    from whoosh_ray.functions.analysis import LANG_ALIASES
+
+    code = LANG_ALIASES.get(lang, lang)
+    if code in STEMMERS:
+        return STEMMERS[code]
+    raise ValueError(f"no stemming algorithm named {lang!r}")
+
+
+def pystemmer_algorithms() -> list[str]:
+    """PyStemmerFilter.algorithms (morph.py:177-184): the C library's
+    list when present, else the snowball names backed above."""
+    try:
+        import Stemmer
+
+        return list(Stemmer.algorithms())
+    except ImportError:
+        return ["arabic", "danish", "dutch", "english", "finnish",
+                "french", "german", "hungarian", "italian", "norwegian",
+                "portuguese", "romanian", "russian", "spanish",
+                "swedish"]

@@ -115,6 +115,25 @@ def stem_filter(tokens, cache):
         yield t
 
 
+def pystemmer_filter(tokens, stem_fn, ignore, cache, cachesize):
+    """PyStemmerFilter (reference analysis/morph.py:152-217): a
+    StemFilter over a named snowball algorithm with an ignore set and a
+    bounded memo cache; backed by functions/snowball.resolve_stemmer
+    (C extension when importable, pure implementations otherwise)."""
+    for t in tokens:
+        w = t.text
+        if w in ignore:
+            yield t
+            continue
+        st = cache.get(w)
+        if st is None:
+            st = stem_fn(w)
+            if len(cache) < cachesize:
+                cache[w] = st
+        t.text = st
+        yield t
+
+
 def charset_filter(tokens, charmap):
     for t in tokens:
         t.text = t.text.translate(charmap)
@@ -372,6 +391,7 @@ def compile_chain(chain: tuple, mode: str = "index"):
     Chain items (kind, params):
       ("tokenizer", (pattern, gaps))            — must be first if present
       ("lowercase", ())        ("strip", ())    ("stem", ())
+      ("pystemmer", (lang, ignore|None, cachesize))
       ("stop", (words|None, minsize, maxsize, renumber))
       ("charset", items)                        — (ord, str) pairs
       ("intraword", (delims, sw, sn, mw, mn))
@@ -410,7 +430,8 @@ def compile_chain(chain: tuple, mode: str = "index"):
 # leaves t.startchar/endchar pointing at the ORIGINAL text for text-only
 # rewrites; stream-restructuring filters synthesize spans we don't model)
 CHARS_SAFE_FILTERS = frozenset(
-    ["lowercase", "strip", "stop", "charset", "delimited", "stem"])
+    ["lowercase", "strip", "stop", "charset", "delimited", "stem",
+     "pystemmer"])
 
 
 def chain_chars_safe(chain: tuple) -> bool:
@@ -431,6 +452,15 @@ def _compile_filter(kind: str, params, mode: str):
     if kind == "stem":
         cache: dict = {}
         return lambda toks: stem_filter(toks, cache)
+    if kind == "pystemmer":
+        from whoosh_ray.functions.snowball import resolve_stemmer
+
+        lang, ignore, cachesize = params
+        stem_fn = resolve_stemmer(lang)
+        ig = frozenset(ignore or ())
+        pcache: dict = {}
+        return lambda toks: pystemmer_filter(toks, stem_fn, ig, pcache,
+                                             cachesize)
     if kind == "stop":
         words, minsize, maxsize, renumber = params
         ws = frozenset(words) if words is not None else None

@@ -73,9 +73,15 @@ def doc_spans(q: Query, searcher, seg, docids: np.ndarray) -> list[list[tuple]]:
                 bspans = subs[i][di]
                 found = set()
                 for aspan in aspans:
-                    start = (aspan[0] if q.ordered
-                             else max(0, aspan[0] - q.slop))
-                    j = bisect_left([b[0] for b in bspans], start)
+                    # ordered can seek to b.start >= a.start (the skip
+                    # condition below is start-based); unordered must
+                    # scan from 0 — its skip tests bspan's END, and a
+                    # wide merged span can start far before a.start yet
+                    # end inside the slop window (spans.py:474)
+                    if q.ordered:
+                        j = bisect_left([b[0] for b in bspans], aspan[0])
+                    else:
+                        j = 0
                     while j < len(bspans):
                         bspan = bspans[j]
                         j += 1
@@ -179,6 +185,35 @@ class SpanNear2(_SpanQuery):
 
     def _scoring_query(self):
         return And(list(self.qs))
+
+
+class SpanNear(SpanNear2):
+    """Classic binary SpanNear (reference spans.py:342-490): two
+    subqueries, nested into trees for more — ``phrase`` builds the
+    reference's balanced ``make_binary_tree`` shape.  Span combination
+    is exactly one SpanNear2 chain step, so this is a construction
+    shim over the same kernel."""
+
+    def __init__(self, a: Query, b: Query, slop: int = 1,
+                 ordered: bool = True, mindist: int = 1,
+                 boost: float = 1.0):
+        super().__init__([a, b], slop=slop, ordered=ordered,
+                         mindist=mindist, boost=boost)
+        self.a, self.b = a, b
+
+    @classmethod
+    def phrase(cls, fieldname: str, words, slop: int = 1,
+               ordered: bool = True):
+        """Balanced tree of SpanNear over the words (reference
+        spans.py:424-443 + util.make_binary_tree)."""
+        def build(ts):
+            if len(ts) == 1:
+                return ts[0]
+            half = len(ts) // 2
+            return cls(build(ts[:half]), build(ts[half:]),
+                       slop=slop, ordered=ordered)
+
+        return build([Term(fieldname, w) for w in words])
 
 
 class SpanOr(_SpanQuery):

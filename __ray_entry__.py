@@ -473,12 +473,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return extract_image_features(ds, concurrency=2, batch_size=64)
 
     def ir_suggest(sf_dir):
-        """Rows-only: spelling suggestions (conformance vs the reference
-        engine is pinned in pytest)."""
+        """Spelling suggestions, hash-checked: the DuckDB oracle
+        reproduces the lexicon (StandardAnalyzer tok CTE), plain
+        levenshtein(maxdist=2) acceptance, and the selection boundary
+        (nlargest picks freq DESC, term DESC) — the limit-3 probes
+        have 4-5 candidates so frequency ranking decides the cut."""
         s = _searcher(sf_dir)
         rows = []
-        for w in ["sprak", "tabel", "windwo", "mrege"]:
-            for sug in s.suggest("text", w, limit=5):
+        for w, lim in [("sprak", 5), ("tabel", 5), ("windwo", 5),
+                       ("mrege", 5), ("sat", 3), ("bat", 3),
+                       ("dat", 3), ("art", 3)]:
+            for sug in s.suggest("text", w, limit=lim):
                 rows.append({"word": w, "suggestion": sug})
         return pa.Table.from_pylist(rows)
 
@@ -538,6 +543,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "ir_suggest": rf"""
+WITH {_base_ctes()},
+freqs AS (SELECT term, sum(tf) AS freq FROM postings GROUP BY term),
+q(word, lim) AS (
+  SELECT * FROM (VALUES ('sprak', 5), ('tabel', 5), ('windwo', 5),
+                        ('mrege', 5), ('sat', 3), ('bat', 3),
+                        ('dat', 3), ('art', 3)) v(word, lim)
+),
+cand AS (
+  SELECT q.word, q.lim, f.term, f.freq FROM q, freqs f
+  WHERE levenshtein(q.word, f.term) <= 2
+),
+sel AS (
+  SELECT word, lim, term, row_number() OVER (
+    PARTITION BY word ORDER BY freq DESC, term DESC) AS rn
+  FROM cand
+)
+SELECT word, term AS suggestion FROM sel WHERE rn <= lim
+ORDER BY word, suggestion
+""",
         "ir_term_stats": rf"""
 WITH {_base_ctes()}
 SELECT p.term AS term, count(*)::BIGINT AS df, sum(p.tf)::BIGINT AS total_tf

@@ -472,6 +472,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = ray.data.from_arrow(synthesize_media(256))
         return extract_image_features(ds, concurrency=2, batch_size=64)
 
+    def ir_bm25_filtered(sf_dir):
+        """BM25 with filter= and mask= as ROARING id sets (the
+        functions/idsets.py broadcastable representation, hash-checked
+        end-to-end): 'spark' hits restricted to lang='en' docs minus
+        source in {src0,src1,src2}."""
+        import pyarrow.compute as pc
+
+        from whoosh_ray.functions.idsets import RoaringIdSet
+        from whoosh_ray.search.query import ColumnQuery
+
+        s = _searcher(sf_dir)
+        allow = RoaringIdSet(s.search(
+            ColumnQuery("lang", lambda c: pc.equal(c, "en")),
+            limit=None).docids)
+        deny = RoaringIdSet(s.search(
+            ColumnQuery("source",
+                        lambda c: pc.is_in(c, value_set=pa.array(
+                            ["src0", "src1", "src2"]))),
+            limit=None).docids)
+        return ir.topk_table_filtered(s, Term("text", "spark"),
+                                      filter=allow, mask=deny)
+
     def ir_suggest(sf_dir):
         """Spelling suggestions, hash-checked: the DuckDB oracle
         reproduces the lexicon (StandardAnalyzer tok CTE), plain
@@ -536,6 +558,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf_top10": knn_ivf_top10,
         "multimodal_features": multimodal_features,
         "ir_suggest": ir_suggest,
+        "ir_bm25_filtered": ir_bm25_filtered,
         "ir_highlights": ir_highlights,
         "transcripts_queryset": transcripts_queryset,
     }
@@ -543,6 +566,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "ir_bm25_filtered": rf"""
+WITH {_base_ctes()},
+scored AS (
+  SELECT p.doc_id AS docid, {_BM25_EXPR} AS score
+  FROM postings p JOIN lens USING (doc_id), stats, ts
+  JOIN documents d ON d.doc_id = p.doc_id
+  WHERE p.term = 'spark' AND ts.term = 'spark'
+    AND d.lang = 'en' AND d.source NOT IN ('src0', 'src1', 'src2')
+)
+SELECT (row_number() OVER (ORDER BY score DESC, docid) - 1) AS rank,
+       docid, score
+FROM scored ORDER BY score DESC, docid LIMIT 10
+""",
         "ir_suggest": rf"""
 WITH {_base_ctes()},
 freqs AS (SELECT term, sum(tf) AS freq FROM postings GROUP BY term),

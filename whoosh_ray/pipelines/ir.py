@@ -64,6 +64,19 @@ def topk_table(searcher: Searcher, q: Query, limit: int = 10) -> pa.Table:
     })
 
 
+def topk_table_filtered(searcher: Searcher, q: Query, *, filter=None,
+                        mask=None, limit: int = 10) -> pa.Table:
+    """topk_table with FilterCollector semantics — filter/mask are any
+    docid-set coercible (queries, Results, functions/idsets DocIdSets;
+    roaring sets apply as one vectorized contains kernel)."""
+    r = searcher.search(q, limit=limit, filter=filter, mask=mask)
+    return pa.table({
+        "rank": pa.array(np.arange(len(r.docids)), type=pa.int64()),
+        "docid": pa.array(r.docids, type=pa.int64()),
+        "score": pa.array(r.scores, type=pa.float64()),
+    })
+
+
 def term_stats_table(searcher: Searcher, field: str = "text") -> pa.Table:
     """Full lexicon statistics: (term, df, total_tf).
 

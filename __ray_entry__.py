@@ -164,8 +164,10 @@ def entry() -> Any:
     import shutil
 
     from whoosh_ray.pipelines.build import build_index
-    from whoosh_ray.pipelines.ir import topk_table
+    from whoosh_ray.pipelines.ir import topk_table, topk_table_filtered
     from whoosh_ray.search import And, Or, Phrase, Searcher, Term
+    from whoosh_ray.search.nested import NestedParent
+    from whoosh_ray.search.spans import SpanNear
     from whoosh_ray.sources.transcripts import write_transcripts
     from whoosh_ray.state.schema import transcripts_schema
 
@@ -181,12 +183,21 @@ def entry() -> Any:
         "or": Or([Term("text", "cluster"), Term("text", "error")]),
         "phrase": Phrase("text", ["deploy", "render"]),
         "role": And([Term("text", "deploy"), Term("role", "user")]),
+        "span_near": SpanNear.phrase("text", ["deploy", "november"],
+                                     slop=3, ordered=False),
+        "nested_max": NestedParent(Term("role", "user"),
+                                   Term("text", "deploy"), score_fn=max),
     }
     parts = []
     for name, q in queryset.items():
         t = topk_table(s, q, limit=10)
         parts.append(t.append_column(
             "query", pa.array([name] * t.num_rows, type=pa.string())))
+    # the roaring filter=/mask= surface, smoke-covered too
+    allow = s.search(Term("role", "user"), limit=None).docid_set()
+    t = topk_table_filtered(s, Term("text", "deploy"), filter=allow)
+    parts.append(t.append_column(
+        "query", pa.array(["filtered"] * t.num_rows, type=pa.string())))
     return pa.concat_tables(parts)
 
 

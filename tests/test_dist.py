@@ -111,6 +111,28 @@ def test_fanout_nested_parent(index_dir):
             np.testing.assert_allclose(a.scores, b.scores, rtol=1e-12)
 
 
+def test_batch_search_filter_mask(index_dir):
+    """batch_search ships shared roaring filter/mask blobs through the
+    actor constructor; per-query results equal the local filtered
+    search."""
+    from whoosh_ray.functions.idsets import RoaringIdSet
+
+    local = Searcher(index_dir)
+    allow = local.search(Term("role", "user"), limit=None).docids
+    deny = RoaringIdSet(allow[1::3])
+    qs = [Term("text", "deploy"),
+          Or([Term("text", "cluster"), Term("text", "error")]),
+          And([Term("text", "deploy"), Term("text", "render")])]
+    out = batch_search(index_dir, qs, limit=7, concurrency=2,
+                       filter=RoaringIdSet(allow), mask=deny)
+    for i, q in enumerate(qs):
+        want = local.search(q, limit=7, filter=allow.tolist(), mask=deny)
+        part = out.filter(
+            np.equal(out["query_id"].to_numpy(), i)).to_pydict()
+        assert part["docid"] == want.docids.tolist(), q
+        np.testing.assert_allclose(part["score"], want.scores, rtol=1e-12)
+
+
 def test_fanout_filter_mask(index_dir):
     """filter=/mask= on the fan-out path: roaring blobs broadcast to
     the shards (plain queries, applied pre-cut) or applied driver-side

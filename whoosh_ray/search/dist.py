@@ -44,10 +44,20 @@ from whoosh_ray.search.searcher import Results, Searcher
 
 
 class QueryWorker:
-    """map_batches actor: evaluates a batch of queries against the index."""
+    """map_batches actor: evaluates a batch of queries against the index.
+    ``fblob``/``mblob`` are roaring id-set blobs shared by every query
+    of the run — deserialized ONCE here in ``__init__`` (per actor),
+    never per batch."""
 
-    def __init__(self, index_dir: str):
+    def __init__(self, index_dir: str, fblob: bytes | None = None,
+                 mblob: bytes | None = None):
+        from whoosh_ray.functions.idsets import RoaringIdSet
+
         self.searcher = Searcher(index_dir)
+        self.allow = (RoaringIdSet.from_bytes(fblob)
+                      if fblob is not None else None)
+        self.deny = (RoaringIdSet.from_bytes(mblob)
+                     if mblob is not None else None)
         import pickle
 
         self._loads = pickle.loads
@@ -58,9 +68,17 @@ class QueryWorker:
                                      batch["query_pickle"].to_pylist(),
                                      batch["limit"].to_pylist()):
             q = self._loads(qblob)
-            # pruned top-k where the query shape supports it (identical
-            # results, asserted by tests); exhaustive otherwise
-            r = self.searcher.search_topk(q, limit=limit)
+            if self.allow is not None or self.deny is not None:
+                # filter-then-limit needs the full match set before the
+                # cut — same as the local FilterCollector path
+                r = self.searcher.search(q, limit=limit,
+                                         filter=self.allow,
+                                         mask=self.deny)
+            else:
+                # pruned top-k where the query shape supports it
+                # (identical results, asserted by tests); exhaustive
+                # otherwise
+                r = self.searcher.search_topk(q, limit=limit)
             n = len(r.docids)
             qids.extend([qid] * n)
             ranks.extend(range(n))
@@ -75,10 +93,25 @@ class QueryWorker:
 
 
 def batch_search(index_dir: str, queries: list[Query], limit: int = 10,
-                 concurrency: int = 4) -> pa.Table:
+                 concurrency: int = 4, *, filter=None,
+                 mask=None) -> pa.Table:
     """Evaluate many queries in parallel; returns
-    (query_id, rank, docid, score) for all queries."""
+    (query_id, rank, docid, score) for all queries.  ``filter``/``mask``
+    (DocIdSets or id iterables, applied to every query) ship as roaring
+    blobs through the actor constructor — one deserialize per actor."""
     import pickle
+
+    from whoosh_ray.functions.idsets import RoaringIdSet
+
+    def blob(obj):
+        if obj is None:
+            return None
+        if isinstance(obj, RoaringIdSet):
+            return obj.to_bytes()
+        arr = (obj.to_array() if hasattr(obj, "to_array")
+               else np.asarray(sorted(int(d) for d in obj),
+                               dtype=np.int64))
+        return RoaringIdSet(arr).to_bytes()
 
     items = [{"query_id": i, "query_pickle": pickle.dumps(q), "limit": limit}
              for i, q in enumerate(queries)]
@@ -86,7 +119,8 @@ def batch_search(index_dir: str, queries: list[Query], limit: int = 10,
     out = ds.map_batches(QueryWorker, batch_format="pyarrow",
                          batch_size=max(1, len(items) // max(concurrency, 1)),
                          concurrency=concurrency,
-                         fn_constructor_args=(index_dir,))
+                         fn_constructor_args=(index_dir, blob(filter),
+                                              blob(mask)))
     return pa.Table.from_pandas(
         out.to_pandas().sort_values(["query_id", "rank"]),
         preserve_index=False)

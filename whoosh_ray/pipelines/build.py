@@ -113,6 +113,17 @@ def build_index(
     Returns the sealed :class:`Manifest`.
     """
     t_start = time.time()
+    if schema.glob_fields:
+        # dynamic glob fields resolve against the SOURCE's columns up
+        # front (one footer read), so the pruned read and the sealed
+        # manifest both see concrete fields only
+        if isinstance(source, ray.data.Dataset):
+            colnames = source.schema().names
+        else:
+            import pyarrow.parquet as _pq
+
+            colnames = _pq.read_schema(_expand_paths(source)[0]).names
+        schema = schema.resolve_globs(colnames)
     # chars / vector / token-boost payloads are produced by the fused
     # writer only; the alternate modes would silently drop them
     if mode != "fused":

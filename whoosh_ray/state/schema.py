@@ -123,14 +123,55 @@ class FieldSpec:
 
 @dataclass(frozen=True)
 class IndexSchema:
-    """Indexed fields + stored (non-indexed) passthrough columns."""
+    """Indexed fields + stored (non-indexed) passthrough columns.
+
+    ``glob_fields`` are the reference's dynamic fields
+    (Schema.add(glob=True), fields.py:1487-1488; match fields.py:
+    1380-1385): ``(fnmatch pattern, FieldSpec template)`` pairs.  The
+    reference materializes a dynamic field per DOCUMENT KEY at
+    add_document time; the batch-engine equivalent materializes one per
+    INPUT COLUMN — ``build_index`` resolves patterns against the source
+    Parquet schema before the pipeline plans, so column pruning still
+    reads only matched columns and the sealed manifest stores concrete
+    fields (queries never see a pattern)."""
 
     fields: tuple[FieldSpec, ...]
     stored_columns: tuple[str, ...] = ()   # extra columns copied into docs.parquet
+    # (pattern, template) pairs; declaration order wins like the
+    # reference's _dyn_fields iteration
+    glob_fields: tuple = ()
 
     def __post_init__(self):
         object.__setattr__(self, "fields", tuple(self.fields))
         object.__setattr__(self, "stored_columns", tuple(self.stored_columns))
+        object.__setattr__(self, "glob_fields", tuple(self.glob_fields))
+        for pat, _tmpl in self.glob_fields:
+            # reference parity (fields.py:1478-1486): a glob pattern
+            # must actually contain glob characters
+            if not any(ch in pat for ch in "*?[]"):
+                raise ValueError(f"glob pattern {pat!r} has no wildcard")
+
+    def resolve_globs(self, column_names) -> "IndexSchema":
+        """Concrete schema for this input: every column not already a
+        field or stored passthrough takes the FIRST matching glob
+        pattern's template (fnmatchcase, declaration order)."""
+        if not self.glob_fields:
+            return self
+        import dataclasses
+        from fnmatch import fnmatchcase
+
+        have = set(self.field_names) | set(self.stored_columns)
+        new = list(self.fields)
+        for col in column_names:
+            if col in have:
+                continue
+            for pat, tmpl in self.glob_fields:
+                if fnmatchcase(col, pat):
+                    new.append(dataclasses.replace(tmpl, name=col))
+                    have.add(col)
+                    break
+        return IndexSchema(fields=tuple(new),
+                           stored_columns=self.stored_columns)
 
     def field(self, name: str) -> FieldSpec:
         for f in self.fields:
@@ -157,16 +198,22 @@ class IndexSchema:
         return cols
 
     def to_json(self) -> dict:
-        return {
+        out = {
             "fields": [f.to_json() for f in self.fields],
             "stored_columns": list(self.stored_columns),
         }
+        if self.glob_fields:
+            out["glob_fields"] = [[p, t.to_json()]
+                                  for p, t in self.glob_fields]
+        return out
 
     @staticmethod
     def from_json(d: dict) -> "IndexSchema":
         return IndexSchema(
             fields=tuple(FieldSpec.from_json(f) for f in d["fields"]),
             stored_columns=tuple(d.get("stored_columns", ())),
+            glob_fields=tuple((p, FieldSpec.from_json(t))
+                              for p, t in d.get("glob_fields", ())),
         )
 
 

@@ -298,3 +298,32 @@ def test_pinpoint_fragmenter_matches_oracle(engine, oracle):
                 mine = hl.highlight(hit["text"], {"deploy"}, top=3)
                 ref = hit.highlights("text", top=3)
                 assert mine == ref, (autotrim, hit.docnum, mine, ref)
+
+
+def test_results_combination_vs_oracle(engine, oracle):
+    """extend/filter/upgrade/upgrade_and_extend order-parity with the
+    reference Results (searching.py:1275-1345), incl. the empty-other
+    no-ops."""
+    from whoosh.query import Or as WOr
+    from whoosh.query import Term as WT
+
+    from whoosh_ray.search import Or, Term
+
+    qa = Or([Term("text", "deploy"), Term("text", "cluster")])
+    qb = Or([Term("text", "cluster"), Term("text", "error")])
+    wqa = WOr([WT("text", "deploy"), WT("text", "cluster")])
+    wqb = WOr([WT("text", "cluster"), WT("text", "error")])
+    qnone = Term("text", "zzzznope")
+    wqnone = WT("text", "zzzznope")
+
+    ops = [("extend", ()), ("filter", ()), ("upgrade", ()),
+           ("upgrade", (True,)), ("upgrade_and_extend", ())]
+    with oracle.searcher() as ws:
+        for op, args in ops:
+            for q2, wq2 in [(qb, wqb), (qnone, wqnone)]:
+                mine = engine.search(qa, limit=20)
+                theirs = ws.search(wqa, limit=20)
+                getattr(mine, op)(engine.search(q2, limit=20), *args)
+                getattr(theirs, op)(ws.search(wq2, limit=20), *args)
+                assert mine.docids.tolist() == \
+                    [h.docnum for h in theirs], (op, args)

@@ -83,6 +83,45 @@ class Results:
             raise ValueError("search() was not run with terms=True")
         return {k for k, v in self.termdocs.items() if docid in v}
 
+    # ---- result-set combination (reference searching.py:1275-1345) ----
+
+    def extend(self, other: "Results") -> None:
+        """Append the other's hits not already here (their order)."""
+        mask = ~np.isin(other.docids, self.docids)
+        self.docids = np.concatenate([self.docids, other.docids[mask]])
+        self.scores = np.concatenate([self.scores, other.scores[mask]])
+
+    def filter(self, other: "Results") -> None:
+        """Keep only hits also present in the other results; the
+        reference no-ops on an empty other (searching.py:1293)."""
+        if not len(other):
+            return
+        keep = np.isin(self.docids, other.docids)
+        self.docids, self.scores = self.docids[keep], self.scores[keep]
+
+    def upgrade(self, other: "Results", reverse: bool = False) -> None:
+        """Stable-partition: hits also in the other move to the front
+        (or back with ``reverse``), relative order preserved; adds
+        nothing."""
+        if not len(other):
+            return
+        inother = np.isin(self.docids, other.docids)
+        order = (np.concatenate([np.flatnonzero(~inother),
+                                 np.flatnonzero(inother)]) if reverse
+                 else np.concatenate([np.flatnonzero(inother),
+                                      np.flatnonzero(~inother)]))
+        self.docids, self.scores = self.docids[order], self.scores[order]
+
+    def upgrade_and_extend(self, other: "Results") -> None:
+        """upgrade + extend in one step (searching.py:1326-1345)."""
+        if not len(other):
+            return
+        mine = self.docids
+        self.upgrade(other)
+        mask = ~np.isin(other.docids, mine)
+        self.docids = np.concatenate([self.docids, other.docids[mask]])
+        self.scores = np.concatenate([self.scores, other.scores[mask]])
+
     def docid_set(self):
         """The result docids as a compact DocIdSet (roaring above the
         container cutoff) — the broadcastable currency for chaining

@@ -327,3 +327,40 @@ def test_results_combination_vs_oracle(engine, oracle):
                 getattr(theirs, op)(ws.search(wq2, limit=20), *args)
                 assert mine.docids.tolist() == \
                     [h.docnum for h in theirs], (op, args)
+
+
+def test_reader_stats_and_document_lookup_vs_oracle(engine, oracle):
+    """most_frequent_terms / most_distinctive_terms (value + order incl.
+    nlargest tie-breaks), doc_count, and the document()/documents()
+    keyword lookups match the reference reader (reading.py:551-569,
+    searching.py:336-376)."""
+    with oracle.reader() as wr:
+        for prefix in ("", "d", "re"):
+            for number in (5, 12):
+                dec = lambda t: (t.decode() if isinstance(t, bytes)
+                                 else t)  # noqa: E731 — reader yields btext
+                mf = engine.most_frequent_terms("text", number, prefix)
+                wmf = wr.most_frequent_terms("text", number, prefix)
+                assert [t for _, t in mf] == [dec(t) for _, t in wmf]
+                np.testing.assert_allclose([w for w, _ in mf],
+                                           [w for w, _ in wmf])
+                md = engine.most_distinctive_terms("text", number, prefix)
+                wmd = wr.most_distinctive_terms("text", number, prefix)
+                assert [t for _, t in md] == [dec(t) for _, t in wmd]
+                np.testing.assert_allclose([w for w, _ in md],
+                                           [w for w, _ in wmd],
+                                           rtol=1e-12)
+        assert engine.doc_count() == wr.doc_count()
+
+    with oracle.searcher() as ws:
+        mine = engine.document(conv_id="conv000003", role="user")
+        theirs = ws.document(conv_id="conv000003", role="user")
+        assert mine["text"] == theirs["text"]
+        assert engine.document(conv_id="nope") is None \
+            and ws.document(conv_id="nope") is None
+        n_mine = sum(1 for _ in engine.documents(role="tool"))
+        n_theirs = sum(1 for _ in ws.documents(role="tool"))
+        assert n_mine == n_theirs > 0
+        assert (sum(1 for _ in engine.documents())
+                == engine.doc_count()
+                == sum(1 for _ in ws.documents()))

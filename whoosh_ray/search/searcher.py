@@ -176,6 +176,13 @@ class Searcher:
     def doc_count_all(self) -> int:
         return self.manifest.doc_count_all
 
+    def doc_count(self) -> int:
+        """UNDELETED document count (reference searching.py:195-199 /
+        reading.py:959; doc_count_all stays the stats denominator until
+        a merge expunges tombstones — reference parity)."""
+        return self.doc_count_all - sum(len(s.deletes)
+                                        for s in self.segments)
+
     def avg_field_length(self, fieldname: str) -> float:
         return self.manifest.avg_field_length(fieldname)
 
@@ -239,6 +246,69 @@ class Searcher:
         for seg in self.segments:
             out.update(seg.all_terms(fieldname))
         return sorted(out)
+
+    def _merged_prefix_stats(self, fieldname: str, prefix: str):
+        """(terms, weights, dfs) summed across segments for the prefix
+        range — prefix-pruned zero-copy slices per segment, one pandas
+        merge.  For full-lexicon sweeps at cluster scale use the
+        distributed ``pipelines.ir.term_stats_table`` plan instead."""
+        import pandas as pd
+
+        parts = [seg.stats_slice(fieldname, prefix)
+                 .select(["term", "df", "total_weight"])
+                 for seg in self.segments]
+        parts = [p for p in parts if p.num_rows]
+        if not parts:
+            return [], np.empty(0), np.empty(0, dtype=np.int64)
+        pdf = (pa.concat_tables(parts).to_pandas()
+               .groupby("term", sort=False).sum())
+        return (pdf.index.tolist(), pdf["total_weight"].to_numpy(),
+                pdf["df"].to_numpy())
+
+    def most_frequent_terms(self, fieldname: str, number: int = 5,
+                            prefix: str = "") -> list[tuple]:
+        """Top terms by total weight as (frequency, text) tuples —
+        reference reading.py:551-558 incl. nlargest's larger-text
+        tie-break."""
+        from heapq import nlargest
+
+        terms, weights, _dfs = self._merged_prefix_stats(fieldname,
+                                                         prefix)
+        return nlargest(number, zip(weights.tolist(), terms))
+
+    def most_distinctive_terms(self, fieldname: str, number: int = 5,
+                               prefix: str = "") -> list[tuple]:
+        """Top terms by weight * log(N / df) (tf-idf; reference
+        reading.py:560-569, N = UNDELETED doc count)."""
+        from heapq import nlargest
+
+        terms, weights, dfs = self._merged_prefix_stats(fieldname,
+                                                        prefix)
+        n = float(self.doc_count())
+        scores = weights * np.log(n / dfs)
+        return nlargest(number, zip(scores.tolist(), terms))
+
+    def documents(self, **kw):
+        """Stored fields of every document whose indexed fields match
+        the keyword terms; no kwargs yields ALL documents (reference
+        searching.py:360-376)."""
+        if kw:
+            from whoosh_ray.search.query import And, Term
+
+            qs = [Term(k, v) for k, v in kw.items()]
+            q = qs[0] if len(qs) == 1 else And(qs)
+            docids = self.search(q, limit=None).docids
+        else:
+            docids = self.all_docids()
+        stored = self.stored(docids)
+        return iter(stored.to_pylist())
+
+    def document(self, **kw):
+        """First matching stored-fields dict or None (reference
+        searching.py:336-358)."""
+        for d in self.documents(**kw):
+            return d
+        return None
 
     def term_range(self, fieldname: str, lo, hi, *, include_lo=True,
                    include_hi=False) -> list[str]:

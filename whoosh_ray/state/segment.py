@@ -226,6 +226,18 @@ class SegmentReader:
     def expand_prefix(self, field: str, prefix: str) -> list[str]:
         return self.term_range(field, prefix, prefix + "￿", include_hi=True)
 
+    def stats_slice(self, field: str, prefix: str = "") -> pa.Table:
+        """Zero-copy slice of the term-stats table covering ``field``
+        terms with ``prefix`` (sorted keys -> two binary searches)."""
+        fields, terms = self._key_arrays()
+        flo = int(np.searchsorted(fields, field, side="left"))
+        fhi = int(np.searchsorted(fields, field, side="right"))
+        sub = terms[flo:fhi]
+        a = int(np.searchsorted(sub, prefix, side="left")) if prefix else 0
+        b = (int(np.searchsorted(sub, prefix + "￿", side="right"))
+             if prefix else len(sub))
+        return self.stats.slice(flo + a, b - a)
+
     def all_terms(self, field: str) -> list[str]:
         return self.term_range(field, None, None)
 

@@ -364,3 +364,32 @@ def test_reader_stats_and_document_lookup_vs_oracle(engine, oracle):
         assert (sum(1 for _ in engine.documents())
                 == engine.doc_count()
                 == sum(1 for _ in ws.documents()))
+
+
+def test_hit_objects_vs_oracle(engine, oracle):
+    """results[n] / hits(): dict-style stored access, rank/score
+    metadata, per-hit highlights and matched_terms parity with the
+    reference Hit (searching.py:1348-1440)."""
+    from whoosh.query import Term as WT
+
+    from whoosh_ray.search import Term
+
+    q, wq = Term("text", "deploy"), WT("text", "deploy")
+    with oracle.searcher() as ws:
+        mine = engine.search(q, limit=5, terms=True)
+        theirs = ws.search(wq, limit=5, terms=True)
+        assert len(mine[:3]) == 3 and mine[-1].docid == mine[4].docid
+        for h, wh in zip(mine.hits(), theirs):
+            assert h.docid == wh.docnum and h.rank == wh.rank
+            np.testing.assert_allclose(h.score, wh.score, rtol=1e-12)
+            assert h["text"] == wh["text"] and "role" in h
+            assert h.get("nope", "x") == "x"
+            # our schema stores extra passthrough columns the
+            # oracle fixture doesn't declare
+            assert set(wh.fields().keys()) <= set(h.keys())
+            assert h.matched_terms() == {
+                (f, t.decode()) for f, t in wh.matched_terms()}
+            assert h.highlights("text") == wh.highlights("text")
+        kt = mine.key_terms("text", docs=5, numterms=3)
+        wkt = theirs.key_terms("text", docs=5, numterms=3)
+        assert [t for t in kt] == [t for t, _ in wkt] or kt == wkt

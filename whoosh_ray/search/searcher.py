@@ -131,6 +131,36 @@ class Results:
 
         return as_id_set(self.docids)
 
+    # the (expanded) query that produced these results, when known —
+    # lets Hit.highlights derive its term set without re-parsing
+    q = None
+    # shared across this result set's Hits (reference Results.highlighter)
+    _hl_formatter = None
+
+    def __getitem__(self, n):
+        """``results[n]`` -> :class:`Hit` (reference searching.py:996-
+        1004); slices give lists of Hits.  NB ``__iter__`` yields
+        (docid, score) tuples — the batch engine's native currency —
+        where the reference iterates Hits; use :meth:`hits` for the
+        reference style."""
+        if isinstance(n, slice):
+            return [Hit(self, i)
+                    for i in range(*n.indices(len(self.docids)))]
+        if n < 0:
+            n += len(self.docids)
+        return Hit(self, n)
+
+    def hits(self):
+        """Iterator of :class:`Hit` objects in rank order."""
+        return (Hit(self, i) for i in range(len(self.docids)))
+
+    def key_terms(self, fieldname: str, docs: int = 10,
+                  numterms: int = 5) -> list:
+        """Most important terms of the top ``docs`` hits (reference
+        Results.key_terms, searching.py:1247-1273)."""
+        return self.searcher.key_terms(self.docids[:docs], fieldname,
+                                       numterms=numterms)
+
     def to_arrow(self, columns: list[str] | None = None) -> pa.Table:
         """(rank, docid, score) + stored fields, in rank order."""
         stored = self.searcher.stored(self.docids, columns=columns)
@@ -146,6 +176,73 @@ class Results:
             if name != "docid":
                 out = out.append_column(name, stored[name])
         return out
+
+
+class Hit:
+    """Dict-like view of one result's stored fields plus rank/score
+    metadata (reference searching.py:1348-1440): ``hit["text"]``,
+    ``hit.score``, ``hit.highlights(...)``.  Stored fields load lazily
+    on first access — iterating ranks without touching fields reads
+    nothing."""
+
+    def __init__(self, results: Results, rank: int):
+        self.results = results
+        self.searcher = results.searcher
+        self.pos = self.rank = rank
+        self.docid = self.docnum = int(results.docids[rank])
+        self.score = float(results.scores[rank])
+        self._fields: dict | None = None
+
+    def fields(self) -> dict:
+        if self._fields is None:
+            t = self.searcher.stored(np.array([self.docid]))
+            row = t.to_pylist()[0] if t.num_rows else {}
+            self._fields = {k: v for k, v in row.items() if k != "docid"}
+        return self._fields
+
+    def __getitem__(self, key):
+        return self.fields()[key]
+
+    def get(self, key, default=None):
+        return self.fields().get(key, default)
+
+    def __contains__(self, key):
+        return key in self.fields()
+
+    def keys(self):
+        return self.fields().keys()
+
+    def items(self):
+        return self.fields().items()
+
+    def __repr__(self):
+        return f"<Hit {self.fields()!r}>"
+
+    def matched_terms(self) -> set:
+        return self.results.matched_terms_for(self.docid)
+
+    def highlights(self, fieldname: str, top: int = 3, **kwargs) -> str:
+        """Highlighted snippets using the originating query's terms for
+        this field (reference Hit.highlights, searching.py:1406-1438).
+        The formatter is shared across this result set's hits — its
+        term->class mapping persists like the reference's per-Results
+        ``highlighter`` (searching.py:965-975)."""
+        if self.results.q is None:
+            raise ValueError("results carry no query to highlight from")
+        terms = sorted({t for f, t in self.results.q.terms()
+                        if f == fieldname})
+        if "formatter" not in kwargs:
+            if self.results._hl_formatter is None:
+                from whoosh_ray.search.highlight import HtmlFormatter
+
+                self.results._hl_formatter = HtmlFormatter(tagname="b")
+            kwargs["formatter"] = self.results._hl_formatter
+        return self.searcher.highlights(self.docid, fieldname, terms,
+                                        top=top, **kwargs)
+
+    def more_like_this(self, fieldname: str, **kwargs) -> Results:
+        """Docs similar to this hit (reference searching.py:1390-1404)."""
+        return self.searcher.more_like(self.docid, fieldname, **kwargs)
 
 
 class Searcher:
@@ -472,6 +569,7 @@ class Searcher:
         if not len(docids):
             res = Results(self, np.empty(0, dtype=np.int64),
                           np.empty(0, dtype=np.float64))
+            res.q = q
             if groupedby is not None:
                 res._groups = {}
             return res
@@ -496,6 +594,7 @@ class Searcher:
         if limit is not None:
             r_docids, r_scores = r_docids[:limit], r_scores[:limit]
         res = Results(self, r_docids, r_scores)
+        res.q = q
         res._groups = groups
         if terms:
             termdocs: dict[tuple[str, str], np.ndarray] = {}
@@ -602,7 +701,9 @@ class Searcher:
         else:
             return self.search(q, limit)
         order = np.lexsort((docids, -scores))[:limit]
-        return Results(self, docids[order], scores[order])
+        res = Results(self, docids[order], scores[order])
+        res.q = qx
+        return res
 
     # ---- spelling / classification conveniences ----
 

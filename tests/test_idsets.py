@@ -177,3 +177,19 @@ def test_reference_roaring_is_broken_as_shipped():
     r.idsets = [RefSorted([1, 2])]
     with pytest.raises(TypeError):
         list(r)
+
+
+def test_mutating_an_op_result_leaves_operands_alone():
+    """Set-operation results may share unchanged containers with their
+    operands; point mutations must copy-on-write, never corrupt the
+    source set (dense containers flip bits in place without it)."""
+    dense = RoaringIdSet(np.arange(ROARING_CUTOFF + 500, dtype=np.int64))
+    other = RoaringIdSet([1 << 20])  # disjoint bucket: pass-through
+    before = dense.to_array().tolist()
+    u = dense | other
+    u.add(ROARING_CUTOFF + 600)         # lands in dense's bucket
+    u.discard(3)
+    assert dense.to_array().tolist() == before
+    d = dense - other
+    d.discard(5)
+    assert dense.to_array().tolist() == before

@@ -537,7 +537,12 @@ class RoaringIdSet(DocIdSet):
             return
         c = self.containers[pos]
         if self._is_dense(c):
+            # copy-on-write: set-operation results pass unchanged
+            # containers through by reference, so in-place bit flips
+            # would corrupt the operand they came from
+            c = c.copy()
             c[lo >> 6] |= _U64_1 << np.uint64(lo & 63)
+            self.containers[pos] = c
             return
         p = int(np.searchsorted(c, lo))
         if p < c.size and c[p] == lo:
@@ -556,7 +561,9 @@ class RoaringIdSet(DocIdSet):
         if self._is_dense(c):
             if not _test_bits(c, np.array([lo], dtype=np.uint16))[0]:
                 return
+            c = c.copy()  # copy-on-write (see add)
             c[lo >> 6] &= ~(_U64_1 << np.uint64(lo & 63))
+            self.containers[pos] = c
             if _popcount(c) <= ROARING_CUTOFF:
                 self.containers[pos] = _bits_to_sorted(c)
             if not self._container_len(self.containers[pos]):

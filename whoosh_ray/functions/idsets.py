@@ -118,8 +118,17 @@ class DocIdSet:
     def __sub__(self, other):
         return self.difference(other)
 
+    def _wrap(self, ids: np.ndarray) -> "DocIdSet":
+        """Result constructor for the generic set algebra.  View-like
+        subclasses (Reverse/Multi) cannot be rebuilt from a bare id
+        array, so their results fall back to a concrete representation."""
+        try:
+            return type(self)(ids)
+        except TypeError:
+            return as_id_set(ids)
+
     def copy(self) -> "DocIdSet":
-        return type(self)(self.to_array())
+        return self._wrap(self.to_array())
 
     def _coerce(self, other) -> np.ndarray:
         if isinstance(other, DocIdSet):
@@ -127,20 +136,21 @@ class DocIdSet:
         return np.unique(np.asarray(list(other), dtype=np.int64))
 
     def union(self, other) -> "DocIdSet":
-        return type(self)(np.union1d(self.to_array(), self._coerce(other)))
+        return self._wrap(np.union1d(self.to_array(),
+                                     self._coerce(other)))
 
     def intersection(self, other) -> "DocIdSet":
-        return type(self)(np.intersect1d(self.to_array(),
+        return self._wrap(np.intersect1d(self.to_array(),
                                          self._coerce(other),
                                          assume_unique=True))
 
     def difference(self, other) -> "DocIdSet":
-        return type(self)(np.setdiff1d(self.to_array(),
+        return self._wrap(np.setdiff1d(self.to_array(),
                                        self._coerce(other),
                                        assume_unique=True))
 
     def invert(self, size: int) -> "DocIdSet":
-        return type(self)(np.setdiff1d(np.arange(size, dtype=np.int64),
+        return self._wrap(np.setdiff1d(np.arange(size, dtype=np.int64),
                                        self.to_array(),
                                        assume_unique=True))
 
@@ -228,9 +238,9 @@ class BitIdSet(DocIdSet):
     ``from_bytes`` also reads OnDiskBitSet (:244-285) payloads."""
 
     def __init__(self, source=None, size: int = 0):
-        if isinstance(source, np.ndarray) and source.dtype == np.uint64:
-            self.words = source
-            return
+        # NB any ndarray source — uint64 included — is a list of doc
+        # IDS; raw bitmap words enter only via the explicit
+        # ``_from_words`` / ``from_bytes`` constructors
         ids = (np.empty(0, dtype=np.int64) if source is None
                else self._coerce(source))
         top = int(ids[-1]) + 1 if ids.size else 0
@@ -240,6 +250,12 @@ class BitIdSet(DocIdSet):
             np.bitwise_or.at(self.words, ids >> 6,
                              _U64_1 << (ids & 63).astype(np.uint64))
 
+    @classmethod
+    def _from_words(cls, words: np.ndarray) -> "BitIdSet":
+        b = cls()
+        b.words = words
+        return b
+
     # construction from raw bytes (BitSet.from_bytes / OnDiskBitSet)
     @classmethod
     def from_bytes(cls, bs: bytes) -> "BitIdSet":
@@ -247,7 +263,7 @@ class BitIdSet(DocIdSet):
         pad = (-buf.size) % 8
         if pad:
             buf = np.concatenate([buf, np.zeros(pad, dtype=np.uint8)])
-        return cls(buf.view(np.uint64).copy())
+        return cls._from_words(buf.view(np.uint64).copy())
 
     def to_bytes(self) -> bytes:
         return self.words.tobytes()
@@ -266,7 +282,7 @@ class BitIdSet(DocIdSet):
         return inb & _test_bits(self.words, safe)
 
     def copy(self) -> "BitIdSet":
-        return BitIdSet(self.words.copy())
+        return BitIdSet._from_words(self.words.copy())
 
     def _grow(self, nwords: int) -> None:
         if nwords > self.words.size:
@@ -294,20 +310,20 @@ class BitIdSet(DocIdSet):
     def union(self, other):
         if isinstance(other, BitIdSet):
             a, b = self._aligned(other)
-            return BitIdSet(a | b)
+            return BitIdSet._from_words(a | b)
         return BitIdSet(np.union1d(self.to_array(), self._coerce(other)))
 
     def intersection(self, other):
         if isinstance(other, BitIdSet):
             a, b = self._aligned(other)
-            return BitIdSet(a & b)
+            return BitIdSet._from_words(a & b)
         return BitIdSet(np.intersect1d(self.to_array(),
                                        self._coerce(other)))
 
     def difference(self, other):
         if isinstance(other, BitIdSet):
             a, b = self._aligned(other)
-            return BitIdSet(a & ~b)
+            return BitIdSet._from_words(a & ~b)
         return BitIdSet(np.setdiff1d(self.to_array(),
                                      self._coerce(other)))
 
@@ -318,7 +334,7 @@ class BitIdSet(DocIdSet):
         spill = size & 63
         if spill:
             words[-1] &= (_U64_1 << np.uint64(spill)) - _U64_1
-        return BitIdSet(words)
+        return BitIdSet._from_words(words)
 
 
 class RoaringIdSet(DocIdSet):

@@ -1,0 +1,190 @@
+"""Writer facades: IndexWriter op-log, AsyncWriter no-op threading shim,
+BufferedWriter RAM-segment overlay (reference writing.py:239-489,
+:954-1053, :1102-1280 semantics)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from whoosh_ray.pipelines.build import build_index
+from whoosh_ray.pipelines.writer import AsyncWriter, BufferedWriter, IndexWriter
+from whoosh_ray.search import Searcher, Term
+from whoosh_ray.sources.transcripts import write_transcripts
+from whoosh_ray.state.schema import FieldSpec, IndexSchema
+
+
+def unique_schema():
+    return IndexSchema(
+        fields=(
+            FieldSpec.text("text", stored=True, positions=True),
+            FieldSpec.id("role", stored=True),
+            FieldSpec.id("tool", stored=True),
+            FieldSpec.id("conv_id", stored=True, unique=True),
+        ),
+        stored_columns=("turn_idx", "ts"),
+    )
+
+
+@pytest.fixture()
+def small_index(tmp_path):
+    src = write_transcripts(str(tmp_path / "src"), n_convs=40)
+    build_index(src, str(tmp_path / "ix"), unique_schema(), seg_size=128)
+    return str(tmp_path / "ix")
+
+
+def hits(s, field, text, limit=None):
+    return [int(d) for d in s.search(Term(field, text), limit=limit).docids]
+
+
+def test_indexwriter_add_and_commit(small_index):
+    w = IndexWriter(small_index)
+    before = Searcher(small_index).doc_count_all
+    w.add_document(conv_id="convzzz01", turn_idx=0, role="user",
+                   text="a freshly buffered zebra document")
+    w.add_document(conv_id="convzzz01", turn_idx=1, role="assistant",
+                   text="zebra zebra reply")
+    # pending adds are NOT searchable pre-commit (reference parity)
+    assert hits(w.searcher(), "text", "zebra") == []
+    w.commit()
+    s = Searcher(small_index)
+    assert s.doc_count_all == before + 2
+    got = hits(s, "text", "zebra")
+    assert len(got) == 2
+    # content-derived docids continue after the old span
+    assert min(got) >= before
+
+
+def test_indexwriter_delete_and_cancel(small_index):
+    s0 = Searcher(small_index)
+    doomed = hits(s0, "text", "deploy")
+    assert doomed
+    w = IndexWriter(small_index)
+    n = w.delete_by_term("text", "deploy")
+    assert n == len(doomed)
+    # visible through the writer's searcher, not through a fresh one
+    assert hits(w.searcher(), "text", "deploy") == []
+    assert hits(Searcher(small_index), "text", "deploy") == doomed
+    w.cancel()
+    w.commit()
+    assert hits(Searcher(small_index), "text", "deploy") == doomed
+    # now for real
+    w2 = IndexWriter(small_index)
+    w2.delete_by_term("text", "deploy")
+    w2.commit()
+    assert hits(Searcher(small_index), "text", "deploy") == []
+    # stats unchanged until merge (tombstone semantics)
+    assert Searcher(small_index).doc_count_all == s0.doc_count_all
+
+
+def test_indexwriter_update_quirk(small_index):
+    """update_document only replaces COMMITTED docs — two updates with
+    the same unique key in one writer add TWO docs
+    (reference writing.py:464-473)."""
+    w = IndexWriter(small_index)
+    w.update_document(conv_id="convupd01", turn_idx=0, role="user",
+                      text="first upsertmarker version")
+    w.update_document(conv_id="convupd01", turn_idx=0, role="user",
+                      text="second upsertmarker version")
+    w.commit()
+    assert len(hits(Searcher(small_index), "text", "upsertmarker")) == 2
+    # a second writer DOES replace them (they're committed now)
+    w2 = IndexWriter(small_index)
+    w2.update_document(conv_id="convupd01", turn_idx=0, role="user",
+                       text="third upsertmarker version")
+    w2.commit()
+    s = Searcher(small_index)
+    live = hits(s, "text", "upsertmarker")
+    assert len(live) == 1
+    txt = s.stored(np.array(live), columns=["text"])["text"][0].as_py()
+    assert "third" in txt
+
+
+def test_asyncwriter_is_droppable_shim(small_index):
+    w = AsyncWriter(small_index)
+    w.add_document(conv_id="convasync1", turn_idx=0, role="user",
+                   text="asynchronously added needle")
+    w.start()
+    w.commit()
+    w.join()
+    assert len(hits(Searcher(small_index), "text", "needle")) == 1
+
+
+def test_bufferedwriter_overlay_search(small_index):
+    with BufferedWriter(small_index, limit=100) as w:
+        before = Searcher(small_index).doc_count_all
+        w.add_document(conv_id="convbuf001", turn_idx=0, role="user",
+                       text="buffered xylophone question")
+        w.add_document(conv_id="convbuf001", turn_idx=1, role="assistant",
+                       text="buffered xylophone answer")
+        s = w.searcher()
+        # searchable BEFORE commit; stats include the overlay
+        assert len(hits(s, "text", "xylophone")) == 2
+        assert s.doc_count_all == before + 2
+        # idf over the overlay counts buffered docs
+        assert s.doc_frequency("text", "xylophone") == 2
+        # a plain searcher doesn't see them (other-process parity)
+        assert hits(Searcher(small_index), "text", "xylophone") == []
+        overlay_ids = sorted(hits(s, "text", "xylophone"))
+    # close() committed; same docids on disk now (content-derived)
+    assert sorted(hits(Searcher(small_index), "text", "xylophone")) \
+        == overlay_ids
+
+
+def test_bufferedwriter_limit_autocommit(small_index):
+    w = BufferedWriter(small_index, limit=3)
+    for i in range(3):
+        w.add_document(conv_id="convauto01", turn_idx=i, role="user",
+                       text=f"autocommit quokka {i}")
+    # hitting limit committed synchronously
+    assert len(hits(Searcher(small_index), "text", "quokka")) == 3
+    w.close()
+
+
+def test_bufferedwriter_update_replaces_buffered(small_index):
+    """The buffered writer's advertised difference: update_document
+    replaces still-buffered docs (writing.py:1112-1115)."""
+    with BufferedWriter(small_index, limit=100) as w:
+        w.update_document(conv_id="convbupd01", turn_idx=0, role="user",
+                          text="first wombat version")
+        w.update_document(conv_id="convbupd01", turn_idx=0, role="user",
+                          text="second wombat version")
+        assert len(hits(w.searcher(), "text", "wombat")) == 1
+    s = Searcher(small_index)
+    live = hits(s, "text", "wombat")
+    assert len(live) == 1
+    txt = s.stored(np.array(live), columns=["text"])["text"][0].as_py()
+    assert "second" in txt
+
+
+def test_bufferedwriter_deletes_span_overlay(small_index):
+    with BufferedWriter(small_index, limit=100) as w:
+        w.add_document(conv_id="convbdel01", turn_idx=0, role="user",
+                       text="ephemeral pangolin doc")
+        committed = hits(w.searcher(), "text", "deploy")
+        assert committed
+        # delete a committed doc and the buffered doc through the overlay
+        n = w.delete_by_query(Term("text", "pangolin"))
+        assert n == 1
+        w.delete_document(committed[0])
+        s = w.searcher()
+        assert hits(s, "text", "pangolin") == []
+        assert committed[0] not in hits(s, "text", "deploy")
+    s = Searcher(small_index)
+    assert hits(s, "text", "pangolin") == []
+    assert committed[0] not in hits(s, "text", "deploy")
+
+
+def test_bufferedwriter_scores_match_committed(small_index):
+    """BM25 over the overlay is identical to BM25 after commit: the RAM
+    segment is a real segment and overlay stats equal sealed stats."""
+    with BufferedWriter(small_index, limit=100) as w:
+        w.add_document(conv_id="convsco001", turn_idx=0, role="user",
+                       text="deploy the deploy ferret deploy")
+        pre = [(int(d), float(s))
+               for d, s in w.searcher().search(Term("text", "deploy"),
+                                               limit=20)]
+    post = [(int(d), float(s))
+            for d, s in Searcher(small_index).search(Term("text", "deploy"),
+                                                     limit=20)]
+    assert pre == post

@@ -1,0 +1,421 @@
+"""Writer facades: op-log ``IndexWriter``, ``AsyncWriter``, and the
+near-real-time ``BufferedWriter`` (RAM-segment overlay search).
+
+Reference semantics being reproduced (behavior, not implementation):
+
+- ``IndexWriter`` batch semantics (writing.py:239-489): deletes and
+  update-lookups see only the COMMITTED index — documents added in the
+  same writer are invisible to ``delete_by_term``/``update_document``
+  until commit (the "cannot replace documents you've added in that
+  writer" quirk, writing.py:464-473).  ``update_document`` dooms every
+  committed doc matching ANY schema-``unique`` field present in the
+  kwargs (writing.py:480-486), then adds.
+- ``AsyncWriter`` (writing.py:954-1053) exists in the reference to dodge
+  file-lock contention by buffering method calls and replaying them once
+  the lock is acquired.  This engine has no writer locks (single-driver
+  manifest commit), so the replay buffer IS the op log; ``start``/``join``
+  are kept as no-ops for drop-in compatibility.
+- ``BufferedWriter`` (writing.py:1102-1280): quasi-real-time search —
+  buffered documents become searchable immediately via a RAM segment
+  combined with the on-disk segments (MultiReader, writing.py:1206-1219);
+  auto-commit after ``limit`` buffered docs or every ``period`` seconds;
+  unlike the plain writer, ``update_document`` here DOES replace
+  still-buffered documents (the class docstring's advertised difference).
+
+Engine-shape notes:
+
+- The "RAM segment" is a real segment built driver-side with the same
+  vectorized ``FusedSegmentWriter`` kernel the Ray build uses, written
+  under a TemporaryDirectory and read back through ``SegmentReader`` —
+  byte-compatible with disk segments, so every query/scoring path works
+  unchanged over the overlay (BM25 stats include buffered docs because
+  the overlay meta joins the manifest used for doc_count_all/avgfl).
+- Overlay search is a DRIVER-side convenience: distributed fan-out
+  (``search.dist``) always reads committed segments only, exactly like
+  "other processes only see documents written to disk" in the reference.
+- Docids are content-derived (dense rank of (conv_id, turn_idx) + the
+  committed span) — identical before and after commit, unlike the
+  reference's arrival-order RAM docnums.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+import threading
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from whoosh_ray.state.manifest import SegmentMeta, read_manifest, seg_dirname
+from whoosh_ray.state.schema import IndexSchema
+from whoosh_ray.state.segment import SegmentReader
+
+
+def _unique_fields(schema: IndexSchema, fields: dict) -> list[str]:
+    """Schema-unique field names present in the kwargs
+    (reference writing.py:239-247 _unique_fields)."""
+    return [f.name for f in schema.fields
+            if getattr(f, "unique", False) and f.name in fields]
+
+
+class IndexWriter:
+    """Op-log batch writer over an existing index directory.
+
+    Buffers ``add_document`` rows and eagerly-resolved delete docid sets;
+    ``commit()`` applies tombstones then appends the buffered rows as new
+    segments (``pipelines.mutate``).  ``searcher()`` reflects pending
+    deletes but NOT pending adds — reference writer-visibility parity
+    (writing.py:464-473)."""
+
+    def __init__(self, index_dir: str, *, conv_col: str = "conv_id",
+                 turn_col: str = "turn_idx", docid_col: str | None = None):
+        self.index_dir = index_dir
+        self.manifest = read_manifest(index_dir)
+        self.schema = self.manifest.schema
+        self.conv_col = conv_col
+        self.turn_col = turn_col
+        self.docid_col = docid_col
+        self._rows: list[dict] = []
+        self._doomed: set[int] = set()   # committed docids to tombstone
+        self._lock = threading.RLock()
+
+    # ---- visibility ----
+
+    def searcher(self, **kw):
+        """Searcher over the committed index with pending deletes applied
+        (the reference writer's reader sees its own deletes,
+        writing.py:597-618)."""
+        from whoosh_ray.search.searcher import Searcher
+
+        s = Searcher(self.index_dir, **kw)
+        self._apply_doomed(s)
+        return s
+
+    def _apply_doomed(self, s) -> None:
+        if not self._doomed:
+            return
+        doomed = np.array(sorted(self._doomed), dtype=np.int64)
+        for seg in s.segments:
+            lo, hi = seg.meta.docid_range()
+            sel = doomed[(doomed >= lo) & (doomed < hi)]
+            if len(sel):
+                seg._deletes = np.union1d(seg.deletes, sel)
+
+    # ---- mutations ----
+
+    def add_document(self, **fields) -> None:
+        with self._lock:
+            self._rows.append(fields)
+
+    def delete_document(self, docid: int) -> None:
+        with self._lock:
+            self._doomed.add(int(docid))
+
+    def delete_by_term(self, fieldname: str, text: str) -> int:
+        from whoosh_ray.search.query import Term
+
+        return self.delete_by_query(Term(fieldname, str(text)))
+
+    def delete_by_query(self, q) -> int:
+        with self._lock:
+            r = self.searcher().search(q, limit=None)
+            fresh = {int(d) for d in r.docids} - self._doomed
+            self._doomed.update(fresh)
+            return len(fresh)
+
+    def update_document(self, **fields) -> None:
+        """Doom committed docs matching any unique field, then add
+        (writing.py:480-489).  Docs still buffered in THIS writer are
+        not replaced — quirk preserved on purpose."""
+        with self._lock:
+            uniq = _unique_fields(self.schema, fields)
+            if uniq:
+                from whoosh_ray.search.query import Or, Term
+
+                q = Or([Term(n, str(fields[n])) for n in uniq])
+                self.delete_by_query(q)
+            self.add_document(**fields)
+
+    # ---- commit protocol ----
+
+    def cancel(self) -> None:
+        with self._lock:
+            self._rows.clear()
+            self._doomed.clear()
+
+    def commit(self) -> None:
+        """Tombstone doomed docids, append buffered rows as new segments
+        (one ``add_documents`` batch), refresh the manifest."""
+        from whoosh_ray.pipelines import mutate
+
+        with self._lock:
+            if self._doomed:
+                mutate.delete_docids(self.index_dir, self._doomed)
+                self._doomed.clear()
+            if self._rows:
+                src = self._rows_to_parquet(self._rows)
+                try:
+                    self.manifest = mutate.add_documents(
+                        self.index_dir, src, conv_col=self.conv_col,
+                        turn_col=self.turn_col, docid_col=self.docid_col)
+                finally:
+                    shutil.rmtree(os.path.dirname(src), ignore_errors=True)
+                self._rows.clear()
+            else:
+                self.manifest = read_manifest(self.index_dir)
+
+    # ---- helpers ----
+
+    def _docs_file_schema(self) -> pa.Schema | None:
+        """An existing segment's docs schema — the authoritative column
+        types for buffered rows (keeps multi-file docs datasets over old
+        + new segments schema-uniform)."""
+        for m in self.manifest.segments:
+            p = os.path.join(self.index_dir, "segments",
+                             seg_dirname(m.seg_id), "docs.parquet")
+            if os.path.exists(p):
+                return pq.read_schema(p)
+        return None
+
+    def _rows_to_table(self, rows: list[dict]) -> pa.Table:
+        cols: list[str] = list(self.schema.input_columns())
+        for r in rows:
+            for k in r:
+                if k not in cols:
+                    cols.append(k)
+        text_fields = {f.name for f in self.schema.fields}
+        data = {}
+        ref_schema = self._docs_file_schema()
+        for c in cols:
+            vals = [r.get(c) for r in rows]
+            if c in text_fields:
+                vals = ["" if v is None else str(v) for v in vals]
+            arr = pa.array(vals)
+            if ref_schema is not None and c in ref_schema.names:
+                arr = arr.cast(ref_schema.field(c).type)
+            data[c] = arr
+        return pa.table(data)
+
+    def _rows_to_parquet(self, rows: list[dict]) -> str:
+        d = tempfile.mkdtemp(prefix="wr_writer_")
+        path = os.path.join(d, "buffered.parquet")
+        pq.write_table(self._rows_to_table(rows), path)
+        return path
+
+
+class AsyncWriter(IndexWriter):
+    """Drop-in for the reference AsyncWriter (writing.py:954-1053).
+
+    The reference buffers method calls only because a concurrent writer
+    may hold the index file lock; this engine's single-driver manifest
+    commit has no such lock, so the buffered op log (inherited from
+    IndexWriter) is always "replayed" synchronously by ``commit()``.
+    ``start``/``join``/``is_alive`` are retained as no-ops so code written
+    against the reference API runs unchanged."""
+
+    def __init__(self, index_dir: str, delay: float = 0.25, **kw):
+        super().__init__(index_dir, **kw)
+        self.delay = delay
+        self.running = False
+
+    def start(self) -> None:          # pragma: no cover - trivial
+        self.running = True
+
+    def join(self, timeout=None) -> None:  # pragma: no cover - trivial
+        pass
+
+    def is_alive(self) -> bool:       # pragma: no cover - trivial
+        return False
+
+
+
+
+class BufferedWriter(IndexWriter):
+    """Near-real-time writer: buffered docs are searchable immediately.
+
+    ``searcher()`` returns a Searcher over the committed segments PLUS a
+    RAM segment built from the buffer (reference writing.py:1206-1226);
+    global stats (doc_count_all, avgfl, idf) include the buffered docs.
+    Auto-commits after ``limit`` buffered docs or every ``period``
+    seconds.  Call ``close()`` before discarding the writer.
+
+    Unlike the base writer, ``update_document`` and the delete methods
+    here see the OVERLAY (committed + buffered): updating a key that is
+    still buffered replaces the buffered doc — the reference
+    BufferedWriter's advertised improvement over the plain writer
+    (writing.py:1112-1115)."""
+
+    def __init__(self, index_dir: str, *, period: float | None = None,
+                 limit: int = 10, **kw):
+        super().__init__(index_dir, **kw)
+        self.period = period
+        self.limit = limit
+        self._ram_cache: tuple[int, list] | None = None
+        self._gen = 0            # bumped on every buffer mutation
+        self._timer: threading.Timer | None = None
+        if self.period:
+            self._start_timer()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # ---- RAM segment ----
+
+    def _ram_segments(self) -> list[SegmentReader]:
+        if not self._rows:
+            return []
+        if self._ram_cache and self._ram_cache[0] == self._gen:
+            return self._ram_cache[1]
+        from whoosh_ray.stages.fused_writer import FusedSegmentWriter
+
+        table = self._rows_to_table(self._rows)
+        base = int(self.manifest.settings.get("docid_span", 0))
+        if self.docid_col is not None:
+            local = table[self.docid_col].to_numpy().astype(np.int64)
+            span = int(local.max()) + 1
+        else:
+            convs = np.asarray(
+                [str(v).encode() for v in
+                 table[self.conv_col].to_pylist()], dtype="S")
+            turns = table[self.turn_col].to_numpy().astype(np.int64)
+            # dense (conv, turn) rank — same math (and the same UTF-8
+            # bytewise key order) as stages/docids.py
+            keys, inv = np.unique(convs, return_inverse=True)
+            spans = np.zeros(len(keys), dtype=np.int64)
+            np.maximum.at(spans, inv, turns + 1)
+            bases = np.concatenate(([0], np.cumsum(spans)[:-1]))
+            local = bases[inv] + turns
+            span = int(spans.sum())
+        docids = local + base
+        # fresh id past every committed segment: searcher eval caches
+        # key on (query, seg_id), so the overlay must never collide
+        ram_id = max((m.seg_id for m in self.manifest.segments),
+                     default=-1) + 1
+        group = table.append_column(
+            "docid", pa.array(docids, type=pa.int64()))
+        group = group.append_column(
+            "seg", pa.array(np.full(len(docids), ram_id), type=pa.int64()))
+
+        td = tempfile.TemporaryDirectory(prefix="wr_ram_seg_")
+        writer = FusedSegmentWriter(td.name, self.schema)
+        ret = writer(group)
+        meta = SegmentMeta(
+            seg_id=ram_id, docid_base=base,
+            doc_count=group.num_rows,
+            field_lengths=json.loads(ret["field_lengths"][0].as_py()),
+            lineage={"docid_range": [base, base + span], "ram": True},
+        )
+        reader = SegmentReader(td.name, meta, self.schema)
+        reader._tmpdir_guard = td   # dir lives as long as the reader
+        self._ram_cache = (self._gen, [reader])
+        return self._ram_cache[1]
+
+    # ---- overlay-aware API ----
+
+    def searcher(self, **kw):
+        from whoosh_ray.search.searcher import Searcher
+
+        with self._lock:
+            s = Searcher(self.index_dir,
+                         extra_segments=tuple(self._ram_segments()), **kw)
+            self._apply_doomed(s)
+            return s
+
+    def add_document(self, **fields) -> None:
+        with self._lock:
+            self._rows.append(fields)
+            self._gen += 1
+            if len(self._rows) >= self.limit:
+                self.commit()
+
+    def delete_by_query(self, q) -> int:
+        """Deletes see the overlay: committed matches are doomed,
+        buffered matches are dropped from the buffer."""
+        with self._lock:
+            r = self.searcher().search(q, limit=None)
+            base = int(self.manifest.settings.get("docid_span", 0))
+            hit = {int(d) for d in r.docids}
+            committed = {d for d in hit if d < base} - self._doomed
+            self._doomed.update(committed)
+            buffered = sorted(d for d in hit if d >= base)
+            n_buf = self._drop_buffered(buffered)
+            return len(committed) + n_buf
+
+    def _drop_buffered(self, docids: list[int]) -> int:
+        """Remove buffered rows by their (current) overlay docids."""
+        if not docids:
+            return 0
+        ram = self._ram_segments()
+        if not ram:
+            return 0
+        docs = ram[0].docs_table()
+        want = set(docids)
+        sel = [i for i, d in enumerate(docs["docid"].to_pylist())
+               if d in want]
+        if not sel:
+            return 0
+        # map ram rows back to buffer entries via the schema key columns
+        keycols = ([self.docid_col] if self.docid_col is not None
+                   else [self.conv_col, self.turn_col])
+        # conv_col may be an indexed field (stored) and turn_col a stored
+        # passthrough — both land in docs.parquet
+        keys = {tuple(docs[c][i].as_py() for c in keycols) for i in sel}
+        before = len(self._rows)
+        self._rows = [r for r in self._rows
+                      if tuple(r.get(c) for c in keycols) not in keys]
+        self._gen += 1
+        return before - len(self._rows)
+
+    def delete_document(self, docid: int) -> None:
+        base = int(self.manifest.settings.get("docid_span", 0))
+        with self._lock:
+            if docid < base:
+                self._doomed.add(int(docid))
+            else:
+                self._drop_buffered([int(docid)])
+
+    def update_document(self, **fields) -> None:
+        """Unlike the plain writer, replaces still-buffered docs too
+        (reference writing.py:1112-1115, 1264-1266)."""
+        with self._lock:
+            uniq = _unique_fields(self.schema, fields)
+            if uniq:
+                from whoosh_ray.search.query import Or, Term
+
+                self.delete_by_query(
+                    Or([Term(n, str(fields[n])) for n in uniq]))
+            self.add_document(**fields)
+
+    # ---- commit / close ----
+
+    def _start_timer(self) -> None:
+        self._timer = threading.Timer(self.period, self._timer_fire)
+        self._timer.daemon = True
+        self._timer.start()
+
+    def _timer_fire(self) -> None:
+        try:
+            self.commit()
+        finally:
+            if self.period:
+                self._start_timer()
+
+    def commit(self) -> None:
+        with self._lock:
+            super().commit()
+            self._gen += 1
+            self._ram_cache = None
+
+    def close(self) -> None:
+        if self._timer is not None:
+            self._timer.cancel()
+            self._timer = None
+        self.period = None
+        self.commit()

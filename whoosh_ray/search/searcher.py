@@ -247,13 +247,27 @@ class Hit:
 
 class Searcher:
     def __init__(self, index_dir: str, manifest: Manifest | None = None,
-                 weighting: scoring.WeightingModel | None = None):
+                 weighting: scoring.WeightingModel | None = None,
+                 extra_segments: "tuple[SegmentReader, ...]" = ()):
         self.index_dir = index_dir
         self.manifest = manifest or read_manifest(index_dir)
+        if extra_segments:
+            # overlay readers (e.g. BufferedWriter's RAM segment): their
+            # metas join the manifest so doc_count_all / avg_field_length
+            # include the overlay docs — MultiReader semantics
+            # (reference writing.py:1206-1219 BufferedWriter.reader)
+            self.manifest = Manifest(
+                schema=self.manifest.schema,
+                segments=list(self.manifest.segments)
+                + [r.meta for r in extra_segments],
+                settings=self.manifest.settings,
+            )
         self.schema = self.manifest.schema
         self.weighting = weighting or scoring.BM25F()
+        extra_ids = {id(r.meta) for r in extra_segments}
         self.segments = [
-            SegmentReader(index_dir, m, self.schema)
+            next(r for r in extra_segments if r.meta is m)
+            if id(m) in extra_ids else SegmentReader(index_dir, m, self.schema)
             # docid-range order (NOT seg_id order): merged segments get
             # fresh ids, so only the range start orders segments such
             # that _seg_index_of's searchsorted mapping is valid.

@@ -39,6 +39,8 @@ class FieldSpec:
     vector: bool = False           # store per-doc term vectors (key_terms)
     boost: float = 1.0
     fmt: str = "frequency"         # "frequency" | "existence"
+    unique: bool = False           # upsert key for update_document
+                                   # (reference fields.py:106, writing.py:426)
 
     @staticmethod
     def text(name: str, *, stored: bool = True, positions: bool = False,
@@ -64,10 +66,11 @@ class FieldSpec:
                          fmt="frequency")
 
     @staticmethod
-    def id(name: str, *, stored: bool = True, boost: float = 1.0) -> "FieldSpec":
+    def id(name: str, *, stored: bool = True, boost: float = 1.0,
+           unique: bool = False) -> "FieldSpec":
         return FieldSpec(name=name, kind="id", analyzer=ID_ANALYZER, stored=stored,
                          scorable=False, positions=False, boost=boost,
-                         fmt="existence")
+                         fmt="existence", unique=unique)
 
     @staticmethod
     def datetime(name: str, *, step: int = 8, stored: bool = True,

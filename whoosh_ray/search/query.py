@@ -428,11 +428,18 @@ class _MultiTerm(Query):
             return [_NullQuery()]
         if len(words) == 1:
             # reference parity: a single-term expansion bypasses
-            # constantscore and is fully scored (terms.py:215-217)
-            return [Term(self.fieldname, words[0], self.boost)]
+            # constantscore and is fully scored — and DROPS the query
+            # boost, because the expansion Terms are constructed without
+            # it (terms.py:210-217: ``Term(fieldname, word)``)
+            return [Term(self.fieldname, words[0])]
         if self.constantscore and not self._constantscore_is_scored(searcher,
                                                                     words):
-            return [_ConstantTermSet(self.fieldname, words, self.boost)]
+            # constant score is literally 1.0 — NOT the boost: the
+            # weighting=None context makes the array path emit 1.0 per
+            # doc and the Or(boost=) wrapper never scores
+            # (terms.py:219-228; probed: Prefix(boost=0.5) == 1.0,
+            # tf=2 docs == 1.0, two-expansion-term docs == 1.0)
+            return [_ConstantTermSet(self.fieldname, words, 1.0)]
         return [Or([Term(self.fieldname, w) for w in words], boost=self.boost)]
 
     @staticmethod

@@ -1,0 +1,136 @@
+"""Randomized query-STRING conformance fuzz: generate strings from the
+supported grammar, parse with BOTH parsers, run both searches, assert
+rank+score identity (limit=None, so no limited-prune interplay).
+
+Complements test_qparser's hand-picked strings with generated operator/
+group/phrase/range/field/boost combinations (deterministic)."""
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from tests.conftest import load_whoosh_oracle
+from tests.oracle import build_oracle_index
+from whoosh_ray.pipelines.build import build_index
+from whoosh_ray.search import (
+    AndMaybe,
+    AndNot,
+    DisjunctionMax,
+    Not,
+    Require,
+    Searcher,
+)
+from whoosh_ray.search.qparser import QueryParser
+from whoosh_ray.sources.transcripts import generate_transcripts
+from whoosh_ray.state.schema import transcripts_schema
+
+_QUIRKY = (DisjunctionMax, AndNot, AndMaybe, Require, Not)
+
+
+def _has_nested_quirky(q, depth=0) -> bool:
+    """True when a quirky combinator sits BELOW the root: the
+    reference's scores there are matcher-cursor-state emergent (see
+    test_fuzz_queries scope note) — match docid SETS only."""
+    if depth > 0 and isinstance(q, _QUIRKY):
+        return True
+    kids = list(getattr(q, "subqueries", None) or [])
+    for attr in ("a", "b", "subquery"):
+        sub = getattr(q, attr, None)
+        if sub is not None:
+            kids.append(sub)
+    return any(_has_nested_quirky(k, depth + 1) for k in kids)
+
+WORDS = ["deploy", "render", "cluster", "error", "user", "november",
+         "token", "alpha", "the", "absentterm", "merge", "retry"]
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return generate_transcripts(n_convs=30, seed=11)
+
+
+@pytest.fixture(scope="module")
+def engine(corpus, tmp_path_factory):
+    d = tmp_path_factory.mktemp("qsfuzz")
+    (d / "src").mkdir()
+    pq.write_table(corpus, str(d / "src" / "p.parquet"))
+    build_index(str(d / "src"), str(d / "index"), transcripts_schema(),
+                seg_size=64)
+    return Searcher(str(d / "index"))
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus):
+    return build_oracle_index(corpus, text_fields=("text",),
+                              id_fields=("role", "tool", "conv_id"))
+
+
+words = st.sampled_from(WORDS)
+
+atoms = st.one_of(
+    words,
+    words.map(lambda wd: wd[:4] + "*"),
+    words.map(lambda wd: "?" + wd[1:]),
+    words.map(lambda wd: f"{wd}^2.5"),
+    st.sampled_from(["role:user", "role:assistant", "tool:bash",
+                     "role:ghost"]),
+    st.tuples(words, words).map(lambda ws: f'"{ws[0]} {ws[1]}"'),
+    st.tuples(words, words, st.integers(1, 3)).map(
+        lambda ws: f'"{ws[0]} {ws[1]}"~{ws[2]}'),
+    st.tuples(words, words).map(
+        lambda ws: f"[{min(ws)} TO {max(ws)}]"),
+    st.tuples(words, words).map(
+        lambda ws: f"{{{min(ws)} TO {max(ws)}}}"),
+)
+
+OPS = [" ", " OR ", " AND ", " NOT ", " ANDNOT ", " ANDMAYBE "]
+
+
+def _join(parts, ops):
+    out = [parts[0]]
+    for p, o in zip(parts[1:], ops):
+        out.append(o)
+        out.append(p)
+    return "".join(out)
+
+
+def clause(children):
+    return st.tuples(
+        st.lists(children, min_size=2, max_size=4),
+        st.lists(st.sampled_from(OPS), min_size=3, max_size=3),
+        st.booleans(),
+    ).map(lambda t: (("(" + _join(t[0], t[1]) + ")") if t[2]
+                     else _join(t[0], t[1])))
+
+
+def qstrings():
+    inner = clause(atoms)
+    return st.one_of(atoms, inner, clause(st.one_of(atoms, inner)))
+
+
+@settings(max_examples=200, deadline=None, derandomize=True)
+@given(qs=qstrings())
+def test_parsed_query_strings_rank_and_score_identical(engine, oracle,
+                                                       qs):
+    load_whoosh_oracle()
+    from whoosh.qparser import QueryParser as WQP
+
+    my_parser = QueryParser("text", transcripts_schema())
+    myq = my_parser.parse(qs)
+    with oracle.searcher() as os_:
+        refq = WQP("text", schema=oracle.schema).parse(qs)
+        mine = [(int(d), float(s))
+                for d, s in engine.search(myq, limit=None)]
+        r = os_.search(refq, limit=None)
+        ref = [(int(h.docnum), float(h.score)) for h in r]
+    if _has_nested_quirky(myq):
+        # nested quirky combinator: reference scores are cursor-state
+        # emergent; the match SET still pins parse precedence
+        assert sorted(d for d, _ in mine) == sorted(d for d, _ in ref), (
+            f"{qs!r}: mine={myq!r} ref={refq!r}")
+        return
+    assert [d for d, _ in mine] == [d for d, _ in ref], (
+        f"{qs!r}: mine={myq!r} ref={refq!r}")
+    np.testing.assert_allclose([s for _, s in mine], [s for _, s in ref],
+                               rtol=1e-9, atol=1e-12, err_msg=qs)

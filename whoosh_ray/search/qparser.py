@@ -115,7 +115,12 @@ class QueryParser:
     def parse(self, text: str) -> Query:
         tokens = list(self._lex(text))
         q, _ = self._parse_group(tokens, 0)
-        return q if q is not None else _NullQuery()
+        if q is None:
+            return _NullQuery()
+        # the reference parses with normalize=True by default
+        # (qparser/default.py parse): flatten/dedup/range-merge happen
+        # at PARSE time, never inside search()
+        return q.normalize()
 
     def _parse_group(self, tokens, i):
         items: list = []  # queries and operator markers
@@ -192,7 +197,8 @@ class QueryParser:
             if prohibited and base is not None:
                 base = AndNot(base, one_or(prohibited))
             return base
-        # 1) NOT prefixes
+        # 1) NOT prefixes (PrefixOperator, applied first — the
+        #    reference's op list order, plugins.py:936-951)
         out = []
         skip_next = False
         for j, it in enumerate(items):
@@ -207,40 +213,67 @@ class QueryParser:
                 continue
             out.append(it)
         items = out
-        # 2) binary ops with left association: ANDNOT / ANDMAYBE / REQUIRE
-        for opname, cls in (("ANDNOT", AndNot), ("ANDMAYBE", AndMaybe),
-                            ("REQUIRE", Require)):
+
+        # 2) infix passes in the reference's operator-application order
+        #    (OperatorsPlugin.do_operators iterates its op list:
+        #    AND, OR, ANDNOT, ANDMAYBE, REQUIRE), each left-to-right and
+        #    left-associative; explicit AND/OR take only their IMMEDIATE
+        #    neighbors, so "aa bb OR cc dd" is And([aa, Or(bb, cc), dd])
+        #    — OR binds TIGHTER than the implicit whitespace-AND.
+        #    Unboosted same-class left groups merge (AndGroup/OrGroup
+        #    merging=True): "aa OR bb OR cc" is one 3-way Or.
+        def _and_join(left, right):
+            if isinstance(left, And) and left.boost == 1.0:
+                return And(left.subqueries + [right])
+            return And([left, right])
+
+        def _or_join(left, right):
+            if (type(left) is Or and left.boost == 1.0
+                    and left.minmatch == 0 and left.scale is None):
+                return Or(left.subqueries + [right])
+            return Or([left, right])
+
+        def _binary(cls):
+            # group-BUILD null handling (distinct from the normalize
+            # layer): the reference drops null children from a syntax
+            # group and unwraps the single survivor, so ANY side of a
+            # binary op that analyzed to nothing yields the other side
+            # ("the ANDNOT deploy" == "deploy ANDNOT the" == deploy)
+            def join(left, right):
+                if isinstance(left, _NullQuery):
+                    return right
+                if isinstance(right, _NullQuery):
+                    return left
+                return cls(left, right)
+
+            return join
+
+        passes = (("AND", _and_join), ("OR", _or_join),
+                  ("ANDNOT", _binary(AndNot)), ("ANDMAYBE", _binary(AndMaybe)),
+                  ("REQUIRE", _binary(Require)))
+        for opname, combine in passes:
             out = []
             j = 0
             while j < len(items):
                 it = items[j]
                 if (isinstance(it, tuple) and it[1] == opname and out
+                        and isinstance(out[-1], Query)
                         and j + 1 < len(items)
                         and isinstance(items[j + 1], Query)):
                     left = out.pop()
-                    out.append(cls(left, items[j + 1]))
+                    out.append(combine(left, items[j + 1]))
                     j += 2
                 else:
                     out.append(it)
                     j += 1
             items = out
-        # 3) OR binds looser than AND; whitespace = AND (default AndGroup)
-        or_groups: list[list[Query]] = [[]]
-        for it in items:
-            if isinstance(it, tuple):
-                if it[1] == "OR":
-                    or_groups.append([])
-                continue  # AND markers are the default joiner
-            or_groups[-1].append(it)
-        and_qs = []
-        for grp in or_groups:
-            grp = [g for g in grp if not isinstance(g, _NullQuery)]
-            if not grp:
-                continue
-            and_qs.append(grp[0] if len(grp) == 1 else And(grp))
-        if not and_qs:
+
+        # 3) whitespace = AND (default AndGroup); leftover dangling
+        #    operator markers (e.g. a trailing OR) are dropped
+        qs = [it for it in items if isinstance(it, Query)]
+        if not qs:
             return None
-        return and_qs[0] if len(and_qs) == 1 else Or(and_qs)
+        return qs[0] if len(qs) == 1 else And(qs)
 
     # ---- leaves ----
 
@@ -348,7 +381,13 @@ class QueryParser:
     def _make_phrase(self, field, body, slop) -> Query | None:
         words = self._analyzers[field].token_lists([body])[0]
         if not words:
-            return _NullQuery()
+            # an all-stopword PHRASE builds a real (empty) Phrase query
+            # that only nullifies at normalize — unlike a stopword WORD,
+            # which vanishes at group build.  The reference's binary
+            # groups drop a None (word) side but keep an empty Phrase,
+            # so '"the the" ANDNOT x' is Null while 'the ANDNOT x' is x
+            # (syntax.py:351-366 + Phrase.normalize).
+            return Phrase(field, [], slop=slop)
         if len(words) == 1:
             return Term(field, words[0])
         return Phrase(field, words, slop=slop)

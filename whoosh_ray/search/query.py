@@ -87,7 +87,40 @@ class Term(Query):
         return p.docids, scores
 
 
+def _scale_boost(q: "Query", mult: float) -> "Query":
+    """Copy with boost multiplied (reference with_boost semantics —
+    queries stay immutable through normalize)."""
+    if mult == 1.0:
+        return q
+    import copy
+
+    q2 = copy.copy(q)
+    q2.boost = getattr(q, "boost", 1.0) * mult
+    return q2
+
+
+def _qkey(v):
+    """Structural identity key used by normalize's duplicate
+    elimination — mirrors the reference queries' field-wise
+    __eq__/__hash__ (class + every attribute, subquery order
+    significant)."""
+    if isinstance(v, Query):
+        return (type(v).__name__,
+                tuple((k, _qkey(x)) for k, x in sorted(vars(v).items())))
+    if isinstance(v, (list, tuple)):
+        return tuple(_qkey(x) for x in v)
+    if isinstance(v, (set, frozenset)):
+        return tuple(sorted(_qkey(x) for x in v))
+    return v
+
+
 class _Compound(Query):
+    #: And merges overlapping same-field ranges by intersection, Or by
+    #: union (reference compound.py:254,:284); DisjunctionMax has NO
+    #: intersect_merge in the reference (normalize of a DJM holding
+    #: overlapping ranges crashes there) — we default to union
+    intersect_merge = False
+
     def __init__(self, subqueries, boost: float = 1.0):
         self.subqueries = list(subqueries)
         self.boost = boost
@@ -108,8 +141,81 @@ class _Compound(Query):
             return res[0], res[1] * self.boost
         return res
 
+    def normalize(self) -> "Query":
+        """Reference CompoundQuery.normalize (compound.py:119-188):
+        flatten same-class nesting (boosts multiplied in), collapse on
+        unfielded Every, merge overlapping same-field term ranges,
+        drop fields covered by an Every(field), eliminate duplicates
+        (keep-first, full structural equality incl. boost), drop
+        nulls, unwrap single children (boost multiplied).  Invoked by
+        the PARSER like the reference's parse(normalize=True) —
+        ``search()`` does not normalize, matching the reference (an
+        un-normalized And([t, t]) really does score 2x there)."""
+        import copy
+
+        subs: list[Query] = []
+        for s in self.subqueries:
+            s = s.normalize()
+            if isinstance(s, self.__class__):
+                subs += [_scale_boost(ss, s.boost) for ss in s.subqueries]
+            else:
+                subs.append(s)
+
+        if all(isinstance(q, _NullQuery) for q in subs):
+            return _NullQuery()
+        if any(isinstance(q, Every) and q.fieldname is None for q in subs):
+            return Every()
+
+        # merge overlapping ranges; collect Every-covered fields
+        everyfields: set = set()
+        i = 0
+        while i < len(subs):
+            q = subs[i]
+            if getattr(q, "fieldname", None) in everyfields:
+                subs.pop(i)
+                continue
+            if isinstance(q, TermRange):
+                j = i + 1
+                while j < len(subs):
+                    if q.overlaps(subs[j]):
+                        q = q.merge(subs.pop(j),
+                                    intersect=self.intersect_merge)
+                    else:
+                        j += 1
+                subs[i] = q = q.normalize()
+            if isinstance(q, Every):
+                everyfields.add(q.fieldname)
+            i += 1
+
+        out: list[Query] = []
+        seen: set = set()
+        for s in subs:
+            if (not isinstance(s, Every)
+                    and getattr(s, "fieldname", None) in everyfields):
+                continue
+            k = _qkey(s)
+            if k in seen:
+                continue
+            seen.add(k)
+            out.append(s)
+        out = [q for q in out if not isinstance(q, _NullQuery)]
+
+        if not out:
+            return _NullQuery()
+        if len(out) == 1:
+            sub = out[0]
+            sub_boost = getattr(sub, "boost", 1.0)
+            if not (self.boost == 1.0 and sub_boost == 1.0):
+                sub = _scale_boost(sub, self.boost)
+            return sub
+        new = copy.copy(self)   # keeps minmatch/scale/tiebreak extras
+        new.subqueries = out
+        return new
+
 
 class And(_Compound):
+    intersect_merge = True
+
     def _combine(self, evalfn):
         pos = [q for q in self.subqueries if not isinstance(q, Not)]
         neg = [q for q in self.subqueries if isinstance(q, Not)]
@@ -258,6 +364,13 @@ class Not(Query):
     def expansion_queries(self, searcher):
         return [Not(self.subquery.expansion_queries(searcher)[0], self.boost)]
 
+    def normalize(self):
+        # reference wrappers.py:127-132
+        q = self.subquery.normalize()
+        if isinstance(q, _NullQuery):
+            return q
+        return Not(q, self.boost)
+
     def docs_scores(self, searcher, seg):
         child = searcher.eval(self.subquery, seg)[0]
         return matching.inverse(seg.all_docids(), child, self.boost)
@@ -282,6 +395,18 @@ class AndNot(Query):
 
     def terms(self):
         return self.a.terms() + self.b.terms()
+
+    def normalize(self):
+        # reference AndNot.normalize (compound.py:556-565); NB the
+        # rebuilt node is constructed WITHOUT the boost — the
+        # reference's self.__class__(a, b) resets it to 1.0
+        a = self.a.normalize()
+        b = self.b.normalize()
+        if isinstance(a, _NullQuery):
+            return _NullQuery()
+        if isinstance(b, _NullQuery):
+            return a
+        return AndNot(a, b)
 
     def expansion_queries(self, searcher):
         return [AndNot(self.a.expansion_queries(searcher)[0],
@@ -314,6 +439,14 @@ class Require(Query):
     def terms(self):
         return self.a.terms() + self.b.terms()
 
+    def normalize(self):
+        # reference Require.normalize (compound.py:611-616); boost reset
+        a = self.a.normalize()
+        b = self.b.normalize()
+        if isinstance(a, _NullQuery) or isinstance(b, _NullQuery):
+            return _NullQuery()
+        return Require(a, b)
+
     def expansion_queries(self, searcher):
         return [Require(self.a.expansion_queries(searcher)[0],
                         self.b.expansion_queries(searcher)[0], self.boost)]
@@ -338,6 +471,16 @@ class AndMaybe(Query):
 
     def terms(self):
         return self.a.terms() + self.b.terms()
+
+    def normalize(self):
+        # reference AndMaybe.normalize (compound.py:636-643); boost reset
+        a = self.a.normalize()
+        b = self.b.normalize()
+        if isinstance(a, _NullQuery):
+            return _NullQuery()
+        if isinstance(b, _NullQuery):
+            return a
+        return AndMaybe(a, b)
 
     def expansion_queries(self, searcher):
         return [AndMaybe(self.a.expansion_queries(searcher)[0],
@@ -369,6 +512,18 @@ class Otherwise(Query):
 
     def terms(self):
         return self.a.terms() + self.b.terms()
+
+    def normalize(self):
+        # reference BinaryQuery.normalize (compound.py:529-539)
+        a = self.a.normalize()
+        b = self.b.normalize()
+        if isinstance(a, _NullQuery) and isinstance(b, _NullQuery):
+            return _NullQuery()
+        if isinstance(a, _NullQuery):
+            return b
+        if isinstance(b, _NullQuery):
+            return a
+        return Otherwise(a, b)
 
     def expansion_queries(self, searcher):
         return [Otherwise(self.a.expansion_queries(searcher)[0],
@@ -679,6 +834,67 @@ class TermRange(_MultiTerm):
         self.startexcl, self.endexcl = startexcl, endexcl
         self.boost, self.constantscore = boost, constantscore
 
+    # comparable bound encodings (reference ranges.py:70-83): the rank
+    # element totalizes the Lowest/Highest sentinels; within rank 1 the
+    # (value, second) pair compares exactly like the reference's
+    def _comparable_start(self):
+        if self.start is None:
+            return (0, "", 0)
+        return (1, self.start, 1 if self.startexcl else 0)
+
+    def _comparable_end(self):
+        if self.end is None:
+            return (2, "", 0)
+        return (1, self.end, -1 if self.endexcl else 0)
+
+    def overlaps(self, other) -> bool:
+        """Reference RangeMixin.overlaps (ranges.py:84-98)."""
+        if not isinstance(other, TermRange) or \
+                self.fieldname != other.fieldname:
+            return False
+        s1, s2 = self._comparable_start(), other._comparable_start()
+        e1, e2 = self._comparable_end(), other._comparable_end()
+        return (s2 <= s1 <= e2 or s2 <= e1 <= e2
+                or s1 <= s2 <= e1 or s1 <= e2 <= e1)
+
+    def merge(self, other: "TermRange", intersect: bool = True
+              ) -> "TermRange":
+        """Reference RangeMixin.merge (ranges.py:100-131): containment
+        wins, else intersect/union per the enclosing compound; boost =
+        max, constantscore = or."""
+        s1, s2 = self._comparable_start(), other._comparable_start()
+        e1, e2 = self._comparable_end(), other._comparable_end()
+        if s1 >= s2 and e1 <= e2:
+            start, end = s2, e2
+        elif s2 >= s1 and e2 <= e1:
+            start, end = s1, e1
+        elif intersect:
+            start, end = max(s1, s2), min(e1, e2)
+        else:
+            start, end = min(s1, s2), max(e1, e2)
+        return TermRange(
+            self.fieldname,
+            None if start[0] == 0 else start[1],
+            None if end[0] == 2 else end[1],
+            startexcl=start[2] == 1, endexcl=end[2] == -1,
+            boost=max(self.boost, other.boost),
+            constantscore=self.constantscore or other.constantscore)
+
+    def normalize(self):
+        # reference TermRange.normalize (ranges.py:164-176): unbounded
+        # -> Every(field); degenerate [x TO x] -> Term (boost KEPT
+        # here, unlike the multiterm expansion paths); {x TO x} ->
+        # null.  The rebuild drops constantscore back to the ctor
+        # default — reference quirk preserved.
+        if self.start in ("", None) and self.end in ("￿", None):
+            return Every(self.fieldname, boost=self.boost)
+        if self.start == self.end:
+            if self.startexcl or self.endexcl:
+                return _NullQuery()
+            return Term(self.fieldname, self.start, boost=self.boost)
+        return TermRange(self.fieldname, self.start, self.end,
+                         self.startexcl, self.endexcl, boost=self.boost)
+
     def _expand(self, searcher):
         return searcher.term_range(self.fieldname, self.start, self.end,
                                    include_lo=not self.startexcl,
@@ -896,6 +1112,17 @@ class Phrase(Query):
         self.words = list(words)
         self.slop = slop
         self.boost = boost
+
+    def normalize(self):
+        # reference Phrase.normalize (positional.py:185-196): empty ->
+        # null; one word -> a bare Term (the boost is DROPPED there)
+        if not self.words:
+            return _NullQuery()
+        if len(self.words) == 1:
+            return Term(self.fieldname, self.words[0])
+        words = [w for w in self.words if w is not None]
+        return Phrase(self.fieldname, words, slop=self.slop,
+                      boost=self.boost)
 
     def terms(self):
         return [(self.fieldname, w) for w in self.words]

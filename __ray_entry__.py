@@ -29,6 +29,18 @@ _STOPS_SQL = ("'a','an','and','are','as','at','be','by','can','for','from',"
               "'you','your'")
 
 
+def _langid_markers_sql() -> str:
+    """(lang, marker-word, priority) VALUES rows for the text_langid
+    oracle — generated from the SAME table LangId uses, so the SQL
+    argmax (ORDER BY c DESC, pri) mirrors numpy's first-max-wins."""
+    from whoosh_ray.pipelines.textstats import _LANG_MARKERS
+
+    return ",".join(
+        f"('{lang}', '{w}', {pri})"
+        for pri, (lang, words) in enumerate(_LANG_MARKERS.items())
+        for w in sorted(words))
+
+
 def _quant_sql() -> str:
     from whoosh_ray.functions.lengths import BYTE_TO_LENGTH
 
@@ -385,7 +397,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return ds.select_columns(["doc_id", "fingerprint"])
 
     def text_langid(sf_dir):
-        """Rows-only: heuristic stopword-profile language ID."""
+        """Stopword-profile language ID (hash-checked: the DuckDB oracle
+        replays the same marker table + first-max-wins argmax)."""
         from whoosh_ray.pipelines.textstats import LangId
 
         ds = _read_docs(sf_dir).map_batches(LangId(), batch_format="pyarrow")
@@ -777,5 +790,26 @@ SELECT d.lang AS lang,
     AS total_stopwords
 FROM documents d JOIN tokall t USING (doc_id)
 GROUP BY d.lang ORDER BY d.lang
+""",
+        "text_langid": rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+(\.?\w+)*')) AS term
+  FROM documents
+),
+dterms AS (SELECT DISTINCT doc_id, term FROM toks),
+markers(lang, term, pri) AS (VALUES {_langid_markers_sql()}),
+cnt AS (
+  SELECT doc_id, lang, pri, count(*) AS c
+  FROM dterms JOIN markers USING (term) GROUP BY doc_id, lang, pri
+),
+best AS (
+  SELECT doc_id, lang,
+    row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, pri) AS rn
+  FROM cnt
+)
+SELECT t.doc_id, coalesce(b.lang, 'und') AS lang_pred
+FROM documents t
+LEFT JOIN (SELECT doc_id, lang FROM best WHERE rn = 1) b USING (doc_id)
+ORDER BY t.doc_id
 """,
     }

@@ -65,9 +65,9 @@ def test_multimodal_real_decode():
     out = extract_image_features(ds, concurrency=2, batch_size=16).to_pandas()
     assert len(out) == 64
     assert all(len(f) == FEATURE_DIM for f in out["features"])
-    # 3 of every 4 rows (ppm/bmp/wav) really decode; the octet-stream
-    # rows take the documented fallback
-    assert out["decoded"].sum() == 48
+    # 4 of every 5 rows (ppm/bmp/wav/png) really decode; the
+    # octet-stream rows take the documented fallback
+    assert out["decoded"].sum() == 51
     # determinism across runs
     out2 = extract_image_features(ray.data.from_arrow(t),
                                   concurrency=2, batch_size=16).to_pandas()
@@ -78,16 +78,20 @@ def test_multimodal_real_decode():
     r = ds.map_batches(Resize(max_side=16), batch_format="pyarrow",
                        batch_size=16).to_pandas()
     resized = r[r["resized"]]
-    assert len(resized) == 32  # the ppm + bmp rows
+    assert len(resized) == 38  # the ppm + bmp + png rows
     assert (np.maximum(resized["out_width"], resized["out_height"]) <= 16).all()
-    # the resized payload really decodes to the new dims
+    # the resized payloads really decode to the new dims, in every format
     from whoosh_ray.functions import media as M
 
-    row = resized.iloc[0]
-    img = (M.decode_ppm(row["payload"])
-           if M.sniff_mime(row["payload"]) == "image/x-portable-pixmap"
-           else M.decode_bmp(row["payload"]))
-    assert img.shape[:2] == (row["out_height"], row["out_width"])
+    decoders = {"image/x-portable-pixmap": M.decode_ppm,
+                "image/bmp": M.decode_bmp, "image/png": M.decode_png}
+    seen = set()
+    for _, row in resized.iterrows():
+        mime = M.sniff_mime(row["payload"])
+        img = decoders[mime](row["payload"])
+        assert img.shape[:2] == (row["out_height"], row["out_width"])
+        seen.add(mime)
+    assert seen == set(decoders)
     # JPEG et al stay an explicit stub under on_unknown="error"
     mf = MediaFeatures(on_unknown="error")
     with pytest.raises(NotImplementedError):
@@ -122,6 +126,70 @@ def test_media_codecs_roundtrip():
     small = M.resize_nearest(grad, 4, 2)
     assert small.shape == (2, 4, 3)
     np.testing.assert_array_equal(small[0, :, 0], grad[0, [0, 4, 8, 12], 0])
+
+
+def test_png_codec():
+    from whoosh_ray.functions import media as M
+
+    rng = np.random.default_rng(7)
+    # roundtrip every supported plane layout
+    for shape in [(13, 17, 3), (9, 5, 4), (11, 23)]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        buf = M.encode_png(img)
+        assert M.sniff_mime(buf) == "image/png"
+        np.testing.assert_array_equal(M.decode_png(buf), img)
+
+    # decode of FOREIGN filter choices: build an IDAT whose rows use
+    # filters 1-4, filtering each scanline with a straightforward
+    # reference implementation, and assert the unfilter recovers pixels
+    import struct as st
+    import zlib
+
+    img = rng.integers(0, 256, (6, 7, 3), dtype=np.uint8)
+    h, w, ch = img.shape
+    flat = img.reshape(h, w * ch).astype(np.int32)
+    lines = []
+    prev = np.zeros(w * ch, np.int32)
+    for y, ftype in enumerate([0, 1, 2, 3, 4, 1]):
+        cur = flat[y]
+        left = np.zeros(w * ch, np.int32)
+        left[ch:] = cur[:-ch]
+        upleft = np.zeros(w * ch, np.int32)
+        upleft[ch:] = prev[:-ch]
+        if ftype == 0:
+            filt = cur
+        elif ftype == 1:
+            filt = cur - left
+        elif ftype == 2:
+            filt = cur - prev
+        elif ftype == 3:
+            filt = cur - (left + prev) // 2
+        else:  # paeth
+            p = left + prev - upleft
+            pa_ = np.abs(p - left)
+            pb = np.abs(p - prev)
+            pc = np.abs(p - upleft)
+            pred = np.where((pa_ <= pb) & (pa_ <= pc), left,
+                            np.where(pb <= pc, prev, upleft))
+            filt = cur - pred
+        lines.append(bytes([ftype]) + (filt & 0xFF).astype(np.uint8).tobytes())
+        prev = cur
+    ihdr = st.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    buf = (M._PNG_SIG + M._png_chunk(b"IHDR", ihdr)
+           # split across two IDAT chunks to exercise reassembly
+           + M._png_chunk(b"IDAT", zlib.compress(b"".join(lines))[:10])
+           + M._png_chunk(b"IDAT", zlib.compress(b"".join(lines))[10:])
+           + M._png_chunk(b"IEND", b""))
+    np.testing.assert_array_equal(M.decode_png(buf), img)
+
+    # unsupported shapes are explicit errors, not wrong pixels
+    pal_ihdr = st.pack(">IIBBBBB", 4, 4, 8, 3, 0, 0, 0)
+    bad = (M._PNG_SIG + M._png_chunk(b"IHDR", pal_ihdr)
+           + M._png_chunk(b"IEND", b""))
+    with pytest.raises(ValueError):
+        M.decode_png(bad)
+    with pytest.raises(ValueError):
+        M.decode_png(b"not a png")
 
 
 def test_simhash_near_dup_hamming():

@@ -7,13 +7,16 @@ structs + sample arrays, which numpy parses vectorized:
   (chunk walk + ``np.frombuffer``);
 - PPM (P6 binary / P3 ascii) RGB images;
 - BMP (Windows BITMAPINFOHEADER, 24-bit uncompressed BI_RGB,
-  bottom-up or top-down, row padding).
+  bottom-up or top-down, row padding);
+- PNG (stdlib zlib inflate + numpy scanline unfilter: 8-bit
+  gray/RGB/gray-alpha/RGBA, all five filters, multi-IDAT;
+  palette/16-bit/Adam7 raise ValueError).
 
 Plus real kernels over the decoded arrays: nearest-neighbor resize
 (pure indexing), image statistics, and audio features (RMS,
 zero-crossing rate, dominant frequency + banded spectrum via np.fft).
 These power the multimodal actor-pool stages (pipelines/multimodal.py);
-formats that genuinely need external codecs (JPEG/PNG/MP4) stay behind
+formats that genuinely need external codecs (JPEG/MP4) stay behind
 an explicit NotImplementedError.
 """
 
@@ -184,6 +187,129 @@ def decode_bmp(buf: bytes) -> np.ndarray:
     return rows[:, :, ::-1].copy()  # BGR -> RGB
 
 
+# ---- PNG (stdlib zlib + numpy unfilter; 8-bit gray/RGB/RGBA) ----
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# color type -> samples per pixel (8-bit depth only; palette unsupported)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """uint8 (h, w) gray, (h, w, 3) RGB or (h, w, 4) RGBA -> PNG
+    (8-bit, non-interlaced, filter 0 rows, one IDAT)."""
+    import zlib
+
+    a = np.ascontiguousarray(img, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, ch = a.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    # prepend filter byte 0 to every scanline, one vectorized hstack
+    raw = np.hstack([np.zeros((h, 1), np.uint8),
+                     a.reshape(h, w * ch)]).tobytes()
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+            + _png_chunk(b"IEND", b""))
+
+
+def _png_unfilter(ftype: int, cur: np.ndarray, prev: np.ndarray,
+                  bpp: int) -> np.ndarray:
+    """One scanline: filtered bytes -> reconstructed bytes (uint8).
+
+    Up (2) is fully vectorized; Sub/Average/Paeth carry an intra-row
+    recurrence, resolved with a per-column loop over ``bpp``-wide lanes
+    (row width iterations of tiny numpy ops — fine for the actor-pool
+    batch sizes these stages run at)."""
+    cur = cur.astype(np.int32)
+    prev = prev.astype(np.int32)
+    n = len(cur)
+    if ftype == 0:                       # None
+        return cur.astype(np.uint8)
+    if ftype == 2:                       # Up
+        return ((cur + prev) & 0xFF).astype(np.uint8)
+    out = np.zeros(n, np.int32)
+    if ftype == 1:                       # Sub
+        out[:bpp] = cur[:bpp]
+        for x in range(bpp, n, bpp):
+            e = min(x + bpp, n)
+            out[x:e] = (cur[x:e] + out[x - bpp:x - bpp + (e - x)]) & 0xFF
+        return out.astype(np.uint8)
+    if ftype == 3:                       # Average
+        out[:bpp] = (cur[:bpp] + prev[:bpp] // 2) & 0xFF
+        for x in range(bpp, n, bpp):
+            e = min(x + bpp, n)
+            left = out[x - bpp:x - bpp + (e - x)]
+            out[x:e] = (cur[x:e] + (left + prev[x:e]) // 2) & 0xFF
+        return out.astype(np.uint8)
+    if ftype == 4:                       # Paeth
+        out[:bpp] = (cur[:bpp] + prev[:bpp]) & 0xFF
+        for x in range(bpp, n, bpp):
+            e = min(x + bpp, n)
+            a = out[x - bpp:x - bpp + (e - x)]
+            b = prev[x:e]
+            c = prev[x - bpp:x - bpp + (e - x)]
+            p = a + b - c
+            pa_, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+            pred = np.where((pa_ <= pb) & (pa_ <= pc), a,
+                            np.where(pb <= pc, b, c))
+            out[x:e] = (cur[x:e] + pred) & 0xFF
+        return out.astype(np.uint8)
+    raise ValueError(f"bad PNG filter type {ftype}")
+
+
+def decode_png(buf: bytes) -> np.ndarray:
+    """PNG -> uint8 array: (h, w) for grayscale, (h, w, ch) otherwise.
+
+    Supports 8-bit depth, color types 0/2/4/6 (gray, RGB, gray+alpha,
+    RGBA), non-interlaced, all five scanline filters, multi-IDAT.
+    Palette (type 3), 16-bit and Adam7 raise ValueError."""
+    import zlib
+
+    if buf[:8] != _PNG_SIG:
+        raise ValueError("not a PNG stream")
+    pos = 8
+    idat = bytearray()
+    w = h = depth = color = interlace = None
+    while pos + 8 <= len(buf):
+        (size,) = struct.unpack_from(">I", buf, pos)
+        tag = buf[pos + 4:pos + 8]
+        body = buf[pos + 8:pos + 8 + size]
+        if tag == b"IHDR":
+            w, h, depth, color, _, _, interlace = struct.unpack(
+                ">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + size
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    if depth != 8 or color not in _PNG_CHANNELS or interlace:
+        raise ValueError(f"unsupported PNG: depth={depth} color={color} "
+                         f"interlace={interlace}")
+    ch = _PNG_CHANNELS[color]
+    stride = w * ch
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG IDAT size mismatch")
+    rows = raw.reshape(h, stride + 1)
+    out = np.zeros((h, stride), np.uint8)
+    prev = np.zeros(stride, np.int32)
+    for y in range(h):
+        out[y] = _png_unfilter(int(rows[y, 0]), rows[y, 1:], prev, ch)
+        prev = out[y]
+    img = out.reshape(h, w, ch)
+    return img[:, :, 0] if ch == 1 else img
+
+
 # ---- kernels over decoded arrays ----
 
 def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
@@ -214,4 +340,6 @@ def sniff_mime(buf: bytes) -> str:
         return "image/x-portable-pixmap"
     if buf[:2] == b"BM":
         return "image/bmp"
+    if buf[:8] == _PNG_SIG:
+        return "image/png"
     return "application/octet-stream"

@@ -41,13 +41,21 @@ FEATURE_DIM = 16  # unified feature width across modalities
 def synthesize_media(n: int, seed: int = 3,
                      payload_bytes: int = 4096) -> pa.Table:
     """Deterministic media table with REAL payloads: a rotating mix of
-    PPM images, BMP images and WAV tones (+ a few undecodable blobs to
-    exercise the fallback path).  No external data."""
+    PPM images, BMP images, WAV tones and PNGs (gray/RGB/RGBA), plus a
+    few undecodable blobs to exercise the fallback path.  No external
+    data."""
     rng = np.random.default_rng(seed)
     payloads, mimes, widths, heights = [], [], [], []
     for i in range(n):
-        kind = i % 4
-        if kind == 0:
+        kind = i % 5
+        if kind == 4:
+            w, h = int(rng.integers(8, 48)), int(rng.integers(8, 48))
+            ch = (1, 3, 4)[i % 3]  # rotate gray / RGB / RGBA
+            img = rng.integers(0, 256, (h, w, ch) if ch > 1 else (h, w),
+                               dtype=np.uint8)
+            payloads.append(media.encode_png(img))
+            mimes.append("image/png")
+        elif kind == 0:
             w, h = int(rng.integers(8, 48)), int(rng.integers(8, 48))
             img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
             payloads.append(media.encode_ppm(img))
@@ -70,7 +78,7 @@ def synthesize_media(n: int, seed: int = 3,
                                          dtype=np.uint8).tobytes())
             mimes.append("application/octet-stream")
             w = h = 0
-        if kind in (0, 1):
+        if kind in (0, 1, 4):
             widths.append(w)
             heights.append(h)
         else:
@@ -83,6 +91,16 @@ def synthesize_media(n: int, seed: int = 3,
         "width": pa.array(np.asarray(widths, dtype=np.int32)),
         "height": pa.array(np.asarray(heights, dtype=np.int32)),
     })
+
+
+def _as_rgb(img: np.ndarray) -> np.ndarray:
+    """Normalize decoded image planes to (h, w, 3) for image_features:
+    grayscale broadcasts across channels, alpha is dropped."""
+    if img.ndim == 2:
+        return np.repeat(img[:, :, None], 3, axis=2)
+    if img.shape[2] == 4:
+        return img[:, :, :3]
+    return img
 
 
 def _pad(vec: np.ndarray, dim: int) -> np.ndarray:
@@ -126,9 +144,12 @@ class MediaFeatures:
         if mime == "image/bmp":
             return _pad(media.image_features(media.decode_bmp(buf)),
                         self.dim), True
+        if mime == "image/png":
+            return _pad(media.image_features(_as_rgb(media.decode_png(buf))),
+                        self.dim), True
         if self.on_unknown == "error":
             raise NotImplementedError(
-                f"no in-container codec for {mime!r} (JPEG/PNG/MP4 need "
+                f"no in-container codec for {mime!r} (JPEG/MP4 need "
                 "pillow/ffmpeg)")
         return self._fallback(buf), False
 
@@ -165,6 +186,9 @@ class Resize:
         elif mime == "image/bmp":
             img = media.decode_bmp(buf)
             enc = media.encode_bmp
+        elif mime == "image/png":
+            img = media.decode_png(buf)
+            enc = media.encode_png
         else:
             return buf, 0, 0, False
         h, w = img.shape[:2]

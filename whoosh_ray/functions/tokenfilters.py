@@ -115,6 +115,23 @@ def stem_filter(tokens, cache):
         yield t
 
 
+def resolve_stemfn(name: str):
+    """Named pure stem functions usable as ``("stemfn", (name, ignore,
+    cachesize))`` chain entries (the reference's StemFilter takes the
+    callables directly, analysis/morph.py:57-111)."""
+    if name == "porter":
+        from whoosh_ray.functions.porter import stem
+    elif name == "porter2":
+        from whoosh_ray.functions.porter2 import stem
+    elif name == "lovins":
+        from whoosh_ray.functions.lovins import stem
+    elif name == "paicehusk":
+        from whoosh_ray.functions.paicehusk import stem
+    else:
+        raise ValueError(f"no stem function named {name!r}")
+    return stem
+
+
 def pystemmer_filter(tokens, stem_fn, ignore, cache, cachesize):
     """PyStemmerFilter (reference analysis/morph.py:152-217): a
     StemFilter over a named snowball algorithm with an ignore set and a
@@ -392,6 +409,7 @@ def compile_chain(chain: tuple, mode: str = "index"):
       ("tokenizer", (pattern, gaps))            — must be first if present
       ("lowercase", ())        ("strip", ())    ("stem", ())
       ("pystemmer", (lang, ignore|None, cachesize))
+      ("stemfn", (name, ignore|None, cachesize))  — porter/porter2/lovins/paicehusk
       ("stop", (words|None, minsize, maxsize, renumber))
       ("charset", items)                        — (ord, str) pairs
       ("intraword", (delims, sw, sn, mw, mn))
@@ -431,7 +449,7 @@ def compile_chain(chain: tuple, mode: str = "index"):
 # rewrites; stream-restructuring filters synthesize spans we don't model)
 CHARS_SAFE_FILTERS = frozenset(
     ["lowercase", "strip", "stop", "charset", "delimited", "stem",
-     "pystemmer"])
+     "pystemmer", "stemfn"])
 
 
 def chain_chars_safe(chain: tuple) -> bool:
@@ -460,6 +478,17 @@ def _compile_filter(kind: str, params, mode: str):
         ig = frozenset(ignore or ())
         pcache: dict = {}
         return lambda toks: pystemmer_filter(toks, stem_fn, ig, pcache,
+                                             cachesize)
+    if kind == "stemfn":
+        # StemFilter(stemfn=...) with a named pure stemmer — the
+        # declarative equivalent of passing lang.{porter2,lovins,
+        # paicehusk}.stem to the reference filter (analysis/morph.py:
+        # 57-111; the callable must be picklable there too)
+        name, ignore, cachesize = params
+        fn = resolve_stemfn(name)
+        sig = frozenset(ignore or ())
+        scache: dict = {}
+        return lambda toks: pystemmer_filter(toks, fn, sig, scache,
                                              cachesize)
     if kind == "stop":
         words, minsize, maxsize, renumber = params

@@ -1,0 +1,89 @@
+"""whoosh_ray.index facade: the reference's create_in/open_dir/Index
+workflow (reference index.py:85-470) end-to-end over this engine."""
+
+import pytest
+
+from whoosh_ray import index as wix
+from whoosh_ray.search.query import Term
+from whoosh_ray.state.schema import FieldSpec, IndexSchema
+
+
+def _schema() -> IndexSchema:
+    return IndexSchema(
+        fields=(FieldSpec.text("text", stored=True, positions=True),
+                FieldSpec.id("role", stored=True),
+                FieldSpec.id("conv_id", stored=True, unique=False)),
+        stored_columns=("turn_idx",),
+    )
+
+
+def test_create_open_write_search(tmp_path):
+    d = str(tmp_path)
+    assert not wix.exists_in(d)
+    with pytest.raises(wix.EmptyIndexError):
+        wix.open_dir(d)
+
+    ix = wix.create_in(d, _schema(), seg_size=512)
+    assert wix.exists_in(d)
+    assert ix.is_empty() and ix.doc_count_all() == 0
+    # empty index is searchable immediately (sealed empty manifest)
+    assert ix.searcher().search(Term("text", "x"), limit=5).docids.size == 0
+    release, fmt = wix.version_in(d)
+    assert fmt == 1
+
+    w = ix.writer()
+    for i, text in enumerate(["the quick brown fox", "lazy dogs sleep",
+                              "quick thinking wins", "brown paper bags"]):
+        w.add_document(text=text, role="user" if i % 2 == 0 else "assistant",
+                       conv_id=f"c{i:03d}", turn_idx=0)
+    w.commit()
+
+    ix2 = wix.open_dir(d)
+    assert ix2.doc_count_all() == 4 and not ix2.is_empty()
+    with ix2.searcher() as s:  # context-manager protocol
+        hits = s.search(Term("text", "quick"), limit=10)
+        texts = {h["text"] for h in hits.hits()}
+        assert texts == {"the quick brown fox", "quick thinking wins"}
+    # analyzed token count: "the" is a StandardAnalyzer stopword
+    assert ix2.field_length("text") == 12
+    assert set(ix2.field_names()) == {"text", "role", "conv_id"}
+
+    # stale handle refreshes to see the commit
+    assert ix.refresh().doc_count_all() == 4
+
+
+def test_delete_and_optimize(tmp_path):
+    d = str(tmp_path)
+    ix = wix.create_in(d, _schema(), seg_size=2)
+    w = ix.writer()
+    for i in range(6):
+        w.add_document(text=f"alpha beta doc{i}", role="user",
+                       conv_id=f"c{i:03d}", turn_idx=0)
+    w.commit()
+    ix.refresh()
+    assert ix.doc_count_all() == 6
+    n = ix.delete_by_term("text", "doc3")
+    assert n == 1
+    assert ix.doc_count() == 5          # live docs
+    assert ix.doc_count_all() == 6      # stats until merge — parity
+    ix.optimize()
+    assert len(ix._manifest.segments) == 1
+    assert ix.doc_count_all() == 5      # tombstones expunged by merge
+    hits = ix.searcher().search(Term("text", "alpha"), limit=None)
+    assert hits.docids.size == 5
+
+
+def test_named_indexes_and_clear(tmp_path):
+    d = str(tmp_path)
+    a = wix.create_in(d, _schema(), indexname="A", seg_size=512)
+    wix.create_in(d, _schema(), indexname="B", seg_size=512)
+    assert wix.exists_in(d, "A") and wix.exists_in(d, "B")
+    assert not wix.exists_in(d, "C")
+    w = a.writer()
+    w.add_document(text="hello", role="user", conv_id="c0", turn_idx=0)
+    w.commit()
+    assert wix.open_dir(d, "A").doc_count_all() == 1
+    assert wix.open_dir(d, "B").doc_count_all() == 0
+    # create_in CLEARS an existing index (reference parity)
+    wix.create_in(d, _schema(), indexname="A", seg_size=512)
+    assert wix.open_dir(d, "A").doc_count_all() == 0

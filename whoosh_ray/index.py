@@ -1,0 +1,184 @@
+"""Top-level index facade — the reference's ``whoosh.index`` entry
+points (``create_in``/``open_dir``/``exists_in``/``version_in`` and the
+``Index`` object, reference index.py:85-470) over this engine's
+manifest + segment-dir layout.
+
+An "index" here is one directory holding ``manifest.json`` +
+``segments/``; ``indexname`` scopes multiple indexes inside one parent
+directory like the reference's ``_<indexname>`` file prefixes do
+(index.py:98-105).  ``create_in`` seals an EMPTY manifest immediately —
+the reference's create-then-commit-empty-TOC behavior — so a fresh
+index is searchable (0 docs) before any writer commit.  There are no
+file locks: commits are single-driver manifest swaps, so
+``up_to_date``/``refresh`` reduce to manifest mtime checks.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from whoosh_ray.state.manifest import (
+    FORMAT_VERSION,
+    Manifest,
+    read_manifest,
+    write_manifest,
+)
+from whoosh_ray.state.schema import IndexSchema
+
+_DEF_INDEX_NAME = "MAIN"
+
+
+class EmptyIndexError(Exception):
+    """The directory holds no index (reference index.py:78-82)."""
+
+
+def _ix_dir(dirname: str, indexname: str | None) -> str:
+    return os.path.join(dirname, indexname or _DEF_INDEX_NAME)
+
+
+def create_in(dirname: str, schema: IndexSchema,
+              indexname: str | None = None, *,
+              seg_size: int = 16384, conv_col: str = "conv_id",
+              turn_col: str = "turn_idx") -> "Index":
+    """Create (or CLEAR — reference parity, index.py:85-105) an index
+    under ``dirname`` and return it.  ``conv_col``/``turn_col`` name
+    the document-identity columns writers will use."""
+    path = _ix_dir(dirname, indexname)
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(os.path.join(path, "segments"), exist_ok=True)
+    manifest = Manifest(schema=schema, segments=[], settings={
+        "seg_size": int(seg_size), "docid_span": 0,
+        "conv_col": conv_col, "turn_col": turn_col,
+    })
+    write_manifest(path, manifest)
+    return Index(path)
+
+
+def open_dir(dirname: str, indexname: str | None = None) -> "Index":
+    path = _ix_dir(dirname, indexname)
+    if not exists_in(dirname, indexname):
+        # fall back to treating dirname itself as the index dir, so
+        # indexes built directly by build_index(dir, ...) open too
+        if indexname is None and os.path.exists(
+                os.path.join(dirname, "manifest.json")):
+            return Index(dirname)
+        raise EmptyIndexError(f"no index named {indexname or _DEF_INDEX_NAME}"
+                              f" in {dirname}")
+    return Index(path)
+
+
+def exists_in(dirname: str, indexname: str | None = None) -> bool:
+    return os.path.exists(os.path.join(_ix_dir(dirname, indexname),
+                                       "manifest.json"))
+
+
+def version_in(dirname: str, indexname: str | None = None) -> tuple:
+    """(library version, manifest format version) — reference
+    version_in returns (release, format) (index.py:157-181)."""
+    from whoosh_ray import __version__
+
+    open_dir(dirname, indexname)  # raises EmptyIndexError when absent
+    return (__version__, FORMAT_VERSION)
+
+
+class Index:
+    """Handle on one index directory: writers, searchers, maintenance
+    (reference Index/FileIndex, index.py:217-470)."""
+
+    def __init__(self, index_dir: str):
+        self.index_dir = index_dir
+        self._manifest = read_manifest(index_dir)
+
+    def __repr__(self):
+        return f"Index({self.index_dir!r})"
+
+    # ---- metadata ----
+
+    @property
+    def schema(self) -> IndexSchema:
+        return self._manifest.schema
+
+    def refresh(self) -> "Index":
+        """Re-read the manifest (reference returns an up-to-date
+        version of this index, index.py:257-264)."""
+        self._manifest = read_manifest(self.index_dir)
+        return self
+
+    def latest_generation(self) -> float:
+        """Commit marker — manifest mtime (the engine swaps one
+        manifest instead of numbering TOC generations)."""
+        try:
+            return os.path.getmtime(os.path.join(self.index_dir,
+                                                 "manifest.json"))
+        except OSError:
+            return -1
+
+    def last_modified(self) -> float:
+        return self.latest_generation()
+
+    def up_to_date(self) -> bool:
+        return True  # no cross-process writers; refresh() re-reads
+
+    def is_empty(self) -> bool:
+        return self._manifest.doc_count_all == 0
+
+    def doc_count_all(self) -> int:
+        return self._manifest.doc_count_all
+
+    def doc_count(self) -> int:
+        return self.searcher().doc_count()
+
+    def field_length(self, fieldname: str) -> int:
+        return self._manifest.field_length(fieldname)
+
+    def field_names(self) -> list[str]:
+        return list(self._manifest.schema.field_names)
+
+    def close(self) -> None:
+        pass  # no file handles held at this level
+
+    # ---- access ----
+
+    def searcher(self, **kw):
+        from whoosh_ray.search.searcher import Searcher
+
+        return Searcher(self.index_dir, **kw)
+
+    def reader(self, **kw):
+        """The Searcher doubles as the reader (reader statistics and
+        document-lookup conveniences live there)."""
+        return self.searcher(**kw)
+
+    def writer(self, **kw):
+        from whoosh_ray.pipelines.writer import IndexWriter
+
+        kw.setdefault("conv_col",
+                      self._manifest.settings.get("conv_col", "conv_id"))
+        kw.setdefault("turn_col",
+                      self._manifest.settings.get("turn_col", "turn_idx"))
+        return IndexWriter(self.index_dir, **kw)
+
+    # ---- maintenance ----
+
+    def optimize(self) -> None:
+        """Merge everything into one segment (reference index.py:286-289
+        → writer(commit with optimize))."""
+        from whoosh_ray.pipelines.merge import merge_segments
+
+        merge_segments(self.index_dir, policy="OPTIMIZE")
+        self.refresh()
+
+    def delete_by_term(self, fieldname: str, text: str) -> int:
+        w = self.writer()
+        n = w.delete_by_term(fieldname, text)
+        w.commit()
+        self.refresh()
+        return n
+
+    def delete_by_query(self, q) -> int:
+        w = self.writer()
+        n = w.delete_by_query(q)
+        w.commit()
+        self.refresh()
+        return n

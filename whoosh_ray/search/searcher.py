@@ -430,6 +430,18 @@ class Searcher:
                                       include_hi=include_hi))
         return sorted(out)
 
+    # ---- lifecycle (reference searching.py Searcher is a context
+    # manager; nothing to release here — segments are read per call) ----
+
+    def close(self) -> None:
+        pass
+
+    def __enter__(self) -> "Searcher":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
     # ---- evaluation helpers ----
 
     def eval(self, q: Query, seg) -> tuple[np.ndarray, np.ndarray]:

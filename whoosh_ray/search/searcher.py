@@ -154,6 +154,18 @@ class Results:
         """Iterator of :class:`Hit` objects in rank order."""
         return (Hit(self, i) for i in range(len(self.docids)))
 
+    def scored_length(self) -> int:
+        return len(self.docids)
+
+    def score(self, n: int) -> float:
+        return float(self.scores[n])
+
+    def docnum(self, n: int) -> int:
+        return int(self.docids[n])
+
+    def is_empty(self) -> bool:
+        return len(self.docids) == 0
+
     def key_terms(self, fieldname: str, docs: int = 10,
                   numterms: int = 5) -> list:
         """Most important terms of the top ``docs`` hits (reference
@@ -243,6 +255,55 @@ class Hit:
     def more_like_this(self, fieldname: str, **kwargs) -> Results:
         """Docs similar to this hit (reference searching.py:1390-1404)."""
         return self.searcher.more_like(self.docid, fieldname, **kwargs)
+
+
+class ResultsPage:
+    """One page of a longer result list (reference ResultsPage,
+    searching.py:1553-1652): ``pagenum`` clamps to ``pagecount`` (the
+    reference docstring threatens ValueError but the code clamps),
+    ``offset``/``pagelen`` adjust on the last page, indexing and
+    iteration are page-relative Hits, ``len()`` is the TOTAL hit
+    count."""
+
+    def __init__(self, results: Results, pagenum: int, pagelen: int = 10):
+        import math
+
+        self.results = results
+        self.total = len(results)
+        if pagenum < 1:
+            raise ValueError("pagenum must be >= 1")
+        self.pagecount = int(math.ceil(self.total / pagelen))
+        self.pagenum = min(self.pagecount, pagenum)
+        offset = (self.pagenum - 1) * pagelen
+        if offset + pagelen > self.total:
+            pagelen = self.total - offset
+        self.offset = offset
+        self.pagelen = pagelen
+
+    def __getitem__(self, n):
+        if isinstance(n, slice):
+            start, stop, step = n.indices(self.pagelen)
+            return self.results[start + self.offset:
+                                stop + self.offset:step]
+        return self.results[n + self.offset]
+
+    def __iter__(self):
+        return iter(self.results[self.offset:self.offset + self.pagelen])
+
+    def __len__(self):
+        return self.total
+
+    def scored_length(self) -> int:
+        return self.results.scored_length()
+
+    def score(self, n: int) -> float:
+        return self.results.score(n + self.offset)
+
+    def docnum(self, n: int) -> int:
+        return self.results.docnum(n + self.offset)
+
+    def is_last_page(self) -> bool:
+        return self.pagecount == 0 or self.pagenum == self.pagecount
 
 
 class Searcher:
@@ -637,6 +698,17 @@ class Searcher:
                     termdocs[key] = hit
             res.termdocs = termdocs
         return res
+
+    def search_page(self, query: Query, pagenum: int, pagelen: int = 10,
+                    **kw) -> "ResultsPage":
+        """One page of results (reference searching.py:587-639).  The
+        reference's TopCollector scans every match anyway to know the
+        total, so this ranks the full match set (limit=None) and slices
+        — identical page contents, exact ``total``/``pagecount``."""
+        if pagenum < 1:
+            raise ValueError("pagenum must be >= 1")
+        return ResultsPage(self.search(query, limit=None, **kw),
+                           pagenum, pagelen)
 
     def search_with_timelimit(self, q: Query, limit: int | None = 10, *,
                               timelimit: float, greedy: bool = False) -> Results:

@@ -254,3 +254,49 @@ def test_ordered_and_sequence(engine, oracle):
     for myq, refq in cases:
         mine, ref = both(engine, oracle, myq, refq, limit=20)
         assert_rank_identical(mine, ref)
+
+
+def test_reader_stats_and_postings_parity(engine, oracle):
+    """min/max_field_length, field_length, postings, docnum lookups —
+    reference reading.py:959-977 / searching.py:366-415."""
+    with oracle.searcher() as osearch:
+        orr = osearch.reader()
+        assert engine.field_length("text") == orr.field_length("text")
+        assert (engine.max_field_length("text")
+                == orr.max_field_length("text"))
+        # min: posting-derived — zero-token docs are invisible here
+        # (documented divergence); check against the reference's
+        # per-doc lengths EXCLUDING its length-0 records
+        posted = [orr.doc_field_length(dn, "text")
+                  for dn in range(orr.doc_count_all())]
+        want_min = min(l for l in posted if l)
+        assert engine.min_field_length("text") == want_min
+        assert orr.min_field_length("text") == 0  # the divergent case
+
+        for term in ["deploy", "the", "november", "zzz-not-there"]:
+            ids, ws = engine.postings("text", term)
+            if osearch.reader().__class__ and term != "zzz-not-there" \
+                    and orr.doc_frequency("text", term):
+                m = osearch.postings("text", term)
+                want = []
+                while m.is_active():
+                    want.append((m.id(), float(m.weight())))
+                    m.next()
+                got = sorted(zip(ids.tolist(), ws.tolist()))
+                assert got == sorted(want), term
+            elif term == "zzz-not-there":
+                assert ids.size == 0
+
+        # docnum conveniences agree with the oracle's docnums (docids
+        # are dense rank == whoosh docnums on this fixture)
+        want = sorted(osearch.document_numbers(role="user"))
+        assert sorted(engine.document_numbers(role="user")) == want
+        assert engine.document_number(role="user") == next(
+            iter(engine.document_numbers(role="user")))
+        from whoosh_ray.search.query import Term as T
+        assert (list(engine.docs_for_query(T("text", "deploy")))
+                == sorted(d for d, _ in engine.search(T("text", "deploy"),
+                                                      limit=None)))
+
+    # freshness probes
+    assert engine.up_to_date() and engine.refresh() is engine

@@ -312,6 +312,11 @@ class Searcher:
                  extra_segments: "tuple[SegmentReader, ...]" = ()):
         self.index_dir = index_dir
         self.manifest = manifest or read_manifest(index_dir)
+        try:
+            self._manifest_mtime = os.path.getmtime(
+                os.path.join(index_dir, "manifest.json"))
+        except OSError:
+            self._manifest_mtime = None
         if extra_segments:
             # overlay readers (e.g. BufferedWriter's RAM segment): their
             # metas join the manifest so doc_count_all / avg_field_length
@@ -481,6 +486,102 @@ class Searcher:
         for d in self.documents(**kw):
             return d
         return None
+
+    def field_length(self, fieldname: str) -> int:
+        """Total (exact, unquantized) token count of the field
+        (reference searching.py:322-330 → reader.field_length)."""
+        return self.manifest.field_length(fieldname)
+
+    def _field_length_bounds(self, fieldname: str) -> tuple[int, int] | None:
+        """(min, max) per-doc quantized length BYTES over every posting
+        of the field, or None when the field has no postings."""
+        lo, hi = 256, -1
+        import pyarrow.compute as pc
+
+        for seg in self.segments:
+            sl = seg.stats_slice(fieldname)
+            if sl.num_rows:
+                lo = min(lo, pc.min(sl["min_length"]).as_py())
+                hi = max(hi, pc.max(sl["max_length"]).as_py())
+        return None if hi < 0 else (lo, hi)
+
+    def min_field_length(self, fieldname: str) -> int:
+        """Smallest per-doc field length, decoded from the quantized
+        byte exactly like the reference (reading.py:971-976 →
+        byte_to_length of the perdoc min byte).  DOCUMENTED DIVERGENCE:
+        a doc whose field analyzed to zero tokens emits no postings and
+        is invisible to this posting-derived statistic, so the min
+        floors at the shortest POSTED doc; the reference's perdoc store
+        records such docs as length 0."""
+        from whoosh_ray.functions.lengths import byte_to_length
+
+        b = self._field_length_bounds(fieldname)
+        return 0 if b is None else int(byte_to_length(b[0]))
+
+    def max_field_length(self, fieldname: str) -> int:
+        from whoosh_ray.functions.lengths import byte_to_length
+
+        b = self._field_length_bounds(fieldname)
+        return 0 if b is None else int(byte_to_length(b[1]))
+
+    def postings(self, fieldname: str, text: str):
+        """Raw postings of one term across all segments with deletes
+        applied: (global docids, weights) numpy arrays — the engine's
+        matcher currency (reference Searcher.postings returns a pull
+        Matcher, searching.py:397-415)."""
+        ids, ws = [], []
+        for seg in self.segments:
+            p = seg.postings(fieldname, str(text))
+            if p is not None and len(p.docids):
+                ids.append(p.docids)
+                ws.append(p.weights if p.weights is not None
+                          else p.tfs.astype(np.float64))
+        if not ids:
+            from whoosh_ray.search.matching import empty
+
+            return empty()
+        return (np.concatenate(ids),
+                np.concatenate(ws).astype(np.float64))
+
+    def docs_for_query(self, q: "Query"):
+        """Iterator of every matching docnum in docid order (reference
+        searching.py:488-510)."""
+        r = self.search(q, limit=None)
+        return iter(np.sort(r.docids).tolist())
+
+    def document_numbers(self, **kw):
+        """Docnums whose indexed fields match the keyword terms
+        (reference searching.py:379-394)."""
+        if not kw:
+            return iter(self.all_docids().tolist())
+        from whoosh_ray.search.query import And, Term
+
+        qs = [Term(k, v) for k, v in kw.items()]
+        return self.docs_for_query(qs[0] if len(qs) == 1 else And(qs))
+
+    def document_number(self, **kw):
+        """First matching docnum or None (reference searching.py:
+        366-377)."""
+        for d in self.document_numbers(**kw):
+            return d
+        return None
+
+    def refresh(self) -> "Searcher":
+        """A Searcher over the latest commit — self when nothing
+        changed (reference searching.py:167-186)."""
+        if self.up_to_date():
+            return self
+        return Searcher(self.index_dir, weighting=self.weighting)
+
+    def up_to_date(self) -> bool:
+        if self._manifest_mtime is None:
+            return True
+        try:
+            mtime = os.path.getmtime(os.path.join(self.index_dir,
+                                                  "manifest.json"))
+        except OSError:
+            return True
+        return mtime <= self._manifest_mtime
 
     def term_range(self, fieldname: str, lo, hi, *, include_lo=True,
                    include_hi=False) -> list[str]:

@@ -74,7 +74,7 @@ atoms = st.one_of(
     words.map(lambda wd: "?" + wd[1:]),
     words.map(lambda wd: f"{wd}^2.5"),
     st.sampled_from(["role:user", "role:assistant", "tool:bash",
-                     "role:ghost"]),
+                     "role:ghost", "*", "*:*", "role:*"]),
     st.tuples(words, words).map(lambda ws: f'"{ws[0]} {ws[1]}"'),
     st.tuples(words, words, st.integers(1, 3)).map(
         lambda ws: f'"{ws[0]} {ws[1]}"~{ws[2]}'),

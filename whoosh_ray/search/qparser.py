@@ -43,6 +43,7 @@ from whoosh_ray.state.schema import IndexSchema
 
 _TOKEN_RE = re.compile(r"""
     (?P<lparen>\() | (?P<rparen>\)) |
+    (?P<rgx>(?:\w+:)?r"(?P<rbody>[^"]*)") |
     (?P<quoted>"(?P<qbody>[^"]*)"(~(?P<slop>\d+))?) |
     (?P<fieldsq>\w+:'[^']*') |
     (?P<range>[\[{][^\]}]*\s+TO\s+[^\]}]*[\]}]) |
@@ -64,6 +65,11 @@ class QueryParser:
       Or(proh)));
     - "fuzzy": ``word~  word~n  word~n/p`` FuzzyTerm syntax
       (FuzzyTermPlugin, plugins.py:263-322);
+    - "regex": ``[field:]r"pattern"`` Regex queries (RegexPlugin,
+      plugins.py:202-221);
+    - "sequence": quoted bodies parse as ordered Sequence queries with
+      embedded sub-queries (SequencePlugin, plugins.py:748-824; its
+      boost-drop quirk kept — see ``_make_sequence``);
     - ``aliases``: {alias: fieldname} (FieldAliasPlugin,
       plugins.py:1066-1094);
     - ``copyfields``: {field: mirror_field} — a fielded term also
@@ -100,6 +106,15 @@ class QueryParser:
                 yield ("(", None)
             elif m.group("rparen"):
                 yield (")", None)
+            elif m.group("rgx") is not None:
+                if "regex" in self.plugins:
+                    yield ("regex", m.group("rgx"))
+                else:
+                    # without the plugin the old lexing applies: the
+                    # r-prefix is a word, the quotes a phrase
+                    head = m.group("rgx")[: -len(m.group("rbody")) - 2]
+                    yield ("word", head)
+                    yield ("phrase", (m.group("rbody"), 1))
             elif m.group("quoted") is not None:
                 yield ("phrase", (m.group("qbody"),
                                   int(m.group("slop") or 1)))
@@ -123,6 +138,10 @@ class QueryParser:
         return q.normalize()
 
     def _parse_group(self, tokens, i):
+        items, i = self._collect_items(tokens, i)
+        return self._combine(items), i
+
+    def _collect_items(self, tokens, i):
         items: list = []  # queries and operator markers
         while i < len(tokens):
             kind, val = tokens[i]
@@ -151,10 +170,19 @@ class QueryParser:
                 if sign is not None and isinstance(items[-1], Query):
                     items[-1] = ("plus" if sign == "+" else "minus",
                                  items[-1])
-        return self._combine(items), i
+        return items, i
 
     def _maybe_boost(self, items, tokens, i):
+        from whoosh_ray.search.query import Sequence as _Seq
+
         # Boost plugin: trailing ^n token attached to the previous item
+        # — EXCEPT on a sequence group, where the reference drops the
+        # boost ('"a b"^2' parses with boost 1.0; SequencePlugin quirk)
+        if ("sequence" in self.plugins and items
+                and isinstance(items[-1], _Seq)
+                and i < len(tokens) and tokens[i][0] == "word"
+                and tokens[i][1].startswith("^")):
+            return items, i + 1
         if (i < len(tokens) and tokens[i][0] == "word"
                 and tokens[i][1].startswith("^") and items
                 and not isinstance(items[-1], tuple)):
@@ -197,6 +225,15 @@ class QueryParser:
             if prohibited and base is not None:
                 base = AndNot(base, one_or(prohibited))
             return base
+        qs = self._op_passes(items)
+        if not qs:
+            return None
+        return qs[0] if len(qs) == 1 else And(qs)
+
+    def _op_passes(self, items) -> list:
+        """Operator application over a flat item list, returning the
+        surviving top-level queries (whitespace-AND NOT yet applied) —
+        shared by group combine and the sequence plugin."""
         # 1) NOT prefixes (PrefixOperator, applied first — the
         #    reference's op list order, plugins.py:936-951)
         out = []
@@ -268,12 +305,9 @@ class QueryParser:
                     j += 1
             items = out
 
-        # 3) whitespace = AND (default AndGroup); leftover dangling
-        #    operator markers (e.g. a trailing OR) are dropped
-        qs = [it for it in items if isinstance(it, Query)]
-        if not qs:
-            return None
-        return qs[0] if len(qs) == 1 else And(qs)
+        # 3) leftover dangling operator markers (e.g. a trailing OR)
+        #    are dropped; the caller applies whitespace-AND
+        return [it for it in items if isinstance(it, Query)]
 
     # ---- leaves ----
 
@@ -281,7 +315,19 @@ class QueryParser:
         field = self.default_field
         if kind == "phrase":
             body, slop = val
+            if "sequence" in self.plugins:
+                return self._make_sequence(body, slop)
             return self._make_phrase(field, body, slop)
+        if kind == "regex":
+            # RegexPlugin (plugins.py:202-221): [field:]r"pattern"
+            m = re.match(r'^(?:(\w+):)?r"([^"]*)"$', val)
+            fname = m.group(1)
+            if fname and (fname in {f.name for f in self.schema.fields}
+                          or fname in self.aliases):
+                field = self.aliases.get(fname, fname)
+            from whoosh_ray.search.query import Regex
+
+            return Regex(field, m.group(2))
         if kind == "range":
             return self._make_range(field, val)
         # word — maybe carrying an attached ^boost (Boost plugin)
@@ -328,14 +374,35 @@ class QueryParser:
                         field, words[0],
                         maxdist=int(fm.group(2) or 1),
                         prefixlength=int(fm.group(3) or 0))
+        if val == "*:*":
+            # EveryPlugin (plugins.py:353-366): the unfielded match-all
+            return Every(None)
         if text == "*":
-            return Every(None if field == self.default_field and ":" not in val
-                         else field)
+            # reference Wildcard("*").normalize() -> Every(fieldname)
+            # (query/wildcards.py); bare "*" therefore takes the
+            # DEFAULT field, not the unfielded Every
+            return Every(field)
         if "*" in text or "?" in text:
             if text.endswith("*") and "*" not in text[:-1] and "?" not in text:
                 return Prefix(field, text[:-1].lower())
             return Wildcard(field, text.lower())
         return self._make_term(field, text)
+
+    def _make_sequence(self, body: str, slop: int) -> Query:
+        """SequencePlugin (plugins.py:748-824): quoted body parses as
+        sub-queries (groups/fields/wildcards/ops apply inside) joined
+        into an ordered Sequence with the given slop, composing
+        normally with the surrounding query.  Reference quirks kept: a
+        trailing ``^boost`` on the closing quote is DROPPED (handled in
+        ``_maybe_boost``), and positionless (ID-field) sub-terms crash
+        the reference at search time (its raise is itself a broken
+        %-format, matching/mcore.py:608) — here they simply yield no
+        spans."""
+        from whoosh_ray.search.query import Sequence
+
+        toks = list(self._lex(body))
+        items, _ = self._collect_items(toks, 0)
+        return Sequence(self._op_passes(items), slop=slop)
 
     def _make_date(self, field, text) -> Query:
         """DateParserPlugin analogue: parse the English date expression
@@ -458,7 +525,9 @@ class MultifieldParser(QueryParser):
         q = super()._leaf(kind, val)
         fn = getattr(q, "fieldname", None)
         if fn == self._SENTINEL:
-            if isinstance(q, (Prefix, Wildcard)):
+            from whoosh_ray.search.query import Regex
+
+            if isinstance(q, (Prefix, Wildcard, Regex)):
                 return self._fanout(
                     lambda f: type(q)(f, q.text, boost=q.boost))
             from whoosh_ray.search.query import FuzzyTerm
@@ -474,7 +543,11 @@ class MultifieldParser(QueryParser):
                                         startexcl=q.startexcl,
                                         endexcl=q.endexcl))
         if isinstance(q, Every) and q.fieldname == self._SENTINEL:
-            return Every(None)
+            # bare "*" under MultifieldParser fans out per field like
+            # any other unfielded leaf (reference parses it to
+            # Or([Every(f) for f in fields])); "*:*" stays Every(None)
+            # via the _leaf val check
+            return self._fanout(lambda f: Every(f, boost=q.boost))
         return q
 
 

@@ -97,6 +97,12 @@ class AnalyzerSpec:
     # NumericRange over such a field expands to the minimal covering
     # term set instead of scanning the stored column.
     numeric: tuple | None = None
+    # BOOLEAN field (fields.py:910-977): values index as "t"/"f".
+    # Index mode: strings are true iff lower() is in the trues set
+    # (BOOLEAN.index); query mode: trues -> t, falses -> f, any OTHER
+    # non-empty string -> bool(x) == True (the reference's
+    # _obj_to_bool index/query asymmetry, kept on purpose).
+    boolean: bool = False
 
     def compile(self) -> "VectorAnalyzer":
         return VectorAnalyzer(self)
@@ -224,6 +230,8 @@ class VectorAnalyzer:
             texts = texts.to_numpy()
         if spec.numeric is not None:
             return self._numeric_call(texts)
+        if spec.boolean:
+            return self._boolean_call(texts)
         if self._chain is not None:
             if with_chars:
                 from whoosh_ray.functions.tokenfilters import chain_chars_safe
@@ -440,6 +448,39 @@ class VectorAnalyzer:
             endchars=np.asarray(ecs, dtype=np.int64) if with_chars else None,
         )
 
+    _BOOL_TRUES = frozenset("t true yes 1".split())
+    _BOOL_FALSES = frozenset("f false no 0".split())
+
+    def _boolean_call(self, values) -> TokenizedBatch:
+        """BOOLEAN value stream -> "t"/"f" tokens (fields.py:959-966
+        index semantics; 970-977 query semantics under mode="query").
+        None / empty-string (the writers' missing-value fill) index
+        nothing, like a missing field in the reference."""
+        query_mode = self.spec.mode == "query"
+        rows, terms = [], []
+        for i, v in enumerate(values):
+            if v is None or (isinstance(v, str) and v == ""):
+                continue
+            if isinstance(v, str):
+                lv = v.lower()
+                if query_mode:
+                    b = (True if lv in self._BOOL_TRUES
+                         else False if lv in self._BOOL_FALSES
+                         else bool(v))
+                else:
+                    b = lv in self._BOOL_TRUES
+            else:
+                b = bool(v)
+            rows.append(i)
+            terms.append("t" if b else "f")
+        row_ids = np.asarray(rows, dtype=np.int64)
+        return TokenizedBatch(
+            row_ids,
+            np.asarray(terms, dtype=object),
+            np.zeros(len(rows), dtype=np.int32),
+            np.bincount(row_ids, minlength=len(values)).astype(np.int64),
+        )
+
     def _ngram_call(self, texts) -> TokenizedBatch:
         """N-gram token streams (reference parity, probed):
 
@@ -454,6 +495,39 @@ class VectorAnalyzer:
         n = len(texts)
         rows, terms, positions = [], [], []
         counts = np.zeros(n, dtype=np.int64)
+        if self.spec.mode == "query":
+            # query mode emits ONE gram size = min(max, len) (reference
+            # ngrams.py:73-90 tokenizer, :168-186 filter; the filter
+            # additionally drops words shorter than min)
+            for i, t in enumerate(texts):
+                t = t or ""
+                if self.spec.ngram_mode == "text":
+                    if lower:
+                        t = t.lower()
+                    size = min(gmax, len(t))
+                    for start in range(0, len(t) - size + 1):
+                        rows.append(i)
+                        terms.append(t[start:start + size])
+                        positions.append(start)
+                else:
+                    words = self._re.findall(t) if self._re else [t]
+                    for wpos, w in enumerate(words):
+                        if lower:
+                            w = w.lower()
+                        if len(w) < gmin:
+                            continue
+                        size = min(gmax, len(w))
+                        for start in range(0, len(w) - size + 1):
+                            rows.append(i)
+                            terms.append(w[start:start + size])
+                            positions.append(wpos)
+            row_ids = np.asarray(rows, dtype=np.int64)
+            return TokenizedBatch(
+                row_ids,
+                np.asarray(terms, dtype=object),
+                np.asarray(positions, dtype=np.int32),
+                np.bincount(row_ids, minlength=n).astype(np.int64),
+            )
         for i, t in enumerate(texts):
             t = t or ""
             if self.spec.ngram_mode == "text":

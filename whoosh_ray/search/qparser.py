@@ -94,8 +94,17 @@ class QueryParser:
         # inclusive DateRange queries
         self.datefields = frozenset(datefields)
         self.basedate = basedate
-        self._analyzers = {f.name: VectorAnalyzer(f.analyzer)
-                           for f in schema.fields}
+        import dataclasses as _dc
+
+        # boolean/ngram fields analyze query strings in query mode
+        # (_obj_to_bool's bool(x) fallback; ngram tokenizers emit only
+        # min(max, len)-sized grams at query time)
+        self._analyzers = {
+            f.name: VectorAnalyzer(
+                _dc.replace(f.analyzer, mode="query")
+                if f.analyzer.boolean or f.analyzer.ngram is not None
+                else f.analyzer)
+            for f in schema.fields}
 
     # ---- lexing ----
 
@@ -443,6 +452,13 @@ class QueryParser:
             return _NullQuery()
         if len(words) == 1:
             return Term(field, words[0])
+        spec = next((f for f in self.schema.fields if f.name == field),
+                    None)
+        if spec is not None and spec.analyzer.ngram is not None:
+            # NGRAM fields parse a word to And/Or of its grams, never a
+            # Phrase (reference NGRAM.parse_query, fields.py:1222-1231)
+            cls = Or if getattr(spec, "queryor", False) else And
+            return cls([Term(field, w) for w in words])
         return Phrase(field, words)
 
     def _make_phrase(self, field, body, slop) -> Query | None:

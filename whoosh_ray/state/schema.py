@@ -41,6 +41,9 @@ class FieldSpec:
     fmt: str = "frequency"         # "frequency" | "existence"
     unique: bool = False           # upsert key for update_document
                                    # (reference fields.py:106, writing.py:426)
+    queryor: bool = False          # NGRAM(queryor=): parse multi-gram
+                                   # query text as Or instead of And
+                                   # (fields.py:1227-1231)
 
     @staticmethod
     def text(name: str, *, stored: bool = True, positions: bool = False,
@@ -71,6 +74,80 @@ class FieldSpec:
         return FieldSpec(name=name, kind="id", analyzer=ID_ANALYZER, stored=stored,
                          scorable=False, positions=False, boost=boost,
                          fmt="existence", unique=unique)
+
+    @staticmethod
+    def keyword(name: str, *, stored: bool = True, lowercase: bool = False,
+                commas: bool = False, scorable: bool = False,
+                unique: bool = False, boost: float = 1.0) -> "FieldSpec":
+        """KEYWORD field (reference fields.py:1014-1053): space- or
+        comma-separated tags, Frequency format, no positions, scorable
+        off by default; KeywordAnalyzer = SpaceSeparated/CommaSeparated
+        tokenizer (+ optional lowercase, + strip for commas)."""
+        spec = AnalyzerSpec(pattern=(r"[^,]+" if commas
+                                     else r"[^ \t\r\n]+"),
+                            lowercase=lowercase, stopwords=None,
+                            minsize=0, strip=commas)
+        return FieldSpec(name=name, kind="text", analyzer=spec,
+                         stored=stored, scorable=scorable,
+                         positions=False, boost=boost, fmt="frequency",
+                         unique=unique)
+
+    @staticmethod
+    def boolean(name: str, *, stored: bool = True,
+                boost: float = 1.0) -> "FieldSpec":
+        """BOOLEAN field (reference fields.py:910-977): values index as
+        the single tokens "t"/"f" (Existence format, not scorable);
+        query strings map through the trues/falses sets with the
+        reference's bool(x) fallback asymmetry."""
+        return FieldSpec(name=name, kind="id",
+                         analyzer=AnalyzerSpec(pattern=None, stopwords=None,
+                                               minsize=0, lowercase=False,
+                                               boolean=True),
+                         stored=stored, scorable=False, positions=False,
+                         boost=boost, fmt="existence")
+
+    @staticmethod
+    def idlist(name: str, *, stored: bool = True, unique: bool = False,
+               expression: str = r"[^\r\n\t ,;]+",
+               boost: float = 1.0) -> "FieldSpec":
+        """IDLIST field (reference fields.py:480-503): multiple IDs per
+        value split on whitespace/commas/semicolons (no lowercase),
+        Existence format, not scorable."""
+        return FieldSpec(name=name, kind="id",
+                         analyzer=AnalyzerSpec(pattern=expression,
+                                               stopwords=None, minsize=0,
+                                               lowercase=False),
+                         stored=stored, scorable=False, positions=False,
+                         boost=boost, fmt="existence", unique=unique)
+
+    @staticmethod
+    def ngram(name: str, *, minsize: int = 2, maxsize: int = 4,
+              stored: bool = True, queryor: bool = False,
+              phrase: bool = False, boost: float = 1.0) -> "FieldSpec":
+        """NGRAM field (reference fields.py:1183-1231): the whole text
+        chopped into lowercased grams (whitespace included), scorable,
+        Frequency format (Positions when ``phrase``); query text parses
+        to And of its grams (Or with ``queryor``)."""
+        return FieldSpec(name=name, kind="text",
+                         analyzer=AnalyzerSpec(stopwords=None, minsize=0,
+                                               ngram=(minsize, maxsize),
+                                               ngram_mode="text"),
+                         stored=stored, scorable=True, positions=phrase,
+                         boost=boost, fmt="frequency", queryor=queryor)
+
+    @staticmethod
+    def ngramwords(name: str, *, minsize: int = 2, maxsize: int = 4,
+                   stored: bool = True, queryor: bool = False,
+                   boost: float = 1.0) -> "FieldSpec":
+        """NGRAMWORDS field (reference fields.py:1234-1267): tokenize +
+        lowercase first, then gram each word (grams share the word's
+        position)."""
+        return FieldSpec(name=name, kind="text",
+                         analyzer=AnalyzerSpec(stopwords=None, minsize=0,
+                                               ngram=(minsize, maxsize),
+                                               ngram_mode="words"),
+                         stored=stored, scorable=True, positions=False,
+                         boost=boost, fmt="frequency", queryor=queryor)
 
     @staticmethod
     def datetime(name: str, *, step: int = 8, stored: bool = True,

@@ -262,6 +262,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "docid": pa.array(np.sort(r.docids), type=pa.int64()),
         })
 
+    def ir_keyword_bool(sf_dir):
+        """KEYWORD(lang, lowercased) AND BOOLEAN(long_doc = n_chars
+        >= 300, derived by an Arrow map_batches stage) AND
+        IDLIST(source) — the field-type family end-to-end."""
+        from whoosh_ray.pipelines.ir import fieldtypes_searcher
+        from whoosh_ray.search import And, Not
+
+        s = fieldtypes_searcher(sf_dir)
+        r = s.search(And([Term("lang", "en"), Term("long_doc", "t"),
+                          Not(Term("source", "src0"))]), limit=None)
+        return pa.table({
+            "docid": pa.array(np.sort(r.docids), type=pa.int64()),
+        })
+
     def ir_date_range(sf_dir):
         """INDEXED DateRange (tiered shift terms on epoch-microsecond
         int64, covering-cell postings — no timestamp-column scan)
@@ -564,6 +578,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ir_facet_source": ir_facet_source,
         "ir_facet_query": ir_facet_query,
         "ir_numeric_range": ir_numeric_range,
+        "ir_keyword_bool": ir_keyword_bool,
         "ir_date_range": ir_date_range,
         "ir_sorted_nchars": ir_sorted_nchars,
         "ir_collapse_lang": ir_collapse_lang,
@@ -650,6 +665,11 @@ WITH {_base_ctes()}
 SELECT d.doc_id AS docid FROM documents d
 WHERE d.doc_id IN (SELECT doc_id FROM postings WHERE term = 'table')
   AND d.n_chars >= 120 AND d.n_chars < 480
+ORDER BY docid
+""",
+        "ir_keyword_bool": """
+SELECT doc_id AS docid FROM documents
+WHERE lower(lang) = 'en' AND n_chars >= 300 AND source <> 'src0'
 ORDER BY docid
 """,
         "ir_date_range": """

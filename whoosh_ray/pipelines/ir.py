@@ -37,6 +37,40 @@ def documents_searcher(sf_dir: str) -> Searcher:
     return _SEARCHERS[key]
 
 
+def fieldtypes_searcher(sf_dir: str) -> Searcher:
+    """Documents index exercising the KEYWORD/BOOLEAN/IDLIST field
+    family: ``lang`` KEYWORD(lowercase), ``source`` IDLIST, plus a
+    derived ``long_doc`` BOOLEAN column (n_chars >= 300) appended by a
+    vectorized Arrow map_batches stage before the build."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from whoosh_ray.state.schema import FieldSpec, IndexSchema
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    index_dir = os.path.join(
+        "/tmp/whoosh_ray_cache",
+        "fieldtypes-" + sf_dir.strip("/").replace("/", "_"))
+    key = index_dir
+    if key not in _SEARCHERS:
+        def add_long(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "long_doc", pc.greater_equal(batch["n_chars"], 300))
+
+        ds = ray.data.read_parquet(
+            src, columns=["doc_id", "lang", "source", "n_chars"]
+        ).map_batches(add_long, batch_format="pyarrow")
+        schema = IndexSchema(fields=(
+            FieldSpec.keyword("lang", lowercase=True),
+            FieldSpec.boolean("long_doc"),
+            FieldSpec.idlist("source"),
+        ), stored_columns=("n_chars",))
+        manifest = build_index(ds, index_dir, schema, seg_size=4096,
+                               docid_col="doc_id")
+        _SEARCHERS[key] = Searcher(index_dir, manifest)
+    return _SEARCHERS[key]
+
+
 def events_searcher(sf_dir: str) -> Searcher:
     """Build-or-resume the events index (event_type ID + INDEXED
     DATETIME ts) for sf_dir; cache the searcher."""

@@ -260,3 +260,50 @@ def test_sequence_plugin(engine, oracle, whoosh_oracle):
         q4 = my_parser.parse('"deploy render"^2')
         assert rq4.boost == 1.0 and q4.boost == 1.0
         _compare(engine, os_, q4, rq4, 'seq boost drop')
+
+
+def test_function_plugin(engine, oracle, whoosh_oracle):
+    from whoosh import query as wq
+    from whoosh.qparser import FunctionPlugin
+    from whoosh.qparser import QueryParser as WQP
+
+    from whoosh_ray.search.query import Term as MyTerm
+
+    def ref_mk(qs, *args, **kw):
+        return wq.Term("text", args[0], boost=float(kw.get("boost", 1.0)))
+
+    def my_mk(qs, *args, **kw):
+        return MyTerm("text", args[0], boost=float(kw.get("boost", 1.0)))
+
+    my_parser = QueryParser("text", transcripts_schema(),
+                            functions={"mk": my_mk})
+    with oracle.searcher() as os_:
+        ref_parser = WQP("text", schema=oracle.schema)
+        ref_parser.add_plugin(FunctionPlugin({"mk": ref_mk}))
+        for qs in ["#mk[deploy]", "#mk[deploy] render", "#mk[deploy]^3",
+                   "#mk[deploy, boost=2]", "#mk['deploy']"]:
+            _compare(engine, os_, my_parser.parse(qs),
+                     ref_parser.parse(qs), qs)
+
+
+def test_pseudofield_plugin(engine, oracle, whoosh_oracle):
+    from whoosh.qparser import PseudoFieldPlugin
+    from whoosh.qparser import QueryParser as WQP
+    from whoosh.qparser.plugins import RegexPlugin as WRegexPlugin
+
+    from whoosh_ray.search.query import Regex as MyRegex
+
+    def ref_xform(node):
+        if node.has_text:
+            node = WRegexPlugin.RegexNode(node.text)
+            node.set_fieldname("text")
+            return node
+
+    my_parser = QueryParser("text", transcripts_schema(),
+                            pseudofields={"rx": lambda t: MyRegex("text", t)})
+    with oracle.searcher() as os_:
+        ref_parser = WQP("text", schema=oracle.schema)
+        ref_parser.add_plugin(PseudoFieldPlugin({"rx": ref_xform}))
+        for qs in ["rx:deplo.", "render rx:deplo.", "rx:nov.mber^2"]:
+            _compare(engine, os_, my_parser.parse(qs),
+                     ref_parser.parse(qs), qs)

@@ -43,6 +43,7 @@ from whoosh_ray.state.schema import IndexSchema
 
 _TOKEN_RE = re.compile(r"""
     (?P<lparen>\() | (?P<rparen>\)) |
+    (?P<fncall>\#[A-Za-z_][A-Za-z0-9._]*\[[^\]]*\](?:\^\d+(?:\.\d+)?)?) |
     (?P<rgx>(?:\w+:)?r"(?P<rbody>[^"]*)") |
     (?P<quoted>"(?P<qbody>[^"]*)"(~(?P<slop>\d+))?) |
     (?P<fieldsq>\w+:'[^']*') |
@@ -74,7 +75,12 @@ class QueryParser:
       plugins.py:1066-1094);
     - ``copyfields``: {field: mirror_field} — a fielded term also
       searches the mirror, joined by Or (CopyFieldPlugin,
-      plugins.py:1240-1293).
+      plugins.py:1240-1293);
+    - ``functions``: {name: fn} — ``#name[a,b,kw=v]`` calls
+      fn(qs, *args, **kwargs) -> Query (FunctionPlugin,
+      plugins.py:560-645);
+    - ``pseudofields``: {name: fn} — ``name:text`` runs fn(text) ->
+      Query | None (PseudoFieldPlugin, plugins.py:1293-1352).
     """
 
     def __init__(self, default_field: str, schema: IndexSchema,
@@ -82,12 +88,22 @@ class QueryParser:
                  aliases: dict[str, str] | None = None,
                  copyfields: dict[str, str] | None = None,
                  datefields: tuple[str, ...] = (),
-                 basedate=None):
+                 basedate=None,
+                 functions: dict | None = None,
+                 pseudofields: dict | None = None):
         self.default_field = default_field
         self.schema = schema
         self.plugins = frozenset(plugins)
         self.aliases = dict(aliases or {})
         self.copyfields = dict(copyfields or {})
+        # FunctionPlugin (plugins.py:560-645): ``#name[a,b,kw=v]`` calls
+        # fn(args..., kwargs...) -> Query; a trailing ^n passes
+        # boost= as a kwarg exactly like the reference FunctionNode
+        self.functions = dict(functions or {})
+        # PseudoFieldPlugin (plugins.py:1293-1352): ``name:text`` runs
+        # fn(text) -> Query | None (None -> Null) — the engine's
+        # node-free equivalent of the reference's syntax-node transform
+        self.pseudofields = dict(pseudofields or {})
         # DateParserPlugin analogue (qparser/dateparse.py:727-817):
         # fielded terms on these (stored datetime) columns parse through
         # the English date DSL subset (search/dateparse.py) into
@@ -115,6 +131,13 @@ class QueryParser:
                 yield ("(", None)
             elif m.group("rparen"):
                 yield (")", None)
+            elif m.group("fncall") is not None:
+                if self.functions:
+                    yield ("word", m.group("fncall"))
+                else:
+                    # inactive: the old per-whitespace word lexing
+                    for w in m.group("fncall").split():
+                        yield ("word", w)
             elif m.group("rgx") is not None:
                 if "regex" in self.plugins:
                     yield ("regex", m.group("rgx"))
@@ -339,6 +362,18 @@ class QueryParser:
             return Regex(field, m.group(2))
         if kind == "range":
             return self._make_range(field, val)
+        # FunctionPlugin syntax, with boost passed as a kwarg to the fn
+        # (reference FunctionNode.query, plugins.py:595-598)
+        if kind == "word" and self.functions and val.startswith("#"):
+            fm = re.match(r"^#([A-Za-z_][A-Za-z0-9._]*)"
+                          r"(?:\[(.*?)\])?(?:\^(\d+(?:\.\d+)?))?$", val)
+            if fm and fm.group(1) in self.functions:
+                args, kwargs = _parse_fn_args(fm.group(2) or "")
+                if fm.group(3) is not None and "boost" not in kwargs:
+                    kwargs["boost"] = float(fm.group(3))
+                # reference fns take (qs, *args, **kwargs); qs is the
+                # (in practice always empty) sub-node list
+                return self.functions[fm.group(1)]([], *args, **kwargs)
         # word — maybe carrying an attached ^boost (Boost plugin)
         text = val
         boost = 1.0
@@ -349,6 +384,9 @@ class QueryParser:
             q = self._leaf(kind, text)
             return _with_boost(q, boost) if isinstance(q, Query) and not isinstance(q, _NullQuery) else q
         m = re.match(r"^(\w+):(.*)$", text, re.DOTALL)
+        if m and m.group(1) in self.pseudofields:
+            q = self.pseudofields[m.group(1)](m.group(2))
+            return q if q is not None else _NullQuery()
         fieldnames = {f.name for f in self.schema.fields}
         if m and (m.group(1) in fieldnames or m.group(1) in self.aliases
                   or m.group(1) in self.datefields):
@@ -565,6 +603,30 @@ class MultifieldParser(QueryParser):
             # via the _leaf val check
             return self._fanout(lambda f: Every(f, boost=q.boost))
         return q
+
+
+def _parse_fn_args(argstring: str) -> tuple[list, dict]:
+    """Comma-split function args; ``name=value`` pairs become kwargs,
+    'single quotes' strip (reference FunctionPlugin._parse_args,
+    plugins.py:620-645)."""
+    args: list = []
+    kwargs: dict = {}
+    if not argstring:
+        return args, kwargs
+    for part in argstring.split(","):
+        name = None
+        value = part
+        if "=" in part:
+            name, value = part.split("=", 1)
+            name = name.strip()
+        value = value.strip()
+        if value.startswith("'") and value.endswith("'"):
+            value = value[1:-1]
+        if name:
+            kwargs[name] = value
+        else:
+            args.append(value)
+    return args, kwargs
 
 
 def _with_boost(q: Query, boost: float) -> Query:

@@ -393,3 +393,51 @@ def test_hit_objects_vs_oracle(engine, oracle):
         kt = mine.key_terms("text", docs=5, numterms=3)
         wkt = theirs.key_terms("text", docs=5, numterms=3)
         assert [t for t in kt] == [t for t, _ in wkt] or kt == wkt
+
+
+def test_list_corrector_parity():
+    """ListCorrector matches the reference exactly whenever the
+    reference's sorted-list skipper bug doesn't bite (its first-word
+    drop is a pinned divergence), and MultiCorrector's reference
+    implementation crashes as shipped."""
+    from whoosh.spelling import ListCorrector as RefLC
+    from whoosh.spelling import MultiCorrector as RefMC
+
+    from whoosh_ray.functions.spelling import ListCorrector, MultiCorrector
+
+    # pad the list head so the acceptance set never touches data[0]
+    words = sorted(["aaaa", "apple", "ample", "apply", "appel", "maple",
+                    "napped", "nap", "apples", "bapple", "zzz"])
+    ref, mine = RefLC(words), ListCorrector(words)
+    for text, kw in [("apple", dict(limit=10, maxdist=2)),
+                     ("apple", dict(limit=10, maxdist=2, prefix=1)),
+                     ("aple", dict(limit=3, maxdist=1)),
+                     ("napp", dict(limit=5, maxdist=1)),
+                     ("zzz", dict(limit=5, maxdist=1))]:
+        assert mine.suggest(text, **kw) == ref.suggest(text, **kw), text
+
+    # the pinned divergence: the reference DROPS the list's first word
+    # from the acceptance set ('ample' never suggested for 'apple')
+    bug = sorted(["apple", "ample", "apply"])
+    assert RefLC(bug).suggest("apple", maxdist=1) == ["apple", "apply"]
+    assert ListCorrector(bug).suggest("apple", maxdist=1) == [
+        "ample", "apple", "apply"]
+
+    # reference MultiCorrector: broken as shipped ((word, score) pairs
+    # into a (score, word) pipeline) — TypeError on any result
+    import pytest as _pytest
+
+    with _pytest.raises(TypeError):
+        RefMC([RefLC(words)], max).suggest("apple")
+    got = MultiCorrector([ListCorrector(words),
+                          ListCorrector(sorted(["appla"]))],
+                         max).suggest("apple", limit=10, maxdist=2)
+    assert "appla" in got and "apple" in got
+
+
+def test_reader_corrector_facade(engine):
+    from whoosh_ray.functions.spelling import ReaderCorrector
+
+    rc = ReaderCorrector(engine, "text")
+    assert rc.suggest("deploi", maxdist=2) == engine.suggest(
+        "text", "deploi", maxdist=2)

@@ -87,3 +87,94 @@ def suggestions(word: str, candidates: list[str], *, maxdist: int = 2,
             out.append((d, -f, c))
     out.sort()
     return [c for _, _, c in out[:limit]]
+
+
+# ---- Corrector objects (reference spelling.py:41-177) ----
+
+class Corrector:
+    """Base corrector: rank ``_suggestions`` (score, word) items with
+    the reference's exact heap semantics — keep the ``limit`` LARGEST
+    (score, word) tuples (score ties keep the alphabetically-last
+    words), then present sorted by (-score, word)."""
+
+    def suggest(self, text: str, limit: int = 5, maxdist: int = 2,
+                prefix: int = 0) -> list[str]:
+        from heapq import nlargest
+
+        best = nlargest(limit, self._suggestions(text, maxdist, prefix))
+        best.sort(key=lambda x: (0 - x[0], x[1]))
+        return [sug for _, sug in best]
+
+    def _suggestions(self, text, maxdist, prefix):
+        raise NotImplementedError
+
+
+class ListCorrector(Corrector):
+    """Corrections from a sorted word list (reference spelling.py:
+    118-152): every word within plain-Levenshtein ``maxdist`` sharing
+    the ``prefix``, scored by the SMALLEST accepting distance.
+    DOCUMENTED DIVERGENCE: the reference's sorted-list skipper starts
+    each miss-bisect one past its cursor, silently dropping boundary
+    words (e.g. the list's first word can never match after the DFA's
+    \\x00-prefixed first probe) — this implementation returns the full
+    acceptance set the automaton defines."""
+
+    def __init__(self, wordlist):
+        self.wordlist = wordlist
+
+    def _suggestions(self, text, maxdist, prefix):
+        pre = text[:prefix]
+        seen = set()
+        for mxd in range(1, maxdist + 1):
+            for w in self.wordlist:
+                if w in seen or (prefix and not w.startswith(pre)):
+                    continue
+                if levenshtein(text, w, mxd) <= mxd:
+                    seen.add(w)
+                    yield (0 - mxd, w)
+
+
+class ReaderCorrector(Corrector):
+    """Corrections from an indexed field (reference spelling.py:90-117)
+    — delegates to the Searcher's suggest machinery, which carries the
+    pinned frequency-only ranking quirk."""
+
+    def __init__(self, searcher, fieldname: str):
+        self.searcher = searcher
+        self.fieldname = fieldname
+
+    def suggest(self, text: str, limit: int = 5, maxdist: int = 2,
+                prefix: int = 0) -> list[str]:
+        return self.searcher.suggest(self.fieldname, text, limit=limit,
+                                     maxdist=maxdist, prefix=prefix)
+
+    def _suggestions(self, text, maxdist, prefix):
+        from whoosh_ray.functions.spelling import levenshtein as _lev
+
+        s, fieldname = self.searcher, self.fieldname
+        cands = (s.expand_prefix(fieldname, text[:prefix]) if prefix
+                 else s.lexicon(fieldname))
+        for w in cands:
+            if _lev(text, w, maxdist) <= maxdist:
+                f = s.frequency(fieldname, w) or 1
+                yield (0 - (maxdist + (1.0 / f * 0.5)), w)
+
+
+class MultiCorrector(Corrector):
+    """Op-merge of sub-correctors' scores (reference spelling.py:
+    155-176).  The reference is BROKEN AS SHIPPED: its _suggestions
+    returns (word, score) pairs into a pipeline expecting
+    (score, word), so suggest() raises TypeError on any non-empty
+    result — pinned in tests; the op-merge intent is implemented."""
+
+    def __init__(self, correctors, op=max):
+        self.correctors = correctors
+        self.op = op
+
+    def _suggestions(self, text, maxdist, prefix):
+        seen: dict = {}
+        for corr in self.correctors:
+            for score, sug in corr._suggestions(text, maxdist, prefix):
+                seen[sug] = (self.op(seen[sug], score) if sug in seen
+                             else score)
+        return ((score, sug) for sug, score in seen.items())

@@ -403,3 +403,17 @@ def highlight_batch(texts, terms, top: int = 3, **kwargs) -> list[str]:
     highlighting top-k hit rows)."""
     hl = Highlighter(**kwargs)
     return [hl.highlight(t or "", terms, top=top) for t in texts]
+
+
+def highlight(text: str, terms, fragmenter=None, formatter=None,
+              top: int = 3, scorer=None, minscore: int = 1,
+              order=None) -> str:
+    """Module-level one-shot highlight — the reference's convenience
+    entry point (highlight.py:888-905); the analyzer is the engine's
+    standard char-span tokenizer."""
+    kw = {"fragmenter": fragmenter, "scorer": scorer,
+          "formatter": formatter}
+    if order is not None:
+        kw["order"] = order
+    return Highlighter(**kw).highlight(text, terms, top=top,
+                                       minscore=minscore)

@@ -87,3 +87,45 @@ def test_named_indexes_and_clear(tmp_path):
     # create_in CLEARS an existing index (reference parity)
     wix.create_in(d, _schema(), indexname="A", seg_size=512)
     assert wix.open_dir(d, "A").doc_count_all() == 0
+
+
+def test_schema_evolution(tmp_path):
+    """Index.add_field / remove_field (reference index.py:228-249):
+    old segments have no postings and a null stored column for the new
+    field; new commits index it."""
+    d = str(tmp_path)
+    ix = wix.create_in(d, _schema(), seg_size=4)
+    w = ix.writer()
+    for i in range(5):
+        w.add_document(text=f"alpha doc{i}", role="user",
+                       conv_id=f"c{i:03d}", turn_idx=0)
+    w.commit()
+    ix.refresh()
+
+    with pytest.raises(ValueError):
+        ix.add_field("text", FieldSpec.text("x"))
+    ix.add_field("topic", FieldSpec.id("x", stored=True))
+    assert "topic" in ix.field_names()
+
+    w = ix.writer()
+    for i in range(5, 8):
+        w.add_document(text=f"alpha doc{i}", role="user",
+                       conv_id=f"c{i:03d}", turn_idx=0, topic="ray")
+    w.commit()
+    ix.refresh()
+    s = ix.searcher()
+    # new field matches only the new docs
+    hits = s.search(Term("topic", "ray"), limit=None)
+    assert sorted(h["conv_id"] for h in hits.hits()) == [
+        "c005", "c006", "c007"]
+    # stored reads across old+new segments promote the missing column
+    t = s.stored(s.all_docids(), columns=["conv_id", "topic"])
+    rows = {r["conv_id"]: r["topic"] for r in t.to_pylist()}
+    assert rows["c001"] is None and rows["c006"] == "ray"
+    # old docs still searchable on the old fields
+    assert len(s.search(Term("text", "alpha"), limit=None)) == 8
+
+    ix.remove_field("topic")
+    assert "topic" not in ix.field_names()
+    with pytest.raises(KeyError):
+        ix.remove_field("topic")

@@ -159,6 +159,42 @@ class Index:
                       self._manifest.settings.get("turn_col", "turn_idx"))
         return IndexWriter(self.index_dir, **kw)
 
+    # ---- schema evolution (reference index.py:228-249) ----
+
+    def add_field(self, fieldname: str, fieldspec) -> None:
+        """Add a field to the schema (reference Index.add_field →
+        writer.add_field + commit).  Existing segments simply have no
+        postings and a null stored column for it; new writer commits
+        index it."""
+        import dataclasses
+
+        if any(f.name == fieldname for f in self.schema.fields):
+            raise ValueError(f"field {fieldname!r} already in schema")
+        spec = dataclasses.replace(fieldspec, name=fieldname)
+        self._reschema(self.schema.fields + (spec,),
+                       self.schema.stored_columns)
+
+    def remove_field(self, fieldname: str) -> None:
+        """Drop a field from the schema (reference Index.remove_field;
+        like the reference, existing postings stay on disk — the field
+        just leaves the schema)."""
+        if not any(f.name == fieldname for f in self.schema.fields):
+            raise KeyError(fieldname)
+        self._reschema(tuple(f for f in self.schema.fields
+                             if f.name != fieldname),
+                       self.schema.stored_columns)
+
+    def _reschema(self, fields, stored_columns) -> None:
+        from whoosh_ray.state.manifest import Manifest
+
+        schema = IndexSchema(fields=tuple(fields),
+                             stored_columns=tuple(stored_columns),
+                             glob_fields=self.schema.glob_fields)
+        self._manifest = Manifest(schema=schema,
+                                  segments=self._manifest.segments,
+                                  settings=self._manifest.settings)
+        write_manifest(self.index_dir, self._manifest)
+
     # ---- maintenance ----
 
     def optimize(self) -> None:

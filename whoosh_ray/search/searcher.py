@@ -166,6 +166,39 @@ class Results:
     def is_empty(self) -> bool:
         return len(self.docids) == 0
 
+    def docs(self) -> set:
+        """Set of matching docnums (reference Results.docs,
+        searching.py:1046-1053)."""
+        return set(self.docids.tolist())
+
+    def fields(self, n: int) -> dict:
+        """Stored fields of the nth hit (searching.py:1014-1020)."""
+        return self[n].fields()
+
+    def estimated_length(self) -> int:
+        return len(self.docids)
+
+    def estimated_min_length(self) -> int:
+        return len(self.docids)
+
+    def has_exact_length(self) -> bool:
+        return True  # the batch engine always evaluates exactly
+
+    def facet_names(self) -> list:
+        """Names recorded by search(groupedby=...)
+        (searching.py:1066-1070)."""
+        return list(self._groups or {})
+
+    def has_matched_terms(self) -> bool:
+        return self.termdocs is not None
+
+    def copy(self) -> "Results":
+        r = Results(self.searcher, self.docids.copy(), self.scores.copy())
+        r.termdocs = dict(self.termdocs) if self.termdocs else None
+        r._groups = dict(self._groups) if self._groups else None
+        r.q = self.q
+        return r
+
     def key_terms(self, fieldname: str, docs: int = 10,
                   numterms: int = 5) -> list:
         """Most important terms of the top ``docs`` hits (reference
@@ -1102,7 +1135,9 @@ class Searcher:
                 parts.append(s.stored(np.sort(sel), columns=columns))
         if not parts:
             return pa.table({"docid": pa.array([], type=pa.int64())})
-        t = pa.concat_tables(parts)
+        # promote: segments written before an Index.add_field lack the
+        # new column (null-typed there)
+        t = pa.concat_tables(parts, promote_options="default")
         # restore requested (rank) order: segments are docid-ordered and
         # per-segment results docid-sorted, so the concat is globally
         # sorted — one vectorized searchsorted, no per-row Python

@@ -430,11 +430,20 @@ class SegmentReader:
     def stored(self, docids: np.ndarray,
                columns: list[str] | None = None) -> pa.Table:
         """Stored-field rows for the given (segment-resident) docids,
-        returned in the order requested; ``columns`` prunes the read."""
+        returned in the order requested; ``columns`` prunes the read.
+        Columns this segment predates (schema evolution via
+        Index.add_field) come back null-typed — the cross-segment
+        concat promotes them."""
         cols = None
+        want_missing: list[str] = []
         if columns is not None:
             cols = list(dict.fromkeys(["docid"] + list(columns)))
+            avail = self._docs_colnames()
+            want_missing = [c for c in cols if c not in avail]
+            cols = [c for c in cols if c in avail]
         t = pq.read_table(self._docs_path, columns=cols)
+        for c in want_missing:
+            t = t.append_column(c, pa.nulls(t.num_rows))
         all_ids = t["docid"].to_numpy()
         idx = np.searchsorted(all_ids, docids)
         idx = np.clip(idx, 0, len(all_ids) - 1)
@@ -443,6 +452,13 @@ class SegmentReader:
 
     def docs_table(self, columns: list[str] | None = None) -> pa.Table:
         return pq.read_table(self._docs_path, columns=columns)
+
+    def _docs_colnames(self) -> frozenset:
+        names = getattr(self, "_docs_names", None)
+        if names is None:
+            names = frozenset(pq.read_schema(self._docs_path).names)
+            self._docs_names = names
+        return names
 
 
 def write_terms_file(seg_dir: str, table: pa.Table) -> None:

@@ -441,3 +441,39 @@ def test_reader_corrector_facade(engine):
     rc = ReaderCorrector(engine, "text")
     assert rc.suggest("deploi", maxdist=2) == engine.suggest(
         "text", "deploi", maxdist=2)
+
+
+def test_wrapping_query_and_results_accessors(engine):
+    """WrappingQuery subclassing plug-point + the small Results
+    accessor surface (docs/copy/fields/has_exact_length...)."""
+    import numpy as np
+
+    from whoosh_ray.search import NullQuery, Term, WrappingQuery
+
+    class Doubled(WrappingQuery):
+        def docs_scores(self, searcher, seg):
+            ids, scores = searcher.eval(self.child, seg)
+            return ids, scores * 2.0
+
+    base = engine.search(Term("text", "deploy"), limit=None)
+    wrapped = engine.search(Doubled(Term("text", "deploy")), limit=None)
+    np.testing.assert_array_equal(base.docids, wrapped.docids)
+    np.testing.assert_allclose(wrapped.scores, base.scores * 2.0)
+    # passthrough subclass matches exactly
+    plain = engine.search(WrappingQuery(Term("text", "deploy")),
+                          limit=None)
+    np.testing.assert_array_equal(plain.docids, base.docids)
+    np.testing.assert_allclose(plain.scores, base.scores)
+    # normalize unwraps to Null when the child nullifies
+    from whoosh_ray.search.query import _NullQuery
+    assert isinstance(WrappingQuery(_NullQuery()).normalize(), _NullQuery)
+    assert len(engine.search(NullQuery, limit=None)) == 0
+
+    # Results accessors
+    assert base.docs() == set(base.docids.tolist())
+    assert base.has_exact_length() and base.estimated_length() == len(base)
+    assert not base.has_matched_terms()
+    c = base.copy()
+    assert c.docs() == base.docs() and c is not base
+    assert base.fields(0) == base[0].fields()
+    assert base.score(0) == float(base.scores[0])

@@ -621,6 +621,56 @@ class _NullQuery(Query):
         return matching.empty()
 
 
+# the reference exposes a NullQuery singleton instance
+# (query/qcore.py `NullQuery = _NullQuery()`)
+NullQuery = _NullQuery()
+
+
+class QueryError(Exception):
+    """User-facing query error (reference query/qcore.py:38-41)."""
+
+
+class TermNotFound(Exception):
+    """Reference reading.py TermNotFound, re-homed with the queries."""
+
+
+class WrappingQuery(Query):
+    """Base for user queries that wrap a child without changing its
+    matching (reference qcore.py:268-330) — the Query-subclassing
+    plug-point: override ``docs_scores``/``global_docs_scores`` to
+    transform the child's (docids, scores)."""
+
+    def __init__(self, child: Query):
+        self.child = child
+        self.boost = 1.0
+
+    def __repr__(self):
+        return f"{type(self).__name__}({self.child!r})"
+
+    def terms(self):
+        return self.child.terms()
+
+    def expansion_queries(self, searcher):
+        return [self]
+
+    def docs_scores(self, searcher, seg):
+        return searcher.eval(self.child, seg)
+
+    # NB: evaluation is per-segment (the default global path), so a
+    # wrapper around DJM/AndNot does not carry their cross-segment
+    # cursor quirks — same documented boundary as nested score_fn.
+
+    def normalize(self) -> "Query":
+        import copy
+
+        c = self.child.normalize()
+        if isinstance(c, _NullQuery):
+            return c
+        q = copy.copy(self)
+        q.child = c
+        return q
+
+
 class _ConstantTermSet(Query):
     """Union of several terms' postings with constant score = boost."""
 

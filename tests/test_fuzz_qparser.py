@@ -76,6 +76,9 @@ atoms = st.one_of(
     st.sampled_from(["role:user", "role:assistant", "tool:bash",
                      "role:ghost", "*", "*:*", "role:*"]),
     st.tuples(words, words).map(lambda ws: f'"{ws[0]} {ws[1]}"'),
+    st.tuples(words, words).map(lambda ws: f'text:"{ws[0]} {ws[1]}"'),
+    st.tuples(words, words).map(lambda ws: f'bogus:"{ws[0]} {ws[1]}"'),
+    words.map(lambda wd: f'role:"{wd}"'),
     st.tuples(words, words, st.integers(1, 3)).map(
         lambda ws: f'"{ws[0]} {ws[1]}"~{ws[2]}'),
     st.tuples(words, words).map(

@@ -62,6 +62,10 @@ QUERY_STRINGS = [
     "text:deploy",
     "The RENDER",        # analyzer lowercases
     "deploy OR",         # trailing operator
+    'text:"deploy render"',      # fielded phrase
+    'text:"deploy render"~3',
+    'bogus:"deploy render"',     # unknown field folds INTO the phrase
+    'role:"user"',               # ID-field phrase -> whole-value Term
     "*",                 # Wildcard("*") -> Every(default field)
     "*:*",               # EveryPlugin unfielded match-all
     "role:*",

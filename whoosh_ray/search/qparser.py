@@ -45,7 +45,7 @@ _TOKEN_RE = re.compile(r"""
     (?P<lparen>\() | (?P<rparen>\)) |
     (?P<fncall>\#[A-Za-z_][A-Za-z0-9._]*\[[^\]]*\](?:\^\d+(?:\.\d+)?)?) |
     (?P<rgx>(?:\w+:)?r"(?P<rbody>[^"]*)") |
-    (?P<quoted>"(?P<qbody>[^"]*)"(~(?P<slop>\d+))?) |
+    (?P<quoted>(?:(?P<qfield>\w+):)?"(?P<qbody>[^"]*)"(~(?P<slop>\d+))?) |
     (?P<fieldsq>\w+:'[^']*') |
     (?P<range>[\[{][^\]}]*\s+TO\s+[^\]}]*[\]}]) |
     (?P<word>[^\s()"]+)
@@ -146,9 +146,9 @@ class QueryParser:
                     # r-prefix is a word, the quotes a phrase
                     head = m.group("rgx")[: -len(m.group("rbody")) - 2]
                     yield ("word", head)
-                    yield ("phrase", (m.group("rbody"), 1))
+                    yield ("phrase", (None, m.group("rbody"), 1))
             elif m.group("quoted") is not None:
-                yield ("phrase", (m.group("qbody"),
+                yield ("phrase", (m.group("qfield"), m.group("qbody"),
                                   int(m.group("slop") or 1)))
             elif m.group("fieldsq") is not None:
                 yield ("word", m.group("fieldsq"))
@@ -346,7 +346,22 @@ class QueryParser:
     def _leaf(self, kind, val) -> Query | None:
         field = self.default_field
         if kind == "phrase":
-            body, slop = val
+            qfield, body, slop = val
+            fieldnames = {f.name for f in self.schema.fields}
+            if qfield and (qfield in fieldnames or qfield in self.aliases
+                           or qfield in self.datefields):
+                # fielded phrase: field:"..." (FieldsPlugin binds the
+                # following quoted node, reference plugins.py:368-447)
+                field = self.aliases.get(qfield, qfield)
+                if field in self.datefields:
+                    return self._make_date(field, body)
+                return self._make_phrase(field, body, slop)
+            if qfield:
+                # UNKNOWN field prefix: the reference folds the would-be
+                # fieldname INTO the default-field phrase word list
+                # ('bogus:"query planning"' -> Phrase(body, [bogus,
+                # query, planning]) — quirk kept)
+                body = qfield + " " + body
             if "sequence" in self.plugins:
                 return self._make_sequence(body, slop)
             return self._make_phrase(field, body, slop)

@@ -85,6 +85,11 @@ atoms = st.one_of(
         lambda ws: f"[{min(ws)} TO {max(ws)}]"),
     st.tuples(words, words).map(
         lambda ws: f"{{{min(ws)} TO {max(ws)}}}"),
+    st.tuples(words, words).map(
+        lambda ws: f"text:[{min(ws)} TO {max(ws)}]"),
+    words.map(lambda wd: f"[{wd} TO]"),
+    words.map(lambda wd: f"[TO {wd}]"),
+    st.tuples(words, words).map(lambda ws: f"{ws[0]}-{ws[1]}"),
 )
 
 OPS = [" ", " OR ", " AND ", " NOT ", " ANDNOT ", " ANDMAYBE "]

@@ -311,3 +311,45 @@ def test_pseudofield_plugin(engine, oracle, whoosh_oracle):
         for qs in ["rx:deplo.", "render rx:deplo.", "rx:nov.mber^2"]:
             _compare(engine, os_, my_parser.parse(qs),
                      ref_parser.parse(qs), qs)
+
+
+ADVERSARIAL = [
+    '(deploy render)^2', 'deploy^2^3', 'NOT (deploy render)',
+    'text:(deploy OR render)', 'role:(user assistant)', '"deploy',
+    'deploy)', '(deploy', 'deploy AND AND render', 'AND deploy', 'OR',
+    'text:', ':deploy', 'text:[deploy TO render]', 'role:[a TO z]',
+    '[deploy TO]', '[TO render]', 'deploy~', 'deploy render^0.5',
+    '"deploy render"^2', 'text:*eploy', 'te?t:deploy', 'deploy-render',
+    'deploy+render', 'conv_id:conv000003 deploy', 'text:rend*',
+    '-deploy', '+deploy', 'deploy NOT', '(a OR b) AND (c OR d)',
+    '((deploy))', 'deploy OR (render AND (cluster OR error))',
+    '*eploy*', 'text:"a b" OR role:user', 'ANDNOT deploy',
+    'bogus:[a TO b]', '[deploy to render]', "['deploy' TO 'render']",
+    '[deployTOrender]', '{TO}', 'deploy ANDNOT', 'deploy AND',
+    'REQUIRE deploy', 'NOT deploy', '(NOT deploy)', 'deploy NOT render',
+    'a AND NOT b', 'role:[a TO z] deploy', 'text:{deploy TO render}',
+]
+
+
+def test_adversarial_strings_match_oracle(engine, oracle, whoosh_oracle):
+    """Torture syntax: fielded/open/quoted/caseless ranges, hyphenated
+    multi-token words (And, not Phrase), operator words without the
+    whitespace context the reference's taggers demand, unknown field
+    prefixes, unbalanced quotes/parens — search-result parity."""
+    from whoosh.qparser import QueryParser as WQP
+
+    my_parser = QueryParser("text", transcripts_schema())
+    with oracle.searcher() as os_:
+        ref_parser = WQP("text", schema=oracle.schema)
+        for qs in ADVERSARIAL:
+            _compare(engine, os_, my_parser.parse(qs),
+                     ref_parser.parse(qs), qs)
+        # reference CRASHES on these (IndexError in NotGroup merging /
+        # AssertionError in op application) — no behavior to match;
+        # ours parse to something sane
+        import pytest as _pytest
+
+        for qs in ["NOT NOT deploy", "deploy ANDNOT ANDMAYBE render"]:
+            with _pytest.raises(Exception):
+                ref_parser.parse(qs)
+            engine.search(my_parser.parse(qs), limit=5)

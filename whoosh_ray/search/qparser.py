@@ -47,8 +47,17 @@ _TOKEN_RE = re.compile(r"""
     (?P<rgx>(?:\w+:)?r"(?P<rbody>[^"]*)") |
     (?P<quoted>(?:(?P<qfield>\w+):)?"(?P<qbody>[^"]*)"(~(?P<slop>\d+))?) |
     (?P<fieldsq>\w+:'[^']*') |
-    (?P<range>[\[{][^\]}]*\s+TO\s+[^\]}]*[\]}]) |
+    (?P<range>(?:(?P<rfield>\w+):)?[\[{][^\]}]*?[Tt][Oo][^\]}]*[\]}]) |
     (?P<word>[^\s()"]+)
+""", re.VERBOSE)
+
+# the published range-body grammar (reference RangePlugin.expr,
+# plugins.py:829-843): optional single-quoted or until-TO start,
+# case-insensitive TO, optional single-quoted or lazy end
+_RANGE_BODY = re.compile(r"""
+    ^(?P<start>('[^']*?'\s+)|([^\]}]+?(?=[Tt][Oo])))?
+    [Tt][Oo]
+    (?P<end>(\s+'[^']*?')|([^\]}]+?))?$
 """, re.VERBOSE)
 
 _OPS = {"AND", "OR", "NOT", "ANDNOT", "ANDMAYBE", "REQUIRE"}
@@ -153,9 +162,31 @@ class QueryParser:
             elif m.group("fieldsq") is not None:
                 yield ("word", m.group("fieldsq"))
             elif m.group("range"):
-                yield ("range", m.group("range"))
+                rf = m.group("rfield")
+                raw = m.group("range")
+                yield ("range", (rf, raw[len(rf) + 1:] if rf else raw))
             else:
-                yield ("word", m.group("word"))
+                val = m.group("word")
+                if val in _OPS and not self._op_context_ok(text, m):
+                    # reference operator taggers demand surrounding
+                    # whitespace ((?<=\s)OP(?=\s), plugins.py:925-930) —
+                    # elsewhere the word is a plain term ("ANDNOT deploy"
+                    # = And([andnot, deploy]))
+                    yield ("wordlit", val)
+                else:
+                    yield ("word", val)
+
+    @staticmethod
+    def _op_context_ok(text: str, m) -> bool:
+        s, e = m.span("word")
+        op = m.group("word")
+        if not (e < len(text) and text[e].isspace()):
+            return False
+        if op == "NOT":
+            return s == 0 or text[s - 1].isspace() or text[s - 1] in "()"
+        if op == "REQUIRE":
+            return s == 0 or text[s - 1].isspace()
+        return s > 0 and text[s - 1].isspace()
 
     # ---- parsing ----
 
@@ -376,7 +407,24 @@ class QueryParser:
 
             return Regex(field, m.group(2))
         if kind == "range":
-            return self._make_range(field, val)
+            rfield, raw = val
+            if rfield:
+                known = ({f.name for f in self.schema.fields}
+                         | set(self.aliases) | set(self.datefields))
+                if rfield in known:
+                    field = self.aliases.get(rfield, rfield)
+                    if field in self.datefields:
+                        return self._make_date(field, raw)
+                else:
+                    # UNKNOWN field prefix becomes a default-field term
+                    # alongside the range (reference 'bogus:[a TO b]' ->
+                    # And([Term(bogus), TermRange]))
+                    t = self._make_term(self.default_field, rfield)
+                    rng = self._make_range(field, raw)
+                    if t is None or isinstance(t, _NullQuery):
+                        return rng
+                    return And([t, rng])
+            return self._make_range(field, raw)
         # FunctionPlugin syntax, with boost passed as a kwarg to the fn
         # (reference FunctionNode.query, plugins.py:595-598)
         if kind == "word" and self.functions and val.startswith("#"):
@@ -512,7 +560,12 @@ class QueryParser:
             # Phrase (reference NGRAM.parse_query, fields.py:1222-1231)
             cls = Or if getattr(spec, "queryor", False) else And
             return cls([Term(field, w) for w in words])
-        return Phrase(field, words)
+        # ONE query word analyzing to several tokens ("deploy-render")
+        # groups as And — the parser's default group, NOT a Phrase
+        # (reference WordNode + process_text, default.py term handling;
+        # a trailing ^boost lands on each term, which normalize-flattens
+        # identically to boosting the group)
+        return And([Term(field, w) for w in words])
 
     def _make_phrase(self, field, body, slop) -> Query | None:
         words = self._analyzers[field].token_lists([body])[0]
@@ -531,10 +584,17 @@ class QueryParser:
     def _make_range(self, field, text) -> Query:
         startexcl = text[0] == "{"
         endexcl = text[-1] == "}"
-        body = text[1:-1]
-        lo, hi = re.split(r"\s+TO\s+", body, maxsplit=1)
-        lo = lo.strip().lower() or None
-        hi = hi.strip().lower() or None
+        m = _RANGE_BODY.match(text[1:-1])
+        lo = m.group("start") or ""
+        hi = m.group("end") or ""
+        lo = lo.rstrip()
+        if lo.startswith("'") and lo.endswith("'") and len(lo) > 1:
+            lo = lo[1:-1]
+        hi = hi.lstrip()
+        if hi.startswith("'") and hi.endswith("'") and len(hi) > 1:
+            hi = hi[1:-1]
+        lo = lo.lower() or None
+        hi = hi.lower() or None
         try:
             spec = self.schema.field(field)
         except KeyError:

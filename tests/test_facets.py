@@ -251,3 +251,47 @@ def test_function_facet(engine, oracle):
         expect.setdefault(int(d) % 7, []).append(int(d))
     assert {k: sorted(v) for k, v in got.items()} \
         == {k: sorted(v) for k, v in expect.items()}
+
+
+def test_missing_value_sort_and_group_parity(tmp_path):
+    """Missing (None) stored values: text columns default '' (sort
+    FIRST asc, group under ''), numeric columns default the type max
+    (sort LAST asc) — reference column-default semantics, output-
+    matched against a whoosh sortable-column index."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from whoosh_ray.pipelines.build import build_index
+    from whoosh_ray.search import FieldFacet, Searcher, Term
+    from whoosh_ray.state.schema import FieldSpec, IndexSchema
+
+    rows = [("d0", "alpha x", "b", 3), ("d1", "alpha y", None, 1),
+            ("d2", "alpha z", "a", 2), ("d3", "alpha w", "b", None),
+            ("d4", "alpha v", None, 2), ("d5", "alpha u", "c", 1)]
+    t = pa.table({
+        "doc": [r[0] for r in rows],
+        "turn_idx": pa.array([0] * 6, pa.int32()),
+        "text": [r[1] for r in rows],
+        "cat": [r[2] for r in rows],
+        "num": pa.array([r[3] for r in rows], pa.int32())})
+    (tmp_path / "src").mkdir()
+    pq.write_table(t, str(tmp_path / "src" / "p.parquet"))
+    sch = IndexSchema(fields=(FieldSpec.text("text"), FieldSpec.id("cat"),
+                              FieldSpec.id("doc")), stored_columns=("num",))
+    build_index(str(tmp_path / "src"), str(tmp_path / "ix"), sch,
+                conv_col="doc", seg_size=2)
+    s = Searcher(str(tmp_path / "ix"))
+
+    # expectations captured from the reference engine on this corpus
+    expect = {("cat", False): ["d1", "d4", "d2", "d0", "d3", "d5"],
+              ("cat", True): ["d5", "d0", "d3", "d2", "d1", "d4"],
+              ("num", False): ["d1", "d5", "d2", "d4", "d0", "d3"],
+              ("num", True): ["d3", "d0", "d2", "d4", "d1", "d5"]}
+    for (f, rev), want in expect.items():
+        r = s.search(Term("text", "alpha"),
+                     sortedby=FieldFacet(f, reverse=rev), limit=None)
+        assert [h["doc"] for h in r.hits()] == want, (f, rev)
+    g = s.search(Term("text", "alpha"), groupedby=FieldFacet("cat"),
+                 limit=None).groups("cat")
+    assert {k: sorted(v) for k, v in g.items()} == {
+        "b": [0, 3], "": [1, 4], "a": [2], "c": [5]}

@@ -23,6 +23,8 @@ this module is the API-parity surface over a match set.
 
 from __future__ import annotations
 
+import datetime as _dt
+
 import numpy as np
 
 __all__ = [
@@ -30,6 +32,28 @@ __all__ = [
     "ScoreFacet", "FunctionFacet", "TranslateFacet", "StoredFieldFacet",
     "MultiFacet", "Facets", "OrderedList", "UnorderedList", "Count",
 ]
+
+
+def _fill_missing(vals: list) -> list:
+    """Missing (None) stored values take the reference column
+    DEFAULTS (sorting.py FieldFacet over column storage): bytes/text
+    columns default '' — missing docs sort FIRST ascending and group
+    under the '' key — while numeric/datetime columns default to the
+    type maximum — missing docs sort LAST ascending."""
+    if not any(v is None for v in vals):
+        return vals
+    probe = next((v for v in vals if v is not None), None)
+    if probe is None or isinstance(probe, str):
+        fill = ""
+    elif isinstance(probe, bytes):
+        fill = b""
+    elif isinstance(probe, _dt.datetime):
+        fill = _dt.datetime.max
+    elif isinstance(probe, _dt.date):
+        fill = _dt.date.max
+    else:
+        fill = float("inf")
+    return [fill if v is None else v for v in vals]
 
 
 class _Rev:
@@ -88,7 +112,7 @@ class FieldFacet(FacetType):
 
     def _values(self, searcher, docids):
         t = searcher.stored(docids, columns=[self.fieldname])
-        return t[self.fieldname].to_pylist()
+        return _fill_missing(t[self.fieldname].to_pylist())
 
     def keys(self, searcher, docids, scores):
         vals = self._values(searcher, docids)

@@ -477,3 +477,39 @@ def test_wrapping_query_and_results_accessors(engine):
     assert c.docs() == base.docs() and c is not base
     assert base.fields(0) == base[0].fields()
     assert base.score(0) == float(base.scores[0])
+
+
+def test_highlight_edge_matrix():
+    """Module-level highlight() vs the reference across fragmenter x
+    formatter x edge-case texts (empty, unicode, boundary terms,
+    repeats, no-match) — string identity."""
+    from whoosh import highlight as WH
+    from whoosh.analysis import StandardAnalyzer
+
+    from whoosh_ray.search import highlight as MH
+
+    ana = StandardAnalyzer(stoplist=None, minsize=1)
+    cases = [
+        ("the quick brown fox", ["quick", "fox"]),
+        ("", ["x"]),
+        ("fox fox fox fox", ["fox"]),
+        ("edge term at end", ["end"]),
+        ("start is matched", ["start"]),
+        ("ünïcode tëst ünïcode", ["ünïcode"]),
+        ("a b c d e f g h i j k l m n o p q r s t u v w x y z " * 4,
+         ["q", "z"]),
+        ("punctuation, matters! right? yes.", ["matters", "yes"]),
+        ("no matches here at all", ["zebra"]),
+        ("OverLapping overlapping OVERLAPPING", ["overlapping"]),
+    ]
+    for frag in ["WholeFragmenter", "ContextFragmenter",
+                 "SentenceFragmenter"]:
+        for fmt in ["UppercaseFormatter", "HtmlFormatter"]:
+            for text, terms in cases:
+                ref = WH.highlight(text, frozenset(terms), ana,
+                                   getattr(WH, frag)(),
+                                   getattr(WH, fmt)(), top=3)
+                mine = MH.highlight(text, terms,
+                                    fragmenter=getattr(MH, frag)(),
+                                    formatter=getattr(MH, fmt)(), top=3)
+                assert str(ref) == str(mine), (frag, fmt, text, terms)

@@ -162,3 +162,27 @@ def test_nested_queries_match_oracle(engine, oracle):
         assert [d for d, _ in mine] == [d for d, _ in ref], refq
         np.testing.assert_allclose([x for _, x in mine],
                                    [x for _, x in ref], rtol=1e-9)
+
+
+def test_spannot_absent_exclusion_crashes_reference(engine, oracle,
+                                                    whoosh_oracle):
+    """SpanNot with an absent exclusion term CRASHES the reference
+    (spans.py:751 calls b.id() on the NullMatcher unguarded ->
+    NotImplementedError) — no behavior to match; here the a-side spans
+    pass through untouched."""
+    import numpy as np
+    import pytest as _pytest
+    from whoosh.query import Term as WT
+    from whoosh.query.spans import SpanNot as WSpanNot
+
+    from whoosh_ray.search.spans import SpanNot
+
+    with oracle.searcher() as os_:
+        with _pytest.raises(NotImplementedError):
+            # "the" is a stopword — never indexed
+            os_.search(WSpanNot(WT("text", "deploy"), WT("text", "the")))
+    mine = engine.search(SpanNot(Term("text", "deploy"),
+                                 Term("text", "the")), limit=None)
+    base = engine.search(Term("text", "deploy"), limit=None)
+    np.testing.assert_array_equal(np.sort(mine.docids),
+                                  np.sort(base.docids))

@@ -513,3 +513,18 @@ def test_highlight_edge_matrix():
                                     fragmenter=getattr(MH, frag)(),
                                     formatter=getattr(MH, fmt)(), top=3)
                 assert str(ref) == str(mine), (frag, fmt, text, terms)
+
+
+def test_correct_query_phrases(engine):
+    """Phrase words correct individually, like the reference's token
+    correction inside quotes."""
+    from whoosh_ray.search.qparser import QueryParser
+    from whoosh_ray.search.query import Phrase
+    from whoosh_ray.state.schema import transcripts_schema
+
+    p = QueryParser("text", transcripts_schema())
+    q, changes = engine.correct_query(p.parse('"deploi rendor"'))
+    assert isinstance(q, Phrase)
+    assert q.words == ["deploy", "render"]
+    assert [(o, n) for _, o, n in changes] == [("deploi", "deploy"),
+                                               ("rendor", "render")]

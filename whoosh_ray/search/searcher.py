@@ -969,11 +969,30 @@ class Searcher:
         (corrected_query, [(fieldname, old, new), ...])."""
         import copy
 
+        from whoosh_ray.search.query import Phrase as _Phrase
         from whoosh_ray.search.query import Term as _Term
 
         changes: list[tuple[str, str, str]] = []
 
         def fix(node):
+            if isinstance(node, _Phrase):
+                # phrase words correct individually (the reference's
+                # SimpleQueryCorrector tokens include quoted words)
+                new_words, changed = [], False
+                for w in node.words:
+                    if self.doc_frequency(node.fieldname, w) == 0:
+                        sugs = self.suggest(node.fieldname, w, limit=1,
+                                            maxdist=maxdist, prefix=prefix)
+                        if sugs:
+                            changes.append((node.fieldname, w, sugs[0]))
+                            new_words.append(sugs[0])
+                            changed = True
+                            continue
+                    new_words.append(w)
+                if changed:
+                    node = copy.copy(node)
+                    node.words = new_words
+                return node
             if isinstance(node, _Term):
                 if self.doc_frequency(node.fieldname, node.text) == 0:
                     sugs = self.suggest(node.fieldname, node.text,

@@ -143,11 +143,11 @@ def build_index(
     # driver-side cleanup + pipeline planning below
     bases_futures = None
     if (not isinstance(source, ray.data.Dataset) and docid_col is None):
-        from whoosh_ray.stages.docids import conv_bases_submit
+        from whoosh_ray.stages.docids import sharded_bases_submit
 
         _paths = _expand_paths(source)
         if len(_paths) >= 8:
-            bases_futures = conv_bases_submit(_paths, conv_col, turn_col)
+            bases_futures = sharded_bases_submit(_paths, conv_col, turn_col)
 
     fingerprint = _input_fingerprint(source, schema)
 
@@ -172,15 +172,17 @@ def build_index(
     # covered files from the read entirely.
     file_ranges = None
     bases_precomputed = None
+    bases_sharded = None
     span = None
     if bases_futures is not None:
-        from whoosh_ray.stages.docids import (conv_bases_collect,
-                                              file_docid_ranges)
+        from whoosh_ray.stages.docids import (file_docid_ranges_sharded,
+                                              sharded_bases_collect)
 
-        _k, _b, span, _fspans = conv_bases_collect(bases_futures, turn_col,
-                                                   conv_col)
-        bases_precomputed = (_k, _b, span)
-        file_ranges = file_docid_ranges(_k, _b, span, _fspans, _paths)
+        bases_sharded, _fspans = sharded_bases_collect(
+            bases_futures, conv_col, turn_col)
+        span = bases_sharded.span
+        file_ranges = file_docid_ranges_sharded(bases_sharded, _fspans,
+                                                _paths)
 
     # stable segment sizing across appends: reuse the existing
     # manifest's seg_size so resumed segment boundaries stay aligned
@@ -298,7 +300,8 @@ def build_index(
 
     bases_ds = None
     local_paths = None
-    if (bases_precomputed is None and not isinstance(source, ray.data.Dataset)
+    if (bases_precomputed is None and bases_sharded is None
+            and not isinstance(source, ray.data.Dataset)
             and docid_col is None):
         paths = _expand_paths(source)
         total = sum(os.path.getsize(p) for p in paths)
@@ -315,7 +318,8 @@ def build_index(
         ds, span = with_docids(ds, conv_col=conv_col, turn_col=turn_col,
                                docid_col=docid_col, bases_ds=bases_ds,
                                local_paths=local_paths,
-                               bases_precomputed=bases_precomputed)
+                               bases_precomputed=bases_precomputed,
+                               bases_sharded=bases_sharded)
 
     if seg_size is None:
         # segments are the unit of encode/write parallelism AND the memory

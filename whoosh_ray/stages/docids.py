@@ -13,12 +13,24 @@ Implementation (no global sort):
 
 1. one small aggregate — ``groupby(conv_id).max(turn_idx)`` — yields each
    conversation's turn span (#convs rows, ~1/7.5 of turn count);
-2. driver sorts conv keys + prefix-sums spans into per-conv docid bases
-   (at true 10^12-turn scale this step itself shards: range-partition
-   conv_ids into K lexicographic buckets, prefix-sum bucket totals, then
-   per-bucket bases — same math, two levels; documented, not needed at
-   sandbox scale);
-3. bases are broadcast once via ``ray.put`` and every batch computes
+2. conv keys are sorted and their spans prefix-summed into per-conv
+   docid bases.  Two implementations, same math:
+
+   - **single-level** (:func:`conv_bases` / :func:`conv_bases_local`):
+     the driver sorts all keys + prefix-sums — fine up to ~10^8 convs;
+   - **two-level sharded** (:func:`sharded_bases_collect`, the default
+     on the multi-file build path): conv_ids are range-partitioned into
+     K lexicographic buckets (boundaries picked from per-chunk key
+     samples); each bucket task sorts ITS keys and prefix-sums locally;
+     the driver prefix-sums only the K bucket totals.  The driver holds
+     K-1 boundary keys + K object refs + K ints — never the key array —
+     so the head scales to 10^11 convs.  Because bucket ranges are
+     disjoint and ordered, ``global base = bucket offset + local base``
+     is byte-identical to the single-level result.
+
+3. bases are broadcast via ``ray.put`` (single-level: one blob;
+   sharded: one blob per bucket, workers fetch only the buckets their
+   batches touch) and every batch computes
    ``docid = base[conv_id] + turn_idx`` with a vectorized searchsorted.
 
 For tables that already carry a unique integer id (documents.doc_id) the
@@ -185,6 +197,219 @@ def file_docid_ranges(keys: np.ndarray, bases: np.ndarray, span: int,
     return ranges
 
 
+# ---------------------------------------------------------------------------
+# Two-level range-partitioned docid bases (the 10^12-turn head).
+#
+# The single-level head above pulls every (conv, span) row to the driver;
+# at ~10^11 convs that is >100 GB of key bytes on one node.  The sharded
+# variant keeps the key array distributed end-to-end:
+#
+#   round A  (chunk tasks, overlap with planning): per-file-chunk arrow
+#            hash-aggregate → partial (conv, max_turn) table LEFT IN THE
+#            OBJECT STORE (num_returns=2); driver receives only a small
+#            meta tuple (per-file conv ranges, ≤256 sample keys, width).
+#   driver:  picks K-1 lexicographic boundaries from the merged samples.
+#   round B  (split tasks): each partial is sliced into K key-range
+#            buckets without touching the driver.
+#   round C  (bucket tasks): each bucket concat+re-aggregates its slices,
+#            sorts ITS keys, prefix-sums local bases, re-puts the
+#            (keys, local_bases) blob; only the bucket TOTAL (one int)
+#            returns to the driver.
+#   driver:  prefix-sums the K totals into global bucket offsets.
+#
+# Total driver state: K-1 boundary keys, K ints, K ObjectRefs.
+# ---------------------------------------------------------------------------
+
+
+class ShardedBases:
+    """Range-partitioned conv→docid-base map (driver never holds keys).
+
+    ``bucket(key) = searchsorted(boundaries, key, side='right')``;
+    ``base(conv) = bucket_base[b] + local_bases_b[pos_in_bucket]``.
+    """
+
+    def __init__(self, boundaries: np.ndarray, blob_refs: list,
+                 bucket_base: np.ndarray, span: int, width: int):
+        self.boundaries = boundaries      # S{width}, len K-1
+        self.blob_refs = blob_refs        # K refs → (keys_b, local_bases_b)
+        self.bucket_base = bucket_base    # int64, len K
+        self.span = span
+        self.width = width
+
+    def assign_uniq(self, uniq: np.ndarray, fetch=None) -> np.ndarray:
+        """Vectorized base lookup for a batch's DISTINCT conv keys.
+
+        ``fetch`` defaults to the per-worker broadcast cache so each
+        worker pays one object-store read per bucket it actually
+        touches, not per batch."""
+        if fetch is None:
+            from whoosh_ray.stages.bcast import get_broadcast as fetch
+        out = np.empty(len(uniq), np.int64)
+        bid = np.searchsorted(self.boundaries, uniq, side="right")
+        for b in np.unique(bid):
+            m = bid == b
+            keys_b, lbases_b = fetch(self.blob_refs[int(b)])
+            pos = np.searchsorted(keys_b, uniq[m])
+            out[m] = self.bucket_base[int(b)] + lbases_b[pos]
+        return out
+
+    def next_base_after(self, key: bytes, fetch=None) -> int | None:
+        """Docid base of the conv AFTER ``key`` in global order (span if
+        key is the last conv) — the [lo, hi) upper bound for file-level
+        lineage.  Returns None when ``key`` is not a known conv."""
+        if fetch is None:
+            fetch = ray.get
+        k = np.array([key], dtype=f"S{self.width}")
+        b = int(np.searchsorted(self.boundaries, k, side="right")[0])
+        keys_b, lbases_b = fetch(self.blob_refs[b])
+        i = int(np.searchsorted(keys_b, k[0]))
+        if i >= len(keys_b) or keys_b[i] != k[0]:
+            return None
+        if i + 1 < len(keys_b):
+            return int(self.bucket_base[b] + lbases_b[i + 1])
+        # last conv of bucket b: next base = next bucket's offset
+        return int(self.bucket_base[b + 1]) if b + 1 < len(self.bucket_base) \
+            else int(self.span)
+
+
+@ray.remote(num_cpus=1, num_returns=2)
+def _files_spans2(paths: list[str], conv_col: str, turn_col: str,
+                  n_samples: int = 256):
+    """Round A: per-chunk partial span table (stays remote) + small meta."""
+    import pyarrow.compute as _pc
+    import pyarrow.parquet as _pq
+
+    parts, file_rows = [], []
+    for path in paths:
+        t = _pq.read_table(path, columns=[conv_col, turn_col])
+        parts.append(t.group_by(conv_col).aggregate([(turn_col, "max")]))
+        if t.num_rows:
+            file_rows.append((path, _pc.min(t[conv_col]).as_py(),
+                              _pc.max(t[conv_col]).as_py()))
+        else:
+            file_rows.append((path, None, None))
+    merged = (pa.concat_tables(parts).group_by(conv_col)
+              .aggregate([(f"{turn_col}_max", "max")]))
+    keys = np.sort(_np_bytes(merged[conv_col]))
+    step = max(1, len(keys) // n_samples)
+    samples = [bytes(k) for k in keys[::step]]
+    width = keys.dtype.itemsize if len(keys) else 1
+    return merged, (file_rows, samples, width, len(keys))
+
+
+@ray.remote(num_cpus=1)
+def _split_partial(partial: pa.Table, boundaries: list, width: int,
+                   conv_col: str):
+    """Round B: slice one partial span table into K key-range buckets."""
+    bnd = np.array(boundaries, dtype=f"S{width}")
+    keys = _np_bytes(partial[conv_col], width=width)
+    bid = np.searchsorted(bnd, keys, side="right")
+    return [partial.take(pa.array(np.nonzero(bid == b)[0]))
+            for b in range(len(boundaries) + 1)]
+
+
+@ray.remote(num_cpus=1, num_returns=2)
+def _bucket_bases(width: int, conv_col: str, *slices):
+    """Round C: merge one bucket's slices, sort, local prefix-sum.
+
+    Returns (total_docids:int → driver, (keys, local_bases) blob → stays
+    in the object store for on-demand worker fetch)."""
+    live = [s for s in slices if s is not None and s.num_rows]
+    if not live:
+        return 0, (np.empty(0, dtype=f"S{width}"), np.empty(0, np.int64))
+    maxcol = [c for c in live[0].column_names if c != conv_col][0]
+    t = (pa.concat_tables(live).group_by(conv_col)
+         .aggregate([(maxcol, "max")]))
+    keys = _np_bytes(t[conv_col], width=width)
+    order = np.argsort(keys, kind="stable")
+    keys = keys[order]
+    counts = t[f"{maxcol}_max"].to_numpy()[order].astype(np.int64) + 1
+    local = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    return int(counts.sum()), (keys, local)
+
+
+def sharded_bases_submit(paths: list[str], conv_col: str = "conv_id",
+                         turn_col: str = "turn_idx") -> list:
+    """Kick off round A (submit FIRST so the span scan overlaps driver
+    planning).  Returns [(partial_ref, meta_ref), ...] — the driver only
+    ever ray.gets the meta refs."""
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    n_chunks = max(1, min(len(paths), 2 * ncpu))
+    chunks = [paths[i::n_chunks] for i in range(n_chunks)]
+    return [_files_spans2.remote(c, conv_col, turn_col)
+            for c in chunks if c]
+
+
+def sharded_bases_collect(submitted: list, conv_col: str = "conv_id",
+                          turn_col: str = "turn_idx",
+                          n_buckets: int | None = None
+                          ) -> tuple["ShardedBases", dict]:
+    """Rounds B+C + the K-int prefix sum.  Returns (ShardedBases,
+    per-file conv-range dict for file-level lineage)."""
+    partial_refs = [s[0] for s in submitted]
+    metas = ray.get([s[1] for s in submitted])
+    file_spans = {path: (lo, hi)
+                  for m in metas for path, lo, hi in m[0]}
+    width = max((m[2] for m in metas), default=1)
+    n_convs_est = sum(m[3] for m in metas)
+    if n_buckets is None:
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        # ~4M convs (≈100 MB of key+base bytes) per bucket at scale; at
+        # sandbox sizes the cpu term keeps the path multi-bucket so it
+        # is exercised for real.
+        n_buckets = max(2, min(max(ncpu // 2, n_convs_est // 4_000_000),
+                               4096))
+    samples = np.sort(np.array(
+        [s for m in metas for s in m[1]] or [b""], dtype=f"S{width}"))
+    idx = (np.arange(1, n_buckets) * len(samples)) // n_buckets
+    boundaries = np.unique(samples[idx])
+    bnd_list = [bytes(b) for b in boundaries]
+    k = len(bnd_list) + 1
+    if k > 1:
+        slice_refs = [
+            _split_partial.options(num_returns=k).remote(
+                ref, bnd_list, width, conv_col)
+            for ref in partial_refs]
+    else:  # degenerate key space (≤1 distinct sample): no split round
+        slice_refs = [[ref] for ref in partial_refs]
+    total_refs, blob_refs = [], []
+    for b in range(k):
+        t_ref, blob_ref = _bucket_bases.remote(
+            width, conv_col, *[sr[b] for sr in slice_refs])
+        total_refs.append(t_ref)
+        blob_refs.append(blob_ref)
+    totals = np.array(ray.get(total_refs), dtype=np.int64)
+    bucket_base = np.concatenate(([0], np.cumsum(totals)[:-1]))
+    sb = ShardedBases(boundaries, blob_refs, bucket_base,
+                      int(totals.sum()), width)
+    return sb, file_spans
+
+
+def file_docid_ranges_sharded(sb: "ShardedBases", file_spans: dict,
+                              paths: list[str]):
+    """Sharded twin of :func:`file_docid_ranges` — same validity rules,
+    but key→base lookups fetch one bucket blob at a time (peak driver
+    memory = one bucket, not the key array)."""
+    from whoosh_ray.stages.bcast import get_broadcast
+
+    ranges, prev_hi = [], None
+    for p in paths:
+        lo_k, hi_k = file_spans.get(p, (None, None))
+        if lo_k is None:
+            ranges.append((p, 0, 0))
+            continue
+        if prev_hi is not None and str(lo_k) < str(prev_hi):
+            return None  # interleaved conv ranges: lineage unsound
+        prev_hi = hi_k
+        lo_u = np.array([str(lo_k).encode()], dtype=f"S{sb.width}")
+        lo = sb.assign_uniq(lo_u, fetch=get_broadcast)
+        hi = sb.next_base_after(str(hi_k).encode(), fetch=get_broadcast)
+        if hi is None:
+            return None
+        ranges.append((p, int(lo[0]), int(hi)))
+    return ranges
+
+
 def conv_bases_tasks(paths: list[str], conv_col: str = "conv_id",
                      turn_col: str = "turn_idx"):
     """Two-level conv-span aggregate: Ray tasks compute per-file-chunk
@@ -211,7 +436,8 @@ def with_docids(ds: ray.data.Dataset, *, conv_col: str = "conv_id",
                 bases_ds: ray.data.Dataset | None = None,
                 local_paths: list[str] | None = None,
                 bases_futures: list | None = None,
-                bases_precomputed: tuple | None = None) -> tuple[ray.data.Dataset, int]:
+                bases_precomputed: tuple | None = None,
+                bases_sharded: "ShardedBases | None" = None) -> tuple[ray.data.Dataset, int]:
     """Attach the ``docid`` column; returns (dataset, docid span).
 
     The (keys, bases) pair is fetched from the object store once per
@@ -227,6 +453,23 @@ def with_docids(ds: ray.data.Dataset, *, conv_col: str = "conv_id",
         # span from column stats (one cheap aggregate)
         hi = ds.max(docid_col)
         return ds.map_batches(from_col, batch_format="pyarrow"), int(hi) + 1
+
+    if bases_sharded is not None:
+        sb = bases_sharded
+        sb_width = sb.width
+
+        def assign_sharded(batch: pa.Table) -> pa.Table:
+            enc = pa.compute.dictionary_encode(
+                batch[conv_col].combine_chunks())
+            uniq = _np_bytes(enc.dictionary, width=sb_width)
+            base = sb.assign_uniq(uniq)
+            docid = (base[enc.indices.to_numpy()]
+                     + batch[turn_col].to_numpy().astype(np.int64))
+            return batch.append_column("docid",
+                                       pa.array(docid, type=pa.int64()))
+
+        return (ds.map_batches(assign_sharded, batch_format="pyarrow"),
+                sb.span)
 
     if bases_precomputed is not None:
         keys, bases, span = bases_precomputed

@@ -117,6 +117,120 @@ FROM scored ORDER BY score DESC, docid LIMIT {limit}
 """
 
 
+def _transcripts_ctes() -> str:
+    """Transcript-schema twin of _base_ctes: docid = dense rank of
+    (conv_id, turn_idx); text TEXT field (StandardAnalyzer CTE) plus the
+    role ID field (one token per doc, scored as raw weight).
+    Reads the deterministic corpus the transcripts_bm25_rank query entry
+    writes to /tmp/whoosh_ray_qsoracle/src (engine runs first)."""
+    return rf"""
+quant AS (SELECT unnest([{_quant_sql()}]) AS l),
+tsrc AS (
+  SELECT role, text,
+         (row_number() OVER (ORDER BY conv_id, turn_idx) - 1)::BIGINT
+           AS doc_id
+  FROM read_parquet('/tmp/whoosh_ray_qsoracle/src/*.parquet')
+),
+tok AS (
+  SELECT doc_id, list_filter(regexp_extract_all(lower(text), '\w+(\.?\w+)*'),
+    t -> length(t) >= 2 AND t NOT IN ({_STOPS_SQL})) AS toks
+  FROM tsrc
+),
+lens AS (
+  SELECT doc_id, len(toks) AS fl_exact,
+    (SELECT min(l) FROM quant WHERE l >= least(len(toks), 106374)) AS fl_q
+  FROM tok
+),
+postings AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM tok, unnest(toks) AS u(term) GROUP BY doc_id, term
+),
+stats AS (SELECT (SELECT count(*) FROM lens)::DOUBLE AS dc,
+                 (SELECT sum(fl_exact) FROM lens)::DOUBLE AS total_len),
+ts AS (SELECT term, count(*)::BIGINT AS df FROM postings GROUP BY term),
+rpostings AS (SELECT doc_id, role AS term, 1::BIGINT AS tf FROM tsrc)
+"""
+
+
+def _transcripts_queryset_sql() -> str:
+    """term/and/or/phrase/role of the flagship queryset, rank+score."""
+    rank = ("(row_number() OVER (ORDER BY score DESC, docid) - 1) AS rank, "
+            "docid, score")
+    return rf"""
+WITH {_transcripts_ctes()},
+sdeploy AS (
+  SELECT p.doc_id AS docid, {_BM25_EXPR} AS score
+  FROM postings p JOIN lens USING (doc_id), stats, ts
+  WHERE p.term = 'deploy' AND ts.term = 'deploy'
+),
+srender AS (
+  SELECT p.doc_id AS docid, {_BM25_EXPR} AS score
+  FROM postings p JOIN lens USING (doc_id), stats, ts
+  WHERE p.term = 'render' AND ts.term = 'render'
+),
+scluster AS (
+  SELECT p.doc_id AS docid, {_BM25_EXPR} AS score
+  FROM postings p JOIN lens USING (doc_id), stats, ts
+  WHERE p.term = 'cluster' AND ts.term = 'cluster'
+),
+serror AS (
+  SELECT p.doc_id AS docid, {_BM25_EXPR} AS score
+  FROM postings p JOIN lens USING (doc_id), stats, ts
+  WHERE p.term = 'error' AND ts.term = 'error'
+),
+suser AS (
+  -- role is an ID field: not scorable, so the engine (like the
+  -- reference BM25F.scorer) falls back to WeightScorer = raw weight
+  SELECT p.doc_id AS docid, p.tf::DOUBLE AS score
+  FROM rpostings p WHERE p.term = 'user'
+),
+positions AS (
+  SELECT doc_id, unnest(toks) AS term,
+         generate_subscripts(toks, 1) AS pos
+  FROM tok
+),
+phrase_docs AS (
+  SELECT DISTINCT p1.doc_id AS doc_id
+  FROM positions p1 JOIN positions p2
+    ON p1.doc_id = p2.doc_id AND p2.pos = p1.pos + 1
+  WHERE p1.term = 'deploy' AND p2.term = 'render'
+),
+q_term AS (
+  SELECT 'term' AS query, {rank} FROM sdeploy
+  ORDER BY score DESC, docid LIMIT 10
+),
+q_and AS (
+  SELECT 'and' AS query, {rank} FROM (
+    SELECT a.docid, a.score + b.score AS score
+    FROM sdeploy a JOIN srender b USING (docid))
+  ORDER BY score DESC, docid LIMIT 10
+),
+q_or AS (
+  SELECT 'or' AS query, {rank} FROM (
+    SELECT coalesce(a.docid, b.docid) AS docid,
+           coalesce(a.score, 0) + coalesce(b.score, 0) AS score
+    FROM scluster a FULL OUTER JOIN serror b ON a.docid = b.docid)
+  ORDER BY score DESC, docid LIMIT 10
+),
+q_phrase AS (
+  SELECT 'phrase' AS query, {rank} FROM (
+    SELECT a.docid, a.score + b.score AS score
+    FROM sdeploy a JOIN srender b USING (docid)
+    WHERE a.docid IN (SELECT doc_id FROM phrase_docs))
+  ORDER BY score DESC, docid LIMIT 10
+),
+q_role AS (
+  SELECT 'role' AS query, {rank} FROM (
+    SELECT a.docid, a.score + b.score AS score
+    FROM sdeploy a JOIN suser b USING (docid))
+  ORDER BY score DESC, docid LIMIT 10
+)
+SELECT * FROM q_term UNION ALL SELECT * FROM q_and
+UNION ALL SELECT * FROM q_or UNION ALL SELECT * FROM q_phrase
+UNION ALL SELECT * FROM q_role
+"""
+
+
 def _phrase_sql(word1: str, word2: str, limit: int = 10) -> str:
     """Adjacent-pair phrase over analyzer positions + sum-of-term-scores."""
     return rf"""
@@ -500,8 +614,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         })
 
     def multimodal_features(sf_dir):
-        """Rows-only: binary-payload actor-pool feature extraction
-        (deterministic fake decode; real decode stubbed per environment)."""
+        """Rows-only: binary-payload actor-pool feature extraction.
+        Decode is REAL pure-numpy for WAV/PPM/BMP/PNG payloads
+        (functions/media.py); only JPEG/MP4 remain explicit stubs."""
         import ray.data
 
         from whoosh_ray.pipelines.multimodal import (extract_image_features,
@@ -548,8 +663,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pa.Table.from_pylist(rows)
 
     def ir_highlights(sf_dir):
-        """Rows-only: highlighted snippets for the top-10 'spark' hits
-        (string-identical to the reference's highlighter per pytest)."""
+        """Highlighted snippets for the top-10 'spark' hits, hash-checked:
+        the DuckDB oracle replays the ContextFragmenter state machine as a
+        recursive CTE and formats with HtmlFormatter(tagname='b') string
+        templates (string-identical to the reference per pytest too)."""
         from whoosh_ray.search import Term
         from whoosh_ray.search.highlight import highlight_batch
 
@@ -564,8 +681,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def transcripts_queryset(sf_dir):
         """Rows-only: the flagship transcript pipeline (entry()) — its
-        rank/score parity with the reference is pinned by pytest."""
+        rank/score parity with the reference is pinned by pytest.  The
+        SQL-expressible members are hash-checked separately by
+        transcripts_bm25_rank."""
         return entry()
+
+    def transcripts_bm25_rank(sf_dir):
+        """Flagship-queryset SQL-expressible members (term/and/or/phrase/
+        role), hash-checked end-to-end over the TRANSCRIPTS schema: the
+        deterministic corpus is written to /tmp/whoosh_ray_qsoracle/src
+        here, and the DuckDB oracle reads the same parquet, reproducing
+        the docid dense-rank over (conv_id, turn_idx) and per-field BM25
+        (text TEXT field + role ID field with its own lengths/df)."""
+        import shutil
+
+        from whoosh_ray.pipelines.build import build_index
+        from whoosh_ray.pipelines.ir import topk_table
+        from whoosh_ray.search import And, Or, Phrase, Searcher, Term
+        from whoosh_ray.sources.transcripts import write_transcripts
+        from whoosh_ray.state.schema import transcripts_schema
+
+        work = "/tmp/whoosh_ray_qsoracle"
+        shutil.rmtree(work, ignore_errors=True)
+        src = write_transcripts(os.path.join(work, "src"), n_convs=120)
+        manifest = build_index(src, os.path.join(work, "ix"),
+                               transcripts_schema(), seg_size=256)
+        s = Searcher(os.path.join(work, "ix"), manifest)
+        queryset = {
+            "term": Term("text", "deploy"),
+            "and": And([Term("text", "deploy"), Term("text", "render")]),
+            "or": Or([Term("text", "cluster"), Term("text", "error")]),
+            "phrase": Phrase("text", ["deploy", "render"]),
+            "role": And([Term("text", "deploy"), Term("role", "user")]),
+        }
+        parts = []
+        for name, q in queryset.items():
+            t = topk_table(s, q, limit=10)
+            parts.append(t.append_column(
+                "query", pa.array([name] * t.num_rows, type=pa.string())))
+        return pa.concat_tables(parts)
 
     return {
         "ir_term_stats": ir_term_stats,
@@ -600,6 +754,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ir_bm25_filtered": ir_bm25_filtered,
         "ir_highlights": ir_highlights,
         "transcripts_queryset": transcripts_queryset,
+        "transcripts_bm25_rank": transcripts_bm25_rank,
     }
 
 
@@ -638,6 +793,148 @@ sel AS (
 SELECT word, term AS suggestion FROM sel WHERE rn <= lim
 ORDER BY word, suggestion
 """,
+        # ContextFragmenter + HtmlFormatter(tagname='b'), string-identical:
+        # the fragmenter's sequential scan (whoosh highlight.py:418-505 —
+        # countdown/surround state, "firsts" deque, maxchars guard) runs as
+        # a recursive CTE over space-split tokens (this corpus is strictly
+        # lowercase words + single spaces, so \w+ tokenization == split and
+        # startchar is a running length sum); top-3 fragments by
+        # (score DESC, startchar DESC) = nlargest over (score, Fragment)
+        # with Fragment.__lt__ on startchar, joined with '...'.
+        "ir_highlights": rf"""
+WITH RECURSIVE {_base_ctes()},
+scored AS (
+  SELECT p.doc_id AS docid, {_BM25_EXPR} AS score
+  FROM postings p JOIN lens USING (doc_id), stats, ts
+  WHERE p.term = 'spark' AND ts.term = 'spark'
+),
+top10 AS (
+  SELECT docid FROM scored ORDER BY score DESC, docid LIMIT 10
+),
+words0 AS (
+  SELECT d.doc_id, unnest(string_split(d.text, ' ')) AS w,
+         generate_subscripts(string_split(d.text, ' '), 1) AS i
+  FROM documents d JOIN top10 ON top10.docid = d.doc_id
+),
+words AS (
+  SELECT doc_id, w, (i - 1)::INT AS idx,
+         (sum(length(w) + 1) OVER (PARTITION BY doc_id ORDER BY i
+            ROWS UNBOUNDED PRECEDING) - length(w) - 1)::INT AS s
+  FROM words0
+),
+toks AS (
+  SELECT doc_id, idx, s, (s + length(w))::INT AS e, length(w)::INT AS len,
+         (w = 'spark') AS m
+  FROM words
+),
+ntok AS (SELECT doc_id, max(idx) AS last_idx FROM toks GROUP BY doc_id),
+wind AS (
+  -- the fragmenter's "firsts" deque: candidate fragment-start chars at
+  -- token i = startchars of tokens j<i with s_j >= e_(i-1) - surround
+  SELECT t1.doc_id, t1.idx, list(t2.s ORDER BY t2.s) AS cand
+  FROM toks t1
+  JOIN toks t0 ON t0.doc_id = t1.doc_id AND t0.idx = t1.idx - 1
+  JOIN toks t2 ON t2.doc_id = t1.doc_id AND t2.idx < t1.idx
+              AND t2.s >= t0.e - 20
+  GROUP BY t1.doc_id, t1.idx
+),
+walk AS (
+  SELECT doc_id, -1 AS idx, -1 AS cd, 0 AS cl,
+         NULL::INT AS f, -1 AS lei, -1 AS s_lei, false AS ht,
+         false AS tk_added, false AS emit,
+         NULL::INT AS frag_s, NULL::INT AS frag_e,
+         NULL::INT AS tok_s, NULL::INT AS tok_e
+  FROM ntok
+  UNION ALL
+  SELECT doc_id, idx,
+         cd2 AS cd,
+         CASE WHEN emit THEN 0 ELSE cl1 END AS cl,
+         CASE WHEN emit THEN NULL ELSE f1 END AS f,
+         CASE WHEN emit THEN idx ELSE lei END AS lei,
+         CASE WHEN emit THEN s ELSE s_lei END AS s_lei,
+         CASE WHEN emit THEN false ELSE (ht OR b3) END AS ht,
+         b3 AS tk_added, emit,
+         CASE WHEN emit THEN f1 ELSE NULL END AS frag_s,
+         CASE WHEN emit THEN e ELSE NULL END AS frag_e,
+         s AS tok_s, e AS tok_e
+  FROM (
+    SELECT q.*,
+           CASE WHEN consume THEN cl + len ELSE cl END AS cl1,
+           (consume AND cd1 - (CASE WHEN consume THEN len ELSE 0 END) <= 0)
+             AS emit,
+           cd1 - (CASE WHEN consume THEN len ELSE 0 END) AS cd2
+    FROM (
+      SELECT p.*, (cd1 >= 0) AS consume
+      FROM (
+        SELECT b.*,
+          CASE WHEN b3 AND f IS NULL THEN coalesce(fcand, s) ELSE f END AS f1,
+          CASE WHEN b2 THEN 0
+               WHEN b3 THEN (CASE WHEN f IS NULL AND fcand IS NULL
+                             THEN 40 ELSE 20 END)
+               ELSE cd END AS cd1
+        FROM (
+          SELECT w.doc_id, t.idx, t.s, t.e, t.len, t.m,
+                 w.cd, w.cl, w.f, w.lei, w.s_lei, w.ht,
+                 (w.cd < 0 AND NOT t.m) AS b1,
+                 (NOT (w.cd < 0 AND NOT t.m) AND w.cl + t.len > 200) AS b2,
+                 (NOT (w.cd < 0 AND NOT t.m)
+                  AND NOT (w.cl + t.len > 200) AND t.m) AS b3,
+                 list_min(list_filter(coalesce(wd.cand, []),
+                                      x -> x > w.s_lei)) AS fcand
+          FROM walk w
+          JOIN toks t ON t.doc_id = w.doc_id AND t.idx = w.idx + 1
+          LEFT JOIN wind wd ON wd.doc_id = t.doc_id AND wd.idx = t.idx
+        ) b
+      ) p
+    ) q
+  )
+),
+frags AS (
+  SELECT doc_id, idx AS fe_idx, frag_s, frag_e FROM walk WHERE emit
+  UNION ALL
+  SELECT w.doc_id, w.idx, w.f, w.tok_e
+  FROM walk w JOIN ntok n ON n.doc_id = w.doc_id AND w.idx = n.last_idx
+  WHERE w.ht
+),
+frags2 AS (
+  SELECT *, lag(fe_idx, 1, -1) OVER (PARTITION BY doc_id ORDER BY fe_idx)
+           AS prev_idx
+  FROM frags
+),
+fmatch AS (
+  SELECT f.doc_id, f.fe_idx, f.frag_s, f.frag_e, w.tok_s, w.tok_e
+  FROM frags2 f
+  JOIN walk w ON w.doc_id = f.doc_id AND w.tk_added
+             AND w.idx > f.prev_idx AND w.idx <= f.fe_idx
+),
+fparts AS (
+  SELECT *, lag(tok_e, 1, frag_s) OVER (
+             PARTITION BY doc_id, fe_idx ORDER BY tok_s) AS prev_e
+  FROM fmatch
+),
+fhtml AS (
+  SELECT p.doc_id, p.fe_idx, any_value(p.frag_s) AS frag_s,
+         count(*)::BIGINT AS nmatch,
+         string_agg(substring(d.text, p.prev_e + 1, p.tok_s - p.prev_e)
+                    || '<b class="match term0">'
+                    || substring(d.text, p.tok_s + 1, p.tok_e - p.tok_s)
+                    || '</b>', '' ORDER BY p.tok_s)
+         || substring(any_value(d.text), max(p.tok_e) + 1,
+                      any_value(p.frag_e) - max(p.tok_e)) AS html
+  FROM fparts p JOIN documents d ON d.doc_id = p.doc_id
+  GROUP BY p.doc_id, p.fe_idx
+),
+best AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+             ORDER BY nmatch DESC, frag_s DESC) AS rn
+  FROM fhtml
+)
+SELECT t.docid,
+       (SELECT string_agg(b.html, '...' ORDER BY b.frag_s)
+        FROM best b WHERE b.doc_id = t.docid AND b.rn <= 3) AS snippet
+FROM top10 t
+""",
+        "transcripts_bm25_rank": _transcripts_queryset_sql(),
         "ir_term_stats": rf"""
 WITH {_base_ctes()}
 SELECT p.term AS term, count(*)::BIGINT AS df, sum(p.tf)::BIGINT AS total_tf

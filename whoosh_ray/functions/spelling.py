@@ -11,6 +11,93 @@ cost for realistic vocabularies.
 
 from __future__ import annotations
 
+import numpy as np
+
+
+def levenshtein_batch(word: str, cands, maxdist: int, *,
+                      damerau: bool = False,
+                      chunk: int = 65536) -> np.ndarray:
+    """Vectorized (Damerau-)Levenshtein of ``word`` against a whole
+    lexicon at once — the numpy banded-DP the reference's automaton
+    intersection amortizes (automata/lev.py:7-30, fsa.py:463-488).
+
+    ``cands`` is a sequence of str or a numpy ``U``/``S`` array (the
+    fixed-width term matrix).  Returns an int32 distance per candidate,
+    with everything provably beyond ``maxdist`` (length delta) reported
+    as ``maxdist + 1`` exactly like the scalar early exit.  The DP rows
+    are vectors over the candidate axis: cost is O(len(word) x width)
+    numpy ops instead of a Python loop per candidate, and candidates are
+    length-filtered first so the width is capped at len(word)+maxdist."""
+    arr = cands if isinstance(cands, np.ndarray) else None
+    if arr is None or arr.dtype.kind not in "US":
+        arr = np.array(list(cands), dtype="U")
+    n = len(arr)
+    out = np.full(n, maxdist + 1, dtype=np.int32)
+    if n == 0:
+        return out
+    if arr.dtype.kind == "S" and not word.isascii():
+        arr = arr.astype("U")  # byte-DP is char-DP only for ASCII words
+    itemsize = arr.dtype.itemsize
+    width = itemsize if arr.dtype.kind == "S" else itemsize // 4
+    ct = np.uint8 if arr.dtype.kind == "S" else np.uint32
+    M_all = arr.view(ct).reshape(n, width)
+    lens_all = np.count_nonzero(M_all, axis=1).astype(np.int32)
+    la = len(word)
+    keep = np.abs(lens_all - la) <= maxdist
+    if la == 0:
+        out[keep] = lens_all[keep]
+        return out
+    wv = (np.frombuffer(word.encode("ascii"), dtype=np.uint8)
+          if ct is np.uint8
+          else np.frombuffer(word.encode("utf-32-le"), dtype=np.uint32))
+    w_eff = min(width, la + maxdist)
+    idx_all = np.nonzero(keep)[0]
+    for c0 in range(0, len(idx_all), chunk):
+        idx = idx_all[c0:c0 + chunk]
+        M = M_all[idx, :w_eff]
+        lens = lens_all[idx]
+        m = len(idx)
+        prev = np.tile(np.arange(w_eff + 1, dtype=np.int32), (m, 1))
+        prev2 = None
+        sentinel = np.int32(maxdist + 1)
+        for i in range(1, la + 1):
+            # banded columns: any cell with |i - j| > maxdist is > maxdist;
+            # seeding it with the maxdist+1 sentinel is exact for every
+            # decision <= maxdist (paths only add non-negative increments,
+            # so sentinel-derived values can never drop back under it)
+            jlo, jhi = max(1, i - maxdist), min(w_eff, i + maxdist)
+            cur = np.full_like(prev, sentinel)
+            if jlo == 1:
+                cur[:, 0] = i
+            cost = (M != wv[i - 1]).astype(np.int32)
+            for j in range(jlo, jhi + 1):
+                d = np.minimum(prev[:, j] + 1, prev[:, j - 1] + cost[:, j - 1])
+                np.minimum(d, cur[:, j - 1] + 1, out=d)
+                if damerau and i > 1 and j > 1:
+                    t = ((M[:, j - 1] == wv[i - 2])
+                         & (M[:, j - 2] == wv[i - 1]))
+                    if t.any():
+                        d = np.where(t, np.minimum(d, prev2[:, j - 2] + 1), d)
+                cur[:, j] = d
+            prev2, prev = prev, cur
+            if i < la:
+                # vectorized early exit: a candidate whose whole DP row
+                # exceeds maxdist can never come back under it — compact
+                # the active set (the scalar version's row_min bailout)
+                alive = cur.min(axis=1) <= maxdist
+                if not alive.all():
+                    idx, M, lens = idx[alive], M[alive], lens[alive]
+                    prev = prev[alive]
+                    if prev2 is not None:
+                        prev2 = prev2[alive]
+                    if len(idx) == 0:
+                        break
+        if len(idx):
+            out[idx] = np.minimum(
+                prev[np.arange(len(idx)), np.minimum(lens, w_eff)],
+                maxdist + 1)
+    return out
+
 
 def damerau_levenshtein(a: str, b: str, maxdist: int | None = None) -> int:
     """Restricted Damerau-Levenshtein (adjacent transposition) distance.
@@ -77,14 +164,12 @@ def suggestions(word: str, candidates: list[str], *, maxdist: int = 2,
                 prefix: int = 0, freq_of=None, limit: int = 5) -> list[str]:
     """Rank candidate corrections by (distance, -frequency, word) — the
     reference's suggest ordering (spelling.py:41-117)."""
-    out = []
-    for c in candidates:
-        if prefix and not c.startswith(word[:prefix]):
-            continue
-        d = damerau_levenshtein(word, c, maxdist)
-        if d <= maxdist and c != word:
-            f = freq_of(c) if freq_of else 0
-            out.append((d, -f, c))
+    cands = ([c for c in candidates if c.startswith(word[:prefix])]
+             if prefix else list(candidates))
+    dists = levenshtein_batch(word, cands, maxdist, damerau=True)
+    out = [(int(d), -(freq_of(c) if freq_of else 0), c)
+           for c, d in zip(cands, dists)
+           if d <= maxdist and c != word]
     out.sort()
     return [c for _, _, c in out[:limit]]
 
@@ -123,15 +208,16 @@ class ListCorrector(Corrector):
         self.wordlist = wordlist
 
     def _suggestions(self, text, maxdist, prefix):
+        # the reference's ascending-mxd loop scores each word by the
+        # SMALLEST accepting bound = max(true distance, 1); a single
+        # vectorized pass over the list computes the same scores
         pre = text[:prefix]
-        seen = set()
-        for mxd in range(1, maxdist + 1):
-            for w in self.wordlist:
-                if w in seen or (prefix and not w.startswith(pre)):
-                    continue
-                if levenshtein(text, w, mxd) <= mxd:
-                    seen.add(w)
-                    yield (0 - mxd, w)
+        words = ([w for w in self.wordlist if w.startswith(pre)]
+                 if prefix else self.wordlist)
+        dists = levenshtein_batch(text, words, maxdist)
+        for w, d in zip(words, dists):
+            if d <= maxdist:
+                yield (0 - max(int(d), 1), w)
 
 
 class ReaderCorrector(Corrector):
@@ -149,13 +235,12 @@ class ReaderCorrector(Corrector):
                                      maxdist=maxdist, prefix=prefix)
 
     def _suggestions(self, text, maxdist, prefix):
-        from whoosh_ray.functions.spelling import levenshtein as _lev
-
         s, fieldname = self.searcher, self.fieldname
         cands = (s.expand_prefix(fieldname, text[:prefix]) if prefix
                  else s.lexicon(fieldname))
-        for w in cands:
-            if _lev(text, w, maxdist) <= maxdist:
+        dists = levenshtein_batch(text, cands, maxdist)
+        for w, d in zip(cands, dists):
+            if d <= maxdist:
                 f = s.frequency(fieldname, w) or 1
                 yield (0 - (maxdist + (1.0 / f * 0.5)), w)
 

@@ -965,13 +965,13 @@ class FuzzyTerm(_MultiTerm):
         self.constantscore = constantscore
 
     def _expand(self, searcher):
-        from whoosh_ray.functions.spelling import levenshtein
+        from whoosh_ray.functions.spelling import levenshtein_batch
 
         prefix = self.text[: self.prefixlength]
         cand = (searcher.expand_prefix(self.fieldname, prefix) if prefix
                 else searcher.lexicon(self.fieldname))
-        return [w for w in cand
-                if levenshtein(self.text, w, self.maxdist) <= self.maxdist]
+        dists = levenshtein_batch(self.text, cand, self.maxdist)
+        return [w for w, d in zip(cand, dists) if d <= self.maxdist]
 
 
 class Variations(_MultiTerm):

@@ -949,13 +949,14 @@ class Searcher:
         the edit distance itself does NOT rank — spelling.py:112-117)."""
         from heapq import nlargest
 
-        from whoosh_ray.functions.spelling import levenshtein
+        from whoosh_ray.functions.spelling import levenshtein_batch
 
         cands = (self.expand_prefix(fieldname, text[:prefix]) if prefix
                  else self.lexicon(fieldname))
+        dists = levenshtein_batch(text, cands, maxdist)
         items = []
-        for w in cands:
-            if levenshtein(text, w, maxdist) <= maxdist:
+        for w, d in zip(cands, dists):
+            if d <= maxdist:
                 f = self.frequency(fieldname, w) or 1
                 items.append((0 - (maxdist + (1.0 / f * 0.5)), w))
         best = nlargest(limit, items)

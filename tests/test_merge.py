@@ -304,3 +304,53 @@ def test_merge_reseal_does_not_resurrect_stale_dirs(tmp_path):
     ranges = sorted(m.docid_range() for m in m3.segments)
     for (a0, a1), (b0, b1) in zip(ranges, ranges[1:]):
         assert b0 >= a1
+
+
+def test_expunge_prunes_decodes_by_docid_range(monkeypatch):
+    """_expunge must not decode posting blobs for terms whose
+    [min_docid, max_docid] cannot intersect the tombstone set — and the
+    pruned result must equal the unpruned one exactly."""
+    import pyarrow.parquet as pq
+
+    from whoosh_ray.pipelines import merge as merge_mod
+    from whoosh_ray.state import codec
+    from whoosh_ray.stages.fused_writer import FusedSegmentWriter  # noqa: F401
+
+    # build one real segment's tables via the normal build path
+    import tempfile, os, glob, json
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(generate_transcripts(n_convs=40, seed=13),
+                       os.path.join(d, "p.parquet"))
+        build_index(d, os.path.join(d, "ix"), transcripts_schema(),
+                    seg_size=10_000)  # one fat segment
+        segdir = glob.glob(os.path.join(d, "ix", "segments", "seg=*"))[0]
+        from whoosh_ray.state.segment import read_terms_file
+        terms = read_terms_file(segdir)  # blob columns rehydrated
+        docs = pq.read_table(os.path.join(segdir, "docs.parquet"))
+
+    # delete ONE doc: most terms' ranges can't contain it
+    victim = int(docs["docid"][len(docs) // 2].as_py())
+    deletes = np.array([victim], dtype=np.int64)
+
+    calls = {"n": 0}
+    real_reader = codec.BlobReader
+
+    class CountingReader(real_reader):
+        def __init__(self, blob):
+            calls["n"] += 1
+            super().__init__(blob)
+
+    t1, d1, fl1, n1 = merge_mod._expunge(terms, docs, deletes)
+    monkeypatch.setattr(merge_mod.codec, "BlobReader", CountingReader)
+    t2, d2, fl2, n2 = merge_mod._expunge(terms, docs, deletes)
+    monkeypatch.undo()
+
+    # exactly the terms whose [min_docid, max_docid] contains the victim
+    # are decoded — every other blob is passed through untouched
+    mins = terms["min_docid"].to_numpy()
+    maxs = terms["max_docid"].to_numpy()
+    expected = int(((mins <= victim) & (victim <= maxs)).sum())
+    assert calls["n"] == expected < terms.num_rows, \
+        f"decoded {calls['n']}, range-hit {expected} of {terms.num_rows}"
+    assert n1 == n2 == 1 and fl1 == fl2
+    assert t1.equals(t2) and d1.equals(d2)

@@ -159,9 +159,27 @@ def _expunge(terms: pa.Table, docs: pa.Table,
     stats = {c: terms[c].to_numpy(zero_copy_only=False)
              for c in _COMBINE_COLS}
     tvals = terms["term"].to_numpy(zero_copy_only=False)
+    # docid-range prune: a term whose [min_docid, max_docid] cannot
+    # contain any tombstone needs no blob decode at all (the stats row
+    # carries the range) — on a lightly-deleted segment this skips the
+    # decode for almost every term
+    lo = np.searchsorted(deletes, stats["min_docid"], side="left")
+    may_hit = lo < len(deletes)
+    may_hit[may_hit] &= (deletes[lo[may_hit]]
+                         <= stats["max_docid"][may_hit])
     removed_fl: dict[str, int] = {}
     out: dict[str, list] = {f.name: [] for f in _terms_schema()}
     for i in range(terms.num_rows):
+        if not may_hit[i]:
+            out["field"].append(fields[i])
+            out["term"].append(tvals[i])
+            for c in _COMBINE_COLS:
+                out[c].append(stats[c][i])
+            out["postings"].append(posts[i])
+            out["positions"].append(poss[i])
+            out["chars"].append(chs[i])
+            out["boosts"].append(bst[i])
+            continue
         p = codec.BlobReader(posts[i]).decode_all()
         keep = ~np.isin(p.docids, deletes, assume_unique=True)
         nkeep = int(keep.sum())

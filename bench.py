@@ -163,7 +163,9 @@ def _run_inner() -> dict:
     import pyarrow as _pa
 
     seg_size = int(Searcher(ix).manifest.settings["seg_size"])
-    pre = ray.data.read_parquet(src)
+    # same read shape as build_index: 4*ncpu blocks => block-sized
+    # tokenize batches cover ~one segment each (wide actor fan-out)
+    pre = ray.data.read_parquet(src, override_num_blocks=4 * NUM_CPUS)
     pre, _span = with_docids(pre, conv_col="conv_id", turn_col="turn_idx")
 
     def _add_seg(b: "_pa.Table") -> "_pa.Table":

@@ -103,7 +103,11 @@ def build_index(
     conv_col: str = "conv_id",
     turn_col: str = "turn_idx",
     tokenize_concurrency: int | tuple[int, int] | None = None,
-    tokenize_batch_size: int = 8192,
+    # None = block-sized tokenize batches: with the 4*ncpu-block read and
+    # span/(4*ncpu) segment sizing, each map call covers ~one whole
+    # segment, so spill parts coalesce to ~1 file/segment and the stream
+    # router fans out wide (measured: stream 19.5s -> 4.4s, BASELINE §r4)
+    tokenize_batch_size: int | None = None,
     resume: bool = True,
     mode: str = "fused",
 ) -> Manifest:
@@ -384,10 +388,10 @@ def build_index(
         # part files in the map stage; ONLY compact posting rows (dict-
         # encoded terms) cross the all-to-all exchange; the reduce encodes
         # terms and assembles docs.parquet from the parts (spill_writer.py).
-        # NOTE: measured SLOWER than "fused" on this single node (the
-        # per-batch part-file writes dominate); it becomes interesting
-        # multi-node where shuffle bytes cross the network — needs
-        # buffered/coalesced part writes first (round-2)
+        # Part files are coalesced by the block-sized tokenize batches
+        # (one map call ~= one segment's rows at the default read/seg
+        # sizing), so a segment gets ~1 part per overlapping block
+        # instead of one per 8k-row batch.
         from whoosh_ray.stages.spill_writer import (SegmentFinalizer,
                                                     TokenizeAndSpillDocs)
 

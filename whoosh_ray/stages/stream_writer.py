@@ -229,13 +229,21 @@ class StreamRouter(TokenizePostings):
 def build_stream(ds, index_dir: str, schema: IndexSchema, seg_size: int,
                  *, n_actors: int | None = None,
                  spill_bytes: int = 64 * 1024 * 1024,
-                 tokenize_batch_size: int = 8192):
+                 tokenize_batch_size: int | None = None):
     """Run the streaming build over a docid-assigned dataset; returns a
-    pandas stats frame shaped like the fused writer's output."""
+    pandas stats frame shaped like the fused writer's output.
+
+    Measured defaults (BASELINE.md §Round 4): block-sized tokenize
+    batches (``batch_size=None``) fan each map call out to many owner
+    actors at once, and ``ncpu // 2`` buffer actors leave the CPUs to
+    the tokenize task pool — together they took the sf0.1 stream build
+    from 19.5 s to ~4.4 s (vs fused 7.4 s in the same session).  More
+    actors is NOT better: the buffers are I/O-light, and oversubscribing
+    them starves the map pool that feeds them."""
     import pandas as pd
 
     ncpu = int(ray.cluster_resources().get("CPU", 8))
-    k = n_actors or ncpu
+    k = n_actors or max(4, ncpu // 2)
     Actor = ray.remote(num_cpus=0.05)(SegmentBufferActor)
     actors = [Actor.remote(index_dir, schema.to_json(), spill_bytes)
               for _ in range(k)]

@@ -615,8 +615,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def multimodal_features(sf_dir):
         """Rows-only: binary-payload actor-pool feature extraction.
-        Decode is REAL pure-numpy for WAV/PPM/BMP/PNG payloads
-        (functions/media.py); only JPEG/MP4 remain explicit stubs."""
+        Decode is REAL pure-numpy for WAV/PPM/BMP/PNG/JPEG payloads
+        (functions/media.py, functions/jpeg.py); only MP4/video remains
+        an explicit stub."""
         import ray.data
 
         from whoosh_ray.pipelines.multimodal import (extract_image_features,

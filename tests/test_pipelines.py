@@ -65,9 +65,9 @@ def test_multimodal_real_decode():
     out = extract_image_features(ds, concurrency=2, batch_size=16).to_pandas()
     assert len(out) == 64
     assert all(len(f) == FEATURE_DIM for f in out["features"])
-    # 4 of every 5 rows (ppm/bmp/wav/png) really decode; the
+    # 5 of every 6 rows (ppm/bmp/wav/png/jpeg) really decode; the
     # octet-stream rows take the documented fallback
-    assert out["decoded"].sum() == 51
+    assert out["decoded"].sum() == 53
     # determinism across runs
     out2 = extract_image_features(ray.data.from_arrow(t),
                                   concurrency=2, batch_size=16).to_pandas()
@@ -78,13 +78,15 @@ def test_multimodal_real_decode():
     r = ds.map_batches(Resize(max_side=16), batch_format="pyarrow",
                        batch_size=16).to_pandas()
     resized = r[r["resized"]]
-    assert len(resized) == 38  # the ppm + bmp + png rows
+    assert len(resized) == 42  # the ppm + bmp + png + jpeg rows
     assert (np.maximum(resized["out_width"], resized["out_height"]) <= 16).all()
     # the resized payloads really decode to the new dims, in every format
     from whoosh_ray.functions import media as M
+    from whoosh_ray.functions.jpeg import decode_jpeg
 
     decoders = {"image/x-portable-pixmap": M.decode_ppm,
-                "image/bmp": M.decode_bmp, "image/png": M.decode_png}
+                "image/bmp": M.decode_bmp, "image/png": M.decode_png,
+                "image/jpeg": decode_jpeg}
     seen = set()
     for _, row in resized.iterrows():
         mime = M.sniff_mime(row["payload"])
@@ -92,10 +94,10 @@ def test_multimodal_real_decode():
         assert img.shape[:2] == (row["out_height"], row["out_width"])
         seen.add(mime)
     assert seen == set(decoders)
-    # JPEG et al stay an explicit stub under on_unknown="error"
+    # MP4/video stays an explicit stub under on_unknown="error"
     mf = MediaFeatures(on_unknown="error")
     with pytest.raises(NotImplementedError):
-        mf._features(b"\xff\xd8\xff\xe0 fake jpeg")
+        mf._features(b"\x00\x00\x00\x18ftypisom fake mp4 box")
 
 
 def test_media_codecs_roundtrip():
@@ -355,3 +357,33 @@ def test_knn_ivf_recall_on_cluster_sorted_corpus(tmp_path):
         a = set(approx[approx.query_id == q]["neighbor_id"])
         recalls.append(len(e & a) / max(1, len(e)))
     assert np.mean(recalls) >= 0.8, recalls
+
+
+def test_term_stats_sink_above_bound(ray_session, tmp_path):
+    """Lexicon-sized aggregates stream to parquet instead of the driver
+    heap: above max_driver_rows (forced tiny here) the API returns a
+    Dataset over the sink files with identical contents."""
+    import os
+
+    import pyarrow as pa
+    import ray.data
+
+    from whoosh_ray.pipelines.ir import documents_searcher, term_stats_table
+
+    s = documents_searcher("/root/testdata/sf0.001")
+    small = term_stats_table(s)  # driver-sized: a pa.Table
+    assert isinstance(small, pa.Table)
+
+    sink = str(tmp_path / "lexicon")
+    big = term_stats_table(s, max_driver_rows=10, sink_path=sink)
+    assert isinstance(big, ray.data.Dataset)
+    assert os.path.isdir(sink) and any(
+        f.endswith(".parquet") for f in os.listdir(sink))
+    got = big.to_pandas().sort_values("term").reset_index(drop=True)
+    want = small.to_pandas().sort_values("term").reset_index(drop=True)
+    assert got.equals(want)
+
+    # auto-bound path (no sink given): still a Dataset above the bound
+    auto = term_stats_table(s, max_driver_rows=10)
+    assert isinstance(auto, ray.data.Dataset)
+    assert auto.count() == len(want)

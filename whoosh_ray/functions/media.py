@@ -342,4 +342,8 @@ def sniff_mime(buf: bytes) -> str:
         return "image/bmp"
     if buf[:8] == _PNG_SIG:
         return "image/png"
+    if buf[:3] == b"\xff\xd8\xff":
+        return "image/jpeg"
+    if len(buf) >= 12 and buf[4:8] == b"ftyp":
+        return "video/mp4"
     return "application/octet-stream"

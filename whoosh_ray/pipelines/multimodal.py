@@ -41,14 +41,25 @@ FEATURE_DIM = 16  # unified feature width across modalities
 def synthesize_media(n: int, seed: int = 3,
                      payload_bytes: int = 4096) -> pa.Table:
     """Deterministic media table with REAL payloads: a rotating mix of
-    PPM images, BMP images, WAV tones and PNGs (gray/RGB/RGBA), plus a
-    few undecodable blobs to exercise the fallback path.  No external
-    data."""
+    PPM images, BMP images, WAV tones, PNGs (gray/RGB/RGBA) and baseline
+    JPEGs (4:4:4 / 4:2:0), plus a few undecodable blobs to exercise the
+    fallback path.  No external data."""
+    from whoosh_ray.functions.jpeg import encode_jpeg
+
     rng = np.random.default_rng(seed)
     payloads, mimes, widths, heights = [], [], [], []
     for i in range(n):
-        kind = i % 5
-        if kind == 4:
+        kind = i % 6
+        if kind == 5:
+            w, h = int(rng.integers(8, 48)), int(rng.integers(8, 48))
+            gy, gx = np.mgrid[0:h, 0:w]
+            img = np.stack([gy * 255 // max(h - 1, 1),
+                            gx * 255 // max(w - 1, 1),
+                            (gy + gx) * 127 // max(h + w - 2, 1)],
+                           axis=2).astype(np.uint8)
+            payloads.append(encode_jpeg(img, subsample=("444", "420")[i % 2]))
+            mimes.append("image/jpeg")
+        elif kind == 4:
             w, h = int(rng.integers(8, 48)), int(rng.integers(8, 48))
             ch = (1, 3, 4)[i % 3]  # rotate gray / RGB / RGBA
             img = rng.integers(0, 256, (h, w, ch) if ch > 1 else (h, w),
@@ -78,7 +89,7 @@ def synthesize_media(n: int, seed: int = 3,
                                          dtype=np.uint8).tobytes())
             mimes.append("application/octet-stream")
             w = h = 0
-        if kind in (0, 1, 4):
+        if kind in (0, 1, 4, 5):
             widths.append(w)
             heights.append(h)
         else:
@@ -147,10 +158,15 @@ class MediaFeatures:
         if mime == "image/png":
             return _pad(media.image_features(_as_rgb(media.decode_png(buf))),
                         self.dim), True
+        if mime == "image/jpeg":
+            from whoosh_ray.functions.jpeg import decode_jpeg
+
+            return _pad(media.image_features(_as_rgb(decode_jpeg(buf))),
+                        self.dim), True
         if self.on_unknown == "error":
             raise NotImplementedError(
-                f"no in-container codec for {mime!r} (JPEG/MP4 need "
-                "pillow/ffmpeg)")
+                f"no in-container codec for {mime!r} (MP4/video needs "
+                "ffmpeg)")
         return self._fallback(buf), False
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -189,6 +205,13 @@ class Resize:
         elif mime == "image/png":
             img = media.decode_png(buf)
             enc = media.encode_png
+        elif mime == "image/jpeg":
+            from whoosh_ray.functions.jpeg import decode_jpeg, encode_jpeg
+
+            img = decode_jpeg(buf)
+            if img.ndim == 3 and img.shape[2] == 1:
+                img = img[:, :, 0]
+            enc = encode_jpeg
         else:
             return buf, 0, 0, False
         h, w = img.shape[:2]

@@ -295,3 +295,26 @@ def test_missing_value_sort_and_group_parity(tmp_path):
                  limit=None).groups("cat")
     assert {k: sorted(v) for k, v in g.items()} == {
         "b": [0, 3], "": [1, 4], "a": [2], "c": [5]}
+
+
+def test_fill_missing_all_none_uses_column_type():
+    """An all-None numeric/datetime facet column keeps its TYPE default
+    (sort-last inf / datetime.max), not the text '' fallback the value
+    probe would pick (ADVICE r3)."""
+    import datetime as dt
+
+    import pyarrow as pa
+
+    from whoosh_ray.search.facets import _fill_missing
+
+    assert _fill_missing([None, None], pa.int64()) == \
+        [float("inf"), float("inf")]
+    assert _fill_missing([None], pa.float32()) == [float("inf")]
+    assert _fill_missing([None], pa.timestamp("us")) == [dt.datetime.max]
+    assert _fill_missing([None], pa.string()) == [""]
+    assert _fill_missing([None], pa.large_binary()) == [b""]
+    # typed fill also wins over a MIXED column's first-value probe
+    assert _fill_missing([None, 3], pa.int64()) == [float("inf"), 3]
+    # no type: value-probe fallback unchanged
+    assert _fill_missing([None, "x"]) == ["", "x"]
+    assert _fill_missing([None, 2.5]) == [float("inf"), 2.5]

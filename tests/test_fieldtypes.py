@@ -149,3 +149,20 @@ def test_empty_values_index_nothing(engine, oracle):
             ref = {t.decode() for f, t in os_.reader().all_terms()
                    if f == field}
             assert mine == ref, field
+
+
+def test_boolean_empty_string_query_mode():
+    """Query-mode BOOLEAN maps '' through bool('') == False -> 'f'
+    (reference _obj_to_bool); index mode still skips it as the
+    missing-value fill (ADVICE r3)."""
+    import dataclasses
+
+    from whoosh_ray.functions.analysis import VectorAnalyzer
+    from whoosh_ray.state.schema import FieldSpec
+
+    spec = FieldSpec.boolean("flag").analyzer
+    idx = VectorAnalyzer(spec)
+    qry = VectorAnalyzer(dataclasses.replace(spec, mode="query"))
+    assert idx.token_lists(["", "yes", None]) == [[], ["t"], []]
+    assert qry.token_lists(["", "yes", "maybe", "false"]) == \
+        [["f"], ["t"], ["t"], ["f"]]

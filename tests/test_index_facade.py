@@ -129,3 +129,42 @@ def test_schema_evolution(tmp_path):
     assert "topic" not in ix.field_names()
     with pytest.raises(KeyError):
         ix.remove_field("topic")
+
+
+def test_up_to_date_same_tick_commit(ray_session, tmp_path):
+    """A commit landing in the same filesystem-timestamp tick as the
+    Searcher must still be seen: up_to_date() compares the manifest's
+    monotonic generation counter, not mtime (ADVICE r3)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from whoosh_ray.pipelines.build import build_index
+    from whoosh_ray.search import Searcher
+    from whoosh_ray.sources.transcripts import generate_transcripts
+    from whoosh_ray.state.manifest import read_manifest, write_manifest
+    from whoosh_ray.state.schema import transcripts_schema
+
+    src = tmp_path / "src"
+    src.mkdir()
+    pq.write_table(generate_transcripts(n_convs=20, seed=2),
+                   str(src / "p.parquet"))
+    ix = str(tmp_path / "ix")
+    build_index(str(src), ix, transcripts_schema(), seg_size=64)
+    s = Searcher(ix)
+    assert s.up_to_date() and s.refresh() is s
+
+    # "commit" again, then pin the file's mtime back to the searcher's
+    # snapshot — mtime alone would (wrongly) report up-to-date
+    mpath = os.path.join(ix, "manifest.json")
+    old_mtime = os.path.getmtime(mpath)
+    write_manifest(ix, read_manifest(ix))
+    os.utime(mpath, (old_mtime, old_mtime))
+    assert not s.up_to_date()
+    assert s.refresh() is not s
+
+    # generation counter is monotonic across commits
+    from whoosh_ray.index import open_dir
+    g1 = open_dir(ix).latest_generation()
+    write_manifest(ix, read_manifest(ix))
+    assert open_dir(ix).latest_generation() == g1 + 1

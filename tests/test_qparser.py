@@ -215,9 +215,17 @@ def test_regex_plugin(engine, oracle, whoosh_oracle):
         ref_parser = WQP("text", schema=oracle.schema)
         ref_parser.add_plugin(RegexPlugin())
         for qs in ['r"dep.*"', 'text:r"ren.er"', 'role:r"us.r"',
-                   'deploy r"clus.*"', 'r"nosuchprefix.*"']:
+                   'deploy r"clus.*"', 'r"nosuchprefix.*"',
+                   # unknown prefix folds INTO the pattern (ADVICE r3):
+                   # 'bogus:r"pat"' -> Regex(default, 'bogus:pat')
+                   'bogus:r"dep.*"', 'bogus:r"(dep|ren).*"']:
             _compare(engine, os_, my_parser.parse(qs),
                      ref_parser.parse(qs), qs)
+    # structural check of the fold-in (no index needed)
+    from whoosh_ray.search.query import Regex as _Rx
+    q = my_parser.parse('bogus:r"pat"')
+    assert isinstance(q, _Rx) and q.fieldname == "text" \
+        and q.text == "bogus:pat"
 
 
 def test_sequence_plugin(engine, oracle, whoosh_oracle):

@@ -454,12 +454,16 @@ class VectorAnalyzer:
     def _boolean_call(self, values) -> TokenizedBatch:
         """BOOLEAN value stream -> "t"/"f" tokens (fields.py:959-966
         index semantics; 970-977 query semantics under mode="query").
-        None / empty-string (the writers' missing-value fill) index
-        nothing, like a missing field in the reference."""
+        In INDEX mode None / empty-string (the writers' missing-value
+        fill) index nothing, like a missing field in the reference; in
+        QUERY mode only None is skipped — the reference's _obj_to_bool
+        maps "" through bool("") == False, so an empty query string
+        yields the 'f' token (ADVICE r3)."""
         query_mode = self.spec.mode == "query"
         rows, terms = [], []
         for i, v in enumerate(values):
-            if v is None or (isinstance(v, str) and v == ""):
+            if v is None or (not query_mode
+                             and isinstance(v, str) and v == ""):
                 continue
             if isinstance(v, str):
                 lv = v.lower()

@@ -10,7 +10,7 @@ directory like the reference's ``_<indexname>`` file prefixes do
 the reference's create-then-commit-empty-TOC behavior — so a fresh
 index is searchable (0 docs) before any writer commit.  There are no
 file locks: commits are single-driver manifest swaps, so
-``up_to_date``/``refresh`` reduce to manifest mtime checks.
+``up_to_date``/``refresh`` compare the manifest generation counter.
 """
 
 from __future__ import annotations
@@ -106,12 +106,19 @@ class Index:
         return self
 
     def latest_generation(self) -> float:
-        """Commit marker — manifest mtime (the engine swaps one
-        manifest instead of numbering TOC generations)."""
+        """Commit marker — the manifest's monotonic generation counter
+        (falls back to mtime for pre-counter manifests).  The engine
+        swaps one manifest instead of numbering TOC generations."""
+        path = os.path.join(self.index_dir, "manifest.json")
         try:
-            return os.path.getmtime(os.path.join(self.index_dir,
-                                                 "manifest.json"))
-        except OSError:
+            import json as _json
+
+            with open(path) as f:
+                gen = _json.load(f).get("settings", {}).get("generation")
+            if gen is not None:
+                return int(gen)
+            return os.path.getmtime(path)
+        except (OSError, ValueError):
             return -1
 
     def last_modified(self) -> float:

@@ -34,25 +34,49 @@ __all__ = [
 ]
 
 
-def _fill_missing(vals: list) -> list:
+def _fill_missing(vals: list, arrow_type=None) -> list:
     """Missing (None) stored values take the reference column
     DEFAULTS (sorting.py FieldFacet over column storage): bytes/text
     columns default '' — missing docs sort FIRST ascending and group
     under the '' key — while numeric/datetime columns default to the
-    type maximum — missing docs sort LAST ascending."""
+    type maximum — missing docs sort LAST ascending.
+
+    The fill is derived from the ARROW column type when available, so
+    an all-None numeric/datetime column still takes its numeric default
+    instead of falling through to '' (ADVICE r3); the value probe is
+    only the fallback for typeless python lists."""
     if not any(v is None for v in vals):
         return vals
-    probe = next((v for v in vals if v is not None), None)
-    if probe is None or isinstance(probe, str):
-        fill = ""
-    elif isinstance(probe, bytes):
-        fill = b""
-    elif isinstance(probe, _dt.datetime):
-        fill = _dt.datetime.max
-    elif isinstance(probe, _dt.date):
-        fill = _dt.date.max
-    else:
-        fill = float("inf")
+    fill = None
+    if arrow_type is not None:
+        import pyarrow as _pa
+
+        if _pa.types.is_string(arrow_type) or \
+                _pa.types.is_large_string(arrow_type):
+            fill = ""
+        elif _pa.types.is_binary(arrow_type) or \
+                _pa.types.is_large_binary(arrow_type):
+            fill = b""
+        elif _pa.types.is_timestamp(arrow_type):
+            fill = _dt.datetime.max
+        elif _pa.types.is_date(arrow_type):
+            fill = _dt.date.max
+        elif _pa.types.is_integer(arrow_type) or \
+                _pa.types.is_floating(arrow_type) or \
+                _pa.types.is_decimal(arrow_type):
+            fill = float("inf")
+    if fill is None:
+        probe = next((v for v in vals if v is not None), None)
+        if probe is None or isinstance(probe, str):
+            fill = ""
+        elif isinstance(probe, bytes):
+            fill = b""
+        elif isinstance(probe, _dt.datetime):
+            fill = _dt.datetime.max
+        elif isinstance(probe, _dt.date):
+            fill = _dt.date.max
+        else:
+            fill = float("inf")
     return [fill if v is None else v for v in vals]
 
 
@@ -112,7 +136,8 @@ class FieldFacet(FacetType):
 
     def _values(self, searcher, docids):
         t = searcher.stored(docids, columns=[self.fieldname])
-        return _fill_missing(t[self.fieldname].to_pylist())
+        col = t[self.fieldname]
+        return _fill_missing(col.to_pylist(), arrow_type=col.type)
 
     def keys(self, searcher, docids, scores):
         vals = self._values(searcher, docids)

@@ -400,12 +400,19 @@ class QueryParser:
             # RegexPlugin (plugins.py:202-221): [field:]r"pattern"
             m = re.match(r'^(?:(\w+):)?r"([^"]*)"$', val)
             fname = m.group(1)
+            pattern = m.group(2)
             if fname and (fname in {f.name for f in self.schema.fields}
                           or fname in self.aliases):
                 field = self.aliases.get(fname, fname)
+            elif fname:
+                # UNKNOWN field prefix folds INTO the pattern text, like
+                # the phrase/range fold-in (reference do_fieldnames,
+                # plugins.py:407-415: 'bogus:r"pat"' -> Regex(default,
+                # 'bogus:pat'))
+                pattern = fname + ":" + pattern
             from whoosh_ray.search.query import Regex
 
-            return Regex(field, m.group(2))
+            return Regex(field, pattern)
         if kind == "range":
             rfield, raw = val
             if rfield:

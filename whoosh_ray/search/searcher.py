@@ -609,9 +609,23 @@ class Searcher:
     def up_to_date(self) -> bool:
         if self._manifest_mtime is None:
             return True
+        path = os.path.join(self.index_dir, "manifest.json")
+        # prefer the monotonic generation counter: two commits in one
+        # timestamp tick are indistinguishable by mtime (ADVICE r3)
+        mine = self.manifest.settings.get("generation")
+        if mine is not None:
+            try:
+                import json as _json
+
+                with open(path) as f:
+                    disk = (_json.load(f).get("settings", {})
+                            .get("generation"))
+            except (OSError, ValueError):
+                return True
+            if disk is not None:
+                return int(disk) <= int(mine)
         try:
-            mtime = os.path.getmtime(os.path.join(self.index_dir,
-                                                  "manifest.json"))
+            mtime = os.path.getmtime(path)
         except OSError:
             return True
         return mtime <= self._manifest_mtime

@@ -114,6 +114,17 @@ def atomic_write_json(path: str, obj: dict) -> None:
 
 def write_manifest(index_dir: str, manifest: Manifest) -> str:
     path = os.path.join(index_dir, "manifest.json")
+    # monotonic commit counter: coarse-granularity mtimes cannot
+    # distinguish two commits in the same timestamp tick, so
+    # up_to_date()/latest_generation() compare this instead (ADVICE r3)
+    prev = -1
+    try:
+        with open(path) as f:
+            prev = int(json.load(f).get("settings", {})
+                       .get("generation", -1))
+    except (OSError, ValueError, json.JSONDecodeError):
+        pass
+    manifest.settings["generation"] = prev + 1
     atomic_write_json(path, manifest.to_json())
     return path
 

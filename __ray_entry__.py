@@ -626,6 +626,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = ray.data.from_arrow(synthesize_media(256))
         return extract_image_features(ds, concurrency=2, batch_size=64)
 
+    def multimodal_frames(sf_dir):
+        """Rows-only: video frame sampling — REAL y4m decode in an
+        actor pool, 1 video row fans out to <=4 PNG-encoded frame rows
+        (pipelines/multimodal.py FrameSample)."""
+        import ray.data
+
+        from whoosh_ray.pipelines.multimodal import (sample_frames,
+                                                     synthesize_video)
+
+        ds = ray.data.from_arrow(synthesize_video(96))
+        out = sample_frames(ds, max_frames=4, concurrency=2, batch_size=16)
+
+        def meta(batch):
+            import hashlib
+
+            pay = batch["payload"]
+            return pa.table({
+                "item_id": batch["item_id"],
+                "frame_idx": batch["frame_idx"],
+                "png_bytes": pa.array(
+                    [len(pay[i].as_py()) for i in range(batch.num_rows)],
+                    type=pa.int64()),
+                "png_sha": pa.array(
+                    [hashlib.sha256(pay[i].as_py()).hexdigest()[:16]
+                     for i in range(batch.num_rows)]),
+            })
+
+        # frame payload BYTES stay distributed; only deterministic
+        # metadata (len + digest) reaches the driver
+        return out.map_batches(meta, batch_format="pyarrow")
+
     def ir_bm25_filtered(sf_dir):
         """BM25 with filter= and mask= as ROARING id sets (the
         functions/idsets.py broadcastable representation, hash-checked
@@ -751,6 +782,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ir_range_facet": ir_range_facet,
         "knn_ivf_top10": knn_ivf_top10,
         "multimodal_features": multimodal_features,
+        "multimodal_frames": multimodal_frames,
         "ir_suggest": ir_suggest,
         "ir_bm25_filtered": ir_bm25_filtered,
         "ir_highlights": ir_highlights,

@@ -387,3 +387,47 @@ def test_term_stats_sink_above_bound(ray_session, tmp_path):
     auto = term_stats_table(s, max_driver_rows=10)
     assert isinstance(auto, ray.data.Dataset)
     assert auto.count() == len(want)
+
+
+def test_y4m_video_roundtrip_and_frame_sample(ray_session):
+    """Real y4m decode: roundtrip fidelity, FrameSample actor-pool
+    fan-out (1 video row -> k PNG frame rows), and MediaFeatures over
+    video payloads."""
+    from whoosh_ray.functions import media as M
+    from whoosh_ray.pipelines.multimodal import (MediaFeatures,
+                                                 sample_frames,
+                                                 synthesize_video)
+
+    rng = np.random.default_rng(2)
+    frames = rng.integers(0, 256, (5, 12, 16, 3), dtype=np.uint8)
+    # 4:4:4 roundtrips near-exactly (only YUV<->RGB rounding)
+    out = M.decode_y4m(M.encode_y4m(frames, subsample="444"))
+    assert out.shape == frames.shape
+    assert np.abs(out.astype(int) - frames.astype(int)).max() <= 2
+    # 4:2:0 is lossy in chroma but luma-faithful on unclipped content
+    gy, gx = np.mgrid[0:12, 0:16]
+    smooth = np.stack([np.stack([gy * 10 + 60, gx * 8 + 50,
+                                 gy * 4 + gx * 4 + 40], axis=2)
+                       for _ in range(3)]).astype(np.uint8)
+    out420 = M.decode_y4m(M.encode_y4m(smooth, subsample="420"))
+    luma = lambda f: f.astype(float) @ np.array([0.299, 0.587, 0.114])
+    assert np.abs(luma(out420) - luma(smooth)).max() < 3
+    assert M.sniff_mime(M.encode_y4m(frames)) == "video/x-y4m"
+
+    t = synthesize_video(12)
+    ds = ray.data.from_arrow(t)
+    fr = sample_frames(ds, max_frames=4, concurrency=2,
+                       batch_size=8).to_pandas()
+    nf = t["n_frames"].to_numpy()
+    expected = sum(min(4, int(k)) for k in nf)
+    assert len(fr) == expected
+    assert (fr["frame_idx"] >= 0).all()
+    # every sampled frame is a real PNG of the source dims
+    one = fr.iloc[0]
+    img = M.decode_png(one["payload"])
+    row = t.to_pandas().set_index("item_id").loc[one["item_id"]]
+    assert img.shape[:2] == (row["height"], row["width"])
+
+    mf = MediaFeatures()
+    feats, decoded = mf._features(t["payload"][0].as_py())
+    assert decoded and np.isfinite(feats).all() and feats.any()

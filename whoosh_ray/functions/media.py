@@ -333,6 +333,96 @@ def image_features(img: np.ndarray, hist_bins: int = 8) -> np.ndarray:
     return np.concatenate(([w, h], mean, std, hist)).astype(np.float32)
 
 
+# ---- video: YUV4MPEG2 (y4m) — a real, fully-decodable plain container
+
+
+def _rgb_to_yuv(frames: np.ndarray):
+    f = frames.astype(np.float64)
+    r, g, b = f[..., 0], f[..., 1], f[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    u = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    v = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return (np.clip(np.round(y), 0, 255).astype(np.uint8),
+            np.clip(np.round(u), 0, 255).astype(np.uint8),
+            np.clip(np.round(v), 0, 255).astype(np.uint8))
+
+
+def encode_y4m(frames: np.ndarray, fps: tuple[int, int] = (25, 1),
+               subsample: str = "444") -> bytes:
+    """(n, H, W, 3) uint8 RGB -> YUV4MPEG2 bytes (C444 or C420jpeg).
+    Deterministic; 4:2:0 chroma is a 2x2 mean (even dims required)."""
+    n, h, w = frames.shape[:3]
+    y, u, v = _rgb_to_yuv(frames)
+    if subsample == "420":
+        if h % 2 or w % 2:
+            raise ValueError("4:2:0 y4m needs even dimensions")
+        u = u.reshape(n, h // 2, 2, w // 2, 2).mean(axis=(2, 4))
+        v = v.reshape(n, h // 2, 2, w // 2, 2).mean(axis=(2, 4))
+        u = np.clip(np.round(u), 0, 255).astype(np.uint8)
+        v = np.clip(np.round(v), 0, 255).astype(np.uint8)
+        ctag = "420jpeg"
+    elif subsample == "444":
+        ctag = "444"
+    else:
+        raise ValueError(subsample)
+    out = bytearray(
+        f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 C{ctag}\n"
+        .encode())
+    for i in range(n):
+        out += b"FRAME\n"
+        out += y[i].tobytes() + u[i].tobytes() + v[i].tobytes()
+    return bytes(out)
+
+
+def decode_y4m(buf: bytes) -> np.ndarray:
+    """YUV4MPEG2 bytes -> (n, H, W, 3) uint8 RGB.  C444 / C420*."""
+    nl = buf.index(b"\n")
+    header = buf[:nl].decode("ascii", "replace").split(" ")
+    if header[0] != "YUV4MPEG2":
+        raise ValueError("not a y4m stream")
+    w = h = None
+    ctag = "420jpeg"  # the y4m default when no C tag present
+    for tok in header[1:]:
+        if tok.startswith("W"):
+            w = int(tok[1:])
+        elif tok.startswith("H"):
+            h = int(tok[1:])
+        elif tok.startswith("C"):
+            ctag = tok[1:]
+    if not w or not h:
+        raise ValueError("y4m header missing dimensions")
+    if ctag.startswith("420"):
+        cw, ch = w // 2, h // 2
+    elif ctag == "444":
+        cw, ch = w, h
+    else:
+        raise NotImplementedError(f"y4m chroma {ctag!r}")
+    fsize = h * w + 2 * cw * ch
+    pos = nl + 1
+    frames = []
+    while pos < len(buf):
+        fl = buf.index(b"\n", pos)  # FRAME line (may carry params)
+        if not buf[pos:fl].startswith(b"FRAME"):
+            raise ValueError("bad y4m frame marker")
+        pos = fl + 1
+        raw = np.frombuffer(buf[pos: pos + fsize], dtype=np.uint8)
+        pos += fsize
+        y = raw[: h * w].reshape(h, w).astype(np.float64)
+        u = raw[h * w: h * w + cw * ch].reshape(ch, cw).astype(np.float64)
+        v = raw[h * w + cw * ch:].reshape(ch, cw).astype(np.float64)
+        if ctag.startswith("420"):
+            u = np.repeat(np.repeat(u, 2, axis=0), 2, axis=1)[:h, :w]
+            v = np.repeat(np.repeat(v, 2, axis=0), 2, axis=1)[:h, :w]
+        u -= 128.0
+        v -= 128.0
+        r = y + 1.402 * v
+        g = y - 0.344136 * u - 0.714136 * v
+        b = y + 1.772 * u
+        frames.append(np.clip(np.round(np.stack([r, g, b], axis=2)),
+                              0, 255).astype(np.uint8))
+    return np.stack(frames) if frames else np.empty((0, h, w, 3), np.uint8)
+
+
 def sniff_mime(buf: bytes) -> str:
     if buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
         return "audio/wav"
@@ -344,6 +434,8 @@ def sniff_mime(buf: bytes) -> str:
         return "image/png"
     if buf[:3] == b"\xff\xd8\xff":
         return "image/jpeg"
+    if buf[:9] == b"YUV4MPEG2":
+        return "video/x-y4m"
     if len(buf) >= 12 and buf[4:8] == b"ftyp":
         return "video/mp4"
     return "application/octet-stream"

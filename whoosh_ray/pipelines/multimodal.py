@@ -163,6 +163,18 @@ class MediaFeatures:
 
             return _pad(media.image_features(_as_rgb(decode_jpeg(buf))),
                         self.dim), True
+        if mime == "video/x-y4m":
+            frames = media.decode_y4m(buf)
+            if len(frames) == 0:
+                return self._fallback(buf), False
+            # mean of per-frame image features over up to 4 uniformly
+            # sampled frames — deterministic and length-stable
+            idx = np.unique(np.linspace(0, len(frames) - 1,
+                                        min(4, len(frames)), dtype=int))
+            feats = np.stack([media.image_features(frames[i])
+                              for i in idx])
+            return _pad(feats.mean(axis=0).astype(np.float32),
+                        self.dim), True
         if self.on_unknown == "error":
             raise NotImplementedError(
                 f"no in-container codec for {mime!r} (MP4/video needs "
@@ -237,6 +249,85 @@ class Resize:
                 .append_column("out_height",
                                pa.array(np.asarray(ohs, dtype=np.int32)))
                 .append_column("resized", pa.array(flags)))
+
+
+def synthesize_video(n: int, seed: int = 5) -> pa.Table:
+    """Deterministic y4m video table (REAL decodable payloads): moving
+    gradients, rotating 444/420 chroma, 4-16 frames each."""
+    from whoosh_ray.functions.media import encode_y4m
+
+    rng = np.random.default_rng(seed)
+    payloads, widths, heights, nframes = [], [], [], []
+    for i in range(n):
+        w = int(rng.integers(4, 16)) * 2
+        h = int(rng.integers(4, 16)) * 2
+        nf = int(rng.integers(4, 17))
+        gy, gx = np.mgrid[0:h, 0:w]
+        frames = np.stack([np.stack([
+            (gy * 8 + t * 16) % 256,
+            (gx * 8 + t * 8) % 256,
+            (gy + gx + t * 4) % 256], axis=2)
+            for t in range(nf)]).astype(np.uint8)
+        payloads.append(encode_y4m(frames,
+                                   subsample=("444", "420")[i % 2]))
+        widths.append(w)
+        heights.append(h)
+        nframes.append(nf)
+    return pa.table({
+        "item_id": pa.array(np.arange(n), type=pa.int64()),
+        "payload": pa.array(payloads, type=pa.large_binary()),
+        "mime": pa.array(["video/x-y4m"] * n),
+        "width": pa.array(np.asarray(widths, dtype=np.int32)),
+        "height": pa.array(np.asarray(heights, dtype=np.int32)),
+        "n_frames": pa.array(np.asarray(nframes, dtype=np.int32)),
+    })
+
+
+class FrameSample:
+    """Actor-pool stage: video payload -> one row PER SAMPLED FRAME
+    (uniform, deterministic), each frame re-encoded as PNG.  The
+    1-row-in / k-rows-out shape is the frame-sample pattern for
+    training-data pipelines; non-video rows pass through untouched
+    with frame_idx = -1."""
+
+    def __init__(self, max_frames: int = 4):
+        self.max_frames = max_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from whoosh_ray.functions.media import (decode_y4m, encode_png,
+                                                sniff_mime)
+
+        ids, payloads, fidx = [], [], []
+        for i in range(batch.num_rows):
+            item = batch["item_id"][i].as_py()
+            buf = batch["payload"][i].as_py()
+            if sniff_mime(buf) != "video/x-y4m":
+                ids.append(item)
+                payloads.append(buf)
+                fidx.append(-1)
+                continue
+            frames = decode_y4m(buf)
+            take = np.unique(np.linspace(0, len(frames) - 1,
+                                         min(self.max_frames, len(frames)),
+                                         dtype=int))
+            for t in take:
+                ids.append(item)
+                payloads.append(encode_png(frames[t]))
+                fidx.append(int(t))
+        return pa.table({
+            "item_id": pa.array(ids, type=pa.int64()),
+            "frame_idx": pa.array(np.asarray(fidx, dtype=np.int32)),
+            "payload": pa.array(payloads, type=pa.large_binary()),
+        })
+
+
+def sample_frames(ds: ray.data.Dataset, *, max_frames: int = 4,
+                  concurrency: int = 2,
+                  batch_size: int = 32) -> ray.data.Dataset:
+    """Video -> frame rows, actor pool (decode state per actor)."""
+    return ds.map_batches(FrameSample, batch_format="pyarrow",
+                          batch_size=batch_size, concurrency=concurrency,
+                          fn_constructor_kwargs={"max_frames": max_frames})
 
 
 def extract_image_features(ds: ray.data.Dataset, *, concurrency: int = 4,

@@ -318,12 +318,19 @@ def build_index(
             bases_ds = ray.data.read_parquet(source,
                                              columns=[conv_col, turn_col])
 
+    docid_span = None
+    if docid_col is not None and not isinstance(source, ray.data.Dataset):
+        from whoosh_ray.stages.docids import docid_span_from_stats
+
+        docid_span = docid_span_from_stats(_expand_paths(source), docid_col)
+
     if ds is not None:
         ds, span = with_docids(ds, conv_col=conv_col, turn_col=turn_col,
                                docid_col=docid_col, bases_ds=bases_ds,
                                local_paths=local_paths,
                                bases_precomputed=bases_precomputed,
-                               bases_sharded=bases_sharded)
+                               bases_sharded=bases_sharded,
+                               docid_span=docid_span)
 
     if seg_size is None:
         # segments are the unit of encode/write parallelism AND the memory

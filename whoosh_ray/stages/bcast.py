@@ -9,15 +9,26 @@ broadcast-join pattern, no shuffle.
 
 from __future__ import annotations
 
+from collections import OrderedDict
+
 import ray
 
-_CACHE: dict = {}
+_CACHE: OrderedDict = OrderedDict()
+_CAPACITY = 64
 
 
 def get_broadcast(ref):
     key = ref.hex() if hasattr(ref, "hex") else ref
-    if key not in _CACHE:
-        if len(_CACHE) > 32:
-            _CACHE.clear()
-        _CACHE[key] = ray.get(ref)
-    return _CACHE[key]
+    hit = _CACHE.get(key)
+    if hit is not None:
+        _CACHE.move_to_end(key)  # LRU touch
+        return hit
+    # LRU eviction (not clear-all): a worker cycling through many
+    # broadcast objects — e.g. the sharded docid-base buckets its
+    # batches touch — keeps its hot set instead of re-fetching
+    # everything after each overflow
+    while len(_CACHE) >= _CAPACITY:
+        _CACHE.popitem(last=False)
+    val = ray.get(ref)
+    _CACHE[key] = val
+    return val

@@ -422,6 +422,27 @@ def conv_bases_tasks(paths: list[str], conv_col: str = "conv_id",
     return keys, bases, span
 
 
+def docid_span_from_stats(paths: list[str], docid_col: str) -> int | None:
+    """max(docid_col)+1 from parquet ROW-GROUP STATISTICS — O(#row
+    groups) metadata reads, no data IO, no Ray execution.  Returns None
+    when any row group lacks statistics (caller falls back)."""
+    import pyarrow.parquet as pq
+
+    hi = None
+    for p in paths:
+        md = pq.ParquetFile(p).metadata
+        try:
+            ci = md.schema.to_arrow_schema().names.index(docid_col)
+        except ValueError:
+            return None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics
+            if st is None or not st.has_min_max:
+                return None
+            hi = st.max if hi is None else max(hi, st.max)
+    return None if hi is None else int(hi) + 1
+
+
 def _bases_from_spans(keys: np.ndarray, max_turn: np.ndarray):
     order = np.argsort(keys, kind="stable")
     keys = keys[order]
@@ -437,7 +458,8 @@ def with_docids(ds: ray.data.Dataset, *, conv_col: str = "conv_id",
                 local_paths: list[str] | None = None,
                 bases_futures: list | None = None,
                 bases_precomputed: tuple | None = None,
-                bases_sharded: "ShardedBases | None" = None) -> tuple[ray.data.Dataset, int]:
+                bases_sharded: "ShardedBases | None" = None,
+                docid_span: int | None = None) -> tuple[ray.data.Dataset, int]:
     """Attach the ``docid`` column; returns (dataset, docid span).
 
     The (keys, bases) pair is fetched from the object store once per
@@ -450,9 +472,12 @@ def with_docids(ds: ray.data.Dataset, *, conv_col: str = "conv_id",
         def from_col(batch: pa.Table) -> pa.Table:
             d = batch[docid_col].cast(pa.int64())
             return batch.append_column("docid", d)
-        # span from column stats (one cheap aggregate)
-        hi = ds.max(docid_col)
-        return ds.map_batches(from_col, batch_format="pyarrow"), int(hi) + 1
+        if docid_span is None:
+            # span via a Ray aggregate — a full pipeline execution with
+            # ~3s fixed cost; callers with parquet sources pass
+            # docid_span from row-group statistics instead
+            docid_span = int(ds.max(docid_col)) + 1
+        return ds.map_batches(from_col, batch_format="pyarrow"), docid_span
 
     if bases_sharded is not None:
         sb = bases_sharded

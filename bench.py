@@ -136,6 +136,17 @@ def _run_inner() -> dict:
     batch_search(ix, qset, limit=10, concurrency=min(4, NUM_CPUS))
     queries["queryset_dist_sec"] = round(time.time() - t0, 3)
 
+    # steady-state serving shape: a PERSISTENT QueryPool (actors built
+    # once, reused across calls) — what a long-lived query service pays
+    # per batch; batch_search above includes per-call pool spin-up
+    from whoosh_ray.search.dist import QueryPool
+
+    with QueryPool(ix, concurrency=min(4, NUM_CPUS)) as pool:
+        pool.search_batch(qset, limit=10)  # cold per-actor stats reads
+        t0 = time.time()
+        pool.search_batch(qset, limit=10)
+        queries["queryset_pool_secs"] = round(time.time() - t0, 3)
+
     # -------- COLD-searcher latency on the many-segment index (the
     # VERDICT r2 #1 criterion: 8-query set < 1s on 100+ segments without
     # OPTIMIZE).  Process caches cleared; page cache stays warm — this

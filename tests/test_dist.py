@@ -254,3 +254,25 @@ def test_fanout_nested_children_boundary_parent(tmp_path):
     # global semantics: range (3, first parent > 4) = docs {4, 5}
     assert a.docids.tolist() == [4, 5]
     assert b.docids.tolist() == a.docids.tolist()
+
+
+def test_query_pool_matches_batch_search(ray_session, index_dir):
+    """Persistent QueryPool == per-call batch_search, across reuse."""
+    from whoosh_ray.search import And, Or, Phrase, Prefix, Term
+    from whoosh_ray.search.dist import QueryPool, batch_search
+
+    qset = [Term("text", "deploy"),
+            And([Term("text", "deploy"), Term("text", "render")]),
+            Or([Term("text", "cluster"), Term("text", "error")]),
+            Phrase("text", ["deploy", "render"]),
+            Prefix("text", "rend")]
+    want = batch_search(index_dir, qset, limit=10).to_pandas()
+    with QueryPool(index_dir, concurrency=2) as pool:
+        for _ in range(2):  # reuse across calls
+            got = pool.search_batch(qset, limit=10).to_pandas()
+            assert got.reset_index(drop=True).equals(
+                want.reset_index(drop=True))
+        # a different batch through the same warm actors
+        one = pool.search_batch([Term("text", "november")], limit=5)
+        ref = batch_search(index_dir, [Term("text", "november")], limit=5)
+        assert one.to_pandas().equals(ref.to_pandas())

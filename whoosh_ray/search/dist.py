@@ -126,6 +126,90 @@ def batch_search(index_dir: str, queries: list[Query], limit: int = 10,
         preserve_index=False)
 
 
+class QueryPool:
+    """PERSISTENT query-actor pool — the steady-state serving shape.
+
+    ``batch_search`` pays a fresh actor pool per call (worker process
+    fork + import chain + Searcher init), which is fine for one-shot
+    batch jobs but wrong for a long-lived query service.  QueryPool
+    creates the ``QueryWorker`` actors ONCE (same worker class, same
+    per-actor state) and reuses them across ``search_batch`` calls, so
+    a call costs only query evaluation + one round trip per actor.
+    Construction blocks until every actor is warm (a ping round)."""
+
+    def __init__(self, index_dir: str, concurrency: int = 4, *,
+                 filter=None, mask=None):
+        import pickle
+
+        from whoosh_ray.functions.idsets import RoaringIdSet
+
+        def blob(obj):
+            if obj is None:
+                return None
+            if isinstance(obj, RoaringIdSet):
+                return obj.to_bytes()
+            arr = (obj.to_array() if hasattr(obj, "to_array")
+                   else np.asarray(sorted(int(d) for d in obj),
+                                   dtype=np.int64))
+            return RoaringIdSet(arr).to_bytes()
+
+        self._pickle = pickle
+        Actor = ray.remote(num_cpus=1)(_PoolWorker)
+        self.actors = [Actor.remote(index_dir, blob(filter), blob(mask))
+                       for _ in range(max(1, concurrency))]
+        ray.get([a.ping.remote() for a in self.actors])  # warm barrier
+
+    def search_batch(self, queries: list[Query],
+                     limit: int = 10) -> pa.Table:
+        k = len(self.actors)
+        chunks: list[list] = [[] for _ in range(k)]
+        for i, q in enumerate(queries):
+            chunks[i % k].append((i, self._pickle.dumps(q), limit))
+        refs = [a.run.remote(c) for a, c in zip(self.actors, chunks) if c]
+        parts = [t for t in ray.get(refs) if t.num_rows]
+        out = (pa.concat_tables(parts) if parts
+               else _empty_results_table())
+        idx = np.lexsort((out["rank"].to_numpy(),
+                          out["query_id"].to_numpy()))
+        return out.take(pa.array(idx))
+
+    def shutdown(self) -> None:
+        for a in self.actors:
+            ray.kill(a)
+        self.actors = []
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.shutdown()
+
+
+def _empty_results_table() -> pa.Table:
+    return pa.table({
+        "query_id": pa.array([], type=pa.int64()),
+        "rank": pa.array([], type=pa.int64()),
+        "docid": pa.array([], type=pa.int64()),
+        "score": pa.array([], type=pa.float64()),
+    })
+
+
+class _PoolWorker(QueryWorker):
+    """QueryWorker with a direct (non-map_batches) entry point."""
+
+    def ping(self) -> bool:
+        return True
+
+    def run(self, items: list[tuple[int, bytes, int]]) -> pa.Table:
+        batch = pa.table({
+            "query_id": pa.array([i for i, _, _ in items], type=pa.int64()),
+            "query_pickle": pa.array([b for _, b, _ in items],
+                                     type=pa.large_binary()),
+            "limit": pa.array([m for _, _, m in items], type=pa.int64()),
+        })
+        return self(batch)
+
+
 def _has_nondecomposable(q: Query) -> bool:
     from whoosh_ray.search.nested import NestedChildren, NestedParent
 

@@ -505,6 +505,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "rank": pa.array(out["rank"], type=pa.int64()),
         })
 
+    def knn_ivf_exhaustive(sf_dir):
+        """IVF index machinery under the HASH gate: with nprobe == nlist
+        every bucket partition is read through the IVF plumbing
+        (bucket-partitioned parquet, per-bucket gather, global merge)
+        and the result must equal exact brute-force cosine top-k —
+        the DuckDB oracle.  The pruned (approximate) path stays the
+        separate rows-only knn_ivf_top10 entry with its recall pytest."""
+        import pyarrow.parquet as pq
+        import ray.data
+
+        from whoosh_ray.pipelines.knn import knn_ivf
+
+        emb_path = os.path.join(sf_dir, "embeddings.parquet")
+        head = pq.read_table(emb_path).slice(0, 5)
+        out = knn_ivf(ray.data.read_parquet(emb_path),
+                      head["vec_id"].to_numpy(),
+                      np.array(head["embedding"].to_pylist(),
+                               dtype=np.float64),
+                      k=10, nlist=16, nprobe=16,
+                      index_dir=os.path.join(
+                          "/tmp/whoosh_ray_cache",
+                          "ivfx-" + sf_dir.strip("/").replace("/", "_")))
+        return pa.table({
+            "query_id": pa.array(out["query_id"], type=pa.int64()),
+            "neighbor_id": pa.array(out["neighbor_id"], type=pa.int64()),
+            "rank": pa.array(out["rank"], type=pa.int64()),
+        })
+
     def text_token_stats(sf_dir):
         from whoosh_ray.pipelines.textstats import token_stats
 
@@ -773,6 +801,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_pairs": dedup_minhash_pairs,
         "dedup_embed_pairs": dedup_embed_pairs,
         "knn_top10": knn_top10,
+        "knn_ivf_exhaustive": knn_ivf_exhaustive,
         "text_token_stats": text_token_stats,
         "text_fingerprints": text_fingerprints,
         "text_langid": text_langid,
@@ -1080,6 +1109,21 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[],
 ORDER BY id_a, id_b
 """,
         "knn_top10": """
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+pairs AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+    list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) AS cosine
+  FROM q, embeddings e WHERE e.vec_id != q.vec_id
+)
+SELECT query_id, neighbor_id,
+  (row_number() OVER (PARTITION BY query_id
+                      ORDER BY cosine DESC, neighbor_id) - 1) AS rank
+FROM pairs
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY cosine DESC, neighbor_id) <= 10
+ORDER BY query_id, rank
+""",
+        "knn_ivf_exhaustive": """
 WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
 pairs AS (
   SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,

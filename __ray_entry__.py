@@ -47,6 +47,244 @@ def _quant_sql() -> str:
     return ",".join(str(int(x)) for x in BYTE_TO_LENGTH)
 
 
+# ---- SipHash-in-SQL -------------------------------------------------------
+# The dedup/fingerprint pipelines key on ``pd.util.hash_array`` =
+# splitmix64(SipHash-2-4(utf8, key)) — reverse-engineered and validated
+# against pandas 2.2 (tests/test_siphash_sql.py).  The generator below
+# emits that hash as NESTED SUBQUERY LAYERS (each layer's expressions
+# reference only the previous layer's named columns — lateral aliases
+# would blow up exponentially in the binder), which lets DuckDB oracle
+# the minhash / simhash / fingerprint entries exactly.
+
+_U64 = "18446744073709551616"  # 2^64
+
+
+def _sip_rotl(x: str, b: int) -> str:
+    return (f"(((({x})::HUGEINT * {1 << b}) % {_U64})::UBIGINT"
+            f" | (({x}) >> {64 - b}))")
+
+
+def _sip_addm(a: str, b: str) -> str:
+    return f"((({a})::HUGEINT + ({b})) % {_U64})::UBIGINT"
+
+
+def _sip_mulm(x: str, c: int) -> str:
+    # (x * c) mod 2^64 via 32-bit split: partial products stay < 2^96,
+    # inside INT128 range
+    return (f"(((({x}) % 4294967296)::HUGEINT * {c}"
+            f" + (((({x}) >> 32)::HUGEINT * {c}) % 4294967296)"
+            f" * 4294967296) % {_U64})::UBIGINT")
+
+
+def _sip_layers(col: str, key: bytes, max_blocks: int, out: str = "h"):
+    """Layer list computing pandas-hash(col); supports byte lengths
+    <= 8*max_blocks - 1 (ASCII input — this corpus is [a-z0-9 ])."""
+    k0 = int.from_bytes(key[:8], "little")
+    k1 = int.from_bytes(key[8:], "little")
+    L = [[("sn", f"length({col})"),
+          ("v0", f"{0x736F6D6570736575 ^ k0}::UBIGINT"),
+          ("v1", f"{0x646F72616E646F6D ^ k1}::UBIGINT"),
+          ("v2", f"{0x6C7967656E657261 ^ k0}::UBIGINT"),
+          ("v3", f"{0x7465646279746573 ^ k1}::UBIGINT")],
+         [("snb", "(sn // 8)")]]
+
+    def round_layers():
+        return [
+            [("t0", _sip_addm("v0", "v1")), ("t2", _sip_addm("v2", "v3"))],
+            [("u1", f"xor({_sip_rotl('v1', 13)}, t0)"),
+             ("u3", f"xor({_sip_rotl('v3', 16)}, t2)"),
+             ("t0r", _sip_rotl("t0", 32))],
+            [("w0", _sip_addm("t0r", "u3")), ("w2", _sip_addm("t2", "u1"))],
+            [("v0", "w0"),
+             ("v1", f"xor({_sip_rotl('u1', 17)}, w2)"),
+             ("v2", _sip_rotl("w2", 32)),
+             ("v3", f"xor({_sip_rotl('u3', 21)}, w0)")],
+        ]
+
+    for k in range(max_blocks):
+        parts = [f"CASE WHEN sn >= {8 * k + j + 1} THEN "
+                 f"ascii(substr({col}, {8 * k + j + 1}, 1))::UBIGINT * "
+                 f"{1 << (8 * j)}::UBIGINT ELSE 0::UBIGINT END"
+                 for j in range(8)]
+        parts.append(f"CASE WHEN {k} = snb THEN "
+                     f"((sn % 256)::UBIGINT * {1 << 56}::UBIGINT) "
+                     f"ELSE 0::UBIGINT END")
+        L.append([("mk", " + ".join(f"({p})" for p in parts)),
+                  ("p0", "v0"), ("p1", "v1"), ("p2", "v2"), ("p3", "v3")])
+        L.append([("v3", "xor(v3, mk)")])
+        L.extend(round_layers())
+        L.extend(round_layers())
+        L.append([("v0", "xor(v0, mk)")])
+        L.append([(v, f"CASE WHEN {k} <= snb THEN {v} ELSE p{i} END")
+                  for i, v in enumerate(["v0", "v1", "v2", "v3"])])
+    L.append([("v2", "xor(v2, 255::UBIGINT)")])
+    for _ in range(4):
+        L.extend(round_layers())
+    L.append([("hx", "xor(xor(v0, v1), xor(v2, v3))")])
+    L.append([("hx", "xor(hx, hx >> 30)")])
+    L.append([("hx", _sip_mulm("hx", 0xBF58476D1CE4E5B9))])
+    L.append([("hx", "xor(hx, hx >> 27)")])
+    L.append([("hx", _sip_mulm("hx", 0x94D049BB133111EB))])
+    L.append([(out, "xor(hx, hx >> 31)")])
+    return L
+
+
+def _siphash_sql(base_sql: str, col: str, keep: list[str], *,
+                 key: bytes = b"0123456789123456", max_blocks: int = 2,
+                 out: str = "h") -> str:
+    """Wrap ``base_sql`` (yielding ``col`` + ``keep``) in the hash
+    layers; the result selects keep + ``out`` = pandas-hash(col)."""
+    sql = f"({base_sql})"
+    defined: set[str] = set()
+    for layer in _sip_layers(col, key, max_blocks, out):
+        redef = [n for n, _ in layer if n in defined]
+        star = (f"* EXCLUDE ({', '.join(redef)})" if redef else "*")
+        cols = ", ".join(f"{e} AS {n}" for n, e in layer)
+        sql = f"(SELECT {star}, {cols} FROM {sql})"
+        defined.update(n for n, _ in layer)
+    return f"SELECT {', '.join(keep)}, {out} FROM {sql}"
+
+
+def _tok_rows_sql(table: str = "documents") -> str:
+    """(doc_id, token) rows WITH multiplicity — StandardAnalyzer CTE."""
+    return rf"""
+WITH tok AS (
+  SELECT doc_id, list_filter(regexp_extract_all(lower(text), '\w+(\.?\w+)*'),
+    t -> length(t) >= 2 AND t NOT IN ({_STOPS_SQL})) AS toks
+  FROM {table}
+)
+SELECT doc_id, unnest(toks) AS w FROM tok
+"""
+
+
+_SHINGLES_CASE = """
+    CASE WHEN len(toks) >= 3 THEN
+      list_distinct(list_transform(range(1, len(toks) - 1),
+        i -> concat_ws(' ', list_extract(toks, i), list_extract(toks, i + 1),
+                       list_extract(toks, i + 2))))
+    WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+    ELSE []::VARCHAR[] END
+"""
+
+
+def _shingle_rows_sql() -> str:
+    return rf"""
+WITH tok AS (
+  SELECT doc_id, list_filter(regexp_extract_all(lower(text), '\w+(\.?\w+)*'),
+    t -> length(t) >= 2 AND t NOT IN ({_STOPS_SQL})) AS toks
+  FROM documents
+),
+sh AS (SELECT doc_id, {_SHINGLES_CASE} AS shingles FROM tok)
+SELECT doc_id, unnest(shingles) AS w FROM sh
+"""
+
+
+def _u64_to_i64(col: str) -> str:
+    return (f"CASE WHEN {col} >= 9223372036854775808::UBIGINT "
+            f"THEN ({col}::HUGEINT - {_U64})::BIGINT "
+            f"ELSE {col}::BIGINT END")
+
+
+def _fingerprints_sql() -> str:
+    hashed = _siphash_sql(_tok_rows_sql(), "w", ["doc_id"])
+    return f"""
+SELECT d.doc_id AS doc_id,
+  coalesce({_u64_to_i64('x.f')}, 0) AS fingerprint
+FROM documents d LEFT JOIN (
+  SELECT doc_id, bit_xor(h) AS f FROM ({hashed}) GROUP BY doc_id
+) x ON d.doc_id = x.doc_id
+ORDER BY d.doc_id
+"""
+
+
+def _simhash_sql() -> str:
+    # engine packs (v > 0)[::-1] via np.packbits().view(uint64): bit j of
+    # the hash lands at position j + 16*((63-j)//8) - 56 (verified)
+    def pos(j):
+        return j + 16 * ((63 - j) // 8) - 56
+
+    hashed = _siphash_sql(_tok_rows_sql(), "w", ["doc_id"])
+    terms = " + ".join(
+        f"(CASE WHEN 2 * sum(((h >> {j}) & 1)::HUGEINT) - count(*) > 0 "
+        f"THEN {1 << pos(j)}::HUGEINT ELSE 0::HUGEINT END)"
+        for j in range(64))
+    return f"""
+SELECT d.doc_id AS doc_id,
+  coalesce(CASE WHEN x.s >= 9223372036854775808::HUGEINT
+           THEN (x.s - {_U64})::BIGINT ELSE x.s::BIGINT END, 0) AS simhash
+FROM documents d LEFT JOIN (
+  SELECT doc_id, ({terms}) AS s FROM ({hashed}) GROUP BY doc_id
+) x ON d.doc_id = x.doc_id
+ORDER BY d.doc_id
+"""
+
+
+def _minhash_pairs_sql() -> str:
+    """MinHash-LSH candidates + exact-Jaccard verification, end to end:
+    shingle SipHashes, the 64 affine signatures WITH the engine's numpy
+    int64 wraparound semantics, 16x4 band-bucket folding, bucket-join
+    candidates, jaccard >= 0.5 verification."""
+    from whoosh_ray.pipelines.dedup import _hash_params
+
+    a, b = _hash_params()
+    params = ",".join(f"({i},{int(a[i])}::HUGEINT,{int(b[i])}::HUGEINT)"
+                      for i in range(len(a)))
+    m61 = (1 << 61) - 1
+    h63 = 9223372036854775808
+
+    def fmw(x):  # floor-mod(int64-wrap(x), 2^61-1), x a HUGEINT expr
+        return (f"(((((({x}) % {_U64}) + {_U64} + {h63}) % {_U64} - {h63})"
+                f" % {m61} + {m61}) % {m61})")
+
+    hashed = _siphash_sql(_shingle_rows_sql(), "w", ["doc_id"],
+                          max_blocks=4)
+    jacc = ("len(list_intersect(a.shingles, b.shingles))::DOUBLE / "
+            "(len(a.shingles) + len(b.shingles) "
+            "- len(list_intersect(a.shingles, b.shingles)))")
+    return rf"""
+WITH hs AS (
+  SELECT doc_id, (h % {m61})::HUGEINT AS x FROM ({hashed})
+),
+params(i, pa, pb) AS (SELECT * FROM (VALUES {params})),
+sig AS (
+  SELECT hs.doc_id, p.i, min({fmw('p.pa * hs.x + p.pb')}) AS s
+  FROM hs, params p GROUP BY hs.doc_id, p.i
+),
+bands AS (
+  SELECT doc_id, (i // 4) AS band,
+         max(CASE WHEN i % 4 = 0 THEN s END) AS s0,
+         max(CASE WHEN i % 4 = 1 THEN s END) AS s1,
+         max(CASE WHEN i % 4 = 2 THEN s END) AS s2,
+         max(CASE WHEN i % 4 = 3 THEN s END) AS s3
+  FROM sig GROUP BY doc_id, (i // 4)
+),
+buckets AS (
+  SELECT doc_id, band,
+    {fmw(fmw(fmw('s0 * 1000003 + s1') + ' * 1000003 + s2')
+         + ' * 1000003 + s3')} AS bucket
+  FROM bands
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM buckets x JOIN buckets y
+    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+),
+shs AS (
+  SELECT doc_id, {_SHINGLES_CASE} AS shingles
+  FROM (SELECT doc_id, list_filter(
+          regexp_extract_all(lower(text), '\w+(\.?\w+)*'),
+          t -> length(t) >= 2 AND t NOT IN ({_STOPS_SQL})) AS toks
+        FROM documents)
+)
+SELECT c.doc_a, c.doc_b, {jacc} AS jaccard
+FROM cand c
+JOIN shs a ON a.doc_id = c.doc_a
+JOIN shs b ON b.doc_id = c.doc_b
+WHERE {jacc} >= 0.5
+ORDER BY doc_a, doc_b
+"""
+
+
 def _base_ctes() -> str:
     """Shared CTEs: tokenization (StandardAnalyzer parity), quantized
     lengths, postings, global stats."""
@@ -457,8 +695,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         })
 
     def dedup_minhash_pairs(sf_dir):
-        """MinHash-LSH candidates + Jaccard verification (rows-only oracle:
-        the banding uses process-stable SipHash signatures)."""
+        """MinHash-LSH candidates + Jaccard verification, hash-checked:
+        the DuckDB oracle reproduces the whole chain — pandas hash_array
+        (= splitmix64(SipHash-2-4), generated as nested-layer SQL), the
+        64 affine signatures with numpy int64-wraparound semantics, the
+        16x4 band-bucket folding and the exact-Jaccard verify."""
         from whoosh_ray.pipelines.dedup import (minhash_candidate_pairs,
                                                 verify_jaccard)
 
@@ -545,7 +786,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pa.Table.from_pandas(pdf, preserve_index=False)
 
     def text_fingerprints(sf_dir):
-        """Rows-only: SipHash-based order-insensitive doc fingerprints."""
+        """SipHash-based order-insensitive doc fingerprints, hash-checked:
+        the oracle replays pandas hash_array in SQL and bit_xor-folds
+        per doc (multiplicity included)."""
         from whoosh_ray.pipelines.textstats import Fingerprint
 
         ds = _read_docs(sf_dir).map_batches(Fingerprint(),
@@ -561,7 +804,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return ds.select_columns(["doc_id", "lang_pred"])
 
     def text_simhash(sf_dir):
-        """Rows-only: 64-bit simhash fingerprints."""
+        """64-bit simhash fingerprints, hash-checked: per-bit majority
+        over token-occurrence SipHashes, incl. the engine's packbits
+        bit-order quirk (bit j lands at j + 16*((63-j)//8) - 56)."""
         from whoosh_ray.pipelines.dedup import SimHasher
 
         ds = _read_docs(sf_dir).map_batches(SimHasher(),
@@ -997,6 +1242,9 @@ SELECT t.docid,
 FROM top10 t
 """,
         "transcripts_bm25_rank": _transcripts_queryset_sql(),
+        "text_fingerprints": _fingerprints_sql(),
+        "text_simhash": _simhash_sql(),
+        "dedup_minhash_pairs": _minhash_pairs_sql(),
         "ir_term_stats": rf"""
 WITH {_base_ctes()}
 SELECT p.term AS term, count(*)::BIGINT AS df, sum(p.tf)::BIGINT AS total_tf

@@ -90,3 +90,48 @@ def test_stream_mode_resume(tmp_path):
     assert m2.settings["resumed_segments"] == len(segs) - 1
     s = Searcher(ix)
     assert s.doc_count_all == t.num_rows
+
+
+def test_manifest_segment_spill_roundtrip(ray_session, tmp_path, monkeypatch):
+    """Above the spill bound the manifest's segment list lives in a
+    columnar sidecar; reads, queries, resume and the generation counter
+    behave identically."""
+    import whoosh_ray.state.manifest as mf
+
+    monkeypatch.setattr(mf, "SEGMENTS_SPILL_THRESHOLD", 3)
+
+    t = generate_transcripts(n_convs=300, seed=21)
+    src = tmp_path / "src"
+    src.mkdir()
+    pq.write_table(t, str(src / "p.parquet"))
+    ix = str(tmp_path / "ix")
+    m1 = build_index(str(src), ix, transcripts_schema(), seg_size=128)
+    assert len(m1.segments) > 3
+    assert os.path.exists(os.path.join(ix, "manifest_segments.parquet"))
+
+    m2 = mf.read_manifest(ix)
+    assert m2.cached_global is not None
+    assert m2.doc_count_all == m1.doc_count_all
+    assert len(m2.segments) == len(m1.segments)
+    assert [s.seg_id for s in m2.segments] == [s.seg_id for s in m1.segments]
+    for a, b in zip(m1.segments, m2.segments):
+        assert (a.docid_base, a.doc_count, a.field_lengths,
+                a.lineage) == (b.docid_base, b.doc_count,
+                               b.field_lengths, b.lineage)
+    assert m2.avg_field_length("text") == m1.avg_field_length("text")
+
+    s = Searcher(ix)
+    r = s.search(Term("text", "deploy"), limit=5)
+    assert len(r.docids) > 0
+
+    # re-seal (resume no-op) keeps the sidecar + bumps the generation
+    g1 = int(m2.settings["generation"])
+    m3 = build_index(str(src), ix, transcripts_schema(), seg_size=128)
+    assert m3.settings["resumed_segments"] == len(m3.segments)
+    assert int(mf.read_manifest(ix).settings["generation"]) > g1
+
+    # shrinking below the bound retires the sidecar (json authoritative)
+    monkeypatch.setattr(mf, "SEGMENTS_SPILL_THRESHOLD", 10000)
+    mf.write_manifest(ix, mf.read_manifest(ix))
+    assert not os.path.exists(os.path.join(ix, "manifest_segments.parquet"))
+    assert mf.read_manifest(ix).doc_count_all == m1.doc_count_all

@@ -73,12 +73,23 @@ class Manifest:
     schema: IndexSchema
     segments: list[SegmentMeta]
     settings: dict = field(default_factory=dict)
+    # global stats cached from a sealed manifest file (set by
+    # read_manifest for parquet-spilled manifests, where re-summing
+    # millions of segment rows per property call would be wasteful).
+    # Code paths that EDIT segments build fresh Manifest objects, so the
+    # cache can't go stale.
+    cached_global: dict | None = None
 
     @property
     def doc_count_all(self) -> int:
+        if self.cached_global is not None:
+            return int(self.cached_global["doc_count_all"])
         return sum(s.doc_count for s in self.segments)
 
     def field_length(self, fieldname: str) -> int:
+        if self.cached_global is not None:
+            return int(self.cached_global["field_lengths"]
+                       .get(fieldname, 0))
         return sum(s.field_lengths.get(fieldname, 0) for s in self.segments)
 
     def avg_field_length(self, fieldname: str) -> float:
@@ -112,6 +123,18 @@ def atomic_write_json(path: str, obj: dict) -> None:
     os.replace(tmp, path)
 
 
+# Above this many segments the manifest's segment list spills to a
+# columnar sidecar (manifest_segments.parquet): a 10^12-turn index has
+# millions of segment partitions, and a JSON array of them would be a
+# multi-GB parse on every open.  The parquet is written (atomically)
+# BEFORE manifest.json — the json's presence implies the sidecar is in
+# place — and manifest.json keeps only the pointer + the precomputed
+# global stats.
+SEGMENTS_SPILL_THRESHOLD = int(os.environ.get(
+    "WHOOSH_RAY_MANIFEST_SPILL", "10000"))
+_SEGMENTS_PARQUET = "manifest_segments.parquet"
+
+
 def write_manifest(index_dir: str, manifest: Manifest) -> str:
     path = os.path.join(index_dir, "manifest.json")
     # monotonic commit counter: coarse-granularity mtimes cannot
@@ -125,13 +148,59 @@ def write_manifest(index_dir: str, manifest: Manifest) -> str:
     except (OSError, ValueError, json.JSONDecodeError):
         pass
     manifest.settings["generation"] = prev + 1
-    atomic_write_json(path, manifest.to_json())
+    d = manifest.to_json()
+    spath = os.path.join(index_dir, _SEGMENTS_PARQUET)
+    if len(manifest.segments) > SEGMENTS_SPILL_THRESHOLD:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        segs = d.pop("segments")
+        t = pa.table({
+            "seg_id": pa.array([s["seg_id"] for s in segs],
+                               type=pa.int64()),
+            "docid_base": pa.array([s["docid_base"] for s in segs],
+                                   type=pa.int64()),
+            "doc_count": pa.array([s["doc_count"] for s in segs],
+                                  type=pa.int64()),
+            "field_lengths": pa.array([json.dumps(s["field_lengths"])
+                                       for s in segs]),
+            "lineage": pa.array([json.dumps(s["lineage"]) for s in segs]),
+            "metrics": pa.array([json.dumps(s["metrics"]) for s in segs]),
+        })
+        pq.write_table(t, spath + ".tmp")
+        os.replace(spath + ".tmp", spath)
+        d["segments"] = []
+        d["segments_parquet"] = _SEGMENTS_PARQUET
+    elif os.path.exists(spath):
+        os.remove(spath)  # shrunk below the bound: json is authoritative
+    atomic_write_json(path, d)
     return path
 
 
 def read_manifest(index_dir: str) -> Manifest:
     with open(os.path.join(index_dir, "manifest.json")) as f:
         d = json.load(f)
+    if d.get("segments_parquet"):
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(os.path.join(index_dir, d["segments_parquet"]))
+        segments = [
+            SegmentMeta(
+                seg_id=int(t["seg_id"][i].as_py()),
+                docid_base=int(t["docid_base"][i].as_py()),
+                doc_count=int(t["doc_count"][i].as_py()),
+                field_lengths={k: int(v) for k, v in
+                               json.loads(t["field_lengths"][i].as_py())
+                               .items()},
+                lineage=json.loads(t["lineage"][i].as_py()),
+                metrics=json.loads(t["metrics"][i].as_py()),
+            )
+            for i in range(t.num_rows)
+        ]
+        return Manifest(schema=IndexSchema.from_json(d["schema"]),
+                        segments=segments,
+                        settings=d.get("settings", {}),
+                        cached_global=d.get("global"))
     return Manifest(
         schema=IndexSchema.from_json(d["schema"]),
         segments=[SegmentMeta.from_json(s) for s in d["segments"]],

@@ -389,8 +389,18 @@ def file_docid_ranges_sharded(sb: "ShardedBases", file_spans: dict,
                               paths: list[str]):
     """Sharded twin of :func:`file_docid_ranges` — same validity rules,
     but key→base lookups fetch one bucket blob at a time (peak driver
-    memory = one bucket, not the key array)."""
-    from whoosh_ray.stages.bcast import get_broadcast
+    memory = one bucket, not the key array).  Files are conv-sorted, so
+    bucket access is sequential: a one-slot memo avoids re-fetching the
+    current bucket per file WITHOUT accumulating buckets the way the
+    worker-side LRU broadcast cache would."""
+    memo: dict = {}
+
+    def get_broadcast(ref):
+        key = ref.hex() if hasattr(ref, "hex") else ref
+        if key not in memo:
+            memo.clear()  # one bucket resident at a time
+            memo[key] = ray.get(ref)
+        return memo[key]
 
     ranges, prev_hi = [], None
     for p in paths:

@@ -276,3 +276,23 @@ def test_query_pool_matches_batch_search(ray_session, index_dir):
         one = pool.search_batch([Term("text", "november")], limit=5)
         ref = batch_search(index_dir, [Term("text", "november")], limit=5)
         assert one.to_pandas().equals(ref.to_pandas())
+
+
+def test_query_pool_filter_mask(ray_session, index_dir):
+    """QueryPool's filter=/mask= roaring blobs behave like
+    batch_search's (one deserialize per actor)."""
+    from whoosh_ray.search import Or, Term
+    from whoosh_ray.search.dist import QueryPool, batch_search
+    from whoosh_ray.search.searcher import Searcher
+
+    s = Searcher(index_dir)
+    allow = s.search(Term("role", "user"), limit=None).docid_set()
+    deny = s.search(Term("text", "render"), limit=None).docid_set()
+    qs = [Term("text", "deploy"),
+          Or([Term("text", "cluster"), Term("text", "error")])]
+    want = batch_search(index_dir, qs, limit=10,
+                        filter=allow, mask=deny).to_pandas()
+    with QueryPool(index_dir, concurrency=2,
+                   filter=allow, mask=deny) as pool:
+        got = pool.search_batch(qs, limit=10).to_pandas()
+    assert got.reset_index(drop=True).equals(want.reset_index(drop=True))

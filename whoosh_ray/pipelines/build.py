@@ -110,11 +110,16 @@ def build_index(
     tokenize_batch_size: int | None = None,
     resume: bool = True,
     mode: str = "fused",
+    compound: bool = False,
 ) -> Manifest:
     """Build (or resume) an index at ``index_dir`` over ``source``.
 
     ``source`` is a parquet path / list of paths, or a ray Dataset.
-    Returns the sealed :class:`Manifest`.
+    Returns the sealed :class:`Manifest`.  ``compound=True`` packs each
+    sealed segment's data files into one ``segment.cmpd`` before the
+    manifest seal (reference: compound file assembled at commit,
+    writing.py:857-862) — byte-identical reads, half the objects per
+    segment on the store.
     """
     t_start = time.time()
     if schema.glob_fields:
@@ -554,6 +559,15 @@ def build_index(
     all_metas = {m.seg_id: m for m in done.values()}  # pre-validated above
     for m in new_metas:
         all_metas[m.seg_id] = m
+    if compound:
+        # pack BEFORE the seal: every meta.json is committed, so the
+        # pack fan-out (one Ray task batch per 16 segments, local file
+        # rewrites only) sees exactly the sealed set; a crash mid-pack
+        # leaves every segment readable (compound rename is atomic and
+        # readers prefer segment.cmpd when both layouts exist)
+        from whoosh_ray.state.compound import pack_index
+
+        pack_index(index_dir)
     manifest = Manifest(
         schema=schema,
         segments=sorted(all_metas.values(), key=lambda m: m.seg_id),

@@ -129,10 +129,14 @@ def term_stats_table(searcher: Searcher, field: str = "text", *,
     files is returned instead (VERDICT r3 #6)."""
     import ray.data
 
-    paths = [os.path.join(seg.dir, "terms.parquet")
-             for seg in searcher.segments]
+    paths = [seg.terms_ds_path() for seg in searcher.segments]
+    fs = None
+    if any(seg._compound is not None for seg in searcher.segments):
+        from whoosh_ray.state.compound import CompoundFileSystem
+
+        fs = CompoundFileSystem()
     ds = ray.data.read_parquet(paths, columns=["field", "term", "df",
-                                               "sum_tf"])
+                                               "sum_tf"], filesystem=fs)
 
     def _only_field(t: pa.Table) -> pa.Table:
         return t.filter(pa.compute.equal(t["field"], field)).drop(["field"])
@@ -215,7 +219,8 @@ class _SegmentOpWorker:
             if key_t is None:
                 import pyarrow.parquet as _pq
 
-                sch = _pq.read_schema(self.searcher.segments[0]._docs_path)
+                sch = _pq.read_schema(
+                    self.searcher.segments[0]._docs_source())
                 key_t = self._key_type = sch.field(self.col).type
             cols = {self.col: pa.array([], type=key_t)}
             if self.op == "facet":

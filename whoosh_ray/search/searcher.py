@@ -723,8 +723,7 @@ class Searcher:
         for s in self.segments:
             if s._stats is not None:
                 continue
-            st = os.stat(s._terms_path)
-            key = (s._terms_path, st.st_size, st.st_mtime_ns)
+            key = s._terms_key()
             cached = SegmentReader._STATS_CACHE.get(key)
             if cached is not None:
                 s._stats = cached

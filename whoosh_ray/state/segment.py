@@ -26,6 +26,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from whoosh_ray.state import codec
+from whoosh_ray.state import compound as cf
 from whoosh_ray.state.manifest import SegmentMeta, seg_dirname
 from whoosh_ray.state.schema import IndexSchema
 
@@ -72,16 +73,20 @@ _TERMS_DATASET_CACHE: dict = {}
 
 
 def terms_dataset(readers: "list[SegmentReader]"):
-    """Cached pyarrow dataset over the given segments' terms files."""
+    """Cached pyarrow dataset over the given segments' terms files.
+    Packed segments are addressed through the compound filesystem, so a
+    mixed packed/unpacked index still gets ONE multi-file dataset."""
     import pyarrow.dataset as pads
 
-    key = tuple((r._terms_path,) + (lambda st: (st.st_size, st.st_mtime_ns))(
-        os.stat(r._terms_path)) for r in readers)
+    key = tuple(r._terms_key() for r in readers)
     ds = _TERMS_DATASET_CACHE.get(key)
     if ds is None:
         if len(_TERMS_DATASET_CACHE) > 64:
             _TERMS_DATASET_CACHE.clear()
-        ds = pads.dataset([r._terms_path for r in readers], format="parquet")
+        paths = [r.terms_ds_path() for r in readers]
+        fs = (cf.CompoundFileSystem()
+              if any(r._compound is not None for r in readers) else None)
+        ds = pads.dataset(paths, format="parquet", filesystem=fs)
         _TERMS_DATASET_CACHE[key] = ds
     return ds
 
@@ -93,13 +98,34 @@ class SegmentReader:
     them cached — this is the per-actor state of query actor pools.
     """
 
-    def __init__(self, index_dir: str, meta: SegmentMeta, schema: IndexSchema):
+    def __init__(self, index_dir: str, meta: SegmentMeta, schema: IndexSchema,
+                 fallback_dir: str | None = None):
         self.meta = meta
         self.schema = schema
         self.dir = os.path.join(index_dir, "segments", seg_dirname(meta.seg_id))
-        self._terms_path = os.path.join(self.dir, "terms.parquet")
-        self._docs_path = os.path.join(self.dir, "docs.parquet")
-        self._blobs_path = os.path.join(self.dir, "blobs.bin")
+        # union-mount resolution (reference OverlayStorage,
+        # filedb/filestore.py:313-375: read from A unless the file exists
+        # in B, writes go to B): each per-segment file resolves to the
+        # overlay dir when present there, else to the base index dir
+        if fallback_dir is not None:
+            fb = os.path.join(fallback_dir, "segments",
+                              seg_dirname(meta.seg_id))
+
+            def _resolve(name: str) -> str:
+                p = os.path.join(self.dir, name)
+                if os.path.exists(p):
+                    return p
+                q = os.path.join(fb, name)
+                return q if os.path.exists(q) else p
+        else:
+            def _resolve(name: str) -> str:
+                return os.path.join(self.dir, name)
+        self._deletes_path = _resolve("deletes.json")
+        self._terms_path = _resolve("terms.parquet")
+        self._docs_path = _resolve("docs.parquet")
+        self._blobs_path = _resolve("blobs.bin")
+        self._cmpd_path = _resolve(cf.COMPOUND_NAME)
+        self._toc: dict | None | bool = False  # False = not probed yet
         self._has_bin: bool | None = None
         self._bin_fd: int | None = None
         self._stats: pa.Table | None = None
@@ -107,17 +133,64 @@ class SegmentReader:
         self._deletes: np.ndarray | None = None  # sorted tombstoned docids
 
     @property
+    def _compound(self) -> dict | None:
+        """The compound file's TOC when this segment is packed
+        (state/compound.py), else None."""
+        if self._toc is False:
+            self._toc = (cf.read_toc(self._cmpd_path)
+                         if os.path.exists(self._cmpd_path) else None)
+        return self._toc
+
+    def _terms_key(self) -> tuple:
+        """Immutability cache key for the terms sub-file (path + stat)."""
+        if self._compound is not None:
+            st = os.stat(self._cmpd_path)
+            return (cf.subfile_path(self._cmpd_path, "terms.parquet"),
+                    st.st_size, st.st_mtime_ns)
+        st = os.stat(self._terms_path)
+        return (self._terms_path, st.st_size, st.st_mtime_ns)
+
+    def terms_ds_path(self) -> str:
+        """Dataset-addressable path of the terms file (compound-aware)."""
+        if self._compound is not None:
+            return cf.subfile_path(self._cmpd_path, "terms.parquet")
+        return self._terms_path
+
+    def _terms_source(self):
+        """A source ``pq.read_table``/``read_schema`` accepts: the plain
+        path, or a zero-copy buffer slice of the compound mmap."""
+        if self._compound is not None:
+            return pa.BufferReader(
+                cf.subfile_buffer(self._cmpd_path, "terms.parquet"))
+        return self._terms_path
+
+    def _docs_source(self):
+        if self._compound is not None:
+            return pa.BufferReader(
+                cf.subfile_buffer(self._cmpd_path, "docs.parquet"))
+        return self._docs_path
+
+    @property
     def has_bin(self) -> bool:
         """True when this segment uses the point-readable blobs.bin
         format (False only for legacy inline-blob segments)."""
         if self._has_bin is None:
-            self._has_bin = os.path.exists(self._blobs_path)
+            self._has_bin = ("blobs.bin" in self._compound
+                             if self._compound is not None
+                             else os.path.exists(self._blobs_path))
         return self._has_bin
 
     def _pread(self, off: int, length: int) -> bytes:
         if self._bin_fd is None:
-            self._bin_fd = os.open(self._blobs_path, os.O_RDONLY)
-        return os.pread(self._bin_fd, length, off)
+            if self._compound is not None:
+                # exact point reads survive packing: same pread, at
+                # base + off inside the compound file
+                self._bin_base = self._compound["blobs.bin"][0]
+                self._bin_fd = os.open(self._cmpd_path, os.O_RDONLY)
+            else:
+                self._bin_base = 0
+                self._bin_fd = os.open(self._blobs_path, os.O_RDONLY)
+        return os.pread(self._bin_fd, length, self._bin_base + off)
 
     def __del__(self):
         if self._bin_fd is not None:
@@ -136,7 +209,7 @@ class SegmentReader:
         if self._deletes is None:
             import json
 
-            p = os.path.join(self.dir, "deletes.json")
+            p = self._deletes_path
             if os.path.exists(p):
                 with open(p) as f:
                     self._deletes = np.array(sorted(json.load(f)["docids"]),
@@ -161,16 +234,15 @@ class SegmentReader:
     @property
     def stats(self) -> pa.Table:
         if self._stats is None:
-            st = os.stat(self._terms_path)
-            key = (self._terms_path, st.st_size, st.st_mtime_ns)
+            key = self._terms_key()
             cached = SegmentReader._STATS_CACHE.get(key)
             if cached is None:
                 cols = TERM_STAT_COLS
                 if self.has_bin:
                     # older segments lack the boosts locator pair
-                    names = pq.read_schema(self._terms_path).names
+                    names = pq.read_schema(self._terms_source()).names
                     cols = cols + [c for c in BLOB_LOC_COLS if c in names]
-                cached = pq.read_table(self._terms_path, columns=cols)
+                cached = pq.read_table(self._terms_source(), columns=cols)
                 if len(SegmentReader._STATS_CACHE) > 4096:
                     SegmentReader._STATS_CACHE.clear()
                 SegmentReader._STATS_CACHE[key] = cached
@@ -421,7 +493,7 @@ class SegmentReader:
     # ---- docs ----
 
     def all_docids(self) -> np.ndarray:
-        t = pq.read_table(self._docs_path, columns=["docid"])
+        t = pq.read_table(self._docs_source(), columns=["docid"])
         ids = t["docid"].to_numpy()
         if len(self.deletes):
             ids = ids[self._mask_deleted(ids)]
@@ -441,7 +513,7 @@ class SegmentReader:
             avail = self._docs_colnames()
             want_missing = [c for c in cols if c not in avail]
             cols = [c for c in cols if c in avail]
-        t = pq.read_table(self._docs_path, columns=cols)
+        t = pq.read_table(self._docs_source(), columns=cols)
         for c in want_missing:
             t = t.append_column(c, pa.nulls(t.num_rows))
         all_ids = t["docid"].to_numpy()
@@ -451,12 +523,12 @@ class SegmentReader:
         return t.take(pa.array(idx[ok]))
 
     def docs_table(self, columns: list[str] | None = None) -> pa.Table:
-        return pq.read_table(self._docs_path, columns=columns)
+        return pq.read_table(self._docs_source(), columns=columns)
 
     def _docs_colnames(self) -> frozenset:
         names = getattr(self, "_docs_names", None)
         if names is None:
-            names = frozenset(pq.read_schema(self._docs_path).names)
+            names = frozenset(pq.read_schema(self._docs_source()).names)
             self._docs_names = names
         return names
 
@@ -520,17 +592,26 @@ def read_terms_file(seg_dir: str) -> pa.Table:
     """Read a segment's FULL terms table back into memory with inline
     ``postings``/``positions`` binary columns (merge/mutate need whole
     segments; point reads go through SegmentReader instead).  Transparent
-    over both the blobs.bin format and the legacy inline format."""
-    t = pq.read_table(os.path.join(seg_dir, "terms.parquet"))
+    over the blobs.bin format, the legacy inline format, and compound
+    (segment.cmpd) packing."""
+    cmpd = os.path.join(seg_dir, cf.COMPOUND_NAME)
+    packed = os.path.exists(cmpd)
+    if packed:
+        t = pq.read_table(pa.BufferReader(
+            cf.subfile_buffer(cmpd, "terms.parquet")))
+    else:
+        t = pq.read_table(os.path.join(seg_dir, "terms.parquet"))
     if "postings" in t.column_names:  # legacy inline format
         for name in ("chars", "boosts"):
             if name not in t.column_names:
                 t = t.append_column(name, pa.array([b""] * t.num_rows,
                                                    type=pa.large_binary()))
         return t
-    with open(os.path.join(seg_dir, "blobs.bin"), "rb") as f:
-        blob = f.read()
-    mv = memoryview(blob)
+    if packed:
+        mv = memoryview(cf.subfile_buffer(cmpd, "blobs.bin"))
+    else:
+        with open(os.path.join(seg_dir, "blobs.bin"), "rb") as f:
+            mv = memoryview(f.read())
     out_cols = {"postings": ("post_off", "post_len"),
                 "positions": ("pos_off", "pos_len")}
     if "chars_off" in t.column_names:
@@ -555,3 +636,25 @@ def write_docs_file(seg_dir: str, table: pa.Table) -> None:
     pq.write_table(table, os.path.join(seg_dir, "docs.parquet"),
                    row_group_size=16384,
                    sorting_columns=[pq.SortingColumn(0)])
+
+
+def _docs_source_for(seg_dir: str):
+    """docs.parquet source for a segment dir, compound-aware."""
+    cmpd = os.path.join(seg_dir, cf.COMPOUND_NAME)
+    if os.path.exists(cmpd):
+        return pa.BufferReader(cf.subfile_buffer(cmpd, "docs.parquet"))
+    p = os.path.join(seg_dir, "docs.parquet")
+    return p if os.path.exists(p) else None
+
+
+def read_docs_file(seg_dir: str,
+                   columns: list[str] | None = None) -> pa.Table:
+    """Read a segment's full docs table (compound-aware)."""
+    return pq.read_table(_docs_source_for(seg_dir), columns=columns)
+
+
+def docs_schema(seg_dir: str) -> pa.Schema | None:
+    """The docs.parquet schema of a segment dir, or None when the
+    segment has no docs file yet (compound-aware)."""
+    src = _docs_source_for(seg_dir)
+    return None if src is None else pq.read_schema(src)

@@ -22,6 +22,7 @@ from whoosh_ray.state.manifest import (
     FORMAT_VERSION,
     Manifest,
     read_manifest,
+    seg_dirname,
     write_manifest,
 )
 from whoosh_ray.state.schema import IndexSchema
@@ -66,6 +67,40 @@ def open_dir(dirname: str, indexname: str | None = None) -> "Index":
         raise EmptyIndexError(f"no index named {indexname or _DEF_INDEX_NAME}"
                               f" in {dirname}")
     return Index(path)
+
+
+def open_overlay(base_dir: str, overlay_dir: str) -> "Index":
+    """Open ``base_dir``'s index through an overlay: every read falls
+    back to the base per-file, every write (new segments, tombstones,
+    merges of overlay-resident segments, commits) lands in
+    ``overlay_dir`` — the base is never modified.
+
+    Reference analogue: ``OverlayStorage`` (filedb/filestore.py:313-375),
+    a union mount that "reads from A unless the file exists in B, writes
+    to B".  Same shadowing rule here, at segment-file granularity: base
+    ``deletes.json`` files are snapshotted into the overlay at creation
+    (a shadow file fully replaces its base twin, so the union stays
+    exact when new tombstones accumulate).
+
+    Idempotent: re-opening an existing overlay keeps its state."""
+    base_dir = os.path.abspath(base_dir)
+    if os.path.exists(os.path.join(overlay_dir, "manifest.json")):
+        return Index(overlay_dir)
+    base = read_manifest(base_dir)
+    os.makedirs(os.path.join(overlay_dir, "segments"), exist_ok=True)
+    for m in base.segments:
+        src = os.path.join(base_dir, "segments", seg_dirname(m.seg_id),
+                           "deletes.json")
+        if os.path.exists(src):
+            dst_dir = os.path.join(overlay_dir, "segments",
+                                   seg_dirname(m.seg_id))
+            os.makedirs(dst_dir, exist_ok=True)
+            shutil.copy(src, os.path.join(dst_dir, "deletes.json"))
+    manifest = Manifest(schema=base.schema, segments=list(base.segments),
+                        settings={**base.settings,
+                                  "overlay_base": base_dir})
+    write_manifest(overlay_dir, manifest)
+    return Index(overlay_dir)
 
 
 def exists_in(dirname: str, indexname: str | None = None) -> bool:
@@ -211,6 +246,18 @@ class Index:
 
         merge_segments(self.index_dir, policy="OPTIMIZE")
         self.refresh()
+
+    def pack(self, *, remove: bool = True) -> int:
+        """Pack every sealed segment's data files into one compound file
+        per segment (reference CompoundWriter, filedb/compound.py:27-331,
+        assembled at commit in writing.py:857-862).  Byte-identical
+        reads, 4 -> 2 objects per segment; idempotent.  Returns the
+        number of segments packed."""
+        from whoosh_ray.state.compound import pack_index
+
+        n = pack_index(self.index_dir, remove=remove)
+        self.refresh()
+        return n
 
     def delete_by_term(self, fieldname: str, text: str) -> int:
         w = self.writer()

@@ -266,10 +266,11 @@ class MergeWorker:
         removed_fl: dict[str, int] = {}
         n_docs_removed = 0
         for d in dirs:
-            from whoosh_ray.state.segment import read_terms_file
+            from whoosh_ray.state.segment import (read_docs_file,
+                                                  read_terms_file)
 
             t = read_terms_file(d)
-            dd = pq.read_table(os.path.join(d, "docs.parquet"))
+            dd = read_docs_file(d)
             dels = _read_deletes(d)
             if len(dels):
                 t, dd, rfl, nrm = _expunge(t, dd, dels)
@@ -441,9 +442,23 @@ def merge_segments(index_dir: str, policy: str = "MERGE_SMALL",
     manifest = read_manifest(index_dir)
     if policy == "NO_MERGE":
         return manifest
-    plan = (plan_optimize(manifest.segments, target_segments)
+    # OverlayStorage facade (read base / write overlay): merges only
+    # rewrite overlay-RESIDENT segments — base segments are read-only by
+    # contract (reference OverlayStorage writes go to storage B only,
+    # filedb/filestore.py:338-358), so they pass through the reseal
+    overlay_base = manifest.settings.get("overlay_base")
+    if overlay_base is not None:
+        from whoosh_ray.state.manifest import completed_segments as _cs
+
+        resident = set(_cs(index_dir))
+        mergeable = [m for m in manifest.segments if m.seg_id in resident]
+        base_metas = [m for m in manifest.segments
+                      if m.seg_id not in resident]
+    else:
+        mergeable, base_metas = manifest.segments, []
+    plan = (plan_optimize(mergeable, target_segments)
             if policy == "OPTIMIZE"
-            else plan_merge_small(manifest.segments))
+            else plan_merge_small(mergeable))
     if plan:
         next_id = max((m.seg_id for m in manifest.segments), default=-1) + 1
         items = [{"group": json.dumps(g), "new_seg": next_id + i}
@@ -501,7 +516,8 @@ def merge_segments(index_dir: str, policy: str = "MERGE_SMALL",
         if m is not None:
             kept.append(m)
     manifest = Manifest(schema=manifest.schema,
-                        segments=sorted(survivors.values(),
+                        segments=sorted(list(survivors.values())
+                                        + base_metas,
                                         key=lambda m: m.seg_id),
                         settings=manifest.settings)
     write_manifest(index_dir, manifest)

@@ -32,8 +32,12 @@ from whoosh_ray.state.manifest import (
 
 
 def _write_deletes(index_dir: str, seg_id: int, docids: set[int]) -> None:
-    p = os.path.join(index_dir, "segments", seg_dirname(seg_id),
-                     "deletes.json")
+    seg_dir = os.path.join(index_dir, "segments", seg_dirname(seg_id))
+    # overlay indexes tombstone base segments in a shadow dir here
+    # (open_overlay snapshots any base deletes.json at creation, so this
+    # union-by-shadowing never resurrects base-deleted docs)
+    os.makedirs(seg_dir, exist_ok=True)
+    p = os.path.join(seg_dir, "deletes.json")
     existing: set[int] = set()
     if os.path.exists(p):
         with open(p) as f:
@@ -116,7 +120,9 @@ def add_documents(index_dir: str, source, *, conv_col: str = "conv_id",
         shutil.rmtree(tmp, ignore_errors=True)
         os.makedirs(tmp)
         # docs: shift docid
-        docs = pq.read_table(os.path.join(src_dir, "docs.parquet"))
+        from whoosh_ray.state.segment import read_docs_file
+
+        docs = read_docs_file(src_dir)
         shifted = docs.set_column(
             docs.column_names.index("docid"), "docid",
             pa.array(docs["docid"].to_numpy() + old_span, type=pa.int64()))

@@ -174,11 +174,13 @@ class IndexWriter:
         """An existing segment's docs schema — the authoritative column
         types for buffered rows (keeps multi-file docs datasets over old
         + new segments schema-uniform)."""
+        from whoosh_ray.state.segment import docs_schema
+
         for m in self.manifest.segments:
-            p = os.path.join(self.index_dir, "segments",
-                             seg_dirname(m.seg_id), "docs.parquet")
-            if os.path.exists(p):
-                return pq.read_schema(p)
+            sch = docs_schema(os.path.join(self.index_dir, "segments",
+                                           seg_dirname(m.seg_id)))
+            if sch is not None:
+                return sch
         return None
 
     def _rows_to_table(self, rows: list[dict]) -> pa.Table:

@@ -236,7 +236,9 @@ class SegmentShardActor:
         manifest = read_manifest(index_dir)
         self.manifest = manifest
         by_id = {m.seg_id: m for m in manifest.segments}
-        self.segments = [SegmentReader(index_dir, by_id[s], manifest.schema)
+        fb = manifest.settings.get("overlay_base")
+        self.segments = [SegmentReader(index_dir, by_id[s], manifest.schema,
+                                       fallback_dir=fb)
                          for s in seg_ids]
 
     def term_stats(self, terms: list[tuple[str, str]]) -> dict:

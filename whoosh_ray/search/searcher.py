@@ -364,9 +364,13 @@ class Searcher:
         self.schema = self.manifest.schema
         self.weighting = weighting or scoring.BM25F()
         extra_ids = {id(r.meta) for r in extra_segments}
+        # OverlayStorage facade: segments whose files live in the base
+        # index resolve there per-file (whoosh_ray.index.open_overlay)
+        fb = self.manifest.settings.get("overlay_base")
         self.segments = [
             next(r for r in extra_segments if r.meta is m)
-            if id(m) in extra_ids else SegmentReader(index_dir, m, self.schema)
+            if id(m) in extra_ids
+            else SegmentReader(index_dir, m, self.schema, fallback_dir=fb)
             # docid-range order (NOT seg_id order): merged segments get
             # fresh ids, so only the range start orders segments such
             # that _seg_index_of's searchsorted mapping is valid.

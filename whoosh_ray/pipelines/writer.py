@@ -25,11 +25,13 @@ Reference semantics being reproduced (behavior, not implementation):
 Engine-shape notes:
 
 - The "RAM segment" is a real segment built driver-side with the same
-  vectorized ``FusedSegmentWriter`` kernel the Ray build uses, written
-  under a TemporaryDirectory and read back through ``SegmentReader`` —
-  byte-compatible with disk segments, so every query/scoring path works
-  unchanged over the overlay (BM25 stats include buffered docs because
-  the overlay meta joins the manifest used for doc_count_all/avgfl).
+  vectorized ``FusedSegmentWriter`` kernel the Ray build uses, then
+  lifted whole into a ``MemorySegmentReader`` (state/memseg.py — the
+  reference MemoryCodec analogue; the scratch dir is deleted before any
+  search runs).  Byte-compatible with disk segments, so every
+  query/scoring path works unchanged over the overlay (BM25 stats
+  include buffered docs because the overlay meta joins the manifest
+  used for doc_count_all/avgfl).
 - Overlay search is a DRIVER-side convenience: distributed fan-out
   (``search.dist``) always reads committed segments only, exactly like
   "other processes only see documents written to disk" in the reference.
@@ -305,17 +307,22 @@ class BufferedWriter(IndexWriter):
         group = group.append_column(
             "seg", pa.array(np.full(len(docids), ram_id), type=pa.int64()))
 
-        td = tempfile.TemporaryDirectory(prefix="wr_ram_seg_")
-        writer = FusedSegmentWriter(td.name, self.schema)
-        ret = writer(group)
-        meta = SegmentMeta(
-            seg_id=ram_id, docid_base=base,
-            doc_count=group.num_rows,
-            field_lengths=json.loads(ret["field_lengths"][0].as_py()),
-            lineage={"docid_range": [base, base + span], "ram": True},
-        )
-        reader = SegmentReader(td.name, meta, self.schema)
-        reader._tmpdir_guard = td   # dir lives as long as the reader
+        with tempfile.TemporaryDirectory(prefix="wr_ram_seg_") as td:
+            writer = FusedSegmentWriter(td, self.schema)
+            ret = writer(group)
+            meta = SegmentMeta(
+                seg_id=ram_id, docid_base=base,
+                doc_count=group.num_rows,
+                field_lengths=json.loads(ret["field_lengths"][0].as_py()),
+                lineage={"docid_range": [base, base + span], "ram": True},
+            )
+            # lift into a true memory segment (MemoryCodec analogue,
+            # state/memseg.py) — the scratch dir is gone before any
+            # search runs, and overlay queries never touch a file
+            from whoosh_ray.state.memseg import MemorySegmentReader
+
+            seg_dir = os.path.join(td, "segments", seg_dirname(ram_id))
+            reader = MemorySegmentReader.load(seg_dir, meta, self.schema)
         self._ram_cache = (self._gen, [reader])
         return self._ram_cache[1]
 

@@ -355,19 +355,19 @@ FROM scored ORDER BY score DESC, docid LIMIT {limit}
 """
 
 
-def _transcripts_ctes() -> str:
+def _transcripts_ctes(src: str = "/tmp/whoosh_ray_qsoracle/src") -> str:
     """Transcript-schema twin of _base_ctes: docid = dense rank of
     (conv_id, turn_idx); text TEXT field (StandardAnalyzer CTE) plus the
     role ID field (one token per doc, scored as raw weight).
     Reads the deterministic corpus the transcripts_bm25_rank query entry
-    writes to /tmp/whoosh_ray_qsoracle/src (engine runs first)."""
+    writes to ``src`` (engine runs first)."""
     return rf"""
 quant AS (SELECT unnest([{_quant_sql()}]) AS l),
 tsrc AS (
   SELECT role, text,
          (row_number() OVER (ORDER BY conv_id, turn_idx) - 1)::BIGINT
            AS doc_id
-  FROM read_parquet('/tmp/whoosh_ray_qsoracle/src/*.parquet')
+  FROM read_parquet('{src}/*.parquet')
 ),
 tok AS (
   SELECT doc_id, list_filter(regexp_extract_all(lower(text), '\w+(\.?\w+)*'),
@@ -390,12 +390,13 @@ rpostings AS (SELECT doc_id, role AS term, 1::BIGINT AS tf FROM tsrc)
 """
 
 
-def _transcripts_queryset_sql() -> str:
+def _transcripts_queryset_sql(
+        src: str = "/tmp/whoosh_ray_qsoracle/src") -> str:
     """term/and/or/phrase/role of the flagship queryset, rank+score."""
     rank = ("(row_number() OVER (ORDER BY score DESC, docid) - 1) AS rank, "
             "docid, score")
     return rf"""
-WITH {_transcripts_ctes()},
+WITH {_transcripts_ctes(src)},
 sdeploy AS (
   SELECT p.doc_id AS docid, {_BM25_EXPR} AS score
   FROM postings p JOIN lens USING (doc_id), stats, ts
@@ -1026,6 +1027,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "query", pa.array([name] * t.num_rows, type=pa.string())))
         return pa.concat_tables(parts)
 
+    def transcripts_bm25_rank_packed(sf_dir):
+        """transcripts_bm25_rank over COMPOUND-packed segments (one
+        segment.cmpd per partition, state/compound.py): same corpus
+        written to its own dir, index packed via pack_index before any
+        query — the hash gate proves packing changes no score bit."""
+        import shutil
+
+        from whoosh_ray.pipelines.build import build_index
+        from whoosh_ray.pipelines.ir import topk_table
+        from whoosh_ray.search import And, Or, Phrase, Searcher, Term
+        from whoosh_ray.sources.transcripts import write_transcripts
+        from whoosh_ray.state.compound import pack_index
+        from whoosh_ray.state.schema import transcripts_schema
+
+        work = "/tmp/whoosh_ray_qsoracle_packed"
+        shutil.rmtree(work, ignore_errors=True)
+        src = write_transcripts(os.path.join(work, "src"), n_convs=120)
+        ix = os.path.join(work, "ix")
+        build_index(src, ix, transcripts_schema(), seg_size=256)
+        pack_index(ix)
+        s = Searcher(ix)
+        queryset = {
+            "term": Term("text", "deploy"),
+            "and": And([Term("text", "deploy"), Term("text", "render")]),
+            "or": Or([Term("text", "cluster"), Term("text", "error")]),
+            "phrase": Phrase("text", ["deploy", "render"]),
+            "role": And([Term("text", "deploy"), Term("role", "user")]),
+        }
+        parts = []
+        for name, q in queryset.items():
+            t = topk_table(s, q, limit=10)
+            parts.append(t.append_column(
+                "query", pa.array([name] * t.num_rows, type=pa.string())))
+        return pa.concat_tables(parts)
+
     return {
         "ir_term_stats": ir_term_stats,
         "ir_bm25_spark": ir_bm25_spark,
@@ -1062,6 +1098,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ir_highlights": ir_highlights,
         "transcripts_queryset": transcripts_queryset,
         "transcripts_bm25_rank": transcripts_bm25_rank,
+        "transcripts_bm25_rank_packed": transcripts_bm25_rank_packed,
     }
 
 
@@ -1242,6 +1279,8 @@ SELECT t.docid,
 FROM top10 t
 """,
         "transcripts_bm25_rank": _transcripts_queryset_sql(),
+        "transcripts_bm25_rank_packed": _transcripts_queryset_sql(
+            "/tmp/whoosh_ray_qsoracle_packed/src"),
         "text_fingerprints": _fingerprints_sql(),
         "text_simhash": _simhash_sql(),
         "dedup_minhash_pairs": _minhash_pairs_sql(),

@@ -105,6 +105,29 @@ def test_overlay_snapshots_base_deletes(base):
     assert len(s.search(Term("text", "cache"), limit=5).docids) == 0
 
 
+def test_overlay_distributed_fanout(base):
+    """The actor fan-out resolves base files through the same per-file
+    fallback (SegmentShardActor reads overlay_base from the manifest)."""
+    _, base_dir, over_dir = base
+    from whoosh_ray.search.dist import batch_search
+
+    ix = open_overlay(base_dir, over_dir + "_dist")
+    ix.delete_by_term("text", "cache")
+    qs = [Term("text", "deploy"),
+          And([Term("text", "error"), Term("role", "user")]),
+          Term("text", "cache")]
+    local = Searcher(over_dir + "_dist")
+    want = [local.search(q, limit=10) for q in qs]
+    got = batch_search(over_dir + "_dist", qs, limit=10, concurrency=2)
+    import pyarrow.compute as pc
+
+    for qi, w in enumerate(want):
+        g = got.filter(pc.equal(got["query_id"], qi))
+        assert g["docid"].to_pylist() == w.docids.tolist()
+        assert g["score"].to_pylist() == w.scores.tolist()
+    assert len(want[2].docids) == 0  # tombstones visible to the fan-out
+
+
 def test_overlay_over_packed_base(base):
     """Union resolution composes with compound packing: a packed base
     segment's data resolves through the base's segment.cmpd while its

@@ -65,6 +65,12 @@ def pack_segment(seg_dir: str, *, remove: bool = True) -> str | None:
                 except OSError:
                     pass
         return None
+    for name in os.listdir(seg_dir):  # stale temp from a crashed pack
+        if name.startswith(COMPOUND_NAME + ".tmp-"):
+            try:
+                os.remove(os.path.join(seg_dir, name))
+            except OSError:
+                pass
     present = [n for n in PACKED_FILES
                if os.path.exists(os.path.join(seg_dir, n))]
     if not present:

@@ -106,6 +106,36 @@ def test_pack_preserves_subfile_bytes(built):
         assert o1 + l1 == o2  # contiguous, no gaps
 
 
+def test_pack_crash_midway_both_layouts(ray_session, tmp_path):
+    """A crash between the compound rename and the original-unlink
+    leaves BOTH layouts on disk: readers must prefer segment.cmpd, and
+    the next pack run must finish the cleanup."""
+    src = tmp_path / "src"
+    src.mkdir()
+    pq.write_table(generate_transcripts(n_convs=80, seed=3),
+                   str(src / "p.parquet"))
+    ix = str(tmp_path / "idx")
+    build_index(str(src), ix, transcripts_schema(), seg_size=512)
+    want = Searcher(ix).search(QUERIES[0], limit=10)
+    segroot = os.path.join(ix, "segments")
+    for name in os.listdir(segroot):
+        cf.pack_segment(os.path.join(segroot, name), remove=False)
+    # both layouts present -> compound wins, results identical
+    from whoosh_ray.state.segment import SegmentReader
+
+    SegmentReader._STATS_CACHE.clear()
+    s = Searcher(ix)
+    assert all(seg._compound is not None for seg in s.segments)
+    got = s.search(QUERIES[0], limit=10)
+    assert got.docids.tolist() == want.docids.tolist()
+    assert got.scores.tolist() == want.scores.tolist()
+    # a later pack run completes the crash cleanup (originals removed)
+    assert cf.pack_index(ix) == 0
+    for name in os.listdir(segroot):
+        files = sorted(os.listdir(os.path.join(segroot, name)))
+        assert files == ["meta.json", cf.COMPOUND_NAME]
+
+
 def test_term_stats_over_compound(built, ray_session):
     """The distributed term-stats read goes through the compound
     filesystem handler (Ray Data read_parquet over !-addressed paths)."""

@@ -301,6 +301,22 @@ def test_sessionize_bucket_stitching_and_skew():
     assert u1.sum_value.tolist() == [5.0, 4.0]
 
 
+def test_knn_ivf_codebook_deterministic(tmp_path):
+    """The codebook sample is content-keyed (splitmix64 fold of the
+    embedding bytes), so two builds over the same corpus produce
+    IDENTICAL centroids regardless of block order or scheduling —
+    ray random_sample(seed=)'s per-task streams did not guarantee that
+    and made IVF recall flap between runs."""
+    from whoosh_ray.pipelines.knn import ivf_build
+
+    emb = "/root/testdata/sf0.01/embeddings.parquet"
+    a = ivf_build(ray.data.read_parquet(emb), str(tmp_path / "a"),
+                  nlist=8)
+    b = ivf_build(ray.data.read_parquet(emb, override_num_blocks=7),
+                  str(tmp_path / "b"), nlist=8)
+    assert np.array_equal(a, b)
+
+
 def test_knn_ivf_io_pruning(tmp_path):
     """The IVF query must READ only the probed bucket partitions —
     bytes_probed ≈ nprobe/nlist of the corpus (VERDICT r1 #3)."""

@@ -155,23 +155,27 @@ def minhash_candidate_pairs(ds: ray.data.Dataset, *, id_col: str = "doc_id",
     exact-dedup pass first."""
     import ray as _ray
 
-    from whoosh_ray.stages.grouping import groups_in_blocks
+    from whoosh_ray.stages.grouping import groups_in_blocks_chain
 
     # single-file inputs arrive as ONE block; split so the signature
     # stage (the real compute) uses the whole CPU budget
     ncpu = int(_ray.cluster_resources().get("CPU", 8))
     ds = ds.repartition(2 * ncpu)
     bands = ds.map_batches(MinHasher(text_col, id_col), batch_format="pyarrow")
-    cand = groups_in_blocks(
-        bands, ["band", "bucket"],
-        _bucket_pairs_block(["band", "bucket"], "doc_id", max_bucket,
-                            "minhash_candidate_pairs"))
 
     def dedup_pairs(block: pd.DataFrame) -> pd.DataFrame:
         return block.drop_duplicates(["doc_a", "doc_b"])
 
     dedup_pairs.__name__ = "dedup_pairs"
-    return groups_in_blocks(cand, ["doc_a", "doc_b"], dedup_pairs)
+    # bucket-pair emission and the cross-band pair dedup are TWO keyed
+    # exchanges but ONE execution (single hash-shuffle context flip —
+    # the per-call fixed cost dominated this pipeline at small inputs)
+    return groups_in_blocks_chain(bands, [
+        (["band", "bucket"],
+         _bucket_pairs_block(["band", "bucket"], "doc_id", max_bucket,
+                             "minhash_candidate_pairs")),
+        (["doc_a", "doc_b"], dedup_pairs),
+    ])
 
 
 def _emit_pairs(ids: np.ndarray, chunk: int = 1 << 22):

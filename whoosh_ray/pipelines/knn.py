@@ -99,6 +99,23 @@ class IVFAssign:
             "ivf_bucket", pa.array(buckets.astype(np.int32), type=pa.int32()))
 
 
+def _embed_keys(mat: np.ndarray) -> np.ndarray:
+    """Deterministic uint64 key per embedding row: splitmix64-fold of
+    the raw float64 bytes, dimension by dimension (vectorized over
+    rows).  Order- and partition-independent, so any stage that samples
+    'randomly' by key is reproducible across runs and cluster sizes."""
+    b = np.ascontiguousarray(mat, dtype=np.float64).view(np.uint64)
+    x = np.zeros(len(mat), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(b.shape[1]):
+            x = x ^ b[:, j]
+            x = x + np.uint64(0x9E3779B97F4A7C15)
+            x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            x = x ^ (x >> np.uint64(31))
+    return x
+
+
 def ivf_build(ds: ray.data.Dataset, index_dir: str, *, nlist: int = 16,
               emb_col: str = "embedding",
               sample_size: int = 4096) -> np.ndarray:
@@ -111,11 +128,29 @@ def ivf_build(ds: ray.data.Dataset, index_dir: str, *, nlist: int = 16,
 
     # RANDOM sample, not the first rows (VERDICT r2 #6: on a corpus
     # sorted/clustered by content, a head sample skews the codebook and
-    # silently degrades recall); seeded for reproducible builds
+    # silently degrades recall).  Content-keyed, NOT ray random_sample:
+    # each row's key mixes its own embedding bytes (splitmix64 fold), so
+    # the selected set is identical across runs regardless of block
+    # order or scheduling — random_sample(seed=)'s per-task streams made
+    # the codebook (and IVF recall) flap run-to-run.
     n = ds.count()
     frac = min(1.0, (2.0 * sample_size) / max(n, 1))
-    sample = (ds.random_sample(frac, seed=13).limit(sample_size)
-              .to_pandas()[emb_col])
+    # float(2**64) rounds up past uint64 max — clamp before casting
+    thresh = np.uint64(min(int(frac * float(2**64 - 1)), 2**64 - 1))
+
+    def _keyed(batch: pa.Table) -> pa.Table:
+        mat = np.array(batch[emb_col].to_pylist(), dtype=np.float64)
+        keys = _embed_keys(mat)
+        keep = keys <= thresh
+        return pa.table({
+            "_key": pa.array(keys[keep], type=pa.uint64()),
+            emb_col: batch[emb_col].filter(pa.array(keep)),
+        })
+
+    picked = (ds.map_batches(_keyed, batch_format="pyarrow")
+              .to_pandas())  # expected ~2*sample_size rows by the bound
+    picked = picked.sort_values("_key", kind="mergesort")
+    sample = picked[emb_col].head(sample_size)
     smat = np.array(list(sample), dtype=np.float64)
     norms = np.linalg.norm(smat, axis=1)
     norms[norms == 0] = 1.0

@@ -28,6 +28,22 @@ def groups_in_blocks(ds: ray.data.Dataset, keys: list[str], fn,
     ``fn`` over whole blocks; returns the MATERIALIZED result (executed
     while the hash-shuffle strategy is active).  ``fn`` must handle a
     batch containing multiple complete, contiguous key groups."""
+    return groups_in_blocks_chain(ds, [(keys, fn)], num_blocks,
+                                  batch_format)
+
+
+def groups_in_blocks_chain(ds: ray.data.Dataset, stages,
+                           num_blocks: int | None = None,
+                           batch_format: str = "pandas",
+                           ) -> ray.data.Dataset:
+    """Run SEVERAL keyed repartition+map stages in ONE execution.
+
+    ``stages`` is a list of ``(keys, fn)``.  A chain of
+    ``groups_in_blocks`` calls pays one materialization plus one
+    hash-shuffle aggregator-pool spin-up per call; here all stages build
+    one lazy plan executed under a single hash-shuffle context flip —
+    the same exchanges, half the fixed cost (the dominant term for
+    contract-small inputs like LSH candidate-pair sets)."""
     ds = ds.materialize()
     if num_blocks is None:
         # each hash-shuffle partition spins up an aggregator actor —
@@ -36,8 +52,11 @@ def groups_in_blocks(ds: ray.data.Dataset, keys: list[str], fn,
         ncpu = int(ray.cluster_resources().get("CPU", 8))
         rows = ds.count()
         num_blocks = int(min(max(4, rows // 100_000), 2 * ncpu))
-    rp = ds.repartition(num_blocks=num_blocks, keys=keys, sort=True)
-    out = rp.map_batches(fn, batch_format=batch_format, batch_size=None)
+    out = ds
+    for keys, fn in stages:
+        rp = out.repartition(num_blocks=num_blocks, keys=keys, sort=True)
+        out = rp.map_batches(fn, batch_format=batch_format,
+                             batch_size=None)
     # each Dataset carries its own context snapshot; flip only THIS
     # plan's strategy and execute it here
     out.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE

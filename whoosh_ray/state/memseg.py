@@ -141,6 +141,13 @@ class MemorySegmentReader(SegmentReader):
 
     # ---- unused file plumbing, kept inert on purpose ----
 
+    _compound = None  # shadows the base property: never file-backed
+
+    def terms_ds_path(self) -> str:
+        raise RuntimeError(
+            "memory segments have no dataset-addressable terms file; "
+            "commit the buffered docs before distributed stats reads")
+
     def _terms_key(self):
         return ("<memory>", self.meta.seg_id, id(self._terms_inline))
 

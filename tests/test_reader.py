@@ -1,0 +1,194 @@
+"""Searcher.reader() — the reference IndexReader surface — conformance
+vs the reference engine's own reader on the same corpus (term dictionary
+iteration with TermInfo stats, per-doc lengths, stored-field iteration,
+spelling, deletions)."""
+
+import numpy as np
+import pytest
+
+from tests.oracle import build_oracle_index
+from whoosh_ray.pipelines.build import build_index
+from whoosh_ray.search import Searcher, TermNotFound
+from whoosh_ray.sources.transcripts import generate_transcripts
+from whoosh_ray.state.schema import transcripts_schema
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return generate_transcripts(n_convs=25, seed=19)
+
+
+@pytest.fixture(scope="module")
+def built_dir(corpus, tmp_path_factory):
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("reader")
+    (d / "src").mkdir()
+    pq.write_table(corpus, str(d / "src" / "p.parquet"))
+    build_index(str(d / "src"), str(d / "index"), transcripts_schema(),
+                seg_size=64)
+    return str(d / "index")
+
+
+@pytest.fixture(scope="module")
+def engine(built_dir):
+    return Searcher(built_dir)
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus):
+    return build_oracle_index(corpus, text_fields=("text",),
+                              id_fields=("role", "tool", "conv_id"))
+
+
+def _dec(b):
+    return b.decode("utf-8") if isinstance(b, bytes) else b
+
+
+def test_all_terms_and_lexicon(engine, oracle):
+    r = engine.reader()
+    with oracle.searcher() as s:
+        ref = [(f, _dec(t)) for f, t in s.reader().all_terms()]
+        mine = list(r.all_terms())
+        # the reference schema carries extra stored-only fields that
+        # never index terms; the term sets must match exactly
+        assert mine == ref
+        assert list(r.lexicon("text")) == \
+            [_dec(t) for t in s.reader().lexicon("text")]
+        assert list(r.expand_prefix("text", "de")) == \
+            [_dec(t) for t in s.reader().expand_prefix("text", "de")]
+
+
+def test_iter_field_terminfo_parity(engine, oracle):
+    r = engine.reader()
+    with oracle.searcher() as s:
+        ref = list(s.reader().iter_field("text"))
+        mine = list(r.iter_field("text"))
+        assert len(mine) == len(ref)
+        for (mt, mi), (rt, ri) in zip(mine, ref):
+            assert mt == _dec(rt)
+            assert mi.doc_frequency() == ri.doc_frequency(), mt
+            assert mi.weight() == ri.weight(), mt
+            assert mi.min_length() == ri.min_length(), mt
+            assert mi.max_length() == ri.max_length(), mt
+            assert mi.max_weight() == ri.max_weight(), mt
+            assert mi.min_id() == ri.min_id(), mt
+            assert mi.max_id() == ri.max_id(), mt
+
+
+def test_iter_prefix_and_contains(engine, oracle):
+    r = engine.reader()
+    with oracle.searcher() as s:
+        ref = [( _dec(t), ti.doc_frequency())
+               for t, ti in s.reader().iter_prefix("text", "re")]
+        mine = [(t, ti.doc_frequency())
+                for t, ti in r.iter_prefix("text", "re")]
+        assert mine == ref
+    assert ("text", "deploy") in r
+    assert ("text", "zzzznope") not in r
+    with pytest.raises(TermNotFound):
+        r.term_info("text", "zzzznope")
+
+
+def test_doc_field_length_parity(engine, oracle):
+    r = engine.reader()
+    with oracle.searcher() as s:
+        rr = s.reader()
+        for docnum in [0, 3, 7, 20, 41]:
+            assert r.doc_field_length(docnum, "text") == \
+                rr.doc_field_length(docnum, "text"), docnum
+    assert r.doc_field_length(0, "nosuchfield", default=7) == 7
+
+
+def test_first_id_and_postings(engine, oracle):
+    r = engine.reader()
+    with oracle.searcher() as s:
+        rr = s.reader()
+        for term in ["deploy", "error", "the", "render"]:
+            try:
+                ref_first = rr.first_id("text", term)
+            except Exception:
+                ref_first = None
+            if ref_first is None:
+                with pytest.raises(TermNotFound):
+                    r.first_id("text", term)
+            else:
+                assert r.first_id("text", term) == ref_first, term
+                ids, ws = r.postings("text", term)
+                assert ids[0] == ref_first
+
+
+def test_stored_and_iter_docs(engine, oracle):
+    r = engine.reader()
+    with oracle.searcher() as s:
+        rr = s.reader()
+        ref0 = rr.stored_fields(5)
+        mine0 = r.stored_fields(5)
+        for k, v in ref0.items():
+            assert mine0.get(k) == v, k
+    docs = list(r.iter_docs())
+    assert docs[0][0] == 0 and len(docs) == r.doc_count()
+    stored_iter = list(r.all_stored_fields())
+    assert len(stored_iter) == r.doc_count()
+    assert stored_iter[5] == mine0
+
+
+def test_terms_within_and_corrector(engine, oracle):
+    r = engine.reader()
+    with oracle.searcher() as s:
+        rr = s.reader()
+        for word, maxdist in [("deplou", 1), ("rendor", 2),
+                              ("clustre", 2)]:
+            ref = {_dec(t) for t in rr.terms_within("text", word,
+                                                    maxdist)}
+            assert set(r.terms_within("text", word, maxdist)) == ref
+        assert (r.corrector("text").suggest("deplou", limit=5) ==
+                s.corrector("text").suggest("deplou", limit=5))
+
+
+def test_deletions_and_generation(built_dir):
+    import shutil
+
+    from whoosh_ray.index import open_dir
+
+    work = built_dir + "_del"
+    shutil.rmtree(work, ignore_errors=True)
+    shutil.copytree(built_dir, work)
+    ix = open_dir(work)
+    r0 = Searcher(work).reader()
+    assert not r0.has_deletions() and r0.deleted_docs_set() == set()
+    n = ix.delete_by_term("text", "deploy")
+    assert n > 0
+    r = Searcher(work).reader()
+    assert r.has_deletions()
+    dels = r.deleted_docs_set()
+    assert len(dels) == n
+    some = next(iter(dels))
+    assert r.is_deleted(some) and not r.is_deleted(
+        next(d for d in range(r.doc_count_all()) if d not in dels))
+    assert r.doc_count() == r.doc_count_all() - n
+    assert all(d not in dels for d in r.all_doc_ids())
+    assert r.generation() >= 0
+    shutil.rmtree(work, ignore_errors=True)
+
+
+def test_column_reader(engine):
+    r = engine.reader()
+    col = r.column_reader("role")
+    assert len(col) == r.doc_count_all()
+    t = engine.stored(np.asarray([0, 5, 17]), columns=["role"])
+    assert [col[0], col[5], col[17]] == t["role"].to_pylist()
+    assert sorted({v for v in col if v is not None}) == \
+        sorted({v for v in col._values if v is not None})
+
+
+def test_leaf_readers_and_misc(engine):
+    r = engine.reader()
+    leaves = r.leaf_readers()
+    assert len(leaves) == len(engine.segments)
+    offs = [o for _, o in leaves]
+    assert offs == sorted(offs) and offs[0] == 0
+    assert r.is_atomic() == (len(engine.segments) <= 1)
+    assert set(r.indexed_field_names()) >= {"text", "role"}
+    with r as rr:
+        assert rr is r

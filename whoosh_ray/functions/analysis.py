@@ -262,9 +262,14 @@ class VectorAnalyzer:
                 token_lists.append(toks)
                 counts[i] = len(toks)
         elif self._re is None:
-            # IDTokenizer semantics: whole value is one token
+            # IDTokenizer semantics: whole value is one token.  A NULL
+            # value is a skipped field (reference add_document drops
+            # None fields, writing.py:488-492) but a REAL empty string
+            # indexes the term '' exactly like the reference ID field
+            # (IDTokenizer emits the unmodified value, tokenizers.py:
+            # 230-243) — surfaced by reader.all_terms() parity.
             for i, t in enumerate(texts):
-                toks = [] if t is None or t == "" else [str(t)]
+                toks = [] if t is None else [str(t)]
                 token_lists.append(toks)
                 counts[i] = len(toks)
         elif spec.gaps:

@@ -197,7 +197,10 @@ class IndexWriter:
         for c in cols:
             vals = [r.get(c) for r in rows]
             if c in text_fields:
-                vals = ["" if v is None else str(v) for v in vals]
+                # None stays null: a missing field is SKIPPED at index
+                # time (reference add_document, writing.py:488-492),
+                # while a real "" indexes the empty ID term
+                vals = [None if v is None else str(v) for v in vals]
             arr = pa.array(vals)
             if ref_schema is not None and c in ref_schema.names:
                 arr = arr.cast(ref_schema.field(c).type)

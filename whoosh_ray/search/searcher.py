@@ -646,6 +646,15 @@ class Searcher:
     # ---- lifecycle (reference searching.py Searcher is a context
     # manager; nothing to release here — segments are read per call) ----
 
+    def reader(self):
+        """The reference's ``Searcher.reader()`` surface — term
+        dictionary iteration with TermInfo stats, stored-field/doc
+        iteration, per-doc lengths, deletions, vectors, correctors,
+        sortable columns (:mod:`whoosh_ray.search.reader`)."""
+        from whoosh_ray.search.reader import IndexReader
+
+        return IndexReader(self)
+
     def close(self) -> None:
         pass
 

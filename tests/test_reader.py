@@ -8,7 +8,7 @@ import pytest
 
 from tests.oracle import build_oracle_index
 from whoosh_ray.pipelines.build import build_index
-from whoosh_ray.search import Searcher, TermNotFound
+from whoosh_ray.search import Searcher, Term, TermNotFound
 from whoosh_ray.sources.transcripts import generate_transcripts
 from whoosh_ray.state.schema import transcripts_schema
 
@@ -180,6 +180,86 @@ def test_column_reader(engine):
     assert [col[0], col[5], col[17]] == t["role"].to_pylist()
     assert sorted({v for v in col if v is not None}) == \
         sorted({v for v in col._values if v is not None})
+
+
+def test_searcher_find_and_collector(engine, oracle):
+    """find() (parse+search) and the collector run path equal a plain
+    search; TimeLimitCollector with a generous budget is a no-op."""
+    from whoosh_ray.search import TimeLimitCollector
+    from whoosh_ray.search.query import Term
+
+    with oracle.searcher() as s:
+        ref = [h.docnum for h in s.find("text", "deploy AND render",
+                                        limit=10)]
+    mine = engine.find("text", "deploy AND render", limit=10)
+    assert mine.docids.tolist() == ref
+
+    c = engine.collector(limit=10)
+    engine.search_with_collector(Term("text", "deploy"), c)
+    want = engine.search(Term("text", "deploy"), limit=10)
+    assert c.results().docids.tolist() == want.docids.tolist()
+
+    tlc = TimeLimitCollector(engine.collector(limit=10), timelimit=30.0)
+    engine.search_with_collector(Term("text", "deploy"), tlc)
+    assert tlc.results().docids.tolist() == want.docids.tolist()
+
+    ctx = engine.context()
+    assert ctx.weighting is engine.weighting
+    assert engine.boolean_context().weighting is None
+    assert ctx.set(limit=5).limit == 5 and ctx.limit == 0
+    assert engine.get_parent() is engine and not engine.has_parent()
+    assert len(engine.leaf_searchers()) == len(engine.segments)
+
+
+def test_query_terms_and_existing_terms(engine, oracle):
+    from whoosh_ray.search.query import And, Phrase, Prefix, Term
+
+    q = And([Term("text", "deploy"), Term("text", "zzznope"),
+             Phrase("text", ["error", "retry"])])
+    with oracle.searcher() as s:
+        from whoosh import qparser as _qp  # noqa: F401 — oracle loaded
+        ref_r = s.search(_oracle_query(q), limit=10)
+        ref = {(f, _dec(t)) for f, t in ref_r.query_terms()}
+        ref_nophrase = {(f, _dec(t)) for f, t in
+                        ref_r.q.existing_terms(s.reader(), phrases=False)}
+    r = engine.search(q, limit=10)
+    assert r.query_terms() == ref
+    assert q.existing_terms(engine.reader(), phrases=False) == \
+        ref_nophrase
+    # expand=True resolves multiterm leaves to existing expansions
+    pq = Prefix("text", "de")
+    with oracle.searcher() as s:
+        ref_exp = {(f, _dec(t)) for f, t in s.search(
+            _oracle_prefix("text", "de"), limit=5).query_terms(
+                expand=True)}
+    assert pq.existing_terms(engine.reader(), expand=True) == ref_exp
+
+
+def _oracle_query(q):
+    from whoosh import query as wq
+
+    return wq.And([wq.Term("text", "deploy"),
+                   wq.Term("text", "zzznope"),
+                   wq.Phrase("text", ["error", "retry"])])
+
+
+def _oracle_prefix(field, prefix):
+    from whoosh import query as wq
+
+    return wq.Prefix(field, prefix)
+
+
+def test_hit_mapping_surface(engine):
+    r = engine.search(Term("text", "deploy"), limit=3)
+    h = r[0]
+    assert set(h.keys()) == {k for k in h}
+    assert list(h.values()) == [h[k] for k in h.keys()]
+    assert list(h.iteritems()) == list(h.items())
+    assert len(h) == len(h.fields())
+    for mut in (lambda: h.update({"x": 1}), lambda: h.clear(),
+                lambda: h.pop("text")):
+        with pytest.raises(NotImplementedError):
+            mut()
 
 
 def test_leaf_readers_and_misc(engine):

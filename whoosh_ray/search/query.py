@@ -59,6 +59,55 @@ class Query:
         """(field, term) leaves needing global stats (df/idf)."""
         return []
 
+    def children(self):
+        """Direct sub-queries (reference qcore.py children())."""
+        subs = getattr(self, "subqueries", None)
+        if subs:
+            yield from subs
+        for name in ("subquery", "a", "b", "child", "parents", "query"):
+            c = getattr(self, name, None)
+            if isinstance(c, Query):
+                yield c
+
+    def leaves(self):
+        """Leaf queries of this tree (reference qcore.py:400-410)."""
+        kids = list(self.children())
+        if not kids:
+            yield self
+        else:
+            for k in kids:
+                yield from k.leaves()
+
+    def existing_terms(self, reader, phrases: bool = True,
+                       expand: bool = False,
+                       fieldname: str | None = None) -> set:
+        """(fieldname, text) pairs of this tree's terms that EXIST in
+        the index (reference qcore.py:338-375; drives
+        Results.query_terms).  ``phrases`` includes Phrase words;
+        ``expand`` resolves multiterm leaves to their matching
+        expansions."""
+        searcher = reader.searcher
+        out: set[tuple[str, str]] = set()
+        for leaf in self.leaves():
+            fn = getattr(leaf, "fieldname", None)
+            if fieldname is not None and fn != fieldname:
+                continue
+            if isinstance(leaf, Phrase):
+                if not phrases:
+                    continue
+                cand = [(leaf.fieldname, w) for w in leaf.words]
+            elif expand:
+                cand = []
+                for q in leaf.expansion_queries(searcher):
+                    cand.extend(q.terms())
+            else:
+                cand = leaf.terms()
+            for f, t in cand:
+                if (f, t) not in out and \
+                        searcher.global_term_info(f, t) is not None:
+                    out.add((f, t))
+        return out
+
     def expansion_queries(self, searcher) -> list["Query"]:
         """Resolve lexicon expansions (global, so stats are consistent)."""
         return [self]

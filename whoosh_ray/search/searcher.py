@@ -83,6 +83,15 @@ class Results:
             raise ValueError("search() was not run with terms=True")
         return {k for k, v in self.termdocs.items() if docid in v}
 
+    def query_terms(self, expand: bool = False,
+                    fieldname: str | None = None) -> set:
+        """(fieldname, text) pairs of the query that exist in the index
+        (reference Results.query_terms, searching.py:1176-1178)."""
+        if self.q is None:
+            return set()
+        return self.q.existing_terms(self.searcher.reader(),
+                                     fieldname=fieldname, expand=expand)
+
     # ---- result-set combination (reference searching.py:1275-1345) ----
 
     def extend(self, other: "Results") -> None:
@@ -260,6 +269,39 @@ class Hit:
     def items(self):
         return self.fields().items()
 
+    def values(self):
+        return self.fields().values()
+
+    # py2-era iterator aliases the reference still ships
+    # (searching.py:1466-1476)
+    def iterkeys(self):
+        return iter(self.fields().keys())
+
+    def itervalues(self):
+        return iter(self.fields().values())
+
+    def iteritems(self):
+        return iter(self.fields().items())
+
+    def __iter__(self):
+        return iter(self.fields().keys())
+
+    def __len__(self):
+        return len(self.fields())
+
+    def _readonly(self, *a, **kw):
+        """Hits are read-only views (reference searching.py:1478-1496
+        raises NotImplementedError from every mutator)."""
+        raise NotImplementedError("You cannot modify a search result")
+
+    __setitem__ = _readonly
+    __delitem__ = _readonly
+    clear = _readonly
+    update = _readonly
+    setdefault = _readonly
+    pop = _readonly
+    popitem = _readonly
+
     def __repr__(self):
         return f"<Hit {self.fields()!r}>"
 
@@ -337,6 +379,80 @@ class ResultsPage:
 
     def is_last_page(self) -> bool:
         return self.pagecount == 0 or self.pagenum == self.pagecount
+
+
+class SearchContext:
+    """Carrier of search-time knobs (reference searching.py:81-117):
+    attribute bag with the reference's ``set`` copy-with-overrides."""
+
+    def __init__(self, needs_current: bool = False, weighting=None,
+                 top_query=None, limit: int = 0):
+        self.needs_current = needs_current
+        self.weighting = weighting
+        self.top_query = top_query
+        self.limit = limit
+
+    def set(self, **kwargs) -> "SearchContext":
+        out = SearchContext(self.needs_current, self.weighting,
+                            self.top_query, self.limit)
+        for k, v in kwargs.items():
+            setattr(out, k, v)
+        return out
+
+    def __repr__(self):  # pragma: no cover
+        return (f"SearchContext(needs_current={self.needs_current}, "
+                f"weighting={self.weighting!r}, limit={self.limit})")
+
+
+class Collector:
+    """Captured ``search(...)`` keyword arguments, runnable via
+    ``Searcher.search_with_collector`` (the reference's collector
+    objects, collectors.py:62-180, built by Searcher.collector).
+    ``results()`` after the run; on a TimeLimit the partial results are
+    retained, exactly like the reference's TimeLimitCollector."""
+
+    def __init__(self, **kwargs):
+        self.kwargs = kwargs
+        self.timelimit: float | None = None
+        self.greedy: bool = False
+        self._results: Results | None = None
+
+    def results(self) -> Results:
+        if self._results is None:
+            raise ValueError("collector has not been run yet")
+        return self._results
+
+    def _run(self, searcher: "Searcher", q: Query) -> None:
+        if self.timelimit is not None:
+            limit = self.kwargs.get("limit", 10)
+            try:
+                self._results = searcher.search_with_timelimit(
+                    q, limit, timelimit=self.timelimit,
+                    greedy=self.greedy)
+            except TimeLimit as e:
+                self._results = e.partial
+                raise
+        else:
+            self._results = searcher.search(q, **self.kwargs)
+
+
+class TimeLimitCollector(Collector):
+    """Wrap a collector with a wall-clock budget (reference
+    collectors.py:1006-1102): raises :class:`TimeLimit` when exceeded;
+    ``results()`` then returns the partial set."""
+
+    def __init__(self, child: Collector, timelimit: float,
+                 greedy: bool = False):
+        super().__init__(**child.kwargs)
+        self.timelimit = timelimit
+        self.greedy = greedy
+        self._child = child
+
+    def _run(self, searcher: "Searcher", q: Query) -> None:
+        try:
+            super()._run(searcher, q)
+        finally:
+            self._child._results = self._results
 
 
 class Searcher:
@@ -654,6 +770,55 @@ class Searcher:
         from whoosh_ray.search.reader import IndexReader
 
         return IndexReader(self)
+
+    # ---- reference Searcher conveniences (searching.py:120-320) ----
+
+    def is_atomic(self) -> bool:
+        return len(self.segments) <= 1
+
+    def leaf_searchers(self):
+        """[(segment reader, docid offset)] — the per-segment leaves
+        (reference searching.py:141-147)."""
+        return [(seg, seg.meta.docid_range()[0]) for seg in self.segments]
+
+    def has_parent(self) -> bool:
+        return False  # this engine's searchers are never sub-searchers
+
+    def get_parent(self) -> "Searcher":
+        """Reference searching.py:166-173 — self when not a child."""
+        return self
+
+    def context(self, **kwargs) -> "SearchContext":
+        """A SearchContext carrying the effective weighting (reference
+        searching.py:175-186)."""
+        kwargs.setdefault("weighting", self.weighting)
+        return SearchContext(**kwargs)
+
+    def boolean_context(self) -> "SearchContext":
+        """Context for unscored (needs_current=False) evaluation
+        (reference searching.py:188-193)."""
+        return self.context(needs_current=False, weighting=None)
+
+    def find(self, defaultfield: str, querystring: str, **kwargs):
+        """Parse with QueryParser and search (reference
+        searching.py:314-320)."""
+        from whoosh_ray.search.qparser import QueryParser
+
+        q = QueryParser(defaultfield, self.schema).parse(querystring)
+        return self.search(q, **kwargs)
+
+    def collector(self, **kwargs) -> "Collector":
+        """Capture search(...) arguments as a reusable collector
+        (reference Searcher.collector, searching.py:506-556); run it
+        with :meth:`search_with_collector`."""
+        return Collector(**kwargs)
+
+    def search_with_collector(self, q: Query, collector: "Collector"):
+        """Run the query through the captured collector arguments
+        (reference searching.py:558-582); read ``collector.results()``
+        after.  A collector carrying a ``timelimit`` routes through the
+        TimeLimit path and re-raises exactly like the reference."""
+        collector._run(self, q)
 
     def close(self) -> None:
         pass

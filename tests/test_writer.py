@@ -188,3 +188,70 @@ def test_bufferedwriter_scores_match_committed(small_index):
             for d, s in Searcher(small_index).search(Term("text", "deploy"),
                                                      limit=20)]
     assert pre == post
+
+
+def test_writer_group_contiguity(small_index):
+    """with writer.group(): rows must land on contiguous docids —
+    valid groups commit; an interleaved group raises BEFORE writing
+    (reference writing.py:260-297 group semantics, validated against
+    this engine's key-derived docid assignment)."""
+    w = IndexWriter(small_index)
+    with w.group():
+        w.add_document(conv_id="convzzz50", turn_idx=0, role="user",
+                       text="parent gnu document")
+        w.add_document(conv_id="convzzz50", turn_idx=1, role="assistant",
+                       text="child gnu one")
+        w.add_document(conv_id="convzzz50", turn_idx=2, role="assistant",
+                       text="child gnu two")
+    w.commit()
+    s = Searcher(small_index)
+    ids = hits(s, "text", "gnu")
+    assert len(ids) == 3 and ids == sorted(ids)
+    assert ids[2] - ids[0] == 2  # contiguous run
+
+    w2 = IndexWriter(small_index)
+    with w2.group():
+        w2.add_document(conv_id="convzzz60", turn_idx=0, role="user",
+                        text="parent emu")
+        w2.add_document(conv_id="convzzz70", turn_idx=0, role="user",
+                        text="stray emu")
+    w2.add_document(conv_id="convzzz65", turn_idx=0, role="user",
+                    text="interloper emu")   # sorts BETWEEN the group
+    n_before = Searcher(small_index).doc_count_all
+    with pytest.raises(ValueError, match="contiguous"):
+        w2.commit()
+    assert Searcher(small_index).doc_count_all == n_before
+
+
+def test_writer_schema_evolution_and_reader(small_index):
+    w = IndexWriter(small_index)
+    w.add_field("topic", FieldSpec.id("topic", stored=True))
+    w.add_document(conv_id="convzzz80", turn_idx=0, role="user",
+                   text="walrus text", topic="animals")
+    w.commit()
+    s = Searcher(small_index)
+    assert len(hits(s, "topic", "animals")) == 1
+    r = w.reader()
+    assert ("topic", "animals") in r
+    w2 = IndexWriter(small_index)
+    w2.remove_field("topic")
+    w2.commit()
+    assert "topic" not in [f.name for f in
+                           Searcher(small_index).schema.fields]
+
+
+def test_writer_add_reader(small_index, tmp_path):
+    other_src = write_transcripts(str(tmp_path / "osrc"), n_convs=3,
+                                  seed=99)
+    build_index(other_src, str(tmp_path / "oix"), unique_schema(),
+                seg_size=128)
+    other = Searcher(str(tmp_path / "oix"))
+    w = IndexWriter(small_index)
+    n = w.add_reader(other.reader())
+    assert n == other.doc_count()
+    w.commit()
+    s = Searcher(small_index)
+    # every ingested doc is findable by its conv_id term
+    convs = {d["conv_id"] for d in other.reader().all_stored_fields()}
+    for c in convs:
+        assert len(hits(s, "conv_id", c)) >= 1

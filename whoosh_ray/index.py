@@ -177,6 +177,28 @@ class Index:
     def field_names(self) -> list[str]:
         return list(self._manifest.schema.field_names)
 
+    def max_field_length(self, fieldname: str) -> int:
+        """Largest per-doc quantized field length (reference
+        index.py Index.max_field_length → reader)."""
+        return self.searcher().max_field_length(fieldname)
+
+    def min_field_length(self, fieldname: str) -> int:
+        return self.searcher().min_field_length(fieldname)
+
+    def version(self) -> int:
+        """The manifest format version (reference FileIndex.version)."""
+        return FORMAT_VERSION
+
+    def lock(self, name: str = "WRITELOCK") -> bool:
+        """API-compat no-op (reference FileIndex.lock acquires a file
+        lock; this engine's per-partition atomic-rename commits and
+        monotonic manifest generations need none).  Returns True like a
+        successfully acquired reference lock."""
+        return True
+
+    def release(self, name: str = "WRITELOCK") -> None:
+        pass
+
     def close(self) -> None:
         pass  # no file handles held at this level
 

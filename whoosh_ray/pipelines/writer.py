@@ -84,6 +84,9 @@ class IndexWriter:
         self._rows: list[dict] = []
         self._doomed: set[int] = set()   # committed docids to tombstone
         self._lock = threading.RLock()
+        self._schema_dirty = False
+        self._groups: list[tuple[int, int]] = []  # buffered-row spans
+        self._group_start: int | None = None
 
     # ---- visibility ----
 
@@ -96,6 +99,11 @@ class IndexWriter:
         s = Searcher(self.index_dir, **kw)
         self._apply_doomed(s)
         return s
+
+    def reader(self, **kw):
+        """Reader over the writer's visible state (reference
+        IndexWriter.reader, writing.py:597-618)."""
+        return self.searcher(**kw).reader()
 
     def _apply_doomed(self, s) -> None:
         if not self._doomed:
@@ -142,12 +150,141 @@ class IndexWriter:
                 self.delete_by_query(q)
             self.add_document(**fields)
 
+    # ---- schema evolution (reference IndexWriter.add_field /
+    # remove_field, writing.py:228-249: visible to THIS writer at once,
+    # sealed into the manifest at commit) ----
+
+    def add_field(self, fieldname: str, fieldspec) -> None:
+        import dataclasses
+
+        from whoosh_ray.state.schema import IndexSchema
+
+        with self._lock:
+            if any(f.name == fieldname for f in self.schema.fields):
+                raise ValueError(f"field {fieldname!r} already in schema")
+            spec = dataclasses.replace(fieldspec, name=fieldname)
+            self.schema = IndexSchema(
+                fields=self.schema.fields + (spec,),
+                stored_columns=self.schema.stored_columns,
+                glob_fields=self.schema.glob_fields)
+            self._schema_dirty = True
+
+    def remove_field(self, fieldname: str) -> None:
+        from whoosh_ray.state.schema import IndexSchema
+
+        with self._lock:
+            if not any(f.name == fieldname for f in self.schema.fields):
+                raise KeyError(fieldname)
+            self.schema = IndexSchema(
+                fields=tuple(f for f in self.schema.fields
+                             if f.name != fieldname),
+                stored_columns=self.schema.stored_columns,
+                glob_fields=self.schema.glob_fields)
+            self._schema_dirty = True
+
+    # ---- document groups (reference IndexWriter.group /
+    # start_group / end_group, writing.py:260-297: a parent followed
+    # directly by its children must land on contiguous docnums for
+    # NestedParent/NestedChildren) ----
+
+    def group(self):
+        """``with writer.group():`` — mark the documents added inside
+        as one contiguous block.  This engine's docids derive from the
+        (conv, turn) keys (or docid_col), not arrival order, so the
+        grouping is VALIDATED at commit: if the group's rows would not
+        sort into one contiguous in-order run, commit raises before
+        writing anything."""
+        import contextlib
+
+        @contextlib.contextmanager
+        def _grp():
+            self.start_group()
+            try:
+                yield
+            finally:
+                self.end_group()
+
+        return _grp()
+
+    def start_group(self) -> None:
+        with self._lock:
+            if self._group_start is not None:
+                raise ValueError("group already open")
+            self._group_start = len(self._rows)
+
+    def end_group(self) -> None:
+        with self._lock:
+            if self._group_start is None:
+                raise ValueError("no group open")
+            span = (self._group_start, len(self._rows))
+            self._group_start = None
+            if span[1] > span[0]:
+                self._groups.append(span)
+
+    def _check_groups(self) -> None:
+        """Every group's rows must form one contiguous, in-order run
+        under the writer's docid assignment."""
+        if not self._groups:
+            return
+        order = self._buffered_sort_ranks()
+        for a, b in self._groups:
+            ranks = order[a:b]
+            if not (np.all(np.diff(ranks) == 1)):
+                raise ValueError(
+                    "grouped documents would not receive contiguous "
+                    "docids: rows {}..{} sort to ranks {} — give the "
+                    "group one conv key and increasing turn indexes "
+                    "(or consecutive docid_col values)".format(
+                        a, b - 1, ranks.tolist()))
+
+    def _buffered_sort_ranks(self) -> np.ndarray:
+        """Rank of each buffered row under the docid assignment."""
+        if self.docid_col is not None:
+            keys = np.asarray([int(r[self.docid_col])
+                               for r in self._rows], dtype=np.int64)
+            order = np.argsort(keys, kind="stable")
+        else:
+            convs = [str(r.get(self.conv_col)) for r in self._rows]
+            turns = [int(r.get(self.turn_col, 0)) for r in self._rows]
+            order = sorted(range(len(self._rows)),
+                           key=lambda i: (convs[i], turns[i]))
+            order = np.asarray(order, dtype=np.int64)
+        ranks = np.empty(len(order), dtype=np.int64)
+        ranks[order] = np.arange(len(order))
+        return ranks
+
+    def add_reader(self, reader) -> int:
+        """Buffer every (undeleted) document of another index's reader
+        (reference IndexWriter.add_reader, writing.py:318-370, which
+        copies per-doc data segment-to-segment).  DOCUMENTED DIVERGENCE:
+        this re-indexes from the stored fields instead of copying
+        posting data — identical results when every indexed field is
+        stored (the flagship schemas), an error otherwise."""
+        stored_cols = None
+        n = 0
+        for _docnum, stored in reader.iter_docs():
+            if stored_cols is None:
+                stored_cols = set(stored)
+                missing = [f.name for f in self.schema.fields
+                           if f.name not in stored_cols]
+                if missing:
+                    raise ValueError(
+                        f"add_reader re-indexes from stored fields; "
+                        f"indexed fields {missing} are not stored")
+            self.add_document(**{k: v for k, v in stored.items()
+                                 if v is not None})
+            n += 1
+        return n
+
     # ---- commit protocol ----
 
     def cancel(self) -> None:
         with self._lock:
             self._rows.clear()
             self._doomed.clear()
+            self._groups.clear()
+            self._group_start = None
+            self._schema_dirty = False
 
     def commit(self) -> None:
         """Tombstone doomed docids, append buffered rows as new segments
@@ -155,6 +292,19 @@ class IndexWriter:
         from whoosh_ray.pipelines import mutate
 
         with self._lock:
+            self._check_groups()
+            self._groups.clear()
+            if self._schema_dirty:
+                # seal the evolved schema before indexing buffered rows
+                # (mutate re-reads the manifest for the build schema)
+                from whoosh_ray.state.manifest import (Manifest,
+                                                       write_manifest)
+
+                cur = read_manifest(self.index_dir)
+                write_manifest(self.index_dir, Manifest(
+                    schema=self.schema, segments=cur.segments,
+                    settings=cur.settings))
+                self._schema_dirty = False
             if self._doomed:
                 mutate.delete_docids(self.index_dir, self._doomed)
                 self._doomed.clear()

@@ -262,6 +262,18 @@ def test_hit_mapping_surface(engine):
             mut()
 
 
+def test_iter_postings(engine, oracle):
+    r = engine.reader()
+    mine = [(f, t, d) for f, t, d, _w in r.iter_postings()
+            if f == "role"]
+    with oracle.searcher() as s:
+        ref = []
+        for fname, btext, docnum, _w, _v in s.reader().iter_postings():
+            if fname == "role":
+                ref.append((fname, _dec(btext), docnum))
+    assert sorted(mine) == sorted(ref)
+
+
 def test_leaf_readers_and_misc(engine):
     r = engine.reader()
     leaves = r.leaf_readers()

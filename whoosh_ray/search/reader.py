@@ -308,6 +308,18 @@ class IndexReader:
         ids, _ = self.postings(fieldname, text)
         return int(ids[0])
 
+    def iter_postings(self):
+        """(fieldname, text, docnum, weight) for every posting in the
+        reader (reference reading.py:429-440; the low-level surface
+        add_reader-style consumers walk)."""
+        for fname, text in self.all_terms():
+            try:
+                ids, ws = self.postings(fname, text)
+            except TermNotFound:  # pragma: no cover — deleted everywhere
+                continue
+            for d, w in zip(ids.tolist(), ws.tolist()):
+                yield fname, text, int(d), float(w)
+
     # ---- vectors ----
 
     def has_vector(self, docnum: int, fieldname: str) -> bool:

@@ -528,3 +528,22 @@ def test_correct_query_phrases(engine):
     assert q.words == ["deploy", "render"]
     assert [(o, n) for _, o, n in changes] == [("deploi", "deploy"),
                                                ("rendor", "render")]
+
+
+def test_null_formatter_matches_reference(engine, oracle):
+    from whoosh_ray.search.highlight import Highlighter, NullFormatter
+
+    import whoosh.highlight as wh
+    from whoosh.query import Term as WTerm
+
+    with oracle.searcher() as s:
+        r = s.search(WTerm("text", "deploy"), limit=3)
+        r.formatter = wh.NullFormatter()
+        refs = [hit.highlights("text", top=2) for hit in r]
+        docnums = [hit.docnum for hit in r]
+    hl = Highlighter(formatter=NullFormatter())
+    for docnum, ref in zip(docnums, refs):
+        text = engine.stored(np.array([docnum]),
+                             columns=["text"])["text"][0].as_py()
+        mine = hl.highlight(text, {"deploy"}, top=2)
+        assert mine == ref, docnum

@@ -318,3 +318,16 @@ def test_fill_missing_all_none_uses_column_type():
     # no type: value-probe fallback unchanged
     assert _fill_missing([None, "x"]) == ["", "x"]
     assert _fill_missing([None, 2.5]) == [float("inf"), 2.5]
+
+
+def test_groupedby_best_maptype(engine, oracle):
+    from whoosh_ray.search.facets import Best
+
+    ws = wsorting()
+    wq = wquery()
+    mine = engine.search(Term("text", "deploy"), limit=None,
+                         groupedby=FieldFacet("role", maptype=Best))
+    _, ref_groups = o_search(
+        oracle, wq.Term("text", "deploy"), limit=None,
+        groupedby=ws.FieldFacet("role", maptype=ws.Best))
+    assert mine.groups() == ref_groups["role"]

@@ -31,6 +31,7 @@ __all__ = [
     "FacetType", "FieldFacet", "QueryFacet", "RangeFacet", "DateRangeFacet",
     "ScoreFacet", "FunctionFacet", "TranslateFacet", "StoredFieldFacet",
     "MultiFacet", "Facets", "OrderedList", "UnorderedList", "Count",
+    "Best",
 ]
 
 
@@ -475,6 +476,25 @@ class Count(FacetMap):
 
     def as_dict(self):
         return dict(self.dict)
+
+
+class Best(FacetMap):
+    """group -> the docid with the LOWEST sort key (the best-ranked
+    doc; reference sorting.py:1059-1082 keeps the first strictly-lower
+    key)."""
+
+    def __init__(self):
+        self.bestids: dict = {}
+        self.bestkeys: dict = {}
+
+    def add(self, groupname, docid, sortkey):
+        if groupname not in self.bestids \
+                or sortkey < self.bestkeys[groupname]:
+            self.bestids[groupname] = docid
+            self.bestkeys[groupname] = sortkey
+
+    def as_dict(self):
+        return dict(self.bestids)
 
 
 def compute_groups(searcher, facet: FacetType, docids, scores,

@@ -321,6 +321,14 @@ class Formatter:
         return self.between.join(self.format_fragment(f) for f in fragments)
 
 
+class NullFormatter(Formatter):
+    """Returns matched fragments without marking the hits (reference
+    highlight.py:726-731)."""
+
+    def format_token(self, text, token):
+        return text[token.startchar:token.endchar]
+
+
 class UppercaseFormatter(Formatter):
     def format_token(self, text, token):
         return text[token.startchar:token.endchar].upper()

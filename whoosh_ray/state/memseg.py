@@ -21,7 +21,6 @@ import pyarrow as pa
 from whoosh_ray.state import codec
 from whoosh_ray.state.manifest import SegmentMeta
 from whoosh_ray.state.segment import (
-    BLOB_COLS,
     TERM_STAT_COLS,
     SegmentReader,
     read_docs_file,

@@ -90,6 +90,21 @@ def test_overlay_writes_never_touch_base(base):
     assert _snapshot(base_dir) == before
 
 
+def test_overlay_reopen_keeps_state(base):
+    """Re-opening an existing overlay is idempotent: its segments,
+    tombstones, and manifest generation survive."""
+    _, base_dir, over_dir = base
+    ix = open_overlay(base_dir, over_dir + "_re")
+    ix.delete_by_term("text", "render")
+    gen_before = ix.refresh().latest_generation()
+    n_before = len(ix._manifest.segments)
+    ix2 = open_overlay(base_dir, over_dir + "_re")
+    assert ix2.latest_generation() == gen_before
+    assert len(ix2._manifest.segments) == n_before
+    s = Searcher(over_dir + "_re")
+    assert len(s.search(Term("text", "render"), limit=5).docids) == 0
+
+
 def test_overlay_snapshots_base_deletes(base):
     """Base tombstones present at overlay creation stay deleted even
     after NEW overlay tombstones shadow the file."""

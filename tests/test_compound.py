@@ -210,3 +210,33 @@ def test_build_compound_flag_and_resume(ray_session, tmp_path):
     m2 = build_index(str(src), packed, transcripts_schema(), seg_size=512,
                      compound=True, resume=True)
     assert m2.settings["resumed_segments"] == nsegs
+
+
+def test_pack_torn_compound_keeps_originals(ray_session, tmp_path):
+    """A TORN segment.cmpd (kernel/power crash surviving the rename)
+    must not trigger the crash-recovery cleanup: the originals are the
+    only good copies, so pack validates the TOC first, discards the torn
+    file, and re-packs from the originals."""
+    src = tmp_path / "src"
+    src.mkdir()
+    pq.write_table(generate_transcripts(n_convs=40, seed=11),
+                   str(src / "p.parquet"))
+    ix = str(tmp_path / "idx")
+    build_index(str(src), ix, transcripts_schema(), seg_size=512)
+    want = Searcher(ix).search(QUERIES[0], limit=10)
+    segroot = os.path.join(ix, "segments")
+    names = sorted(os.listdir(segroot))
+    victim = os.path.join(segroot, names[0])
+    with open(os.path.join(victim, cf.COMPOUND_NAME), "wb") as f:
+        f.write(b"\x00garbage-torn-write\x00" * 7)
+    out = cf.pack_segment(victim)
+    assert out is not None  # re-packed, not short-circuited
+    assert cf.read_toc(out)  # and the new compound parses
+    # data files were packed (not deleted while the compound was torn)
+    assert not os.path.exists(os.path.join(victim, "terms.parquet"))
+    from whoosh_ray.state.segment import SegmentReader
+
+    SegmentReader._STATS_CACHE.clear()
+    got = Searcher(ix).search(QUERIES[0], limit=10)
+    assert got.docids.tolist() == want.docids.tolist()
+    assert got.scores.tolist() == want.scores.tolist()

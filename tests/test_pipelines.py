@@ -447,3 +447,23 @@ def test_y4m_video_roundtrip_and_frame_sample(ray_session):
     mf = MediaFeatures()
     feats, decoded = mf._features(t["payload"][0].as_py())
     assert decoded and np.isfinite(feats).all() and feats.any()
+
+
+def test_embed_keys_empty_batch():
+    """ADVICE r4: ray can deliver empty blocks; _embed_keys must not
+    IndexError on shape-(0,) input, and an ivf_build whose block count
+    exceeds the row count must still work."""
+    import pyarrow.parquet as pq
+
+    from whoosh_ray.pipelines.knn import _embed_keys, ivf_build
+
+    out = _embed_keys(np.array([]))
+    assert out.dtype == np.uint64 and len(out) == 0
+    emb = "/root/testdata/sf0.001/embeddings.parquet"
+    rows = pq.read_table(emb).slice(0, 5)
+    ds = ray.data.from_arrow(rows).repartition(16)  # most blocks empty
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        cents = ivf_build(ds, d, nlist=2, sample_size=64)
+        assert cents.shape[0] == 2

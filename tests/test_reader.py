@@ -284,3 +284,54 @@ def test_leaf_readers_and_misc(engine):
     assert set(r.indexed_field_names()) >= {"text", "role"}
     with r as rr:
         assert rr is r
+
+
+def test_timelimit_collector_preserves_kwargs(engine):
+    """ADVICE r4: a TimeLimitCollector wrapping a CONFIGURED collector
+    (filter/terms/...) must honour the full configuration, like the
+    reference TimeLimitCollector wrapping its child."""
+    from whoosh_ray.search import TimeLimitCollector
+    from whoosh_ray.search.query import Term
+
+    q = Term("text", "deploy")
+    flt = Term("role", "user")
+    want = engine.search(q, limit=10, filter=flt, terms=True)
+    tlc = TimeLimitCollector(
+        engine.collector(limit=10, filter=flt, terms=True),
+        timelimit=30.0)
+    engine.search_with_collector(q, tlc)
+    got = tlc.results()
+    assert got.docids.tolist() == want.docids.tolist()
+    assert got.scores.tolist() == want.scores.tolist()
+    assert got.termdocs.keys() == want.termdocs.keys()
+    # and the plain timelimit API takes the same kwargs directly
+    direct = engine.search_with_timelimit(q, 10, timelimit=30.0,
+                                          filter=flt)
+    assert direct.docids.tolist() == want.docids.tolist()
+
+
+def test_column_reader_reverse(engine):
+    """ADVICE r4: reverse=True must actually invert sort keys (numeric
+    negation, reference columns.py:647-651) and raise for
+    non-reversible column types (reference columns.py:160-161)."""
+    r = engine.reader()
+    col = r.column_reader("turn_idx", reverse=False)
+    rcol = r.column_reader("turn_idx", reverse=True)
+    keys = [col.sort_key(d) for d in range(len(col))]
+    rkeys = [rcol.sort_key(d) for d in range(len(col))]
+    order = sorted(range(len(col)), key=lambda d: (keys[d], d))
+    rorder = sorted(range(len(col)), key=lambda d: (rkeys[d], d))
+    vals = [col[d] for d in order]
+    rvals = [rcol[d] for d in rorder]
+    assert vals == sorted(vals, key=lambda v: (v is None, v))
+    nn = [v for v in rvals if v is not None]
+    assert nn == sorted(nn, reverse=True)
+    with pytest.raises(NotImplementedError):
+        r.column_reader("role", reverse=True)
+    # temporal columns reverse like the reference's numeric date ticks
+    tcol = r.column_reader("ts", reverse=True)
+    tk = [tcol.sort_key(d) for d in range(min(64, len(tcol)))]
+    tv = [tcol[d] for d in range(min(64, len(tcol)))]
+    pairs = [(k, v) for k, v in zip(tk, tv) if v is not None]
+    assert [p[1] for p in sorted(pairs, key=lambda p: p[0])] == \
+        sorted([p[1] for p in pairs], reverse=True)

@@ -104,6 +104,10 @@ def _embed_keys(mat: np.ndarray) -> np.ndarray:
     the raw float64 bytes, dimension by dimension (vectorized over
     rows).  Order- and partition-independent, so any stage that samples
     'randomly' by key is reproducible across runs and cluster sizes."""
+    if len(mat) == 0:
+        # ray can deliver empty blocks (override_num_blocks > rows);
+        # np.array([]) is 1-D so the per-dimension loop would IndexError
+        return np.empty(0, dtype=np.uint64)
     b = np.ascontiguousarray(mat, dtype=np.float64).view(np.uint64)
     x = np.zeros(len(mat), dtype=np.uint64)
     with np.errstate(over="ignore"):

@@ -71,12 +71,23 @@ class ColumnReader:
              if parts else None)
         n = searcher.doc_count_all
         self._values: list = [None] * n
+        col_type = None
         if t is not None:
             ids = t["docid"].to_numpy()
             vals = t[fieldname].to_pylist()
             for i, v in zip(ids.tolist(), vals):
                 if 0 <= i < n:
                     self._values[i] = v
+            col_type = t[fieldname].type
+        if reverse and not (col_type is not None
+                            and (pa.types.is_integer(col_type)
+                                 or pa.types.is_floating(col_type)
+                                 or pa.types.is_boolean(col_type)
+                                 or pa.types.is_temporal(col_type))):
+            # reference parity (columns.py:160-161): only numeric/bit
+            # columns implement set_reverse; others raise
+            raise NotImplementedError(
+                f"column type {col_type} is not reversible")
         self._reverse = reverse
 
     def __len__(self) -> int:
@@ -90,6 +101,21 @@ class ColumnReader:
 
     def sort_key(self, docnum: int):
         v = self._values[docnum]
+        if self._reverse and v is not None:
+            # reference numeric Reader.sort_key negates (columns.py:
+            # 647-651); bit readers xor (columns.py:739).  Dates are
+            # numeric ticks in the reference, so negate epoch ticks.
+            if isinstance(v, bool):
+                v = not v
+            elif isinstance(v, (int, float)):
+                v = 0 - v
+            else:
+                import calendar
+
+                tt = (v.utctimetuple() if hasattr(v, "utctimetuple")
+                      else v.timetuple())
+                v = -(calendar.timegm(tt) * 10**6
+                      + getattr(v, "microsecond", 0))
         return (v is None, v)
 
 

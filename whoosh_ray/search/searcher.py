@@ -424,11 +424,12 @@ class Collector:
 
     def _run(self, searcher: "Searcher", q: Query) -> None:
         if self.timelimit is not None:
-            limit = self.kwargs.get("limit", 10)
+            kw = dict(self.kwargs)
+            limit = kw.pop("limit", 10)
             try:
                 self._results = searcher.search_with_timelimit(
                     q, limit, timelimit=self.timelimit,
-                    greedy=self.greedy)
+                    greedy=self.greedy, **kw)
             except TimeLimit as e:
                 self._results = e.partial
                 raise
@@ -963,6 +964,19 @@ class Searcher:
         q = q.expansion_queries(self)[0]
         self._preload_terms(q)
         docids, scores = q.global_docs_scores(self)
+        return self._finish_match_set(
+            q, docids, scores, limit=limit, allow=allow, deny=deny,
+            terms=terms, sortedby=sortedby, reverse=reverse,
+            groupedby=groupedby, maptype=maptype)
+
+    def _finish_match_set(self, q: Query, docids, scores, *, limit,
+                          allow=None, deny=None, terms: bool = False,
+                          sortedby=None, reverse: bool = False,
+                          groupedby=None, maptype=None) -> Results:
+        """Everything ``search`` does AFTER evaluation — filter/mask
+        cuts, final(), sort/facet, limit, terms=True bookkeeping —
+        shared with the timelimit path so a budgeted search honours the
+        full collector configuration."""
         if allow is not None and len(docids):
             keep = (allow.contains(docids) if hasattr(allow, "contains")
                     else np.isin(docids, allow, assume_unique=True))
@@ -1036,7 +1050,10 @@ class Searcher:
                            pagenum, pagelen)
 
     def search_with_timelimit(self, q: Query, limit: int | None = 10, *,
-                              timelimit: float, greedy: bool = False) -> Results:
+                              timelimit: float, greedy: bool = False,
+                              filter=None, mask=None, terms: bool = False,
+                              sortedby=None, reverse: bool = False,
+                              groupedby=None, maptype=None) -> Results:
         """TimeLimitCollector analogue (collectors.py:1006-1102): abort
         when the budget is exceeded, raising :class:`TimeLimit` with the
         partial results collected so far.  The check granularity is one
@@ -1044,12 +1061,17 @@ class Searcher:
         thread); ``greedy=True`` finishes the in-flight segment before
         raising.  Queries whose reference quirks span segment boundaries
         (DisjunctionMax/AndNot/...) evaluate globally and can only time
-        out before/after that single evaluation."""
+        out before/after that single evaluation.  All ``search`` kwargs
+        (filter/mask/sortedby/groupedby/terms/...) apply to the finished
+        — full or partial — match set, matching the reference's
+        TimeLimitCollector wrapping a configured child collector."""
         import time as _time
 
         from whoosh_ray.search.dist import _has_nondecomposable
 
         t0 = _time.monotonic()
+        allow = self._as_docid_set(filter) if filter is not None else None
+        deny = self._as_docid_set(mask) if mask is not None else None
         self._eval_cache.clear()
         self._global_cache.clear()
         qx = q.expansion_queries(self)[0]
@@ -1062,10 +1084,10 @@ class Searcher:
             else:
                 docids = np.empty(0, dtype=np.int64)
                 scores = np.empty(0, dtype=np.float64)
-            order = np.lexsort((docids, -scores))
-            if limit is not None:
-                order = order[:limit]
-            res = Results(self, docids[order], scores[order])
+            res = self._finish_match_set(
+                qx, docids, scores, limit=limit, allow=allow, deny=deny,
+                terms=terms, sortedby=sortedby, reverse=reverse,
+                groupedby=groupedby, maptype=maptype)
             if timed_out:
                 raise TimeLimit(res)
             return res

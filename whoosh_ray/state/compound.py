@@ -58,13 +58,22 @@ def pack_segment(seg_dir: str, *, remove: bool = True) -> str | None:
     """
     out = os.path.join(seg_dir, COMPOUND_NAME)
     if os.path.exists(out):
-        if remove:  # crash between rename and unlink left originals
-            for name in PACKED_FILES:
-                try:
-                    os.remove(os.path.join(seg_dir, name))
-                except OSError:
-                    pass
-        return None
+        # crash between rename and unlink left originals — but only
+        # clean them up if the compound file actually parses: a torn
+        # write that survived the rename must not cost the only good
+        # copies (it is removed and re-packed from the originals)
+        try:
+            read_toc(out)
+        except Exception:
+            os.remove(out)
+        else:
+            if remove:
+                for name in PACKED_FILES:
+                    try:
+                        os.remove(os.path.join(seg_dir, name))
+                    except OSError:
+                        pass
+            return None
     for name in os.listdir(seg_dir):  # stale temp from a crashed pack
         if name.startswith(COMPOUND_NAME + ".tmp-"):
             try:

@@ -729,6 +729,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                type=pa.float64()),
         })
 
+    def embed_lsh_exhaustive(sf_dir):
+        """embed_cosine_lsh with band_bits=0: every vector lands in ONE
+        bucket, so the candidate set is ALL pairs and the LSH output
+        must equal the exact scan — puts the LSH bucketing + verify
+        plumbing under the SQL hash gate the way knn_ivf_exhaustive
+        gates IVF (VERDICT r4 #5).  The production-recall variant is
+        pytest-verified (test_embed_dedup)."""
+        import ray.data
+
+        from whoosh_ray.pipelines.dedup import embed_cosine_lsh
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "embeddings.parquet"),
+            columns=["vec_id", "embedding"])
+        pdf = embed_cosine_lsh(ds, threshold=0.4, n_bands=1,
+                               band_bits=0, max_bucket=None)
+        return pa.table({
+            "id_a": pa.array(pdf["id_a"], type=pa.int64()),
+            "id_b": pa.array(pdf["id_b"], type=pa.int64()),
+            "cosine": pa.array(np.round(pdf["cosine"].to_numpy(), 6),
+                               type=pa.float64()),
+        })
+
     def knn_top10(sf_dir):
         import pyarrow.parquet as pq
 
@@ -1081,6 +1104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_jaccard_pairs": dedup_jaccard_pairs,
         "dedup_minhash_pairs": dedup_minhash_pairs,
         "dedup_embed_pairs": dedup_embed_pairs,
+        "embed_lsh_exhaustive": embed_lsh_exhaustive,
         "knn_top10": knn_top10,
         "knn_ivf_exhaustive": knn_ivf_exhaustive,
         "text_token_stats": text_token_stats,
@@ -1387,6 +1411,15 @@ WHERE len(list_distinct(list_concat(a.shingles, b.shingles))) > 0
 ORDER BY doc_a, doc_b
 """,
         "dedup_embed_pairs": """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                               b.embedding::DOUBLE[]), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                             b.embedding::DOUBLE[]) >= 0.4::DOUBLE
+ORDER BY id_a, id_b
+""",
+        "embed_lsh_exhaustive": """
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
   ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
                                b.embedding::DOUBLE[]), 6) AS cosine

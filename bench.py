@@ -32,7 +32,33 @@ def _sf_value(sf_dir: str) -> float:
         return 0.1
 
 
+def _quiet_ray_data_logging() -> None:
+    """Point RAY_DATA_LOGGING_CONFIG at the default config with the
+    schema-dedup chatter demoted (VERDICT r4 #9): pa.Schema.__hash__
+    raises on schemas with metadata (e.g. parquet files written by
+    pandas), so Ray's unify_schemas logs 'Failed to hash the schemas'
+    from every hash-shuffle aggregator — harmless, but it drowns real
+    worker errors in bench tails.  Workers inherit the env var, so the
+    override applies cluster-wide."""
+    import copy
+
+    try:
+        import yaml
+        from ray.data._internal.logging import DEFAULT_CONFIG
+    except ImportError:
+        return
+    cfg = copy.deepcopy(DEFAULT_CONFIG)
+    cfg["loggers"]["ray.data._internal.arrow_ops.transform_pyarrow"] = {
+        "level": "ERROR", "handlers": ["file"], "propagate": False,
+    }
+    path = "/tmp/whoosh_ray_data_logging.yaml"
+    with open(path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    os.environ.setdefault("RAY_DATA_LOGGING_CONFIG", path)
+
+
 def run_bench() -> dict:
+    _quiet_ray_data_logging()
     import ray
 
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
@@ -132,6 +158,12 @@ def _run_inner() -> dict:
     for q in qset:
         s.search_topk(q, limit=10)
     queries["queryset_local_sec"] = round(time.time() - t0, 3)
+    # batch_search now reuses a cached persistent pool (VERDICT r4 #2):
+    # the first call pays one-time actor spin-up (diagnostic key), the
+    # steady-state per-batch cost is the headline number
+    t0 = time.time()
+    batch_search(ix, qset, limit=10, concurrency=min(4, NUM_CPUS))
+    queries["queryset_dist_cold_secs"] = round(time.time() - t0, 3)
     t0 = time.time()
     batch_search(ix, qset, limit=10, concurrency=min(4, NUM_CPUS))
     queries["queryset_dist_sec"] = round(time.time() - t0, 3)
@@ -146,6 +178,12 @@ def _run_inner() -> dict:
         t0 = time.time()
         pool.search_batch(qset, limit=10)
         queries["queryset_pool_secs"] = round(time.time() - t0, 3)
+
+    # release the cached batch_search pool before the heavy build
+    # stages below (idle serving actors shouldn't shade the data plane)
+    from whoosh_ray.search.dist import clear_pool_cache
+
+    clear_pool_cache()
 
     # -------- COLD-searcher latency on the many-segment index (the
     # VERDICT r2 #1 criterion: 8-query set < 1s on 100+ segments without
@@ -163,6 +201,19 @@ def _run_inner() -> dict:
         s_cold.search_topk(q, limit=10)
     queries["queryset_cold_secs"] = round(time.time() - t0, 3)
     queries["n_segments"] = len(s_cold.segments)
+
+    # -------- collapse on a HIGH-CARDINALITY key (VERDICT r4 #3):
+    # one winner per conv_id (~66k keys at sf0.1) — the 10k+-tiny-groups
+    # regime where a per-group map_groups paid pandas overhead per key;
+    # the groups_in_blocks path is one vectorized sort + drop_duplicates
+    # per hash-partitioned block.  Diagnostic key ("secs").
+    from whoosh_ray.pipelines.ir import collapse_best_per_key
+
+    t0 = time.time()
+    collapsed = collapse_best_per_key(
+        s, Or([Term("text", "deploy"), Term("text", "the")]), "conv_id")
+    queries["collapse_highcard_secs"] = round(time.time() - t0, 3)
+    queries["n_collapse_keys"] = collapsed.num_rows
 
     # -------- compound packing: object count drops 4 -> 2 per segment
     # (the object-store request-count lever at 100 TB); cold queries over

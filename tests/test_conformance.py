@@ -300,3 +300,129 @@ def test_reader_stats_and_postings_parity(engine, oracle):
 
     # freshness probes
     assert engine.up_to_date() and engine.refresh() is engine
+
+
+# ---------------------------------------------------------------------------
+# Positional queries over a crafted corpus (VERDICT r4 #6): Ordered's
+# min-position tree semantics and Sequence/Ordered over non-Term children.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def positional_corpus():
+    import pyarrow as pa
+
+    texts = [
+        "render alpha deploy beta render",   # min(deploy) > min(render)
+        "deploy alpha beta render gamma",
+        "deploy render deploy render",
+        "alpha deploy beta gamma",
+        "render beta deploy",
+        "alpha beta gamma alpha beta gamma",
+        "gamma beta alpha",
+        "deploy beta render gamma alpha",
+        "deploy render beta gamma",          # beta AFTER render: still Ordered
+    ]
+    n = len(texts)
+    return pa.table({
+        "conv_id": pa.array(["c0"] * n),
+        "turn_idx": pa.array(range(n), type=pa.int32()),
+        "role": pa.array(["user"] * n),
+        "text": pa.array(texts),
+        "tool": pa.array(["browser"] * n),
+        "ts": pa.array([1_700_000_000_000_000 + i * 1_000_000
+                        for i in range(n)], type=pa.timestamp("us")),
+    })
+
+
+@pytest.fixture(scope="module")
+def pos_engine(positional_corpus, tmp_path_factory):
+    import pyarrow.parquet as pq
+
+    from whoosh_ray.state.schema import transcripts_schema
+
+    d = tmp_path_factory.mktemp("positional")
+    (d / "src").mkdir()
+    pq.write_table(positional_corpus, str(d / "src" / "p.parquet"))
+    build_index(str(d / "src"), str(d / "index"), transcripts_schema(),
+                seg_size=4)  # multi-segment on purpose
+    return Searcher(str(d / "index"))
+
+
+@pytest.fixture(scope="module")
+def pos_oracle(positional_corpus):
+    return build_oracle_index(positional_corpus, text_fields=("text",),
+                              id_fields=("role", "conv_id"))
+
+
+def test_ordered_min_position_tree_semantics(pos_engine, pos_oracle,
+                                             whoosh_oracle):
+    """Ordered is a balanced SpanBefore tree (positional.py:108-118):
+    per internal node, first-position(left subtree's leftmost term) <
+    first-position(right subtree's leftmost term).  NOT a greedy
+    any-ascending-chain — 'render .. deploy .. render' must NOT match
+    Ordered(deploy, render); and the 4-term balanced tree does NOT
+    compare terms 2 and 3 ('deploy render beta gamma' matches
+    Ordered(deploy, beta, render, gamma))."""
+    from whoosh_ray.search import Ordered
+
+    w = wq()
+    t = lambda x: Term("text", x)  # noqa: E731
+    wt = lambda x: w.Term("text", x)  # noqa: E731
+    cases = [
+        (Ordered([t("deploy"), t("render")]),
+         w.Ordered([wt("deploy"), wt("render")])),
+        (Ordered([t("render"), t("deploy")]),
+         w.Ordered([wt("render"), wt("deploy")])),
+        (Ordered([t("alpha"), t("beta"), t("gamma")]),
+         w.Ordered([wt("alpha"), wt("beta"), wt("gamma")])),
+        (Ordered([t("deploy"), t("beta"), t("render"), t("gamma")]),
+         w.Ordered([wt("deploy"), wt("beta"), wt("render"),
+                    wt("gamma")])),
+    ]
+    for myq, refq in cases:
+        mine, ref = both(pos_engine, pos_oracle, myq, refq, limit=None)
+        assert_rank_identical(mine, ref)
+    # the two pinned shapes, explicitly:
+    got = {d for d, _ in pos_engine.search(
+        Ordered([t("deploy"), t("render")]), limit=None)}
+    assert 0 not in got          # render..deploy..render
+    got4 = {d for d, _ in pos_engine.search(
+        Ordered([t("deploy"), t("beta"), t("render"), t("gamma")]),
+        limit=None)}
+    assert 8 in got4             # deploy render beta gamma
+
+
+def test_sequence_ordered_nonterm_children(pos_engine, pos_oracle,
+                                           whoosh_oracle):
+    """Sequence/Ordered over Or/Prefix/Phrase children (VERDICT r4 #6;
+    reference positional.py:37-120 chains arbitrary sub-matchers)."""
+    from whoosh_ray.search import Ordered, Sequence
+
+    w = wq()
+    t = lambda x: Term("text", x)  # noqa: E731
+    wt = lambda x: w.Term("text", x)  # noqa: E731
+    cases = [
+        (Sequence([Or([t("deploy"), t("render")]), t("beta")], slop=2),
+         w.Sequence([w.Or([wt("deploy"), wt("render")]), wt("beta")],
+                    slop=2)),
+        (Sequence([Prefix("text", "dep"), t("alpha")]),
+         w.Sequence([w.Prefix("text", "dep"), wt("alpha")])),
+        (Sequence([t("deploy"), Or([t("beta"), t("render")])]),
+         w.Sequence([wt("deploy"), w.Or([wt("beta"), wt("render")])])),
+        (Sequence([Or([t("alpha"), t("deploy")]), t("beta"),
+                   Or([t("gamma"), t("render")])], slop=3),
+         w.Sequence([w.Or([wt("alpha"), wt("deploy")]), wt("beta"),
+                     w.Or([wt("gamma"), wt("render")])], slop=3)),
+        (Sequence([Phrase("text", ["alpha", "beta"]), t("gamma")],
+                  slop=2),
+         w.Sequence([w.Phrase("text", ["alpha", "beta"]), wt("gamma")],
+                    slop=2)),
+        (Ordered([Or([t("render"), t("gamma")]), t("deploy")]),
+         w.Ordered([w.Or([wt("render"), wt("gamma")]), wt("deploy")])),
+        (Ordered([Prefix("text", "alp"), t("gamma"), t("beta")]),
+         w.Ordered([w.Prefix("text", "alp"), wt("gamma"), wt("beta")])),
+    ]
+    for myq, refq in cases:
+        mine, ref = both(pos_engine, pos_oracle, myq, refq, limit=None)
+        assert_rank_identical(mine, ref)

@@ -83,6 +83,39 @@ def test_lsh_exact_precision_and_recall():
     assert len(got_set) >= 0.9 * len(want_set) > 0
 
 
+def test_lsh_exhaustive_bands_equal_exact():
+    """band_bits=0 puts every vector in ONE bucket => candidates are
+    all pairs and the LSH output must equal the exact scan — the
+    embed_lsh_exhaustive oracle-gate shape (VERDICT r4 #5)."""
+    ids, mat = _vectors(n=80, n_dups=20)
+    got = embed_cosine_lsh(_dataset(ids, mat), threshold=0.9,
+                           n_bands=1, band_bits=0, max_bucket=None)
+    want = embed_cosine_pairs(_dataset(ids, mat), threshold=0.9)
+    assert got[["id_a", "id_b"]].values.tolist() == \
+        want[["id_a", "id_b"]].values.tolist()
+    np.testing.assert_allclose(got["cosine"], want["cosine"], rtol=1e-9)
+    assert len(got) >= 15
+
+
+def test_embed_verify_distributed_matches_broadcast():
+    """VERDICT r4 #1: above ``max_driver_pairs`` the candidate pairs
+    stay a Dataset (hash-join verify); pair set and cosines must equal
+    the broadcast path."""
+    ids, mat = _vectors()
+    want = embed_cosine_lsh(_dataset(ids, mat), threshold=0.9,
+                            n_bands=16, band_bits=8, seed=23)
+    got = embed_cosine_lsh(_dataset(ids, mat), threshold=0.9,
+                           n_bands=16, band_bits=8, seed=23,
+                           max_driver_pairs=1)
+    assert isinstance(got, ray.data.Dataset)
+    gdf = (got.to_pandas().sort_values(["id_a", "id_b"])
+           .reset_index(drop=True))
+    assert gdf[["id_a", "id_b"]].values.tolist() == \
+        want[["id_a", "id_b"]].values.tolist()
+    np.testing.assert_array_equal(gdf["cosine"].to_numpy(),
+                                  want["cosine"].to_numpy())
+
+
 def test_lsh_no_candidates():
     rng = np.random.default_rng(1)
     mat = rng.standard_normal((40, 32))

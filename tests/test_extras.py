@@ -547,3 +547,79 @@ def test_null_formatter_matches_reference(engine, oracle):
                              columns=["text"])["text"][0].as_py()
         mine = hl.highlight(text, {"deploy"}, top=2)
         assert mine == ref, docnum
+
+
+def test_genshi_formatter_event_stream_parity(monkeypatch, whoosh_oracle):
+    """GenshiFormatter facade (reference highlight.py:821-875): the
+    constructor imports genshi (ImportError when absent — not in this
+    container); with a stand-in genshi.core injected, the event stream
+    is compared event-for-event against the reference formatter,
+    INCLUDING the reference's shipped bug of appending the raw
+    (text, token, replace) 3-tuple for every matched token."""
+    import sys
+    import types
+
+    from whoosh_ray.search.highlight import (ContextFragmenter,
+                                             GenshiFormatter,
+                                             merge_matched, set_matched,
+                                             tokenize_chars, top_fragments)
+
+    # genshi is absent: the facade must raise ImportError like the
+    # reference would
+    assert "genshi" not in sys.modules
+    with pytest.raises(ImportError):
+        GenshiFormatter()
+
+    core = types.ModuleType("genshi.core")
+    core.START, core.END, core.TEXT = "START", "END", "TEXT"
+
+    class Attrs(tuple):
+        def __new__(cls, items=()):
+            return super().__new__(cls, tuple(items))
+
+    class Stream:
+        def __init__(self, events):
+            self.events = list(events)
+
+        def __iter__(self):
+            return iter(self.events)
+
+    core.Attrs, core.Stream = Attrs, Stream
+    pkg = types.ModuleType("genshi")
+    pkg.core = core
+    monkeypatch.setitem(sys.modules, "genshi", pkg)
+    monkeypatch.setitem(sys.modules, "genshi.core", core)
+
+    import whoosh.highlight as wh
+    from whoosh.analysis import StandardAnalyzer
+
+    text = ("deploy the render cluster then deploy again and render "
+            "the batch deploy")
+    terms = {"deploy", "render"}
+
+    # reference side: manual pipeline (same as its Highlighter drives)
+    analyzer = StandardAnalyzer(stoplist=None, minsize=0)
+    tokens = analyzer(text, positions=True, chars=True, mode="index",
+                      removestops=False)
+    tokens = wh.set_matched_filter(tokens, terms)
+    rfrags = wh.ContextFragmenter().fragment_tokens(text, tokens)
+    rfrags = wh.top_fragments(rfrags, 3, wh.BasicFragmentScorer(), wh.FIRST)
+    ref = wh.GenshiFormatter(qname="b", between="|").format(rfrags)
+
+    # our side (same steps Highlighter.highlight runs)
+    mtoks = merge_matched(set_matched(tokenize_chars(text), terms))
+    frags = ContextFragmenter().fragment_tokens(text, mtoks)
+    frags = top_fragments(frags, 3)
+    mine = GenshiFormatter(qname="b", between="|").format(frags)
+
+    def norm(ev):
+        if ev[0] in ("START", "END", "TEXT"):
+            return (ev[0], ev[1], ev[2])
+        # the pinned bug tuple: (fragment text, Token, replace)
+        t = ev[1]
+        return ("BUGTUPLE", ev[0], t.startchar, t.endchar, ev[2])
+
+    got, want = [norm(e) for e in mine], [norm(e) for e in ref]
+    assert got == want
+    # sanity: the bug tuples are really in there
+    assert any(e[0] == "BUGTUPLE" for e in want)

@@ -265,6 +265,41 @@ def test_verify_jaccard_matches_exact_sets():
     assert ((got.doc_a == 0) & (got.doc_b == 1)).any()
 
 
+def test_verify_jaccard_distributed_matches_broadcast():
+    """VERDICT r4 #1: a pair set larger than ``max_driver_pairs`` never
+    reaches the driver — the verify runs as hash joins with the pairs a
+    Dataset end-to-end, and values equal the broadcast path exactly."""
+    import pandas as pd
+
+    from whoosh_ray.pipelines.dedup import verify_jaccard
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog tonight",
+        "the quick brown fox jumps over the lazy cat tonight",
+        "completely different content about ray data pipelines here",
+        "completely different content about ray data engines here",
+        "unrelated words entirely",
+    ]
+    tbl = pa.table({"doc_id": pa.array(np.arange(len(texts)), type=pa.int64()),
+                    "text": pa.array(texts)})
+    ds = ray.data.from_arrow(tbl)
+    pairs = pd.DataFrame({"doc_a": [0, 2, 0, 1], "doc_b": [1, 3, 4, 2]})
+    want = (verify_jaccard(ds, pairs, threshold=0.05)
+            .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+    # duplicate pair rows (as LSH cross-band emission produces): the
+    # distributed distinct must collapse them
+    dup = pd.concat([pairs, pairs.iloc[[0, 2]]], ignore_index=True)
+    got = verify_jaccard(ds, ray.data.from_pandas(dup), threshold=0.05,
+                         max_driver_pairs=1)
+    assert isinstance(got, ray.data.Dataset)
+    gdf = (got.to_pandas().sort_values(["doc_a", "doc_b"])
+           .reset_index(drop=True))
+    assert gdf[["doc_a", "doc_b"]].values.tolist() == \
+        want[["doc_a", "doc_b"]].values.tolist()
+    np.testing.assert_array_equal(gdf["jaccard"].to_numpy(),
+                                  want["jaccard"].to_numpy())
+
+
 def test_sessionize_bucket_stitching_and_skew():
     """Two-level sessionize: sessions crossing bucket boundaries must
     stitch exactly; a hot key's events never form one giant group."""
@@ -447,6 +482,48 @@ def test_y4m_video_roundtrip_and_frame_sample(ray_session):
     mf = MediaFeatures()
     feats, decoded = mf._features(t["payload"][0].as_py())
     assert decoded and np.isfinite(feats).all() and feats.any()
+
+
+def test_mp4_facade_structured_fallback(monkeypatch):
+    """MP4 decode is an optional-backend facade (VERDICT r4 #7): with
+    neither PyAV nor ffmpeg in the container the stages degrade
+    gracefully (fallback features / row pass-through), and a backend
+    (monkeypatched here) flows through the same code path."""
+    from whoosh_ray.functions import media
+    from whoosh_ray.pipelines.multimodal import FrameSample, MediaFeatures
+
+    fake_mp4 = b"\x00\x00\x00\x18ftypisom" + bytes(64)
+    assert media.sniff_mime(fake_mp4) == "video/mp4"
+    assert media.mp4_backend() is None  # this container has no backend
+    with pytest.raises(media.MissingVideoCodec):
+        media.decode_mp4(fake_mp4)
+
+    batch = pa.table({
+        "item_id": pa.array([7], type=pa.int64()),
+        "payload": pa.array([fake_mp4], type=pa.large_binary()),
+    })
+    out = MediaFeatures(on_unknown="fake")(batch)
+    assert out["decoded"].to_pylist() == [False]
+    assert len(out["features"][0].as_py()) > 0
+    with pytest.raises(media.MissingVideoCodec):
+        MediaFeatures(on_unknown="error")(batch)
+
+    fs = FrameSample(max_frames=4)
+    res = fs(batch)
+    assert res["frame_idx"].to_pylist() == [-1]
+    assert res["payload"][0].as_py() == fake_mp4
+
+    # with a backend, the SAME payload decodes through the y4m-shared
+    # sampling path
+    gy, gx = np.mgrid[0:6, 0:8]
+    frames = np.stack([np.stack([(gy * 9 + t) % 256, (gx * 7) % 256,
+                                 (gy + gx + t) % 256], axis=2)
+                       for t in range(6)]).astype(np.uint8)
+    monkeypatch.setattr(media, "decode_mp4", lambda b: frames)
+    res2 = fs(batch)
+    assert res2["frame_idx"].to_pylist() == [0, 1, 3, 5]
+    feats, decoded = MediaFeatures(on_unknown="error")._features(fake_mp4)
+    assert decoded and np.isfinite(feats).all()
 
 
 def test_embed_keys_empty_batch():

@@ -15,9 +15,11 @@ structs + sample arrays, which numpy parses vectorized:
 Plus real kernels over the decoded arrays: nearest-neighbor resize
 (pure indexing), image statistics, and audio features (RMS,
 zero-crossing rate, dominant frequency + banded spectrum via np.fft).
-These power the multimodal actor-pool stages (pipelines/multimodal.py);
-formats that genuinely need external codecs (JPEG/MP4) stay behind
-an explicit NotImplementedError.
+These power the multimodal actor-pool stages (pipelines/multimodal.py).
+JPEG has a real pure-numpy codec (functions/jpeg.py); MP4 — the one
+format that genuinely needs an external codec — is an
+optional-backend facade (``decode_mp4``: PyAV if importable, else an
+ffmpeg binary on PATH, else a structured ``MissingVideoCodec``).
 """
 
 from __future__ import annotations
@@ -421,6 +423,90 @@ def decode_y4m(buf: bytes) -> np.ndarray:
         frames.append(np.clip(np.round(np.stack([r, g, b], axis=2)),
                               0, 255).astype(np.uint8))
     return np.stack(frames) if frames else np.empty((0, h, w, 3), np.uint8)
+
+
+class MissingVideoCodec(NotImplementedError):
+    """No MP4 decode backend is available in this environment (neither
+    PyAV nor an ffmpeg binary).  Callers treat this as a STRUCTURED
+    fallback signal — the in-container real video codec is Y4M."""
+
+
+_MP4_UNRESOLVED = object()
+_MP4_BACKEND = _MP4_UNRESOLVED
+
+
+def mp4_backend():
+    """Resolve the optional MP4 decode backend once per process —
+    the PyStemmerFilter C-ext-if-importable pattern: ("pyav", module)
+    if the ``av`` package imports, else ("ffmpeg", path) if an ffmpeg
+    binary is on PATH, else None."""
+    global _MP4_BACKEND
+    if _MP4_BACKEND is _MP4_UNRESOLVED:
+        try:
+            import av  # noqa: F401  (not in this container; facade)
+            _MP4_BACKEND = ("pyav", av)
+        except ImportError:
+            import shutil
+
+            p = shutil.which("ffmpeg")
+            _MP4_BACKEND = ("ffmpeg", p) if p else None
+    return _MP4_BACKEND
+
+
+def decode_mp4(buf: bytes) -> np.ndarray:
+    """MP4/containerized video -> (n, h, w, 3) uint8 RGB frames via the
+    optional external backend (``mp4_backend``).  Raises
+    MissingVideoCodec when no backend exists; MediaFeatures/FrameSample
+    catch it and degrade gracefully (fallback features / row
+    pass-through) instead of failing the pipeline."""
+    be = mp4_backend()
+    if be is None:
+        raise MissingVideoCodec(
+            "no MP4 decode backend: install the 'av' package or put an "
+            "ffmpeg binary on PATH (the in-container video codec is Y4M)")
+    kind, handle = be
+    if kind == "pyav":
+        import io
+
+        frames = []
+        with handle.open(io.BytesIO(buf)) as container:
+            for frame in container.decode(video=0):
+                frames.append(frame.to_ndarray(format="rgb24"))
+        if not frames:
+            raise ValueError("mp4: no video frames")
+        return np.stack(frames)
+    # ffmpeg binary: ffprobe the dimensions, then rawvideo-pipe frames
+    import json
+    import os
+    import shutil
+    import subprocess
+    import tempfile
+
+    probe = shutil.which("ffprobe")
+    if probe is None:
+        raise MissingVideoCodec("ffmpeg present but ffprobe missing: "
+                                "cannot size the raw frame stream")
+    fd, path = tempfile.mkstemp(suffix=".mp4")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            f.write(buf)
+        meta = json.loads(subprocess.run(
+            [probe, "-v", "error", "-select_streams", "v:0",
+             "-show_entries", "stream=width,height", "-of", "json", path],
+            capture_output=True, check=True).stdout)
+        st = meta["streams"][0]
+        w, h = int(st["width"]), int(st["height"])
+        raw = subprocess.run(
+            [handle, "-v", "error", "-i", path, "-f", "rawvideo",
+             "-pix_fmt", "rgb24", "-"],
+            capture_output=True, check=True).stdout
+        n = len(raw) // (w * h * 3)
+        if n == 0:
+            raise ValueError("mp4: no video frames")
+        return (np.frombuffer(raw[:n * w * h * 3], dtype=np.uint8)
+                .reshape(n, h, w, 3).copy())
+    finally:
+        os.unlink(path)
 
 
 def sniff_mime(buf: bytes) -> str:

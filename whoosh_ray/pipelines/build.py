@@ -514,24 +514,50 @@ def build_index(
     # SegmentMeta objects from the stats rows without re-writing files)
     build_secs = time.time() - t_start
     worker_committed = mode == "fused"
-    term_by_seg = term_stats.set_index("seg") if len(term_stats) else None
+    # vectorized seg -> term-stats alignment (VERDICT r4 #8: iterrows +
+    # per-row .loc is a serial driver tail at million-segment manifests;
+    # one sorted searchsorted + plain-array iteration replaces it).
+    # Full resume leaves doc_stats an EMPTY (columnless) frame.
+    if len(doc_stats) and "seg" in doc_stats.columns:
+        segs_arr = doc_stats["seg"].to_numpy().astype(np.int64)
+        doc_counts_arr = doc_stats["doc_count"].to_numpy().astype(np.int64)
+        docs_secs_arr = doc_stats["docs_secs"].to_numpy().astype(np.float64)
+    else:
+        segs_arr = np.empty(0, dtype=np.int64)
+        doc_counts_arr = np.empty(0, dtype=np.int64)
+        docs_secs_arr = np.empty(0, dtype=np.float64)
+    if len(term_stats) and "seg" in term_stats.columns:
+        tsegs = term_stats["seg"].to_numpy().astype(np.int64)
+        torder = np.argsort(tsegs, kind="stable")
+        tsorted = tsegs[torder]
+        pos = np.clip(np.searchsorted(tsorted, segs_arr), 0,
+                      max(len(tsorted) - 1, 0))
+        has_t = (tsorted[pos] == segs_arr) if len(tsorted) else \
+            np.zeros(len(segs_arr), dtype=bool)
+        tidx = torder[pos]
+        t_nterms = term_stats["n_terms"].to_numpy()
+        t_nposts = term_stats["n_postings"].to_numpy()
+        t_secs = term_stats["terms_secs"].to_numpy()
+        t_flen = term_stats["field_lengths"].to_numpy()
+    else:
+        has_t = np.zeros(len(segs_arr), dtype=bool)
+        tidx = t_nterms = t_nposts = t_secs = t_flen = None
     new_metas = []
-    for _, row in doc_stats.iterrows():
-        seg_id = int(row["seg"])
-        if term_by_seg is not None and seg_id in term_by_seg.index:
-            trow = term_by_seg.loc[seg_id]
-            field_lengths = json.loads(trow["field_lengths"])
+    for i, seg_id in enumerate(segs_arr.tolist()):
+        if has_t[i]:
+            j = int(tidx[i])
+            field_lengths = json.loads(t_flen[j])
             metrics = {
                 "complete": True,
-                "n_terms": int(trow["n_terms"]),
-                "n_postings": int(trow["n_postings"]),
-                "terms_secs": float(trow["terms_secs"]),
-                "docs_secs": float(row["docs_secs"]),
+                "n_terms": int(t_nterms[j]),
+                "n_postings": int(t_nposts[j]),
+                "terms_secs": float(t_secs[j]),
+                "docs_secs": float(docs_secs_arr[i]),
             }
         else:  # segment had docs but zero surviving tokens
             field_lengths = {}
             metrics = {"complete": True, "n_terms": 0, "n_postings": 0,
-                       "docs_secs": float(row["docs_secs"])}
+                       "docs_secs": float(docs_secs_arr[i])}
         lineage = {"fingerprint": fp_of(seg_id),
                    "docid_range": [seg_id * seg_size,
                                    (seg_id + 1) * seg_size],
@@ -541,14 +567,14 @@ def build_index(
 
             meta = SegmentMeta(
                 seg_id=seg_id, docid_base=seg_id * seg_size,
-                doc_count=int(row["doc_count"]),
+                doc_count=int(doc_counts_arr[i]),
                 field_lengths=field_lengths, lineage=lineage,
                 metrics=metrics)
         else:
             meta = commit_segment_meta(
                 index_dir, seg_id,
                 docid_base=seg_id * seg_size,
-                doc_count=int(row["doc_count"]),
+                doc_count=int(doc_counts_arr[i]),
                 field_lengths=field_lengths,
                 lineage=lineage,
                 metrics=metrics,

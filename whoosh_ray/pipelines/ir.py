@@ -292,18 +292,28 @@ def sorted_by(searcher: Searcher, q: Query, key_col: str, limit: int = 20,
 def collapse_best_per_key(searcher: Searcher, q: Query, key_col: str) -> pa.Table:
     """Best-scoring hit per key (CollapseCollector analogue,
     collectors.py:850-1005): one row per key, (score desc, docid asc).
-    Per-segment winners -> groupby(key) reduce of ``n_segments`` rows per
-    key at most."""
+    Per-segment winners -> hash-partitioned whole-block reduce of
+    ``n_segments`` rows per key at most (VERDICT r4 #3: a
+    ``map_groups`` here pays pandas overhead PER GROUP — the 10k+
+    tiny-group cliff at a high-cardinality collapse key; the block scan
+    is one vectorized sort + drop_duplicates per block)."""
+    from whoosh_ray.stages.grouping import groups_in_blocks
+
     part = _segment_op_ds(searcher, q, "collapse", key_col)
 
-    def _best(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["score", "docid"], ascending=[False, True],
-                          kind="mergesort")
-        return g.head(1)
+    def _best_block(block: pd.DataFrame) -> pd.DataFrame:
+        if not len(block):
+            return block
+        block = block.sort_values([key_col, "score", "docid"],
+                                  ascending=[True, False, True],
+                                  kind="mergesort")
+        return block.drop_duplicates(key_col, keep="first")
 
-    _best.__name__ = "_best"
-    pdf = (part.groupby(key_col).map_groups(_best, batch_format="pandas")
-           .to_pandas().sort_values(key_col))
+    _best_block.__name__ = "_best_block"
+    pdf = groups_in_blocks(part, [key_col], _best_block).to_pandas()
+    if key_col not in pdf.columns:  # all-empty blocks drop the schema
+        pdf = pd.DataFrame(columns=[key_col, "docid", "score"])
+    pdf = pdf.sort_values(key_col)
     return pa.table({
         key_col: pa.array(pdf[key_col]),
         "docid": pa.array(pdf["docid"], type=pa.int64()),

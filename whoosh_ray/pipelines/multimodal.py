@@ -163,8 +163,18 @@ class MediaFeatures:
 
             return _pad(media.image_features(_as_rgb(decode_jpeg(buf))),
                         self.dim), True
-        if mime == "video/x-y4m":
-            frames = media.decode_y4m(buf)
+        if mime in ("video/x-y4m", "video/mp4"):
+            if mime == "video/x-y4m":
+                frames = media.decode_y4m(buf)
+            else:
+                # optional-backend facade (PyAV / ffmpeg-on-PATH);
+                # degrades to fallback features when neither exists
+                try:
+                    frames = media.decode_mp4(buf)
+                except media.MissingVideoCodec:
+                    if self.on_unknown == "error":
+                        raise
+                    return self._fallback(buf), False
             if len(frames) == 0:
                 return self._fallback(buf), False
             # mean of per-frame image features over up to 4 uniformly
@@ -177,8 +187,7 @@ class MediaFeatures:
                         self.dim), True
         if self.on_unknown == "error":
             raise NotImplementedError(
-                f"no in-container codec for {mime!r} (MP4/video needs "
-                "ffmpeg)")
+                f"no in-container codec for {mime!r}")
         return self._fallback(buf), False
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -294,19 +303,32 @@ class FrameSample:
         self.max_frames = max_frames
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from whoosh_ray.functions.media import (decode_y4m, encode_png,
-                                                sniff_mime)
+        from whoosh_ray.functions.media import (MissingVideoCodec,
+                                                decode_mp4, decode_y4m,
+                                                encode_png, sniff_mime)
 
         ids, payloads, fidx = [], [], []
         for i in range(batch.num_rows):
             item = batch["item_id"][i].as_py()
             buf = batch["payload"][i].as_py()
-            if sniff_mime(buf) != "video/x-y4m":
+            mime = sniff_mime(buf)
+            if mime == "video/x-y4m":
+                frames = decode_y4m(buf)
+            elif mime == "video/mp4":
+                try:
+                    frames = decode_mp4(buf)
+                except MissingVideoCodec:
+                    # no backend in this env: structured pass-through,
+                    # same shape as a non-video row
+                    ids.append(item)
+                    payloads.append(buf)
+                    fidx.append(-1)
+                    continue
+            else:
                 ids.append(item)
                 payloads.append(buf)
                 fidx.append(-1)
                 continue
-            frames = decode_y4m(buf)
             take = np.unique(np.linspace(0, len(frames) - 1,
                                          min(self.max_frames, len(frames)),
                                          dtype=int))

@@ -32,6 +32,8 @@ Two Ray-native shapes (SURVEY.md §2.6 MultiMatcher / §4 mapping):
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import ray
@@ -92,38 +94,115 @@ class QueryWorker:
         })
 
 
+def _set_blob(obj) -> bytes | None:
+    """Coerce a filter/mask argument (RoaringIdSet, DocIdSet, iterable)
+    to a roaring blob ready to ship through an actor constructor."""
+    from whoosh_ray.functions.idsets import RoaringIdSet
+
+    if obj is None:
+        return None
+    if isinstance(obj, RoaringIdSet):
+        return obj.to_bytes()
+    arr = (obj.to_array() if hasattr(obj, "to_array")
+           else np.asarray(sorted(int(d) for d in obj), dtype=np.int64))
+    return RoaringIdSet(arr).to_bytes()
+
+
+def _index_fingerprint(index_dir: str):
+    """Cheap staleness token for a cached query pool: the manifest's
+    monotonic generation counter PLUS the stat signature of every
+    tombstone file — deletes.json writes deliberately do not bump the
+    generation (state/manifest.py), so a pool serving an index that was
+    just delete_by_term'd must still be rebuilt."""
+    import json as _json
+
+    mpath = os.path.join(index_dir, "manifest.json")
+    try:
+        with open(mpath) as f:
+            gen = _json.load(f).get("settings", {}).get("generation")
+        if gen is None:
+            gen = os.path.getmtime(mpath)
+    except (OSError, ValueError):
+        gen = -1
+    dels = []
+    try:
+        with os.scandir(os.path.join(index_dir, "segments")) as it:
+            for e in it:
+                try:
+                    st = os.stat(os.path.join(e.path, "deletes.json"))
+                    dels.append((e.name, st.st_mtime_ns, st.st_size))
+                except OSError:
+                    pass
+    except OSError:
+        pass
+    return gen, tuple(sorted(dels))
+
+
+# {(index_dir, concurrency, fblob, mblob): (job_id, fingerprint, pool)}
+# — AT MOST ONE entry (latest key wins): idle cached pools must not
+# accumulate actor processes across an application's lifetime
+_POOL_CACHE: dict = {}
+
+
+def clear_pool_cache() -> None:
+    """Shut down and forget every cached batch_search pool."""
+    for _, _, pool in _POOL_CACHE.values():
+        try:
+            pool.shutdown()
+        except Exception:
+            pass
+    _POOL_CACHE.clear()
+
+
 def batch_search(index_dir: str, queries: list[Query], limit: int = 10,
-                 concurrency: int = 4, *, filter=None,
-                 mask=None) -> pa.Table:
+                 concurrency: int = 4, *, filter=None, mask=None,
+                 reuse_pool: bool = True) -> pa.Table:
     """Evaluate many queries in parallel; returns
     (query_id, rank, docid, score) for all queries.  ``filter``/``mask``
     (DocIdSets or id iterables, applied to every query) ship as roaring
-    blobs through the actor constructor — one deserialize per actor."""
-    import pickle
+    blobs through the actor constructor — one deserialize per actor.
 
-    from whoosh_ray.functions.idsets import RoaringIdSet
-
-    def blob(obj):
-        if obj is None:
-            return None
-        if isinstance(obj, RoaringIdSet):
-            return obj.to_bytes()
-        arr = (obj.to_array() if hasattr(obj, "to_array")
-               else np.asarray(sorted(int(d) for d in obj),
-                               dtype=np.int64))
-        return RoaringIdSet(arr).to_bytes()
-
-    items = [{"query_id": i, "query_pickle": pickle.dumps(q), "limit": limit}
-             for i, q in enumerate(queries)]
-    ds = ray.data.from_items(items)
-    out = ds.map_batches(QueryWorker, batch_format="pyarrow",
-                         batch_size=max(1, len(items) // max(concurrency, 1)),
-                         concurrency=concurrency,
-                         fn_constructor_args=(index_dir, blob(filter),
-                                              blob(mask)))
-    return pa.Table.from_pandas(
-        out.to_pandas().sort_values(["query_id", "rank"]),
-        preserve_index=False)
+    The actor pool is PERSISTENT by default: repeated calls against the
+    same (index_dir, concurrency, filter, mask) reuse the same warm
+    ``QueryPool`` (steady-state cost = query evaluation + one round trip
+    per actor), rebuilt automatically when the index mutates (manifest
+    generation or tombstones change) or the Ray session restarts.  Pass
+    ``reuse_pool=False`` to pay a fresh pool and release it on return."""
+    fblob, mblob = _set_blob(filter), _set_blob(mask)
+    if not reuse_pool:
+        with QueryPool(index_dir, concurrency, filter=filter,
+                       mask=mask) as pool:
+            return pool.search_batch(queries, limit)
+    key = (index_dir, max(1, concurrency), fblob, mblob)
+    job_id = ray.get_runtime_context().get_job_id()
+    fp = _index_fingerprint(index_dir)
+    ent = _POOL_CACHE.get(key)
+    pool = None
+    if ent is not None:
+        if ent[0] == job_id and ent[1] == fp:
+            pool = ent[2]
+            try:
+                ray.get([a.ping.remote() for a in pool.actors], timeout=60)
+            except Exception:
+                pool = None
+        elif ent[0] == job_id:
+            # same session, stale index state: release the old actors
+            try:
+                ent[2].shutdown()
+            except Exception:
+                pass
+    if pool is None:
+        # latest key wins: a different (index, filter) evicts the old
+        # pool so idle cached actors never accumulate
+        for k in list(_POOL_CACHE):
+            if k != key:
+                try:
+                    _POOL_CACHE.pop(k)[2].shutdown()
+                except Exception:
+                    pass
+        pool = QueryPool(index_dir, concurrency, filter=filter, mask=mask)
+        _POOL_CACHE[key] = (job_id, fp, pool)
+    return pool.search_batch(queries, limit)
 
 
 class QueryPool:
@@ -141,23 +220,28 @@ class QueryPool:
                  filter=None, mask=None):
         import pickle
 
-        from whoosh_ray.functions.idsets import RoaringIdSet
-
-        def blob(obj):
-            if obj is None:
-                return None
-            if isinstance(obj, RoaringIdSet):
-                return obj.to_bytes()
-            arr = (obj.to_array() if hasattr(obj, "to_array")
-                   else np.asarray(sorted(int(d) for d in obj),
-                                   dtype=np.int64))
-            return RoaringIdSet(arr).to_bytes()
-
         self._pickle = pickle
-        Actor = ray.remote(num_cpus=1)(_PoolWorker)
-        self.actors = [Actor.remote(index_dir, blob(filter), blob(mask))
+        # num_cpus=0: a query pool is a SERVING construct that coexists
+        # with data-plane jobs.  Reserving logical CPU slots for actors
+        # that are idle between batches starves Ray Data tasks outright
+        # once pool size reaches the cluster budget (a 4-actor pool on a
+        # 4-CPU dev session deadlocks the next map_batches forever) — on
+        # a production cluster a serving pool gets dedicated capacity
+        # via placement groups / custom resources instead, so the
+        # data-plane accounting is not the right ledger for it here.
+        Actor = ray.remote(num_cpus=0)(_PoolWorker)
+        self.actors = [Actor.remote(index_dir, _set_blob(filter),
+                                    _set_blob(mask))
                        for _ in range(max(1, concurrency))]
-        ray.get([a.ping.remote() for a in self.actors])  # warm barrier
+        # warm barrier; the timeout turns a scheduling deadlock (e.g. a
+        # resource-starved cluster) into a diagnosable error
+        try:
+            ray.get([a.ping.remote() for a in self.actors], timeout=600)
+        except ray.exceptions.GetTimeoutError:
+            self.shutdown()
+            raise RuntimeError(
+                "QueryPool warm-up timed out — the cluster could not "
+                "schedule the pool actors within 600s") from None
 
     def search_batch(self, queries: list[Query],
                      limit: int = 10) -> pa.Table:

@@ -371,6 +371,68 @@ class HtmlFormatter(Formatter):
         }
 
 
+class GenshiFormatter(Formatter):
+    """Genshi event-stream formatter (reference highlight.py:821-875).
+
+    Optional-backend facade in the PyStemmerFilter pattern: the
+    constructor imports ``genshi.core`` and raises ImportError when the
+    package is absent (exactly the reference behavior — genshi is not
+    in this container, so tests drive it with an injected stand-in
+    module).  Event-stream parity is exact, INCLUDING the reference's
+    shipped bug: ``format_fragment`` appends the raw ``(text, token,
+    replace)`` 3-tuple into the event list for every matched token
+    (highlight.py:861) instead of the token's formatted START/TEXT/END
+    events, so match positions surface as malformed events.  Pinned,
+    like DFree/Roaring."""
+
+    def __init__(self, qname="strong", between="..."):
+        self.qname = qname
+        self.between = between
+        from genshi.core import END, START, TEXT, Attrs, Stream
+
+        self.START, self.END, self.TEXT = START, END, TEXT
+        self.Attrs, self.Stream = Attrs, Stream
+
+    def _add_text(self, text, output):
+        if output and output[-1][0] == self.TEXT:
+            output[-1] = (self.TEXT, output[-1][1] + text, output[-1][2])
+        else:
+            output.append((self.TEXT, text, (None, -1, -1)))
+
+    def format_token(self, text, token, replace=False):
+        qn = self.qname
+        txt = (token.text if replace
+               else text[token.startchar:token.endchar])
+        return self.Stream([
+            (self.START, (qn, self.Attrs()), (None, -1, -1)),
+            (self.TEXT, txt, (None, -1, -1)),
+            (self.END, qn, (None, -1, -1)),
+        ])
+
+    def format_fragment(self, fragment: Fragment, replace=False):
+        output = []
+        index = fragment.startchar
+        text = fragment.text
+        for t in fragment.matches:
+            if t.startchar > index:
+                self._add_text(text[index:t.startchar], output)
+            output.append((text, t, replace))  # reference bug, pinned
+            index = t.endchar
+        if index < len(text):
+            self._add_text(text[index:], output)
+        return self.Stream(output)
+
+    def format(self, fragments, replace=False):
+        output = []
+        first = True
+        for fragment in fragments:
+            if not first:
+                self._add_text(self.between, output)
+            output += self.format_fragment(fragment, replace=replace)
+            first = False
+        return self.Stream(output)
+
+
 class Highlighter:
     def __init__(self, fragmenter=None, scorer=None, formatter=None,
                  order=lambda f: f.startchar):

@@ -815,9 +815,11 @@ class Regex(_MultiTerm):
 
 class Sequence(Query):
     """Sub-queries matching at successive positions (positional.py:37-120,
-    SpanNear semantics with slop/ordered).  Supported over Term
-    sub-queries — the common case; scores the sum of the terms' scores on
-    matching docs (the same oracle-pinned rule as Phrase)."""
+    SpanNear semantics with slop/ordered).  All-Term sequences route
+    through Phrase (the oracle-pinned sum-of-term-scores rule); arbitrary
+    sub-queries (Or, Prefix, nested groups...) build the reference's
+    order-preserving binary SpanNear tree (compound.py:218-230 +
+    util.make_binary_tree) over the span algebra in search/spans.py."""
 
     def __init__(self, subqueries, slop: int = 1, ordered: bool = True,
                  boost: float = 1.0):
@@ -832,13 +834,25 @@ class Sequence(Query):
             out.extend(q.terms())
         return out
 
+    def _span_tree(self):
+        from whoosh_ray.search.spans import SpanNear
+
+        def build(qs):
+            if len(qs) == 1:
+                return qs[0]
+            half = len(qs) // 2
+            return SpanNear(build(qs[:half]), build(qs[half:]),
+                            slop=self.slop, ordered=self.ordered)
+
+        return build(list(self.subqueries))
+
     def docs_scores(self, searcher, seg):
-        words = []
-        for q in self.subqueries:
-            if not isinstance(q, Term):
-                raise NotImplementedError(
-                    "Sequence over non-Term subqueries")
-            words.append((q.fieldname, q.text))
+        if not all(isinstance(q, Term) for q in self.subqueries):
+            ids, scores = self._span_tree().docs_scores(searcher, seg)
+            if self.boost != 1.0:
+                scores = scores * self.boost
+            return ids, scores
+        words = [(q.fieldname, q.text) for q in self.subqueries]
         f = words[0][0]
         ph = Phrase(f, [w for _, w in words], slop=self.slop,
                     boost=self.boost)
@@ -846,22 +860,39 @@ class Sequence(Query):
 
 
 class Ordered(Sequence):
-    """Sub-queries matching in document order at ANY distance
-    (positional.py:108-118: chained SpanBefore matchers).  For term
-    sub-queries the span chain is exactly an ascending-positions
-    constraint, verified with a vectorized greedy chain (per doc, track
-    the minimal position a valid prefix chain can end at; the next term
-    needs any position beyond it)."""
+    """Sub-queries matching in document order (positional.py:108-118: a
+    balanced ``make_binary_tree`` of SpanBefore matchers).  SpanBefore
+    keeps a-spans ending before ``min(b span starts)`` (spans.py:838-847),
+    and a node's surviving span set keeps its child's minimum — so for
+    Term sub-queries the whole tree reduces to one vectorized predicate:
+    at every internal node, the FIRST position of the left subtree's
+    leftmost term precedes the first position of the right subtree's
+    leftmost term.  (NOT a greedy any-ascending-chain: a doc
+    ``render .. deploy .. render`` does not match Ordered(deploy,
+    render) in the reference — probed and pinned in
+    test_conformance.)"""
 
     def __init__(self, subqueries, boost: float = 1.0):
         super().__init__(subqueries, slop=1, ordered=True, boost=boost)
 
+    def _span_tree(self):
+        from whoosh_ray.search.spans import SpanBefore
+
+        def build(qs):
+            if len(qs) == 1:
+                return qs[0]
+            half = len(qs) // 2
+            return SpanBefore(build(qs[:half]), build(qs[half:]))
+
+        return build(list(self.subqueries))
+
     def docs_scores(self, searcher, seg):
-        words = []
-        for q in self.subqueries:
-            if not isinstance(q, Term):
-                raise NotImplementedError("Ordered over non-Term subqueries")
-            words.append((q.fieldname, q.text))
+        if not all(isinstance(q, Term) for q in self.subqueries):
+            ids, scores = self._span_tree().docs_scores(searcher, seg)
+            if self.boost != 1.0:
+                scores = scores * self.boost
+            return ids, scores
+        words = [(q.fieldname, q.text) for q in self.subqueries]
         f = words[0][0]
         plists = []
         for _, w in words:
@@ -875,42 +906,35 @@ class Ordered(Sequence):
         if len(cand) == 0:
             return matching.empty()
 
-        def keys_for(w):
+        firsts = []
+        for _, w in words:
             pf = seg.positions_flat(f, w)
             if pf is None:
-                return None
+                return matching.empty()
             t_docids, flat, offsets = pf
             idx = np.searchsorted(t_docids, cand)
-            lens = (offsets[idx + 1] - offsets[idx]).astype(np.int64)
-            total = int(lens.sum())
-            gather = (np.arange(total, dtype=np.int64)
-                      - np.repeat(np.concatenate(([0],
-                                                  np.cumsum(lens)[:-1])),
-                                  lens)
-                      + np.repeat(offsets[idx], lens))
-            docidx = np.repeat(np.arange(len(cand), dtype=np.int64), lens)
-            return (docidx << np.int64(32)) | flat[gather].astype(np.int64)
+            firsts.append(flat[offsets[idx]].astype(np.int64))
 
-        first = keys_for(words[0][1])
-        if first is None:
+        # conditions of the balanced tree: (leftmost leaf of left half,
+        # leftmost leaf of right half) per internal node
+        conds = []
+
+        def rec(lo, hi):
+            if hi - lo == 1:
+                return lo
+            half = (hi - lo) // 2
+            left = rec(lo, lo + half)
+            right = rec(lo + half, hi)
+            conds.append((left, right))
+            return left
+
+        rec(0, len(words))
+        mask = np.ones(len(cand), dtype=bool)
+        for left, right in conds:
+            mask &= firsts[left] < firsts[right]
+        match_ids = cand[mask]
+        if not len(match_ids):
             return matching.empty()
-        # minimal chain-end position per candidate doc after term 0
-        docidx = first >> np.int64(32)
-        starts = np.concatenate(([0], np.flatnonzero(np.diff(docidx)) + 1))
-        chain = first[starts]          # min key per present doc (sorted)
-        for _, w in words[1:]:
-            nxt = keys_for(w)
-            if nxt is None or len(chain) == 0:
-                return matching.empty()
-            pos = np.searchsorted(nxt, chain, side="right")
-            ok = pos < len(nxt)
-            same_doc = np.zeros(len(chain), dtype=bool)
-            same_doc[ok] = ((nxt[pos[ok]] >> np.int64(32))
-                            == (chain[ok] >> np.int64(32)))
-            chain = nxt[pos[same_doc]]
-        if len(chain) == 0:
-            return matching.empty()
-        match_ids = cand[(chain >> np.int64(32))]
         scores = np.zeros(len(match_ids), dtype=np.float64)
         for (_, w), p in zip(words, plists):
             scorer = searcher.scorer(f, w)

@@ -19,6 +19,7 @@ from bisect import bisect_left
 import numpy as np
 
 from whoosh_ray.search import matching
+from whoosh_ray.search import query as _query
 from whoosh_ray.search.query import (
     And,
     AndMaybe,
@@ -143,6 +144,30 @@ def doc_spans(q: Query, searcher, seg, docids: np.ndarray) -> list[list[tuple]]:
             out.append([a for a in aspans if a[1] < bmin])
         return out
     if isinstance(q, SpanCondition):
+        return doc_spans(q.a, searcher, seg, docids)
+    # --- generic (non-span) children inside a span tree -----------------
+    # Sequence/Ordered over arbitrary subqueries (positional.py:37-120)
+    # evaluate children through the matcher protocol, whose .spans() is:
+    # UnionMatcher -> union of the sides at the current doc
+    # (matching/binary.py:221-236), IntersectionMatcher -> union of both
+    # sides (binary.py:561), wrappers delegate to the child
+    # (wrappers.py:90); multiterm queries expand to term unions under
+    # needs_current (ArrayUnion is bypassed).
+    if isinstance(q, Phrase):
+        return doc_spans(SpanNear.phrase(q.fieldname, q.words,
+                                         slop=q.slop),
+                         searcher, seg, docids)
+    if isinstance(q, _query._MultiTerm):
+        subs = [doc_spans(Term(q.fieldname, w), searcher, seg, docids)
+                for w in q._expand(searcher)]
+        return [sorted(set().union(*[s[di] for s in subs])) if subs
+                else [] for di in range(len(docids))]
+    if isinstance(q, (And, Or, _query.DisjunctionMax)):
+        subs = [doc_spans(s, searcher, seg, docids)
+                for s in q.subqueries]
+        return [sorted(set().union(*[s[di] for s in subs])) if subs
+                else [] for di in range(len(docids))]
+    if isinstance(q, (_query.AndNot, _query.Require, AndMaybe)):
         return doc_spans(q.a, searcher, seg, docids)
     raise NotImplementedError(type(q))
 

@@ -16,9 +16,32 @@ untouched for everything else.
 
 from __future__ import annotations
 
+import pandas as pd
+import pyarrow as pa
 import ray
 import ray.data
 from ray.data.context import ShuffleStrategy
+
+
+def _arrow_out(fn):
+    """Wrap a block fn so pandas outputs become METADATA-FREE Arrow
+    tables.  ``pa.Table.from_pandas`` attaches a ``b'pandas'`` schema
+    metadata blob, and ``pa.Schema.__hash__`` RAISES on any schema with
+    metadata — so every such block defeats Ray's schema-dedup fast path
+    (unify_schemas' ``set(schemas)`` early exit) and spams 'Failed to
+    hash the schemas' from the hash-shuffle aggregators.  Ray would do
+    the pandas->arrow conversion at the exchange anyway; doing it here
+    costs nothing extra and keeps schemas hashable."""
+    def wrapped(batch):
+        out = fn(batch)
+        if isinstance(out, pd.DataFrame):
+            out = pa.Table.from_pandas(out, preserve_index=False)
+        if isinstance(out, pa.Table) and out.schema.metadata:
+            out = out.replace_schema_metadata(None)
+        return out
+
+    wrapped.__name__ = getattr(fn, "__name__", "group_fn")
+    return wrapped
 
 
 def groups_in_blocks(ds: ray.data.Dataset, keys: list[str], fn,
@@ -55,7 +78,7 @@ def groups_in_blocks_chain(ds: ray.data.Dataset, stages,
     out = ds
     for keys, fn in stages:
         rp = out.repartition(num_blocks=num_blocks, keys=keys, sort=True)
-        out = rp.map_batches(fn, batch_format=batch_format,
+        out = rp.map_batches(_arrow_out(fn), batch_format=batch_format,
                              batch_size=None)
     # each Dataset carries its own context snapshot; flip only THIS
     # plan's strategy and execute it here

@@ -59,10 +59,17 @@ def _quiet_ray_data_logging() -> None:
 
 def run_bench() -> dict:
     _quiet_ray_data_logging()
+    import logging
+
     import ray
 
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
              logging_level="ERROR")
+    # the env-var config covers workers; the driver process may have
+    # configured ray.data logging already — demote it directly too
+    logging.getLogger(
+        "ray.data._internal.arrow_ops.transform_pyarrow"
+    ).setLevel(logging.ERROR)
     try:
         return _run_inner()
     finally:

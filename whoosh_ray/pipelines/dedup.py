@@ -364,6 +364,11 @@ def verify_jaccard(ds: ray.data.Dataset, pairs, *,
                               batch_format="pyarrow").materialize()
 
     sizes = rows.groupby("doc_id").count().to_pandas()
+    if "count()" not in sizes.columns:
+        # candidate docs produced NO shingles at all (e.g. every token
+        # under the analyzer minsize): all-empty groupby output comes
+        # back columnless; every pair has J = 0
+        return pd.DataFrame(columns=["doc_a", "doc_b", "jaccard"])
     size_of = pd.Series(sizes["count()"].to_numpy(),
                         index=sizes["doc_id"].to_numpy())
 
@@ -491,10 +496,23 @@ def verify_jaccard_distributed(ds: ray.data.Dataset, pairs: ray.data.Dataset,
         return _staged_join(a, b, nparts, on, right_on)
 
     i64 = pa.int64()
+
+    def empty_result():
+        # inner-join chain with an empty input is empty: short-circuit
+        # the WHOLE plan (rename_columns on an all-empty dataset is
+        # skipped at block level, so empties cannot be threaded through
+        # the renamed joins below)
+        return ray.data.from_arrow(pa.table({
+            "doc_a": pa.array([], type=i64),
+            "doc_b": pa.array([], type=i64),
+            "jaccard": pa.array([], type=pa.float64())}))
+
     pairs = _sane_blocks(
         pairs.select_columns(["doc_a", "doc_b"])
         .groupby(["doc_a", "doc_b"]).count().drop_columns(["count()"]),
         ("doc_a", i64), ("doc_b", i64))
+    if not pairs.count():
+        return empty_result()
     wanted = _sane_blocks(
         pairs.select_columns(["doc_a"])
         .rename_columns({"doc_a": "doc_id"})
@@ -506,6 +524,8 @@ def verify_jaccard_distributed(ds: ray.data.Dataset, pairs: ray.data.Dataset,
             else ds.map_batches(ShingleRows(text_col, id_col, k),
                                 batch_format="pyarrow"))
     rows = mjoin(rows, wanted, on=("doc_id",))
+    if not rows.count():
+        return empty_result()
     sizes = _sane_blocks(rows.groupby("doc_id").count(),
                          ("doc_id", i64), ("count()", i64))
 
@@ -513,6 +533,8 @@ def verify_jaccard_distributed(ds: ray.data.Dataset, pairs: ray.data.Dataset,
                   on=("doc_a",))
     inter = mjoin(inter, rows.rename_columns({"doc_id": "doc_b"}),
                   on=("doc_b", "shingle"))
+    if not inter.count():
+        return empty_result()
     inter = _sane_blocks(
         inter.groupby(["doc_a", "doc_b"]).count()
         .rename_columns({"count()": "inter"}),
@@ -955,15 +977,28 @@ def embed_verify_distributed(ds: ray.data.Dataset,
     nparts = num_partitions or 2 * int(
         ray.cluster_resources().get("CPU", 8))
     i64 = pa.int64()
+
+    def empty_result():
+        # empty input to an inner-join chain: short-circuit the plan
+        # (renames on all-empty datasets are skipped at block level)
+        return ray.data.from_arrow(pa.table({
+            "id_a": pa.array([], type=i64),
+            "id_b": pa.array([], type=i64),
+            "cosine": pa.array([], type=pa.float64())}))
+
     pairs = _sane_blocks(
         cand.select_columns(["doc_a", "doc_b"])
         .groupby(["doc_a", "doc_b"]).count().drop_columns(["count()"]),
         ("doc_a", i64), ("doc_b", i64))
     vecs = ds.map_batches(_NormalizedVecs(id_col, emb_col),
                           batch_format="pyarrow").materialize()
+    if not pairs.count() or not vecs.count():
+        return empty_result()
     joined = _staged_join(
         pairs, vecs.rename_columns({"doc_id": "doc_a", "vec": "vec_a"}),
         nparts, on=("doc_a",))
+    if not joined.count():
+        return empty_result()
     joined = _staged_join(
         joined, vecs.rename_columns({"doc_id": "doc_b", "vec": "vec_b"}),
         nparts, on=("doc_b",))

@@ -283,10 +283,21 @@ def _run_inner() -> dict:
     build_index(docs_path, ix_docs, documents_schema(), docid_col="doc_id")
     queries["build_documents_sec"] = round(time.time() - t0, 3)
 
-    from whoosh_ray.pipelines.dedup import minhash_candidate_pairs
+    from whoosh_ray.pipelines.dedup import (minhash_candidate_pairs,
+                                            verify_jaccard)
     t0 = time.time()
-    minhash_candidate_pairs(ray.data.read_parquet(docs_path)).to_pandas()
+    cand = minhash_candidate_pairs(ray.data.read_parquet(docs_path))
+    cand.to_pandas()
     queries["dedup_minhash_sec"] = round(time.time() - t0, 3)
+    # distributed exact-Jaccard verify (VERDICT r4 #1): force the
+    # staged-join path (max_driver_pairs=0) on the real LSH candidate
+    # set so the no-driver-materialization machinery has a wall number
+    # at data scale.  Diagnostic key ("secs").
+    t0 = time.time()
+    vout = verify_jaccard(ray.data.read_parquet(docs_path), cand,
+                          threshold=0.5, max_driver_pairs=0)
+    queries["n_verified_pairs_dist"] = int(vout.count())
+    queries["dedup_verify_dist_secs"] = round(time.time() - t0, 3)
 
     from whoosh_ray.pipelines.knn import knn_bruteforce
     emb_path = os.path.join(SF_DIR, "embeddings.parquet")

@@ -436,18 +436,28 @@ def _staged_join(a: ray.data.Dataset, b: ray.data.Dataset,
     schema tables — the same kernel Ray's aggregator calls)."""
     def live_refs(ds):
         ds = ds.materialize()
-        refs = [ref for rb in ds.iter_internal_ref_bundles()
-                for ref, meta in rb.blocks if meta.num_rows]
-        return ds, refs
+        rows = 0
+        refs = []
+        for rb in ds.iter_internal_ref_bundles():
+            for ref, meta in rb.blocks:
+                if meta.num_rows:
+                    refs.append(ref)
+                    rows += meta.num_rows
+        return ds, refs, rows
 
-    a, arefs = live_refs(a)
-    b, brefs = live_refs(b)
+    a, arefs, arows = live_refs(a)
+    b, brefs, brows = live_refs(b)
     if not arefs or not brefs:
         ta = a.schema().base_schema.empty_table()
         tb = b.schema().base_schema.empty_table()
         out = ta.join(tb, keys=list(on),
                       right_keys=list(right_on or on), join_type="inner")
         return ray.data.from_arrow(out)
+    # size the partition count to the DATA, not the CPU budget: every
+    # partition spins an aggregator actor whose fixed cost dominates
+    # small exchanges (CLAUDE.md hash-shuffle rule: ~100k rows per
+    # partition); ``nparts`` from the caller is the ceiling
+    nparts = max(2, min(nparts, (max(arows, brows) // 100_000) + 2))
     return (ray.data.from_arrow_refs(arefs)
             .join(ray.data.from_arrow_refs(brefs), "inner", nparts,
                   on=on, right_on=right_on)
@@ -520,14 +530,28 @@ def verify_jaccard_distributed(ds: ray.data.Dataset, pairs: ray.data.Dataset,
                .rename_columns({"doc_b": "doc_id"}))
         .groupby("doc_id").count().drop_columns(["count()"]),
         ("doc_id", i64))
-    rows = (shingle_rows if shingle_rows is not None
-            else ds.map_batches(ShingleRows(text_col, id_col, k),
-                                batch_format="pyarrow"))
-    rows = mjoin(rows, wanted, on=("doc_id",))
+    rows_pre = (shingle_rows if shingle_rows is not None
+                else ds.map_batches(ShingleRows(text_col, id_col, k),
+                                    batch_format="pyarrow"))
+    # per-doc set sizes via map-side PARTIAL counts (rows are unique
+    # per doc by ShingleRows contract): the groupby then exchanges
+    # ~n_docs partial rows instead of re-shuffling the full shingle
+    # table a second time
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy()
+        u, c = np.unique(d, return_counts=True)
+        return pa.table({"doc_id": pa.array(u, type=pa.int64()),
+                         "n": pa.array(c, type=pa.int64())})
+
+    partial_counts.__name__ = "partial_doc_counts"
+    sizes = _sane_blocks(
+        rows_pre.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("doc_id").sum("n")
+        .rename_columns({"sum(n)": "count()"}),
+        ("doc_id", i64), ("count()", i64))
+    rows = mjoin(rows_pre, wanted, on=("doc_id",))
     if not rows.count():
         return empty_result()
-    sizes = _sane_blocks(rows.groupby("doc_id").count(),
-                         ("doc_id", i64), ("count()", i64))
 
     inter = mjoin(pairs, rows.rename_columns({"doc_id": "doc_a"}),
                   on=("doc_a",))

@@ -335,3 +335,66 @@ def test_column_reader_reverse(engine):
     pairs = [(k, v) for k, v in zip(tk, tv) if v is not None]
     assert [p[1] for p in sorted(pairs, key=lambda p: p[0])] == \
         sorted([p[1] for p in pairs], reverse=True)
+
+
+def test_cursor_parity(engine, oracle):
+    """TermCursor first/find/next/is_valid/term_info vs the reference
+    reader.cursor() (reading.py:849-853, whoosh3.py:505-560).  The
+    reference cursor is per-segment merged via MultiCursor; this corpus
+    builds one oracle segment, so the raw cursor compares directly."""
+    r = engine.reader()
+    cur = r.cursor("text")
+    with oracle.searcher() as s:
+        ref = s.reader().cursor("text")
+
+        def dec(x):
+            return x.decode() if isinstance(x, bytes) else x
+
+        # construction positions at the first term
+        assert cur.text() == dec(ref.text())
+        assert cur.is_valid() and ref.is_valid()
+        assert cur.first() == dec(ref.first())
+        # walk a stretch in lockstep
+        for _ in range(25):
+            a, b = cur.next(), ref.next()
+            assert a == dec(b)
+            if a is not None:
+                assert (cur.term_info().doc_frequency()
+                        == ref.term_info().doc_frequency())
+        # seek: exact hit, gap probe (first term >= probe), past-end
+        for probe in ["deploy", "deplox", "zzzzzzzz"]:
+            assert cur.find(probe) == dec(ref.find(probe))
+        assert cur.is_valid() == ref.is_valid()
+        assert cur.next() is None and ref.next() is None
+
+
+def test_reader_has_column(engine):
+    r = engine.reader()
+    assert r.has_column("text") and r.has_column("role")
+    assert not r.has_column("nosuchfield")
+
+
+def test_writer_delete_accessors(built_dir, tmp_path):
+    """IndexWriter has_deletions/deleted_count/is_deleted/doc_count
+    (reference writing.py:612-636, 799-800): committed tombstones plus
+    this writer's pending dooms."""
+    import shutil
+
+    from whoosh_ray.pipelines.writer import IndexWriter
+
+    ix = str(tmp_path / "ixw")
+    shutil.copytree(built_dir, ix)
+    w = IndexWriter(ix)
+    assert not w.has_deletions() and w.deleted_count() == 0
+    assert w.doc_count() == 0
+    n = w.delete_by_term("text", "deploy")
+    assert n > 0
+    assert w.has_deletions() and w.deleted_count() == n
+    doomed = next(iter(w._doomed))
+    assert w.is_deleted(doomed)
+    assert not w.is_deleted(10**9)
+    w.add_document(conv_id="cx", turn_idx=0, role="user",
+                   text="fresh deploy", tool="browser",
+                   ts=np.datetime64("2024-01-01T00:00:00", "us").item())
+    assert w.doc_count() == 1
+    w.cancel()

@@ -115,6 +115,42 @@ class IndexWriter:
             if len(sel):
                 seg._deletes = np.union1d(seg.deletes, sel)
 
+    # ---- delete-state accessors (reference writing.py:612-636:
+    # has_deletions / deleted_count / is_deleted reflect the writer's
+    # CURRENT view — committed tombstones plus this writer's pending
+    # dooms, which buffer until commit here) ----
+
+    def _committed_tombstones(self):
+        from whoosh_ray.search.searcher import Searcher
+
+        for seg in Searcher(self.index_dir).segments:
+            yield seg.deletes
+
+    def has_deletions(self) -> bool:
+        if self._doomed:
+            return True
+        return any(len(d) for d in self._committed_tombstones())
+
+    def deleted_count(self) -> int:
+        committed = set()
+        for d in self._committed_tombstones():
+            committed.update(int(x) for x in d)
+        return len(committed | self._doomed)
+
+    def is_deleted(self, docnum: int) -> bool:
+        docnum = int(docnum)
+        if docnum in self._doomed:
+            return True
+        return any(docnum in set(int(x) for x in d)
+                   for d in self._committed_tombstones())
+
+    def doc_count(self) -> int:
+        """Documents added by THIS writer so far (reference
+        SegmentWriter.doc_count, writing.py:799-800: docnum − docbase —
+        a writer-local counter, not the index total; the index total
+        lives on Index/Searcher/IndexReader)."""
+        return len(self._rows)
+
     # ---- mutations ----
 
     def add_document(self, **fields) -> None:

@@ -134,6 +134,50 @@ class ReaderCorrector:
                                      maxdist=maxdist, prefix=prefix)
 
 
+class TermCursor:
+    """FieldCursor facade over one field's merged sorted lexicon
+    (reference codec/base.py:288-300 contract; whoosh3.py:505-560
+    behavior): ``first()``/``find()``/``next()`` return the new current
+    term text or None past the field's last term; ``find`` seeks to the
+    first term >= the probe (closest-key semantics).  One cursor covers
+    the whole index — the reference's per-segment cursors merge through
+    MultiCursor; our lexicon is already the merged view."""
+
+    def __init__(self, reader: "IndexReader", fieldname: str):
+        self._reader = reader
+        self._fieldname = fieldname
+        self._terms = list(reader.searcher.lexicon(fieldname))
+        self._i = 0
+
+    def is_valid(self) -> bool:
+        return 0 <= self._i < len(self._terms)
+
+    def text(self):
+        return self._terms[self._i] if self.is_valid() else None
+
+    # base.FieldCursor names the accessor term(); W3 adds text()
+    term = text
+
+    def first(self):
+        self._i = 0
+        return self.text()
+
+    def find(self, string):
+        from bisect import bisect_left
+
+        self._i = bisect_left(self._terms, str(string))
+        return self.text()
+
+    def next(self):
+        if self.is_valid():
+            self._i += 1
+        return self.text()
+
+    def term_info(self):
+        return (self._reader.term_info(self._fieldname, self.text())
+                if self.is_valid() else None)
+
+
 class IndexReader:
     """See module docstring.  Cheap to construct; holds no file state of
     its own (all reads go through the Searcher's segment readers)."""
@@ -270,6 +314,26 @@ class IndexReader:
     def column_reader(self, fieldname: str,
                       reverse: bool = False) -> ColumnReader:
         return ColumnReader(self.searcher, fieldname, reverse=reverse)
+
+    def has_column(self, fieldname: str) -> bool:
+        """True when a per-document column exists for the field
+        (reference reading.py:867-871: column_type and the per-doc
+        storage has it).  Here every STORED field is a parquet column,
+        so presence == stored in the schema (incl. stored passthrough
+        columns)."""
+        schema = self.searcher.schema
+        try:
+            return bool(schema.field(fieldname).stored)
+        except KeyError:
+            return fieldname in schema.stored_columns
+
+    def cursor(self, fieldname: str) -> "TermCursor":
+        """Seekable term cursor over the field's merged lexicon
+        (reference reading.py:849-853 -> codec FieldCursor,
+        whoosh3.py:505-560: first/find/next/text/term_info/is_valid;
+        construction positions at the field's first term)."""
+        self.searcher.schema.field(fieldname)  # KeyError on unknown
+        return TermCursor(self, fieldname)
 
     # ---- statistics ----
 

@@ -361,3 +361,86 @@ def test_adversarial_strings_match_oracle(engine, oracle, whoosh_oracle):
             with _pytest.raises(Exception):
                 ref_parser.parse(qs)
             engine.search(my_parser.parse(qs), limit=5)
+
+
+def test_query_tree_utilities_parity(whoosh_oracle):
+    """Generic tree utilities vs the reference (qcore.py:205-560,
+    compound.py:90-649, terms.py:86-201, positional.py:166-214):
+    is_leaf/is_range/has_terms/field/replace/all_terms/iter_all_terms/
+    requires/with_boost/apply/accept/phrases on matched tree shapes."""
+    import whoosh.query as wq
+
+    from whoosh_ray.search.query import (And, AndMaybe, AndNot,
+                                         DisjunctionMax, Every, FuzzyTerm,
+                                         Not, Or, Phrase, Prefix, Require,
+                                         Term, TermRange, Variations)
+
+    t = lambda x: Term("text", x)  # noqa: E731
+    wt = lambda x: wq.Term("text", x)  # noqa: E731
+    pairs = [
+        (t("alfa"), wt("alfa")),
+        (And([t("alfa"), Or([t("bravo"), Not(t("charlie"))])]),
+         wq.And([wt("alfa"), wq.Or([wt("bravo"), wq.Not(wt("charlie"))])])),
+        (AndNot(t("a"), t("b")), wq.AndNot(wt("a"), wt("b"))),
+        (Require(t("a"), t("b")), wq.Require(wt("a"), wt("b"))),
+        (AndMaybe(t("a"), t("b")), wq.AndMaybe(wt("a"), wt("b"))),
+        (DisjunctionMax([t("a"), t("b")]),
+         wq.DisjunctionMax([wt("a"), wt("b")])),
+        (Phrase("text", ["alfa", "bravo"]),
+         wq.Phrase("text", ["alfa", "bravo"])),
+        (Prefix("text", "alf"), wq.Prefix("text", "alf")),
+        (TermRange("text", "a", "m"), wq.TermRange("text", "a", "m")),
+        (FuzzyTerm("text", "alfa"), wq.FuzzyTerm("text", "alfa")),
+        (Variations("text", "render"), wq.Variations("text", "render")),
+        (Every("text"), wq.Every("text")),
+        (And([t("x"), Phrase("text", ["y", "z"])]),
+         wq.And([wt("x"), wq.Phrase("text", ["y", "z"])])),
+    ]
+
+    def key(q):  # structural signature comparable across engines
+        name = type(q).__name__
+        kids = [key(c) for c in q.children()]
+        own = tuple(
+            (k, v.decode() if isinstance(v, bytes) else v)
+            for k in ("fieldname", "text", "slop")
+            for v in [getattr(q, k, None)]
+            if isinstance(v, (str, bytes, int, float)))
+        own += (("boost", round(float(getattr(q, "boost", 1.0)), 6)),)
+        return (name, own, tuple(kids))
+
+    for mine, ref in pairs:
+        assert mine.is_leaf() == ref.is_leaf(), key(mine)
+        assert mine.is_range() == ref.is_range(), key(mine)
+        assert mine.has_terms() == ref.has_terms(), key(mine)
+        assert mine.field() == ref.field(), key(mine)
+        assert mine.all_terms() == {
+            (f, x.decode() if isinstance(x, bytes) else x)
+            for f, x in ref.all_terms()}, key(mine)
+        assert mine.all_terms(phrases=False) == {
+            (f, x.decode() if isinstance(x, bytes) else x)
+            for f, x in ref.all_terms(phrases=False)}, key(mine)
+        # requires: compare as structural keys
+        assert sorted(key(q) for q in mine.requires()) == \
+            sorted(key(q) for q in ref.requires()), key(mine)
+        # replace returns a NEW tree with the text swapped
+        mrep, rrep = (mine.replace("text", "alfa", "zulu"),
+                      ref.replace("text", "alfa", "zulu"))
+        assert key(mrep) == key(rrep), key(mine)
+        assert key(mine) == key(ref)  # original untouched
+        # with_boost: boost landing spots match (AndNot/Require boost A
+        # only; AndMaybe both children; plain nodes set self.boost)
+        mb, rb = mine.with_boost(3.0), ref.with_boost(3.0)
+
+        def boosts(q):
+            return ([round(getattr(q, "boost", 1.0), 6)]
+                    + [b for c in q.children() for b in boosts(c)])
+
+        assert boosts(mb) == boosts(rb), key(mine)
+        # phrases(): (terms, phrases) incl. the bare-Term-self quirk
+        mt, mp = mine.phrases()
+        rt, rp = ref.phrases()
+        assert [key(q) for q in mt] == [key(q) for q in rt]
+        assert len(mp) == len(rp)
+        # apply/accept round-trip: identity fn preserves structure
+        assert key(mine.apply(lambda q: q)) == key(mine)
+        assert key(mine.accept(lambda q: q)) == key(ref.accept(lambda q: q))

@@ -398,3 +398,44 @@ def test_writer_delete_accessors(built_dir, tmp_path):
                    ts=np.datetime64("2024-01-01T00:00:00", "us").item())
     assert w.doc_count() == 1
     w.cancel()
+
+
+def test_estimate_simplify_docs_parity(engine, oracle):
+    """estimate_size/estimate_min_size/simplify/docs vs the reference
+    on the same corpus (qcore.py:515-548, compound.py:100-118,262-263,
+    terms.py:173-201, positional.py:210-214)."""
+    import whoosh.query as wq
+
+    from whoosh_ray.search.query import (And, Not, Or, Phrase, Prefix,
+                                         Require, Term)
+
+    r = engine.reader()
+    t = lambda x: Term("text", x)  # noqa: E731
+    wt = lambda x: wq.Term("text", x)  # noqa: E731
+    cases = [
+        (t("deploy"), wt("deploy")),
+        (And([t("deploy"), t("render")]), wq.And([wt("deploy"), wt("render")])),
+        (Or([t("deploy"), t("render")]), wq.Or([wt("deploy"), wt("render")])),
+        (And([t("deploy"), Not(t("render"))]),
+         wq.And([wt("deploy"), wq.Not(wt("render"))])),
+        (Require(t("deploy"), t("render")),
+         wq.Require(wt("deploy"), wt("render"))),
+        (Phrase("text", ["deploy", "render"]),
+         wq.Phrase("text", ["deploy", "render"])),
+        (Prefix("text", "rend"), wq.Prefix("text", "rend")),
+    ]
+    with oracle.searcher() as s:
+        rr = s.reader()
+        for mine, ref in cases:
+            assert mine.estimate_size(r) == ref.estimate_size(rr), mine
+            assert mine.estimate_min_size(r) == \
+                ref.estimate_min_size(rr), mine
+            # docs(): identical docnum sets (docids align by build)
+            assert sorted(mine.docs(engine)) == sorted(ref.docs(s)), mine
+        # simplify: Prefix -> Or of existing Terms, same word set
+        msimp = Prefix("text", "rend").simplify(r)
+        rsimp = wq.Prefix("text", "rend").simplify(rr)
+        mwords = sorted(x for _, x in msimp.all_terms())
+        rwords = sorted(x.decode() if isinstance(x, bytes) else x
+                        for _, x in rsimp.all_terms())
+        assert mwords == rwords and len(mwords) >= 1

@@ -32,6 +32,16 @@ from whoosh_ray.search import matching
 class Query:
     boost: float = 1.0
 
+    # structural identity, shared by every node type (the reference
+    # queries define field-wise __eq__/__hash__ per class,
+    # qcore.py/compound.py/terms.py) — required for requires()/
+    # all_terms() set semantics
+    def __eq__(self, other):
+        return isinstance(other, Query) and _qkey(self) == _qkey(other)
+
+    def __hash__(self):
+        return hash(_qkey(self))
+
     def docs_scores(self, searcher, seg):
         """Evaluate over ONE segment -> (docids asc, scores)."""
         raise NotImplementedError
@@ -115,8 +125,185 @@ class Query:
     def normalize(self) -> "Query":
         return self
 
+    # ---- generic tree utilities (reference qcore.py:205-560) ----
 
-@dataclass
+    def is_leaf(self) -> bool:
+        return not any(True for _ in self.children())
+
+    def is_range(self) -> bool:
+        return False
+
+    def has_terms(self) -> bool:
+        """True when this node searches for SPECIFIC terms (so
+        ``replace`` is meaningful) — Term/Phrase and expanding-term
+        leaves, not patterns (qcore.py:224-231)."""
+        return False
+
+    def copy(self) -> "Query":
+        import copy as _copy
+
+        return _copy.deepcopy(self)
+
+    def apply(self, fn) -> "Query":
+        """Copy of this node with ``fn`` applied to each direct child;
+        leaves return self (qcore.py:239-264).  Generic over the same
+        child attributes ``children()`` discovers, preserving every
+        other constructor argument."""
+        import copy as _copy
+
+        if self.is_leaf():
+            return self
+        q = _copy.copy(self)
+        subs = getattr(q, "subqueries", None)
+        if subs:
+            q.subqueries = [fn(s) for s in subs]
+        for name in ("subquery", "a", "b", "child", "query"):
+            c = getattr(q, name, None)
+            if isinstance(c, Query):
+                setattr(q, name, fn(c))
+        return q
+
+    def accept(self, fn) -> "Query":
+        """Bottom-up transform: ``fn`` on (copies of) the children,
+        then on this node (qcore.py:266-290)."""
+        def wrap(q):
+            return fn(q.apply(wrap))
+
+        return wrap(self)
+
+    def replace(self, fieldname: str, oldtext: str,
+                newtext: str) -> "Query":
+        """COPY with ``oldtext`` replaced by ``newtext`` in matching
+        term leaves (qcore.py:291-305)."""
+        import copy as _copy
+        from operator import methodcaller
+
+        if self.is_leaf():
+            return _copy.copy(self)
+        return self.apply(methodcaller("replace", fieldname, oldtext,
+                                       newtext))
+
+    def iter_all_terms(self, phrases: bool = True):
+        """(fieldname, text) pairs of every term leaf (qcore.py:412-430);
+        ``phrases`` adds Phrase words.  Expanding-term leaves
+        (Fuzzy/Variations) contribute their BASE word like the
+        reference's ExpandingTerm.terms()."""
+        for leaf in self.leaves():
+            if isinstance(leaf, Phrase):
+                if phrases:
+                    for w in leaf.words:
+                        yield (leaf.fieldname, w)
+            elif leaf.has_terms():
+                ts = list(leaf.terms())
+                if not ts and getattr(leaf, "text", None) is not None:
+                    ts = [(leaf.fieldname, leaf.text)]
+                yield from ts
+
+    def all_terms(self, phrases: bool = True) -> set:
+        return set(self.iter_all_terms(phrases=phrases))
+
+    def phrases(self):
+        """(terms, phrases) lists (qcore.py:377-398).  Reference quirk
+        mirrored: only Term nodes found AMONG CHILDREN are collected —
+        a bare Term self yields ([], [])."""
+        terms: list = []
+        phrs: list = []
+        if isinstance(self, Phrase):
+            phrs.append(self)
+        else:
+            for q in self.children():
+                if isinstance(q, Term):
+                    terms.append(q)
+                else:
+                    t, p = q.phrases()
+                    terms.extend(t)
+                    phrs.extend(p)
+        return terms, phrs
+
+    def field(self):
+        """The single field this query matches in, or None
+        (qcore.py:497-502; compound.py:94-98 common-across-children)."""
+        f = getattr(self, "fieldname", None)
+        if f is not None:
+            return f
+        fields = [q.field() for q in self.children()]
+        if fields and all(x == fields[0] for x in fields[1:]):
+            return fields[0]
+        return None
+
+    def with_boost(self, boost: float) -> "Query":
+        """COPY with the boost set (qcore.py:504-513)."""
+        q = self.copy()
+        q.boost = boost
+        return q
+
+    def requires(self) -> set:
+        """Queries statically KNOWN required to match (qcore.py:475-495;
+        default: this node itself)."""
+        return {self}
+
+    def estimate_size(self, reader) -> int:
+        """Overestimate of matchable docs (qcore.py:515-521).  Default
+        (compound/binary/wrapper shape, compound.py:100-102): sum of
+        the children capped at doc_count."""
+        kids = list(self.children())
+        if not kids:
+            raise NotImplementedError(type(self).__name__)
+        return min(sum(q.estimate_size(reader) for q in kids),
+                   _reader_doc_count(reader))
+
+    def estimate_min_size(self, reader) -> int:
+        """Leaves: same as estimate_size.  Nodes with children: the
+        CompoundQuery rule (compound.py:104-118 — min positive child
+        min-size minus the Not children's sizes)."""
+        subs = list(self.children())
+        if not subs:
+            return self.estimate_size(reader)
+        qs = [(q, q.estimate_min_size(reader)) for q in subs
+              if not isinstance(q, Not)]
+        pos = [m for _, m in qs if m > 0]
+        if pos:
+            neg = [q.estimate_size(reader) for q in subs
+                   if isinstance(q, Not)]
+            return max(min(pos) - sum(neg), 0)
+        return 0
+
+    def simplify(self, reader) -> "Query":
+        """Replace expandable leaves with concrete Term/Or trees
+        (terms.py:173-191; compound rebuild + normalize,
+        compound.py:190-197)."""
+        from operator import methodcaller
+
+        if self.is_leaf():
+            return self
+        return self.apply(methodcaller("simplify", reader)).normalize()
+
+    def docs(self, searcher):
+        """Iterator of matching docnums (qcore.py:535-548)."""
+        return iter(searcher.docs_for_query(self))
+
+    def deletion_docs(self, searcher):
+        """Docnums for delete_by_query (qcore.py:550-560; forwards to
+        ``docs`` — special queries may override)."""
+        return self.docs(searcher)
+
+
+def _reader_doc_count(reader) -> int:
+    dc = reader.doc_count
+    return int(dc() if callable(dc) else dc)
+
+
+def _reader_df(reader, fieldname: str, text: str) -> int:
+    return int(reader.doc_frequency(fieldname, str(text)))
+
+
+def _reader_searcher(reader):
+    """Expansion needs a Searcher; accept either the IndexReader facade
+    (has .searcher) or a Searcher itself."""
+    return getattr(reader, "searcher", reader)
+
+
+@dataclass(eq=False)
 class Term(Query):
     fieldname: str
     text: str
@@ -124,6 +311,20 @@ class Term(Query):
 
     def terms(self):
         return [(self.fieldname, self.text)]
+
+    def has_terms(self):
+        return True
+
+    def replace(self, fieldname, oldtext, newtext):
+        import copy as _copy
+
+        q = _copy.copy(self)
+        if q.fieldname == fieldname and q.text == oldtext:
+            q.text = newtext
+        return q
+
+    def estimate_size(self, reader):
+        return _reader_df(reader, self.fieldname, self.text)
 
     def docs_scores(self, searcher, seg):
         p = seg.postings(self.fieldname, self.text)
@@ -265,6 +466,17 @@ class _Compound(Query):
 class And(_Compound):
     intersect_merge = True
 
+    def requires(self):
+        # compound.py:256-260
+        s = set()
+        for q in self.subqueries:
+            s |= q.requires()
+        return s
+
+    def estimate_size(self, reader):
+        # compound.py:262-263
+        return min(q.estimate_size(reader) for q in self.subqueries)
+
     def _combine(self, evalfn):
         pos = [q for q in self.subqueries if not isinstance(q, Not)]
         neg = [q for q in self.subqueries if isinstance(q, Not)]
@@ -309,6 +521,12 @@ class Or(_Compound):
         super().__init__(subqueries, boost)
         self.minmatch = minmatch
         self.scale = scale
+
+    def requires(self):
+        # compound.py:328-332
+        if len(self.subqueries) == 1:
+            return self.subqueries[0].requires()
+        return set()
 
     def expansion_queries(self, searcher):
         return [Or([q2 for q in self.subqueries
@@ -390,6 +608,12 @@ class DisjunctionMax(_Compound):
         super().__init__(subqueries, boost)
         self.tiebreak = tiebreak
 
+    def requires(self):
+        # compound.py:477-481
+        if len(self.subqueries) == 1:
+            return self.subqueries[0].requires()
+        return set()
+
     def docs_scores(self, searcher, seg):
         # per-segment form: cursor leaks are cut at segment boundaries
         # (used by the distributed fan-out; exact parity needs the global
@@ -402,7 +626,7 @@ class DisjunctionMax(_Compound):
         return self._apply_boost(matching.union_max_cursor(parts))
 
 
-@dataclass
+@dataclass(eq=False)
 class Not(Query):
     subquery: Query
     boost: float = 1.0
@@ -427,6 +651,15 @@ class Not(Query):
     def global_docs_scores(self, searcher):
         child = searcher.global_eval(self.subquery)[0]
         return matching.inverse(searcher.all_docids(), child, self.boost)
+
+    def field(self):
+        return None  # wrappers.py:134-135
+
+    def estimate_size(self, reader):
+        return _reader_doc_count(reader)  # wrappers.py:137-138
+
+    def estimate_min_size(self, reader):
+        return 1 if _reader_doc_count(reader) else 0
 
 
 class AndNot(Query):
@@ -460,6 +693,13 @@ class AndNot(Query):
     def expansion_queries(self, searcher):
         return [AndNot(self.a.expansion_queries(searcher)[0],
                        self.b.expansion_queries(searcher)[0], self.boost)]
+
+    def requires(self):
+        return self.a.requires()  # compound.py:567-568
+
+    def with_boost(self, boost):
+        # compound.py:553-554: boost lands on A only, node boost reset
+        return self.__class__(self.a.with_boost(boost), self.b)
 
     def docs_scores(self, searcher, seg):
         res = matching.diff(searcher.eval(self.a, seg),
@@ -500,6 +740,19 @@ class Require(Query):
         return [Require(self.a.expansion_queries(searcher)[0],
                         self.b.expansion_queries(searcher)[0], self.boost)]
 
+    def requires(self):
+        return self.a.requires() | self.b.requires()  # compound.py:599
+
+    def estimate_size(self, reader):
+        return self.b.estimate_size(reader)  # compound.py:602
+
+    def estimate_min_size(self, reader):
+        return self.b.estimate_min_size(reader)  # compound.py:605
+
+    def with_boost(self, boost):
+        # compound.py:608-609: boost lands on A only, node boost reset
+        return self.__class__(self.a.with_boost(boost), self.b)
+
     def docs_scores(self, searcher, seg):
         res = matching.require(searcher.eval(self.a, seg),
                                searcher.eval(self.b, seg)[0])
@@ -535,6 +788,17 @@ class AndMaybe(Query):
         return [AndMaybe(self.a.expansion_queries(searcher)[0],
                          self.b.expansion_queries(searcher)[0], self.boost)]
 
+    def requires(self):
+        return self.a.requires()  # compound.py:645-646
+
+    def estimate_min_size(self, reader):
+        return self.a.estimate_min_size(reader)  # compound.py:648-649
+
+    def with_boost(self, boost):
+        # BinaryQuery base (compound.py:525-527): both children
+        return self.__class__(self.a.with_boost(boost),
+                              self.b.with_boost(boost))
+
     def docs_scores(self, searcher, seg):
         res = matching.and_maybe(searcher.eval(self.a, seg),
                                  searcher.eval(self.b, seg))
@@ -561,6 +825,11 @@ class Otherwise(Query):
 
     def terms(self):
         return self.a.terms() + self.b.terms()
+
+    def with_boost(self, boost):
+        # BinaryQuery base (compound.py:525-527): both children
+        return self.__class__(self.a.with_boost(boost),
+                              self.b.with_boost(boost))
 
     def normalize(self):
         # reference BinaryQuery.normalize (compound.py:529-539)
@@ -591,7 +860,7 @@ class Otherwise(Query):
         return (res[0], res[1] * self.boost) if self.boost != 1.0 else res
 
 
-@dataclass
+@dataclass(eq=False)
 class Every(Query):
     """All documents (fieldname=None) or all documents with >=1 posting in
     the field — the reference reads every posting list for the latter
@@ -599,6 +868,9 @@ class Every(Query):
 
     fieldname: str | None = None
     boost: float = 1.0
+
+    def estimate_size(self, reader):
+        return _reader_doc_count(reader)
 
     def docs_scores(self, searcher, seg):
         if self.fieldname is None:
@@ -625,6 +897,29 @@ class _MultiTerm(Query):
 
     def _expand(self, searcher) -> list[str]:
         raise NotImplementedError
+
+    def simplify(self, reader):
+        # terms.py:173-191: concrete Term/Or over the existing
+        # expansions (boost carried onto each Term), Null when none
+        words = sorted(set(self._expand(_reader_searcher(reader))))
+        existing = [Term(self.fieldname, w, boost=self.boost)
+                    for w in words]
+        if len(existing) == 1:
+            return existing[0]
+        if existing:
+            return Or(existing)
+        return _NullQuery()
+
+    def estimate_size(self, reader):
+        # terms.py:193-196 (uncapped sum of expansion dfs)
+        return sum(_reader_df(reader, self.fieldname, w)
+                   for w in self._expand(_reader_searcher(reader)))
+
+    def estimate_min_size(self, reader):
+        # terms.py:198-201 (NB the reference min() raises on an empty
+        # expansion; mirrored)
+        return min(_reader_df(reader, self.fieldname, w)
+                   for w in self._expand(_reader_searcher(reader)))
 
     def expansion_queries(self, searcher):
         words = self._expand(searcher)
@@ -949,6 +1244,9 @@ class TermRange(_MultiTerm):
     """Lexicographic term range (ranges.py:134-218); constantscore=True by
     default (ranges.py:66, pinned by conformance tests)."""
 
+    def is_range(self):
+        return True
+
     def __init__(self, fieldname, start, end, startexcl: bool = False,
                  endexcl: bool = False, boost: float = 1.0,
                  constantscore: bool = True):
@@ -1035,6 +1333,17 @@ class FuzzyTerm(_MultiTerm):
         self.fieldname, self.text = fieldname, text
         self.boost, self.maxdist = boost, maxdist
         self.prefixlength = prefixlength
+
+    def has_terms(self):
+        return True  # ExpandingTerm (terms.py:329-332)
+
+    def replace(self, fieldname, oldtext, newtext):
+        import copy as _copy
+
+        q = _copy.copy(self)
+        if q.fieldname == fieldname and q.text == oldtext:
+            q.text = newtext
+        return q
         self.constantscore = constantscore
 
     def _expand(self, searcher):
@@ -1058,6 +1367,17 @@ class Variations(_MultiTerm):
         self.fieldname, self.text = fieldname, text
         self.boost = boost
         self.constantscore = False
+
+    def has_terms(self):
+        return True  # ExpandingTerm (terms.py:329-332)
+
+    def replace(self, fieldname, oldtext, newtext):
+        import copy as _copy
+
+        q = _copy.copy(self)
+        if q.fieldname == fieldname and q.text == oldtext:
+            q.text = newtext
+        return q
 
     def _expand(self, searcher):
         from whoosh_ray.functions.morph_en import variations
@@ -1093,6 +1413,14 @@ class NumericRange(ColumnQuery):
     constantscore boost; the docs-column scan here produces the same doc
     set and scores (conformance-tested), expressed as a vectorized Arrow
     predicate per segment instead of a term expansion."""
+
+    def is_range(self):
+        return True
+
+    def estimate_size(self, reader):
+        # permissible overestimate (qcore.py:515-521); the indexed
+        # tiered-shift path would expand terms, the column path scans
+        return _reader_doc_count(reader)
 
     def __init__(self, column: str, start, end, startexcl: bool = False,
                  endexcl: bool = False, boost: float = 1.0):
@@ -1235,6 +1563,27 @@ class Phrase(Query):
         self.words = list(words)
         self.slop = slop
         self.boost = boost
+
+    def has_terms(self):
+        return True  # positional.py:166-167
+
+    def replace(self, fieldname, oldtext, newtext):
+        # positional.py:198-204 (every matching word swapped in place)
+        import copy as _copy
+
+        q = _copy.copy(self)
+        if q.fieldname == fieldname:
+            q.words = [newtext if w == oldtext else w for w in q.words]
+        return q
+
+    def _and_query(self):
+        return And([Term(self.fieldname, w) for w in self.words])
+
+    def estimate_size(self, reader):
+        return self._and_query().estimate_size(reader)  # positional.py:210
+
+    def estimate_min_size(self, reader):
+        return self._and_query().estimate_min_size(reader)
 
     def normalize(self):
         # reference Phrase.normalize (positional.py:185-196): empty ->

@@ -390,6 +390,81 @@ rpostings AS (SELECT doc_id, role AS term, 1::BIGINT AS tf FROM tsrc)
 """
 
 
+def _transcripts_ops_sql(src: str = "/tmp/whoosh_ray_qsops/src") -> str:
+    """AndNot/Require/AndMaybe/Prefix/slop-Phrase of the flagship
+    queryset.  The AndNot first-doc-escape quirk (reference
+    binary.py:577-581: a's globally-first doc escapes exclusion unless
+    it is also b's first doc) is encoded as a UNION of the anti-join
+    with a's min-docid row when min(a) != min(b)."""
+    rank = ("(row_number() OVER (ORDER BY score DESC, docid) - 1) AS rank, "
+            "docid, score")
+    return rf"""
+WITH {_transcripts_ctes(src)},
+sdeploy AS (
+  SELECT p.doc_id AS docid, {_BM25_EXPR} AS score
+  FROM postings p JOIN lens USING (doc_id), stats, ts
+  WHERE p.term = 'deploy' AND ts.term = 'deploy'
+),
+srender AS (
+  SELECT p.doc_id AS docid, {_BM25_EXPR} AS score
+  FROM postings p JOIN lens USING (doc_id), stats, ts
+  WHERE p.term = 'render' AND ts.term = 'render'
+),
+q_andnot AS (
+  SELECT 'andnot' AS query, {rank} FROM (
+    SELECT a.docid, a.score FROM sdeploy a
+    WHERE a.docid NOT IN (SELECT docid FROM srender)
+    UNION
+    SELECT a.docid, a.score FROM sdeploy a
+    WHERE a.docid = (SELECT min(docid) FROM sdeploy)
+      AND (SELECT min(docid) FROM sdeploy)
+          IS DISTINCT FROM (SELECT min(docid) FROM srender))
+  ORDER BY score DESC, docid LIMIT 10
+),
+q_require AS (
+  SELECT 'require' AS query, {rank} FROM (
+    SELECT a.docid, a.score FROM sdeploy a
+    JOIN srender b USING (docid))
+  ORDER BY score DESC, docid LIMIT 10
+),
+q_andmaybe AS (
+  SELECT 'andmaybe' AS query, {rank} FROM (
+    SELECT a.docid, a.score + coalesce(b.score, 0) AS score
+    FROM sdeploy a LEFT JOIN srender b USING (docid))
+  ORDER BY score DESC, docid LIMIT 10
+),
+q_prefix AS (
+  -- >=3-word expansion => constantscore literal 1.0 (boost dropped)
+  SELECT 'prefix' AS query, {rank} FROM (
+    SELECT DISTINCT doc_id AS docid, 1.0::DOUBLE AS score
+    FROM postings WHERE term LIKE 'pa%')
+  ORDER BY score DESC, docid LIMIT 10
+),
+positions AS (
+  SELECT doc_id, unnest(toks) AS term,
+         generate_subscripts(toks, 1) AS pos
+  FROM tok
+),
+slop_docs AS (
+  SELECT DISTINCT p1.doc_id AS doc_id
+  FROM positions p1 JOIN positions p2
+    ON p1.doc_id = p2.doc_id
+   AND p2.pos BETWEEN p1.pos + 1 AND p1.pos + 2
+  WHERE p1.term = 'deploy' AND p2.term = 'render'
+),
+q_slop AS (
+  SELECT 'slop' AS query, {rank} FROM (
+    SELECT a.docid, a.score + b.score AS score
+    FROM sdeploy a JOIN srender b USING (docid)
+    WHERE a.docid IN (SELECT doc_id FROM slop_docs))
+  ORDER BY score DESC, docid LIMIT 10
+)
+SELECT * FROM q_andnot UNION ALL SELECT * FROM q_require
+UNION ALL SELECT * FROM q_andmaybe UNION ALL SELECT * FROM q_prefix
+UNION ALL SELECT * FROM q_slop
+"""
+
+
 def _transcripts_queryset_sql(
         src: str = "/tmp/whoosh_ray_qsoracle/src") -> str:
     """term/and/or/phrase/role of the flagship queryset, rank+score."""
@@ -1050,6 +1125,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "query", pa.array([name] * t.num_rows, type=pa.string())))
         return pa.concat_tables(parts)
 
+    def transcripts_ops_rank(sf_dir):
+        """Binary/expansion operator members of the flagship queryset,
+        hash-checked over the TRANSCRIPTS schema: AndNot (incl. the
+        reference's first-doc-escape quirk, encoded in the SQL oracle),
+        Require (semi-join, a's scores), AndMaybe (left-outer add),
+        Prefix >=3-word expansion (constantscore literal 1.0), and a
+        slop=2 Phrase.  Own corpus dir so the flagship entry's corpus
+        is untouched."""
+        import shutil
+
+        from whoosh_ray.pipelines.build import build_index
+        from whoosh_ray.pipelines.ir import topk_table
+        from whoosh_ray.search import (AndMaybe, AndNot, Phrase, Prefix,
+                                       Require, Searcher, Term)
+        from whoosh_ray.sources.transcripts import write_transcripts
+        from whoosh_ray.state.schema import transcripts_schema
+
+        work = "/tmp/whoosh_ray_qsops"
+        shutil.rmtree(work, ignore_errors=True)
+        src = write_transcripts(os.path.join(work, "src"), n_convs=120)
+        manifest = build_index(src, os.path.join(work, "ix"),
+                               transcripts_schema(), seg_size=256)
+        s = Searcher(os.path.join(work, "ix"), manifest)
+        queryset = {
+            "andnot": AndNot(Term("text", "deploy"),
+                             Term("text", "render")),
+            "require": Require(Term("text", "deploy"),
+                               Term("text", "render")),
+            "andmaybe": AndMaybe(Term("text", "deploy"),
+                                 Term("text", "render")),
+            "prefix": Prefix("text", "pa"),
+            "slop": Phrase("text", ["deploy", "render"], slop=2),
+        }
+        parts = []
+        for name, q in queryset.items():
+            t = topk_table(s, q, limit=10)
+            parts.append(t.append_column(
+                "query", pa.array([name] * t.num_rows, type=pa.string())))
+        return pa.concat_tables(parts)
+
     def transcripts_bm25_rank_packed(sf_dir):
         """transcripts_bm25_rank over COMPOUND-packed segments (one
         segment.cmpd per partition, state/compound.py): same corpus
@@ -1122,6 +1237,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ir_highlights": ir_highlights,
         "transcripts_queryset": transcripts_queryset,
         "transcripts_bm25_rank": transcripts_bm25_rank,
+        "transcripts_ops_rank": transcripts_ops_rank,
         "transcripts_bm25_rank_packed": transcripts_bm25_rank_packed,
     }
 
@@ -1303,6 +1419,7 @@ SELECT t.docid,
 FROM top10 t
 """,
         "transcripts_bm25_rank": _transcripts_queryset_sql(),
+        "transcripts_ops_rank": _transcripts_ops_sql(),
         "transcripts_bm25_rank_packed": _transcripts_queryset_sql(
             "/tmp/whoosh_ray_qsoracle_packed/src"),
         "text_fingerprints": _fingerprints_sql(),

@@ -255,3 +255,75 @@ def test_writer_add_reader(small_index, tmp_path):
     convs = {d["conv_id"] for d in other.reader().all_stored_fields()}
     for c in convs:
         assert len(hits(s, "conv_id", c)) >= 1
+
+
+def test_commit_merge_policies(tmp_path):
+    """commit() merge modes (reference writing.py:901-932 + policies
+    :65-125): default merges small segments, merge=False leaves them,
+    optimize=True ends at one segment, mergetype=CLEAR drops all
+    pre-existing docs."""
+    from whoosh_ray.pipelines.writer import CLEAR, IndexWriter
+
+    src = write_transcripts(str(tmp_path / "src"), n_convs=40)
+    build_index(src, str(tmp_path / "ix"), unique_schema(), seg_size=64)
+    ix = str(tmp_path / "ix")
+    n0 = Searcher(ix).doc_count_all
+    nseg0 = len(Searcher(ix).segments)
+    assert nseg0 >= 4
+
+    # merge=False: segments untouched, docs appended
+    w = IndexWriter(ix)
+    w.add_document(conv_id="convmf01", turn_idx=0, role="user",
+                   text="mergefalse marker")
+    w.commit(merge=False)
+    assert len(Searcher(ix).segments) == nseg0 + 1
+    assert Searcher(ix).doc_count_all == n0 + 1
+
+    # default commit(): the fib policy decides; segment count can only
+    # shrink or stay, never grow beyond the append
+    w = IndexWriter(ix)
+    w.add_document(conv_id="convmf02", turn_idx=0, role="user",
+                   text="mergedefault marker")
+    w.commit()
+    assert len(Searcher(ix).segments) <= nseg0 + 2
+
+    # optimize=True: ONE segment, all docs and tombstone semantics kept
+    w = IndexWriter(ix)
+    w.delete_by_term("text", "mergefalse")
+    w.commit(optimize=True)
+    s = Searcher(ix)
+    assert len(s.segments) == 1
+    assert s.doc_count() == n0 + 1  # +2 appends -1 delete (expunged)
+    assert hits(s, "text", "mergefalse") == []
+    assert len(hits(s, "text", "mergedefault")) == 1
+
+    # CLEAR: only this writer's buffered docs survive
+    w = IndexWriter(ix)
+    w.add_document(conv_id="convclr01", turn_idx=0, role="user",
+                   text="clearmarker only survivor")
+    w.commit(mergetype=CLEAR)
+    s = Searcher(ix)
+    assert s.doc_count_all == 1
+    assert len(hits(s, "text", "clearmarker")) == 1
+    assert hits(s, "text", "mergedefault") == []
+
+
+def test_writelock(small_index):
+    """WRITELOCK parity (reference index.py:51 + writing.py:506-514):
+    a second concurrent writer raises LockError; commit/cancel release;
+    lock=False opts out."""
+    from whoosh_ray.pipelines.writer import IndexWriter, LockError
+
+    w = IndexWriter(small_index)
+    with pytest.raises(LockError):
+        IndexWriter(small_index)
+    # a no-lock writer can still be constructed (reference _lk=False)
+    IndexWriter(small_index, lock=False).cancel()
+    w.cancel()  # releases
+    w2 = IndexWriter(small_index)
+    w2.add_document(conv_id="convlk01", turn_idx=0, role="user",
+                    text="lockmarker")
+    w2.commit(merge=False)  # releases again
+    w3 = IndexWriter(small_index)
+    w3.cancel()
+    assert len(hits(Searcher(small_index), "text", "lockmarker")) == 1

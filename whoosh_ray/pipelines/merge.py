@@ -496,18 +496,26 @@ def merge_segments(index_dir: str, policy: str = "MERGE_SMALL",
                       ignore_errors=True)
         del survivors[meta.seg_id]
 
+    # compare OCCUPIED spans [docid_base, docid_base + doc_count): a
+    # build segment's nominal lineage range is the full seg_size slot
+    # even when the corpus ends mid-slot, and a writer-APPENDED segment
+    # legitimately bases inside that trailing gap — only actually-
+    # occupied docids may not collide (docids are contiguous per
+    # segment by the dense-rank invariant)
+    def occ(meta):
+        return (meta.docid_base, meta.docid_base + meta.doc_count)
+
     kept: list[SegmentMeta] = []
-    for m in sorted(survivors.values(), key=lambda m: m.docid_range()):
-        while kept and m is not None \
-                and m.docid_range()[0] < kept[-1].docid_range()[1]:
+    for m in sorted(survivors.values(), key=occ):
+        while kept and m is not None and occ(m)[0] < occ(kept[-1])[1]:
             prev = kept[-1]
             stranger = next((x for x in (prev, m)
                              if x.seg_id not in known), None)
             if stranger is None:
                 raise RuntimeError(
                     f"merge reseal: overlapping docid ranges "
-                    f"{prev.docid_range()} (seg {prev.seg_id}) and "
-                    f"{m.docid_range()} (seg {m.seg_id}) in {index_dir}")
+                    f"{occ(prev)} (seg {prev.seg_id}) and "
+                    f"{occ(m)} (seg {m.seg_id}) in {index_dir}")
             _drop(stranger)
             if stranger is m:
                 m = None

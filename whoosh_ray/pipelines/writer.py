@@ -64,6 +64,18 @@ def _unique_fields(schema: IndexSchema, fields: dict) -> list[str]:
             if getattr(f, "unique", False) and f.name in fields]
 
 
+# merge-policy names for commit(mergetype=) — reference writing.py:65-125
+NO_MERGE = "NO_MERGE"
+MERGE_SMALL = "MERGE_SMALL"
+OPTIMIZE = "OPTIMIZE"
+CLEAR = "CLEAR"
+
+
+class LockError(Exception):
+    """The index is locked by another writer (reference index.py:51;
+    SegmentWriter acquires WRITELOCK with timeout, writing.py:506-514)."""
+
+
 class IndexWriter:
     """Op-log batch writer over an existing index directory.
 
@@ -71,10 +83,18 @@ class IndexWriter:
     ``commit()`` applies tombstones then appends the buffered rows as new
     segments (``pipelines.mutate``).  ``searcher()`` reflects pending
     deletes but NOT pending adds — reference writer-visibility parity
-    (writing.py:464-473)."""
+    (writing.py:464-473).
+
+    A WRITELOCK file guards the directory against concurrent writers
+    (reference writing.py:506-514: acquire with ``timeout``/``delay`` or
+    raise LockError).  flock-based, so a crashed writer's lock releases
+    with its process; ``commit``/``cancel`` release it, and the next
+    mutation on a reused writer re-acquires."""
 
     def __init__(self, index_dir: str, *, conv_col: str = "conv_id",
-                 turn_col: str = "turn_idx", docid_col: str | None = None):
+                 turn_col: str = "turn_idx", docid_col: str | None = None,
+                 timeout: float = 0.0, delay: float = 0.1,
+                 lock: bool = True):
         self.index_dir = index_dir
         self.manifest = read_manifest(index_dir)
         self.schema = self.manifest.schema
@@ -87,6 +107,40 @@ class IndexWriter:
         self._schema_dirty = False
         self._groups: list[tuple[int, int]] = []  # buffered-row spans
         self._group_start: int | None = None
+        self._lk = lock
+        self._lk_timeout, self._lk_delay = timeout, delay
+        self._lk_fd: int | None = None
+        if lock:
+            self._acquire_writelock()
+
+    # ---- WRITELOCK ----
+
+    def _acquire_writelock(self) -> None:
+        import fcntl
+        import time as _time
+
+        if not self._lk or self._lk_fd is not None:
+            return
+        path = os.path.join(self.index_dir, "WRITELOCK")
+        fd = os.open(path, os.O_CREAT | os.O_RDWR, 0o644)
+        deadline = _time.monotonic() + max(self._lk_timeout, 0.0)
+        while True:
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                self._lk_fd = fd
+                return
+            except OSError:
+                if _time.monotonic() >= deadline:
+                    os.close(fd)
+                    raise LockError(
+                        f"index {self.index_dir!r} is locked by another "
+                        "writer") from None
+                _time.sleep(self._lk_delay)
+
+    def _release_writelock(self) -> None:
+        if self._lk_fd is not None:
+            os.close(self._lk_fd)  # flock releases with the fd
+            self._lk_fd = None
 
     # ---- visibility ----
 
@@ -155,10 +209,12 @@ class IndexWriter:
 
     def add_document(self, **fields) -> None:
         with self._lock:
+            self._acquire_writelock()
             self._rows.append(fields)
 
     def delete_document(self, docid: int) -> None:
         with self._lock:
+            self._acquire_writelock()
             self._doomed.add(int(docid))
 
     def delete_by_term(self, fieldname: str, text: str) -> int:
@@ -321,13 +377,40 @@ class IndexWriter:
             self._groups.clear()
             self._group_start = None
             self._schema_dirty = False
+            self._release_writelock()
 
-    def commit(self) -> None:
+    def commit(self, mergetype=None, optimize=None, merge=None) -> None:
         """Tombstone doomed docids, append buffered rows as new segments
-        (one ``add_documents`` batch), refresh the manifest."""
+        (one ``add_documents`` batch), refresh the manifest, then apply
+        the merge policy and release the WRITELOCK — the reference's
+        four commit modes (writing.py:901-932):
+
+        - ``commit()`` — MERGE_SMALL (fibonacci small-segment merging);
+        - ``commit(optimize=True)`` — merge everything into one segment;
+        - ``commit(merge=False)`` — no merging at all;
+        - ``commit(mergetype=CLEAR)`` — DELETE all existing segments
+          first, keeping only this writer's buffered documents
+          (writing.py:120-125); NO_MERGE/MERGE_SMALL/OPTIMIZE are also
+          accepted as mergetype names.  Reference parity: a mergetype
+          overrides optimize/merge; optimize overrides merge."""
         from whoosh_ray.pipelines import mutate
 
+        if mergetype is not None:
+            policy = mergetype
+            if not isinstance(policy, str):
+                raise NotImplementedError(
+                    "custom mergetype callables are not supported — pass "
+                    "NO_MERGE/MERGE_SMALL/OPTIMIZE/CLEAR")
+        elif optimize:
+            policy = OPTIMIZE
+        elif merge is False:
+            policy = NO_MERGE
+        else:
+            policy = MERGE_SMALL
+
         with self._lock:
+            if policy == CLEAR:
+                self._clear_segments()
             self._check_groups()
             self._groups.clear()
             if self._schema_dirty:
@@ -349,12 +432,35 @@ class IndexWriter:
                 try:
                     self.manifest = mutate.add_documents(
                         self.index_dir, src, conv_col=self.conv_col,
-                        turn_col=self.turn_col, docid_col=self.docid_col)
+                        turn_col=self.turn_col,
+                        docid_col=self.docid_col or "__rowid")
                 finally:
                     shutil.rmtree(os.path.dirname(src), ignore_errors=True)
                 self._rows.clear()
             else:
                 self.manifest = read_manifest(self.index_dir)
+            if policy in (MERGE_SMALL, OPTIMIZE) and self.manifest.segments:
+                from whoosh_ray.pipelines.merge import merge_segments
+
+                self.manifest = merge_segments(self.index_dir,
+                                               policy=policy)
+            self._release_writelock()
+
+    def _clear_segments(self) -> None:
+        """CLEAR policy (writing.py:120-125): drop every existing
+        segment; only this writer's buffered documents survive."""
+        from whoosh_ray.state.manifest import Manifest, write_manifest
+
+        cur = read_manifest(self.index_dir)
+        write_manifest(self.index_dir, Manifest(
+            schema=self.schema, segments=[], settings=cur.settings))
+        segroot = os.path.join(self.index_dir, "segments")
+        if os.path.isdir(segroot):
+            for name in os.listdir(segroot):
+                shutil.rmtree(os.path.join(segroot, name),
+                              ignore_errors=True)
+        self._doomed.clear()  # their targets no longer exist
+        self.manifest = read_manifest(self.index_dir)
 
     # ---- helpers ----
 
@@ -396,7 +502,20 @@ class IndexWriter:
     def _rows_to_parquet(self, rows: list[dict]) -> str:
         d = tempfile.mkdtemp(prefix="wr_writer_")
         path = os.path.join(d, "buffered.parquet")
-        pq.write_table(self._rows_to_table(rows), path)
+        table = self._rows_to_table(rows)
+        if self.docid_col is None:
+            # ARRIVAL-order docids for buffered rows (reference writers
+            # hand out docnums sequentially, writing.py:786-800).  The
+            # (conv, turn) dense rank would assign two buffered rows
+            # with the SAME key the SAME docid (the update_document
+            # two-adds-in-one-writer quirk produces exactly that) —
+            # duplicate docids inside a segment and an under-counted
+            # docid_span.  The synthetic column never reaches
+            # docs.parquet (build selects schema columns only).
+            table = table.append_column(
+                "__rowid", pa.array(np.arange(table.num_rows),
+                                    type=pa.int64()))
+        pq.write_table(table, path)
         return path
 
 
@@ -474,18 +593,11 @@ class BufferedWriter(IndexWriter):
             local = table[self.docid_col].to_numpy().astype(np.int64)
             span = int(local.max()) + 1
         else:
-            convs = np.asarray(
-                [str(v).encode() for v in
-                 table[self.conv_col].to_pylist()], dtype="S")
-            turns = table[self.turn_col].to_numpy().astype(np.int64)
-            # dense (conv, turn) rank — same math (and the same UTF-8
-            # bytewise key order) as stages/docids.py
-            keys, inv = np.unique(convs, return_inverse=True)
-            spans = np.zeros(len(keys), dtype=np.int64)
-            np.maximum.at(spans, inv, turns + 1)
-            bases = np.concatenate(([0], np.cumsum(spans)[:-1]))
-            local = bases[inv] + turns
-            span = int(spans.sum())
+            # ARRIVAL order — must match what commit() produces (the
+            # synthetic __rowid docid_col in _rows_to_parquet) so
+            # overlay scores == post-commit scores bit-for-bit
+            local = np.arange(table.num_rows, dtype=np.int64)
+            span = table.num_rows
         docids = local + base
         # fresh id past every committed segment: searcher eval caches
         # key on (query, seg_id), so the overlay must never collide

@@ -250,3 +250,56 @@ def test_djm_limited_prune_divergence(engine, oracle):
     # ours: exact prefix, scores identical to the reference's unlimited
     mine = [(int(d), float(s)) for d, s in engine.search(myq, limit=2)]
     assert mine == [(int(d), float(s)) for d, s in full_ref[:2]]
+
+
+def _util_key(q, with_boost=True):
+    name = type(q).__name__
+    kids = [_util_key(c, with_boost) for c in q.children()]
+    own = []
+    for k in ("fieldname", "text", "slop", "start", "end"):
+        v = getattr(q, k, None)
+        if isinstance(v, bytes):
+            v = v.decode()
+        if isinstance(v, (str, int, float)):
+            own.append((k, v))
+    words = getattr(q, "words", None)
+    if words is not None:
+        own.append(("words", tuple(
+            w.decode() if isinstance(w, bytes) else w for w in words)))
+    if with_boost:
+        own.append(("boost", round(float(getattr(q, "boost", 1.0)), 6)))
+    return (name, tuple(own), tuple(kids))
+
+
+@given(pair=query_strategy())
+@settings(max_examples=120, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_fuzz_tree_utilities_parity(engine, oracle, pair):
+    """Boost-independent tree utilities on RANDOM trees vs the
+    reference: is_leaf/is_range/has_terms/field, all_terms (both
+    phrases= settings), requires (structural keys sans boost — the
+    engines land explicit boosts on different tree levels by design,
+    score-verified elsewhere), phrases() shape, and replace() identity
+    (new tree with the text swapped, original untouched)."""
+    mine, ref = pair
+
+    def dec(s):
+        return {(f, (x.decode() if isinstance(x, bytes) else x))
+                for f, x in s}
+
+    assert mine.is_leaf() == ref.is_leaf()
+    assert mine.is_range() == ref.is_range()
+    assert mine.has_terms() == ref.has_terms()
+    assert mine.field() == ref.field()
+    assert mine.all_terms() == dec(ref.all_terms())
+    assert mine.all_terms(phrases=False) == dec(ref.all_terms(phrases=False))
+    assert sorted(_util_key(q, False) for q in mine.requires()) == \
+        sorted(_util_key(q, False) for q in ref.requires())
+    mt, mp = mine.phrases()
+    rt, rp = ref.phrases()
+    assert len(mt) == len(rt) and len(mp) == len(rp)
+    mrep = mine.replace("text", "deploy", "zzreplaced")
+    rrep = ref.replace("text", "deploy", "zzreplaced")
+    assert _util_key(mrep, False) == _util_key(rrep, False)
+    assert _util_key(mine, False) != _util_key(mrep, False) or \
+        ("text", "deploy") not in mine.all_terms()

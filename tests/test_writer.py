@@ -327,3 +327,33 @@ def test_writelock(small_index):
     w3 = IndexWriter(small_index)
     w3.cancel()
     assert len(hits(Searcher(small_index), "text", "lockmarker")) == 1
+
+
+def test_asyncwriter_tolerates_held_lock(small_index):
+    """AsyncWriter never raises LockError at construction (reference
+    writing.py:954-976: buffer and retry); its commit waits for the
+    lock to free and then replays the op log."""
+    import threading
+    import time as _time
+
+    from whoosh_ray.pipelines.writer import AsyncWriter, IndexWriter
+
+    holder = IndexWriter(small_index)     # holds WRITELOCK
+    aw = AsyncWriter(small_index, delay=0.05)  # must NOT raise
+    aw.add_document(conv_id="convaw01", turn_idx=0, role="user",
+                    text="asyncmarker buffered while locked")
+
+    done = threading.Event()
+
+    def _commit():
+        aw.commit(merge=False)
+        done.set()
+
+    t = threading.Thread(target=_commit, daemon=True)
+    t.start()
+    _time.sleep(0.3)
+    assert not done.is_set()              # blocked on the held lock
+    holder.cancel()                       # releases
+    t.join(timeout=60)
+    assert done.is_set()
+    assert len(hits(Searcher(small_index), "text", "asyncmarker")) == 1

@@ -409,6 +409,8 @@ class IndexWriter:
             policy = MERGE_SMALL
 
         with self._lock:
+            self._acquire_writelock()  # no-op when already held;
+            # AsyncWriter defers acquisition to here (blocking)
             if policy == CLEAR:
                 self._clear_segments()
             self._check_groups()
@@ -522,17 +524,30 @@ class IndexWriter:
 class AsyncWriter(IndexWriter):
     """Drop-in for the reference AsyncWriter (writing.py:954-1053).
 
-    The reference buffers method calls only because a concurrent writer
-    may hold the index file lock; this engine's single-driver manifest
-    commit has no such lock, so the buffered op log (inherited from
-    IndexWriter) is always "replayed" synchronously by ``commit()``.
-    ``start``/``join``/``is_alive`` are retained as no-ops so code written
-    against the reference API runs unchanged."""
+    The reference exists to tolerate a HELD write lock: it tries once
+    to obtain the writer, and if it can't, buffers method calls and
+    retries in a thread.  Same contract here: construction never raises
+    LockError — mutations buffer in the inherited op log regardless of
+    the lock, and ``commit()`` BLOCKS (polling every ``delay`` seconds)
+    until the WRITELOCK frees, then replays the whole log at once.
+    ``start``/``join``/``is_alive`` are retained so code written against
+    the reference API runs unchanged."""
 
     def __init__(self, index_dir: str, delay: float = 0.25, **kw):
-        super().__init__(index_dir, **kw)
+        kw.setdefault("delay", delay)
+        super().__init__(index_dir, lock=False, **kw)
         self.delay = delay
         self.running = False
+        self._lk = True                  # commit() does lock...
+        self._lk_timeout = float("inf")  # ...waiting as long as needed
+
+    def add_document(self, **fields) -> None:
+        with self._lock:                 # buffer WITHOUT the writelock
+            self._rows.append(fields)
+
+    def delete_document(self, docid: int) -> None:
+        with self._lock:
+            self._doomed.add(int(docid))
 
     def start(self) -> None:          # pragma: no cover - trivial
         self.running = True

@@ -192,3 +192,23 @@ def test_delimited_attribute_parity():
     ))
     for text in ["image render^2 file^0.5", "plain words", ""]:
         assert my_stream(spec, text) == ref_stream(ref, text), text
+
+
+def test_pipe_composition_sugar():
+    """AnalyzerSpec | ("kind", params) — the reference's
+    ``analyzer | filter`` composition (acore.py:137-145): the flag
+    pipeline materializes to its chain equivalent and the stage
+    appends; streams match the reference composite."""
+    from whoosh.analysis import ShingleFilter, StandardAnalyzer
+
+    composed = AnalyzerSpec() | ("shingle", (2, " "))
+    ref = StandardAnalyzer() | ShingleFilter(2, " ")
+    for text in ["better a witty fool than a foolish wit",
+                 "the deploy of the render", "single", ""]:
+        assert my_stream(composed, text) == ref_stream(ref, text), text
+    # chaining composes left-to-right
+    twice = composed | ("biword", (" ",))
+    assert twice.chain[-1] == ("biword", (" ",))
+    # inexpressible flags refuse rather than silently drop semantics
+    with pytest.raises(TypeError):
+        AnalyzerSpec(reverse=True) | ("shingle", (2, " "))

@@ -107,6 +107,46 @@ class AnalyzerSpec:
     def compile(self) -> "VectorAnalyzer":
         return VectorAnalyzer(self)
 
+    def to_chain(self) -> tuple:
+        """Materialize the vectorized flag pipeline as the equivalent
+        declarative chain (functions/tokenfilters.py stage tuples) —
+        the reference's CompositeAnalyzer item list.  Raises TypeError
+        for flags the chain engine has no stage kind for."""
+        for flag in ("substitute", "reverse", "ngram", "numeric"):
+            if getattr(self, flag):
+                raise TypeError(
+                    f"AnalyzerSpec.{flag} has no chain-stage equivalent")
+        if self.charset_tokenize or self.boolean or self.lang:
+            raise TypeError("charset_tokenize/boolean/lang specs cannot "
+                            "materialize as a chain")
+        if self.chain is not None:
+            return tuple(self.chain)
+        out: list = [("tokenizer", (self.pattern, self.gaps))]
+        if self.lowercase:
+            out.append(("lowercase", ()))
+        if self.charmap:
+            out.append(("charset", tuple(self.charmap)))
+        if self.strip:
+            out.append(("strip", ()))
+        if self.stopwords is not None or self.minsize or self.maxsize:
+            out.append(("stop", (self.stopwords, self.minsize,
+                                 self.maxsize, True)))
+        if self.stem:
+            out.append(("stem", ()))
+        return tuple(out)
+
+    def __or__(self, stage) -> "AnalyzerSpec":
+        """Reference ``tokenizer | filter`` composition sugar
+        (analysis/acore.py:137-145): a NEW spec whose chain is this
+        spec's stages plus the given ("kind", params) stage."""
+        import dataclasses
+
+        if not (isinstance(stage, tuple) and len(stage) == 2
+                and isinstance(stage[0], str)):
+            raise TypeError(
+                "compose with a ('kind', params) chain stage tuple")
+        return dataclasses.replace(self, chain=self.to_chain() + (stage,))
+
 
 # ISO-639 aliases accepted by the reference's language registry
 # (lang/__init__.py:46-85): 3-letter codes, English names, native names.

@@ -198,3 +198,31 @@ def test_rich_payloads_require_fused_mode(tmp_path):
     with pytest.raises(ValueError, match="fused"):
         build_index(str(tmp_path / "src.parquet"), str(tmp_path / "ix"),
                     schema, docid_col="doc_id", mode="stream")
+
+
+def test_hit_highlights_chars_field_fragmenter_gate(chars_engine,
+                                                    chars_oracle):
+    """Hit.highlights on a chars=True field: the default
+    ContextFragmenter must retokenize (reference can_load_chars gate,
+    highlight.py:920-937), while Pinpoint + terms=True rides the stored
+    char spans — both output-identical to the reference."""
+    load_whoosh_oracle()
+    from whoosh import highlight as wh
+    from whoosh.query import Term as WTerm
+
+    from whoosh_ray.search.highlight import PinpointFragmenter
+
+    with chars_oracle.searcher() as s:
+        mine = chars_engine.search(Term("text", "quick"), limit=5,
+                                   terms=True)
+        theirs = s.search(WTerm("text", "quick"), limit=5, terms=True)
+        # default config: retokenize path on both sides
+        for h, w in zip(mine.hits(), theirs):
+            assert h.highlights("text") == w.highlights("text")
+        # pinpoint: span-capable fragmenter -> stored-chars path
+        mine.fragmenter = PinpointFragmenter()
+        theirs.fragmenter = wh.PinpointFragmenter()
+        for h, w in zip(mine.hits(), theirs):
+            got, want = h.highlights("text"), w.highlights("text")
+            assert got == want, (h.docid, got, want)
+        assert any(h.highlights("text") for h in mine.hits())

@@ -623,3 +623,56 @@ def test_genshi_formatter_event_stream_parity(monkeypatch, whoosh_oracle):
     assert got == want
     # sanity: the bug tuples are really in there
     assert any(e[0] == "BUGTUPLE" for e in want)
+
+
+def test_results_highlighter_properties(engine, oracle):
+    """Results.fragmenter/formatter/scorer/order mutate the shared
+    per-Results highlighter and drive every Hit.highlights (reference
+    searching.py:961,1216-1245); items() yields (docnum, score) in rank
+    order (searching.py:1024-1029)."""
+    from whoosh import highlight as wh
+    from whoosh.query import Term as WT
+
+    from whoosh_ray.search.highlight import (UppercaseFormatter,
+                                             WholeFragmenter)
+
+    q, wq = Term("text", "render"), WT("text", "render")
+    with oracle.searcher() as s:
+        mine = engine.search(q, limit=5)
+        theirs = s.search(wq, limit=5)
+        # default config parity first (ContextFragmenter + <b class=...>)
+        for h, w in zip(mine.hits(), theirs):
+            assert h.highlights("text", top=2) == w.highlights("text", top=2)
+        # mutate via the properties: later hits see the change
+        mine.fragmenter = WholeFragmenter()
+        mine.formatter = UppercaseFormatter()
+        theirs.fragmenter = wh.WholeFragmenter()
+        theirs.formatter = wh.UppercaseFormatter()
+        assert mine.fragmenter is mine.highlighter.fragmenter
+        assert mine.formatter is mine.highlighter.formatter
+        for h, w in zip(mine.hits(), theirs):
+            assert h.highlights("text", top=3) == w.highlights("text", top=3)
+        ref_items = [(w.docnum, w.score) for w in theirs]
+        got_items = list(mine.items())
+        assert [d for d, _ in got_items] == [d for d, _ in ref_items]
+        np.testing.assert_allclose([sc for _, sc in got_items],
+                                   [sc for _, sc in ref_items], rtol=1e-12)
+
+
+def test_hit_highlights_expands_multiterm(engine, oracle):
+    """Without terms=True, Hit.highlights derives its word set from the
+    EXPANDED query (Prefix resolved against the reader — reference
+    highlight.py:1007 query_terms(expand=True))."""
+    from whoosh.query import Prefix as WPrefix
+
+    from whoosh_ray.search.query import Prefix
+
+    with oracle.searcher() as s:
+        mine = engine.search(Prefix("text", "dep"), limit=5)
+        theirs = s.search(WPrefix("text", "dep"), limit=5)
+        assert [h.docid for h in mine.hits()] == [w.docnum for w in theirs]
+        for h, w in zip(mine.hits(), theirs):
+            got, want = h.highlights("text"), w.highlights("text")
+            assert got == want, (h.docid, got, want)
+        # the expansion really matched something (else this tests nothing)
+        assert any(h.highlights("text") for h in mine.hits())

@@ -108,6 +108,12 @@ class WholeFragmenter:
 
     charlimit = DEFAULT_CHARLIMIT
 
+    # reference Fragmenter.must_retokenize (highlight.py:267-273):
+    # True for every fragmenter except Pinpoint — a True fragmenter
+    # needs the full token stream, so stored char spans can't feed it
+    def must_retokenize(self):
+        return True
+
     def fragment_tokens(self, text, tokens):
         charlimit = self.charlimit
         matched = [t for t in tokens
@@ -126,6 +132,9 @@ class SentenceFragmenter:
         self.maxchars = maxchars
         self.sentencechars = frozenset(sentencechars)
         self.charlimit = charlimit
+
+    def must_retokenize(self):
+        return True
 
     def fragment_tokens(self, text, tokens):
         out = []
@@ -167,6 +176,9 @@ class ContextFragmenter:
         self.maxchars = maxchars
         self.surround = surround
         self.charlimit = charlimit
+
+    def must_retokenize(self):
+        return True
 
     def fragment_tokens(self, text, tokens):
         from collections import deque
@@ -229,6 +241,11 @@ class PinpointFragmenter:
         self.surround = surround
         self.autotrim = autotrim
         self.charlimit = charlimit
+
+    def must_retokenize(self):
+        # the one fragmenter that works from matched spans alone
+        # (reference highlight.py:521-523)
+        return False
 
     @staticmethod
     def _autotrim(fragment: Fragment) -> None:

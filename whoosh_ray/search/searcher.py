@@ -143,8 +143,60 @@ class Results:
     # the (expanded) query that produced these results, when known —
     # lets Hit.highlights derive its term set without re-parsing
     q = None
-    # shared across this result set's Hits (reference Results.highlighter)
-    _hl_formatter = None
+    # shared across this result set's Hits (reference Results.highlighter,
+    # searching.py:961) — built lazily; the fragmenter/formatter/scorer/
+    # order properties below mutate it exactly like the reference's
+    # (searching.py:1216-1245)
+    _highlighter = None
+
+    @property
+    def highlighter(self):
+        if self._highlighter is None:
+            from whoosh_ray.search.highlight import Highlighter
+
+            self._highlighter = Highlighter()
+        return self._highlighter
+
+    @highlighter.setter
+    def highlighter(self, hl):
+        self._highlighter = hl
+
+    def _get_fragmenter(self):
+        return self.highlighter.fragmenter
+
+    def _set_fragmenter(self, f):
+        self.highlighter.fragmenter = f
+
+    fragmenter = property(_get_fragmenter, _set_fragmenter)
+
+    def _get_formatter(self):
+        return self.highlighter.formatter
+
+    def _set_formatter(self, f):
+        self.highlighter.formatter = f
+
+    formatter = property(_get_formatter, _set_formatter)
+
+    def _get_scorer(self):
+        return self.highlighter.scorer
+
+    def _set_scorer(self, s):
+        self.highlighter.scorer = s
+
+    scorer = property(_get_scorer, _set_scorer)
+
+    def _get_order(self):
+        return self.highlighter.order
+
+    def _set_order(self, o):
+        self.highlighter.order = o
+
+    order = property(_get_order, _set_order)
+
+    def items(self):
+        """Iterator of (docnum, score) pairs in rank order (reference
+        Results.items, searching.py:1024-1029)."""
+        return zip(self.docids.tolist(), self.scores.tolist())
 
     def __getitem__(self, n):
         """``results[n]`` -> :class:`Hit` (reference searching.py:996-
@@ -311,19 +363,29 @@ class Hit:
     def highlights(self, fieldname: str, top: int = 3, **kwargs) -> str:
         """Highlighted snippets using the originating query's terms for
         this field (reference Hit.highlights, searching.py:1406-1438).
-        The formatter is shared across this result set's hits — its
-        term->class mapping persists like the reference's per-Results
-        ``highlighter`` (searching.py:965-975)."""
-        if self.results.q is None:
+        Config (fragmenter/formatter/scorer/order) comes from the result
+        set's shared ``highlighter`` unless overridden per call — setting
+        ``results.formatter = ...`` changes every hit's highlights, and
+        the formatter's term->class state persists across hits like the
+        reference's per-Results highlighter (searching.py:961)."""
+        if self.results.has_matched_terms():
+            # the reference derives the word set from the whole result
+            # set's matched terms when terms=True was used
+            # (highlight.py:1003-1005)
+            terms = sorted({t for f, t in self.results.matched_terms()
+                            if f == fieldname})
+        elif self.results.q is None:
             raise ValueError("results carry no query to highlight from")
-        terms = sorted({t for f, t in self.results.q.terms()
-                        if f == fieldname})
-        if "formatter" not in kwargs:
-            if self.results._hl_formatter is None:
-                from whoosh_ray.search.highlight import HtmlFormatter
-
-                self.results._hl_formatter = HtmlFormatter(tagname="b")
-            kwargs["formatter"] = self.results._hl_formatter
+        else:
+            # else the EXPANDED query terms (Prefix/Wildcard resolved
+            # against the reader — highlight.py:1007)
+            terms = sorted({t for f, t in self.results.query_terms(
+                expand=True, fieldname=fieldname) if f == fieldname})
+        hl = self.results.highlighter
+        kwargs.setdefault("formatter", hl.formatter)
+        kwargs.setdefault("fragmenter", hl.fragmenter)
+        kwargs.setdefault("scorer", hl.scorer)
+        kwargs.setdefault("order", hl.order)
         return self.searcher.highlights(self.docid, fieldname, terms,
                                         top=top, **kwargs)
 
@@ -1281,11 +1343,16 @@ class Searcher:
         return (t[cols[0]][0].as_py(), t[cols[1]][0].as_py())
 
     def highlights(self, docid: int, fieldname: str, terms, *,
-                   top: int = 3, fragmenter=None, formatter=None) -> str:
+                   top: int = 3, fragmenter=None, formatter=None,
+                   scorer=None, order=None, minscore: int = 1) -> str:
         """Highlighted snippets for one hit.  On a ``chars=True`` field
         the matched spans come straight from the stored Characters
-        payloads (no re-tokenize); otherwise the stored text is
-        re-tokenized (the reference's fallback, highlight.py:506-590)."""
+        payloads (no re-tokenize) — but only when the fragmenter can
+        work from spans alone (``must_retokenize() == False``, i.e.
+        Pinpoint; the reference gate, highlight.py:920-937): a context/
+        sentence fragmenter needs the full token stream, so those
+        re-tokenize the stored text even on a chars field, exactly like
+        the reference's fallback (highlight.py:1040-1059)."""
         from whoosh_ray.search.highlight import (Highlighter,
                                                  PinpointFragmenter)
 
@@ -1298,15 +1365,25 @@ class Searcher:
             spec = self.schema.field(fieldname)
         except KeyError:
             pass
-        if spec is not None and getattr(spec, "chars", False):
+        kw = {}
+        if scorer is not None:
+            kw["scorer"] = scorer
+        if order is not None:
+            kw["order"] = order
+        span_capable = (fragmenter is None
+                        or not getattr(fragmenter, "must_retokenize",
+                                       lambda: True)())
+        if (spec is not None and getattr(spec, "chars", False)
+                and span_capable):
             spans = []
             for t in set(terms):
                 spans.extend(self.char_offsets(docid, fieldname, t))
             hl = Highlighter(fragmenter=fragmenter or PinpointFragmenter(),
-                             formatter=formatter)
-            return hl.highlight_spans(text, spans, top=top)
-        hl = Highlighter(fragmenter=fragmenter, formatter=formatter)
-        return hl.highlight(text, set(terms), top=top)
+                             formatter=formatter, **kw)
+            return hl.highlight_spans(text, spans, top=top,
+                                      minscore=minscore)
+        hl = Highlighter(fragmenter=fragmenter, formatter=formatter, **kw)
+        return hl.highlight(text, set(terms), top=top, minscore=minscore)
 
     def char_offsets(self, docid: int, field: str,
                      term: str) -> list[tuple[int, int]]:

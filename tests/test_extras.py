@@ -676,3 +676,61 @@ def test_hit_highlights_expands_multiterm(engine, oracle):
             assert got == want, (h.docid, got, want)
         # the expansion really matched something (else this tests nothing)
         assert any(h.highlights("text") for h in mine.hits())
+
+
+def test_strict_phrase_highlights_match_reference(engine, oracle):
+    """strict_phrase=True highlights phrase constituents only where the
+    whole phrase matches (reference highlight.py:176-259,1043-1045),
+    individual terms everywhere; order constants (SCORE/FIRST) drive
+    fragment ordering via results.order."""
+    from whoosh import highlight as wh
+    from whoosh.qparser import QueryParser
+
+    from whoosh_ray.search import highlight as myh
+    from whoosh_ray.search.qparser import QueryParser as MyParser
+
+    load_oracle_schema = oracle.schema
+    wq = QueryParser("text", load_oracle_schema).parse('"the deploy" OR render')
+    mq = MyParser("text", engine.schema).parse('"the deploy" OR render')
+    with oracle.searcher() as s:
+        mine = engine.search(mq, limit=8)
+        theirs = s.search(wq, limit=8)
+        assert [h.docid for h in mine.hits()] == [w.docnum for w in theirs]
+        for strict in (False, True):
+            for h, w in zip(mine.hits(), theirs):
+                got = h.highlights("text", strict_phrase=strict)
+                want = w.highlights("text", strict_phrase=strict)
+                assert got == want, (strict, h.docid, got, want)
+        # order constants parity
+        mine.order = myh.SCORE
+        theirs.order = wh.SCORE
+        for h, w in zip(mine.hits(), theirs):
+            assert h.highlights("text") == w.highlights("text")
+        # outputs differ between strict and non-strict somewhere
+        assert any(
+            h.highlights("text", strict_phrase=True)
+            != h.highlights("text", strict_phrase=False)
+            for h in mine.hits())
+
+
+def test_highlight_module_public_names():
+    """Public helpers the reference exports (highlight.py): order
+    constants, scorer classes, mkfrag/get_text, NullFragmeter alias,
+    Fragmenter base."""
+    from whoosh import highlight as wh
+
+    from whoosh_ray.search import highlight as myh
+
+    f = myh.Fragment("hello world", [], 0, 5)
+    assert myh.LONGER(f) == wh.LONGER(f) == -5
+    assert myh.SHORTER(f) == wh.SHORTER(f) == 5
+    assert myh.SCORE(f) == wh.SCORE(f) == 1
+    assert myh.FIRST(f) == wh.FIRST(f) == 0
+    assert myh.NullFragmeter is myh.WholeFragmenter
+    assert myh.BasicFragmentScorer()(f) == myh.basic_fragment_scorer(f)
+    assert isinstance(myh.BasicFragmentScorer(), myh.FragmentScorer)
+    tok = myh.Token("deploy", 2, 8)
+    assert myh.get_text("x deploy y", tok, False) == "deploy"
+    assert myh.get_text("x deploy y", tok, True) == "deploy"
+    assert myh.mkfrag is myh._mkfrag
+    assert myh.Fragmenter().must_retokenize()

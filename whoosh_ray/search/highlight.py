@@ -61,6 +61,33 @@ def _mkfrag(text, tokens, startchar=None, endchar=None) -> Fragment:
                     frozenset(t.text for t in tokens))
 
 
+# public name (reference highlight.py:66-84)
+mkfrag = _mkfrag
+
+
+def get_text(original, token, replace):
+    """Text to render for a match (reference highlight.py:634-645):
+    the original slice, or the (possibly filtered) token text when
+    ``replace``."""
+    if replace:
+        return token.text
+    return original[token.startchar:token.endchar]
+
+
+class Fragmenter:
+    """Fragmenter plug-point base (reference highlight.py:264-298);
+    subclass and override ``fragment_tokens`` (and
+    ``must_retokenize`` -> False for span-driven fragmenters)."""
+
+    charlimit = DEFAULT_CHARLIMIT
+
+    def must_retokenize(self):
+        return True
+
+    def fragment_tokens(self, text, tokens):
+        raise NotImplementedError
+
+
 def tokenize_chars(text: str, pattern: str = r"\w+(?:\.?\w+)*",
                    lowercase: bool = True) -> list[Token]:
     """Char-span tokens, stopwords KEPT (removestops=False semantics)."""
@@ -74,6 +101,73 @@ def tokenize_chars(text: str, pattern: str = r"\w+(?:\.?\w+)*",
 def set_matched(tokens: list[Token], termset) -> list[Token]:
     for t in tokens:
         t.matched = t.text in termset
+    return tokens
+
+
+# public name (reference highlight.py:160-174); phrase-agnostic: every
+# token whose text is in the term set is marked, even inside phrases
+set_matched_filter = set_matched
+
+
+def set_matched_filter_phrases(tokens, text, terms, phrases):
+    """Strict-phrase matched-token marking (reference
+    highlight.py:176-259): phrase constituents highlight only where the
+    WHOLE phrase matches; individual query terms highlight everywhere.
+    Alignment is by whitespace-split word index — the reference compares
+    ``text.split()`` slots to token order, so punctuation-splitting
+    analyzers can mis-align there and here alike.  ``terms`` are Term
+    objects (or strings), ``phrases`` Phrase objects (.words/.slop)."""
+    words = text.split()
+    matches: set[int] = set()
+
+    for phrase in phrases:
+        i = 0
+        pwords = list(phrase.words)
+        n = len(pwords)
+        slop = phrase.slop
+        while i < len(words):
+            if pwords[0] == words[i]:
+                if slop == 1:
+                    if words[i + 1:i + n] == pwords[1:]:
+                        matches.update(range(i, i + n))
+                        i += n
+                    else:
+                        i += 1
+                else:
+                    # sloppy scan: for each next phrase word take the
+                    # LAST occurrence inside the slop window (reference
+                    # reversed-substring probe, highlight.py:229-241)
+                    if n == 1:
+                        # the reference loops forever here (i never
+                        # advances); no behavior to match — advance
+                        matches.add(i)
+                        i += 1
+                        continue
+                    cur = first = last = i
+                    slop_matches = [first]
+                    for word in pwords[1:]:
+                        sub = words[cur + 1:cur + 1 + slop][::-1]
+                        try:
+                            nxt = len(sub) - sub.index(word) - 1
+                        except ValueError:
+                            i += 1
+                            break
+                        last = cur + nxt + 1
+                        slop_matches.append(last)
+                        cur = last
+                    else:
+                        i = last
+                        matches.update(slop_matches)
+            else:
+                i += 1
+
+    termtexts = {getattr(t, "text", t) for t in terms}
+    for i, word in enumerate(words):
+        if word in termtexts:
+            matches.add(i)
+
+    for i, t in enumerate(tokens):
+        t.matched = i in matches
     return tokens
 
 
@@ -227,6 +321,10 @@ class ContextFragmenter:
         return out
 
 
+# the reference ships this misspelled alias (highlight.py:340)
+NullFragmeter = WholeFragmenter
+
+
 class PinpointFragmenter:
     """Builds fragments directly from matched-term char spans without
     scanning unmatched tokens (highlight.py:506-590).  The reference
@@ -302,8 +400,39 @@ def basic_fragment_scorer(f: Fragment) -> float:
     return score
 
 
+class FragmentScorer:
+    """Scorer plug-point base (reference highlight.py:594-595)."""
+
+
+class BasicFragmentScorer(FragmentScorer):
+    """Class form of the default scorer (reference
+    highlight.py:598-606): boost sum x 100-per-distinct-term."""
+
+    def __call__(self, f: Fragment) -> float:
+        return basic_fragment_scorer(f)
+
+
+# fragment sort orders (reference highlight.py:610-630): pass as
+# ``order=`` / ``results.order = ...``.  SCORE is a constant key — with
+# a stable sort that preserves the nlargest (score-descending) order
+def SCORE(fragment):
+    return 1
+
+
+def FIRST(fragment):
+    return fragment.startchar
+
+
+def LONGER(fragment):
+    return 0 - len(fragment)
+
+
+def SHORTER(fragment):
+    return len(fragment)
+
+
 def top_fragments(fragments, count, scorer=basic_fragment_scorer,
-                  order=lambda f: f.startchar, minscore=1):
+                  order=FIRST, minscore=1):
     scored = ((scorer(f), f) for f in fragments)
     best = nlargest(count, scored)
     best = [f for score, f in best if score >= minscore]
@@ -452,17 +581,25 @@ class GenshiFormatter(Formatter):
 
 class Highlighter:
     def __init__(self, fragmenter=None, scorer=None, formatter=None,
-                 order=lambda f: f.startchar):
+                 order=FIRST):
         self.fragmenter = fragmenter or ContextFragmenter()
         self.scorer = scorer or basic_fragment_scorer
         self.formatter = formatter or HtmlFormatter(tagname="b")
         self.order = order
 
     def highlight(self, text: str, terms, top: int = 3,
-                  minscore: int = 1) -> str:
+                  minscore: int = 1, phrases=None) -> str:
+        """``phrases`` switches on strict-phrase marking (the reference
+        ``strict_phrase=True`` path, highlight.py:1043-1045): phrase
+        constituents highlight only where the whole phrase matches;
+        ``terms`` then marks the stray individual terms."""
         words = frozenset(terms)
         tokens = tokenize_chars(text)
-        tokens = set_matched(tokens, words)
+        if phrases is not None:
+            tokens = set_matched_filter_phrases(tokens, text, words,
+                                                phrases)
+        else:
+            tokens = set_matched(tokens, words)
         tokens = merge_matched(tokens)
         fragments = self.fragmenter.fragment_tokens(text, tokens)
         fragments = top_fragments(fragments, top, self.scorer, self.order,

@@ -360,14 +360,36 @@ class Hit:
     def matched_terms(self) -> set:
         return self.results.matched_terms_for(self.docid)
 
-    def highlights(self, fieldname: str, top: int = 3, **kwargs) -> str:
+    def highlights(self, fieldname: str, top: int = 3, *,
+                   text: str | None = None, minscore: int = 1,
+                   strict_phrase: bool = False, **kwargs) -> str:
         """Highlighted snippets using the originating query's terms for
-        this field (reference Hit.highlights, searching.py:1406-1438).
+        this field (reference Hit.highlights, searching.py:1417-1453).
         Config (fragmenter/formatter/scorer/order) comes from the result
         set's shared ``highlighter`` unless overridden per call — setting
         ``results.formatter = ...`` changes every hit's highlights, and
         the formatter's term->class state persists across hits like the
-        reference's per-Results highlighter (searching.py:961)."""
+        reference's per-Results highlighter (searching.py:961).
+        ``strict_phrase`` highlights phrase constituents only where the
+        whole phrase matches (highlight.py:1043-1045); the reference
+        derives both lists from the FULL query there, unfiltered by
+        field — mirrored.  ``text`` overrides the stored text (for
+        unstored fields)."""
+        if strict_phrase:
+            if self.results.q is None:
+                raise ValueError("results carry no query to highlight "
+                                 "from")
+            qterms, phrases = self.results.q.phrases()
+            kwargs["phrases"] = phrases
+            terms = sorted({t.text for t in qterms})
+            hl = self.results.highlighter
+            kwargs.setdefault("formatter", hl.formatter)
+            kwargs.setdefault("fragmenter", hl.fragmenter)
+            kwargs.setdefault("scorer", hl.scorer)
+            kwargs.setdefault("order", hl.order)
+            return self.searcher.highlights(self.docid, fieldname, terms,
+                                            top=top, text=text,
+                                            minscore=minscore, **kwargs)
         if self.results.has_matched_terms():
             # the reference derives the word set from the whole result
             # set's matched terms when terms=True was used
@@ -387,7 +409,8 @@ class Hit:
         kwargs.setdefault("scorer", hl.scorer)
         kwargs.setdefault("order", hl.order)
         return self.searcher.highlights(self.docid, fieldname, terms,
-                                        top=top, **kwargs)
+                                        top=top, text=text,
+                                        minscore=minscore, **kwargs)
 
     def more_like_this(self, fieldname: str, **kwargs) -> Results:
         """Docs similar to this hit (reference searching.py:1390-1404)."""
@@ -1344,7 +1367,8 @@ class Searcher:
 
     def highlights(self, docid: int, fieldname: str, terms, *,
                    top: int = 3, fragmenter=None, formatter=None,
-                   scorer=None, order=None, minscore: int = 1) -> str:
+                   scorer=None, order=None, minscore: int = 1,
+                   text: str | None = None, phrases=None) -> str:
         """Highlighted snippets for one hit.  On a ``chars=True`` field
         the matched spans come straight from the stored Characters
         payloads (no re-tokenize) — but only when the fragmenter can
@@ -1356,10 +1380,11 @@ class Searcher:
         from whoosh_ray.search.highlight import (Highlighter,
                                                  PinpointFragmenter)
 
-        stored = self.stored(np.array([docid]), columns=[fieldname])
-        if not stored.num_rows:
-            return ""
-        text = stored[fieldname][0].as_py() or ""
+        if text is None:
+            stored = self.stored(np.array([docid]), columns=[fieldname])
+            if not stored.num_rows:
+                return ""
+            text = stored[fieldname][0].as_py() or ""
         spec = None
         try:
             spec = self.schema.field(fieldname)
@@ -1373,8 +1398,10 @@ class Searcher:
         span_capable = (fragmenter is None
                         or not getattr(fragmenter, "must_retokenize",
                                        lambda: True)())
+        # strict-phrase marking exists only on the retokenize path
+        # (the reference's chars branch ignores it, highlight.py:1012)
         if (spec is not None and getattr(spec, "chars", False)
-                and span_capable):
+                and span_capable and phrases is None):
             spans = []
             for t in set(terms):
                 spans.extend(self.char_offsets(docid, fieldname, t))
@@ -1383,7 +1410,8 @@ class Searcher:
             return hl.highlight_spans(text, spans, top=top,
                                       minscore=minscore)
         hl = Highlighter(fragmenter=fragmenter, formatter=formatter, **kw)
-        return hl.highlight(text, set(terms), top=top, minscore=minscore)
+        return hl.highlight(text, set(terms), top=top, minscore=minscore,
+                            phrases=phrases)
 
     def char_offsets(self, docid: int, field: str,
                      term: str) -> list[tuple[int, int]]:

@@ -187,3 +187,114 @@ def test_final_hook_matches_oracle(engine_ix, oracle):
     r = mine.search_topk(Term("text", "bravo"), limit=10)
     assert r.docids.tolist() == [d for d, _ in ref]
     np.testing.assert_allclose(r.scores, [s for _, s in ref], rtol=1e-9)
+
+
+def test_raw_formula_functions_match_reference():
+    """bm25/dfree/pl2 module functions + constants (reference
+    scoring.py:266,337,388)."""
+    from whoosh import scoring as w_scoring
+
+    assert my_scoring.pi == pytest.approx(np.pi)
+    assert my_scoring.rec_log2_of_e == w_scoring.rec_log2_of_e
+    cases = [(1.7, 3.0, 12.0, 9.5, 0.75, 1.2), (2.0, 1.0, 4.0, 7.0, 0.6, 1.5)]
+    for idf, tf, fl, avgfl, B, K1 in cases:
+        assert my_scoring.bm25(idf, tf, fl, avgfl, B, K1) == pytest.approx(
+            w_scoring.bm25(idf, tf, fl, avgfl, B, K1))
+    for tf, cf, qf, dl, fl in [(3.0, 17.0, 1.0, 12.0, 900.0),
+                               (1.0, 2.0, 2.0, 5.0, 100.0)]:
+        assert my_scoring.dfree(tf, cf, qf, dl, fl) == pytest.approx(
+            w_scoring.dfree(tf, cf, qf, dl, fl))
+    for tf, cf, qf, dc, fl, avgfl, c in [(3.0, 17.0, 1.0, 50, 12.0, 9.5, 1.0),
+                                         (2.0, 9.0, 1.0, 100, 6.0, 8.0, 1.3)]:
+        assert my_scoring.pl2(tf, cf, qf, dc, fl, avgfl, c) == pytest.approx(
+            w_scoring.pl2(tf, cf, qf, dc, fl, avgfl, c))
+
+
+def test_legacy_weighting_compat(engine_ix, oracle):
+    """Subclassing scoring.Weighting with a per-document score()
+    (reference scoring.py:479-500) produces identical rankings; topk
+    falls back to the exhaustive path."""
+    from whoosh import scoring as w_scoring
+    from whoosh.query import Or as WOr
+    from whoosh.query import Term as WTerm
+
+    class MyW(my_scoring.Weighting):
+        def score(self, searcher, fieldname, text, docnum, weight):
+            return weight * ((docnum % 5) + 1)
+
+    class RefW(w_scoring.Weighting):
+        def score(self, searcher, fieldname, text, docnum, weight):
+            return weight * ((docnum % 5) + 1)
+
+    s = Searcher(engine_ix, weighting=MyW())
+    with oracle.searcher(weighting=RefW()) as os_:
+        for myq, refq in [
+            (Term("text", "alfa"), WTerm("text", "alfa")),
+            (Or([Term("text", "bravo"), Term("text", "echo")]),
+             WOr([WTerm("text", "bravo"), WTerm("text", "echo")])),
+        ]:
+            mine = [(int(d), float(sc)) for d, sc in s.search(myq, limit=None)]
+            ref = [(int(h.docnum), float(h.score))
+                   for h in os_.search(refq, limit=None)]
+            assert mine == pytest.approx(ref)
+            # pruned entry point agrees (falls back internally)
+            topk = s.search_topk(myq, limit=7)
+            assert [int(d) for d in topk.docids] == [d for d, _ in mine[:7]]
+
+
+def test_weight_length_scorer_base(engine_ix, oracle):
+    """A custom WeightLengthScorer (vectorized _score(weight, length))
+    matches the reference's scalar WeightLengthScorer subclass."""
+    from whoosh import scoring as w_scoring
+    from whoosh.query import Term as WTerm
+
+    class MyModel(my_scoring.WeightingModel):
+        def scorer(self, searcher, fieldname, text, qf=1):
+            return MyScorer()
+
+    class MyScorer(my_scoring.WeightLengthScorer):
+        def _score(self, weight, length):
+            return weight / length
+
+    class RefModel(w_scoring.WeightingModel):
+        def scorer(self, searcher, fieldname, text, qf=1):
+            sc = RefScorer.__new__(RefScorer)
+            sc.setup(searcher, fieldname, text)
+            return sc
+
+    class RefScorer(w_scoring.WeightLengthScorer):
+        def _score(self, weight, length):
+            return weight / length
+
+    s = Searcher(engine_ix, weighting=MyModel())
+    with oracle.searcher(weighting=RefModel()) as os_:
+        mine = [(int(d), float(sc))
+                for d, sc in s.search(Term("text", "charlie"), limit=None)]
+        ref = [(int(h.docnum), float(h.score))
+               for h in os_.search(WTerm("text", "charlie"), limit=None)]
+        assert [d for d, _ in mine] == [d for d, _ in ref]
+        np.testing.assert_allclose([x for _, x in mine],
+                                   [x for _, x in ref], rtol=1e-12)
+
+
+def test_debug_model_log(engine_ix, oracle):
+    """DebugModel logs (fieldname, text, docnum, weight, length) per
+    scored posting (reference scoring.py:228-260); same multiset."""
+    from whoosh import scoring as w_scoring
+    from whoosh.query import Or as WOr
+    from whoosh.query import Term as WTerm
+
+    dm, rdm = my_scoring.DebugModel(), w_scoring.DebugModel()
+    s = Searcher(engine_ix, weighting=dm)
+    with oracle.searcher(weighting=rdm) as os_:
+        mine = [(int(d), float(sc)) for d, sc in
+                s.search(Or([Term("text", "alfa"), Term("text", "delta")]),
+                         limit=None)]
+        ref = [(int(h.docnum), float(h.score)) for h in
+               os_.search(WOr([WTerm("text", "alfa"),
+                               WTerm("text", "delta")]), limit=None)]
+        assert mine == pytest.approx(ref)
+    # the reference logs the term as BYTES (its postings currency)
+    ref_log = [(f, t.decode() if isinstance(t, bytes) else t, d, w, ln)
+               for f, t, d, w, ln in rdm.log]
+    assert sorted(dm.log) == sorted(ref_log)

@@ -17,12 +17,24 @@ from whoosh_ray.functions.analysis import VectorAnalyzer
 from whoosh_ray.search.query import Or, Term
 
 
-class Bo1Model:
-    """classify.py:59-68."""
+class ExpansionModel:
+    """Expansion-model plug-point base (classify.py:42-56)."""
 
     def __init__(self, doc_count: int, field_length: int):
         self.N = doc_count
         self.collection_total = field_length
+        self.mean_length = (self.collection_total / self.N if self.N
+                            else 0)
+
+    def normalizer(self, maxweight, top_total):
+        raise NotImplementedError
+
+    def score(self, weight_in_top, weight_in_collection, top_total):
+        raise NotImplementedError
+
+
+class Bo1Model(ExpansionModel):
+    """classify.py:59-68."""
 
     def normalizer(self, maxweight, top_total):
         if not maxweight:
@@ -35,12 +47,8 @@ class Bo1Model:
         return weight_in_top * log((1.0 + f) / f, 2) + log(1.0 + f, 2)
 
 
-class Bo2Model:
+class Bo2Model(ExpansionModel):
     """classify.py:71-80."""
-
-    def __init__(self, doc_count: int, field_length: int):
-        self.N = doc_count
-        self.collection_total = field_length
 
     def normalizer(self, maxweight, top_total):
         if not self.collection_total:
@@ -53,12 +61,8 @@ class Bo2Model:
         return weight_in_top * log((1.0 + f) / f, 2) + log(1.0 + f, 2)
 
 
-class KLModel:
+class KLModel(ExpansionModel):
     """classify.py:83-99."""
-
-    def __init__(self, doc_count: int, field_length: int):
-        self.N = doc_count
-        self.collection_total = field_length
 
     def normalizer(self, maxweight, top_total):
         if not self.collection_total:
@@ -177,3 +181,133 @@ def more_like(searcher, docid: int, fieldname: str, text: str | None = None,
     from whoosh_ray.search.searcher import Results
 
     return Results(searcher, r.docids[keep][:top], r.scores[keep][:top])
+
+
+# ---- public analysis helpers the reference module exports ----
+# (classify.py:208-395: shingling, simhash fingerprints, 1-D k-means,
+# sliding-window clusters, variance utilities)
+
+
+def shingles(input, size: int = 2):
+    """(shingle, count) pairs over a sliding window (classify.py:208)."""
+    d: dict = defaultdict(int)
+    for i in range(len(input) - (size - 1)):
+        d[input[i:i + size]] += 1
+    return d.items()
+
+
+def _varhash(s: str, hashbits: int) -> int:
+    """Variable-width string hash (classify.py:238-252)."""
+    if s == "":
+        return 0
+    x = ord(s[0]) << 7
+    m = 1000003
+    mask = 2 ** hashbits - 1
+    for ch in s:
+        x = ((x * m) ^ ord(ch)) & mask
+    x ^= len(s)
+    if x == -1:
+        x = -2
+    return x
+
+
+def simhash(features, hashbits: int = 32) -> int:
+    """Charikar fingerprint of weighted features (classify.py:216-235).
+    NB at the default 32 bits the reference keys on Python's builtin
+    ``hash`` (process-salted for strings) — mirrored; pass another
+    width for the deterministic variable-width hash.  The distributed
+    SimHash pipeline (pipelines/dedup.py) uses SipHash instead."""
+    hashfn = hash if hashbits == 32 else (lambda s: _varhash(s, hashbits))
+    vs = [0] * hashbits
+    for feature, weight in features:
+        h = hashfn(feature)
+        for i in range(hashbits):
+            if h & (1 << i):
+                vs[i] += weight
+            else:
+                vs[i] -= weight
+    out = 0
+    for i, v in enumerate(vs):
+        if v > 0:
+            out |= 1 << i
+    return out
+
+
+def hamming_distance(first_hash: int, other_hash: int,
+                     hashbits: int = 32) -> int:
+    """Bit distance between fingerprints (classify.py:254-260)."""
+    x = (first_hash ^ other_hash) & ((1 << hashbits) - 1)
+    return int(bin(x).count("1"))
+
+
+def kmeans(data, k: int, t: float = 0.0001, distfun=None, maxiter: int = 50,
+           centers=None):
+    """1-D k-means (classify.py:265-334): returns (labels, centroids).
+    Vectorized lloyd steps; identical semantics — first-minimum label
+    ties, empty clusters keep their summed value, stop when the summed
+    squared error changes by < ``t`` or after ``maxiter`` passes.
+    Initial centroids are ``random.sample(data, k)`` when not given
+    (same seeding contract as the reference)."""
+    import random
+
+    arr = np.asarray(data, dtype=np.float64)
+    n = len(arr)
+    c = np.array(centers if centers else random.sample(list(data), k),
+                 dtype=np.float64)
+    error = 1.797693e308
+    niter = 0
+    labels = np.zeros(n, dtype=np.int64)
+    while True:
+        old_error = error
+        dist = (arr[:, None] - c[None, :]) ** 2
+        labels = np.argmin(dist, axis=1)  # first min wins, like strict <
+        error = float(dist[np.arange(n), labels].sum())
+        counts = np.bincount(labels, minlength=k)
+        sums = np.bincount(labels, weights=arr, minlength=k)
+        c = np.where(counts > 0, sums / np.maximum(counts, 1), sums)
+        niter += 1
+        if abs(error - old_error) < t or niter > maxiter:
+            break
+    return labels.tolist(), c.tolist()
+
+
+def two_pass_variance(data) -> float:
+    """Sample variance, two-pass (classify.py:337-352)."""
+    seq = list(data)
+    n = len(seq)
+    mean = sum(seq) / n
+    return sum((x - mean) ** 2 for x in seq) / (n - 1)
+
+
+def weighted_incremental_variance(data_weight_pairs) -> float:
+    """West's weighted incremental variance (classify.py:355-367)."""
+    mean = 0.0
+    s = 0.0
+    sumweight = 0.0
+    for x, weight in data_weight_pairs:
+        temp = weight + sumweight
+        q = x - mean
+        r = q * weight / temp
+        s += sumweight * q * r
+        mean += r
+        sumweight = temp
+    return s / (sumweight - 1)
+
+
+def swin(data, size):
+    """Sliding-window clusters over sorted 1-D data (classify.py:370-
+    383): (left, right, span, variance) tuples, widest-then-tightest
+    first."""
+    clusters = []
+    for i, left in enumerate(data):
+        j = i
+        right = data[j]
+        while j < len(data) - 1 and right - left < size:
+            j += 1
+            right = data[j]
+        v = 99999
+        if j - i > 1:
+            v = two_pass_variance(data[i:j + 1])
+        clusters.append((left, right, j - i, v))
+    clusters.sort(key=lambda x: (0 - x[2], x[3]))
+    return clusters

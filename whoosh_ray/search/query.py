@@ -331,7 +331,9 @@ class Term(Query):
         if p is None:
             return matching.empty()
         scorer = searcher.scorer(self.fieldname, self.text)
-        scores = scorer.score_array(p.score_weights, p.len_bytes)
+        from whoosh_ray.search.scoring import score_postings
+        scores = score_postings(scorer, p.docids, p.score_weights,
+                                p.len_bytes)
         if self.boost != 1.0:
             scores = scores * self.boost
         return p.docids, scores
@@ -1231,10 +1233,12 @@ class Ordered(Sequence):
         if not len(match_ids):
             return matching.empty()
         scores = np.zeros(len(match_ids), dtype=np.float64)
+        from whoosh_ray.search.scoring import score_postings
         for (_, w), p in zip(words, plists):
             scorer = searcher.scorer(f, w)
             idx = np.searchsorted(p.docids, match_ids)
-            scores += scorer.score_array(p.score_weights[idx], p.len_bytes[idx])
+            scores += score_postings(scorer, match_ids,
+                                     p.score_weights[idx], p.len_bytes[idx])
         if self.boost != 1.0:
             scores = scores * self.boost
         return match_ids, scores
@@ -1653,10 +1657,12 @@ class Phrase(Query):
             return matching.empty()
         # score: sum of term scores on the matching docs
         scores = np.zeros(len(match_ids), dtype=np.float64)
+        from whoosh_ray.search.scoring import score_postings
         for w, p in zip(self.words, plists):
             scorer = searcher.scorer(f, w)
             idx = np.searchsorted(p.docids, match_ids)
-            scores += scorer.score_array(p.score_weights[idx], p.len_bytes[idx])
+            scores += score_postings(scorer, match_ids,
+                                     p.score_weights[idx], p.len_bytes[idx])
         if self.boost != 1.0:
             scores = scores * self.boost
         return match_ids, scores

@@ -312,3 +312,149 @@ class FrequencyScorer(Scorer):
 
     def block_quality(self, max_weight, min_len_byte):
         return max_weight * self.boost
+
+
+# ---- public formula functions + legacy plug-points the reference
+# module exports (scoring.py:88-260,266-273,337-407,479-500) ----
+
+pi = np.pi
+rec_log2_of_e = 1.0 / log(2)
+
+
+def bm25(idf, tf, fl, avgfl, B, K1):
+    """Raw BM25 formula (scoring.py:266-273); numpy-broadcastable."""
+    return idf * ((tf * (K1 + 1)) / (tf + K1 * ((1 - B) + B * fl / avgfl)))
+
+
+def dfree(tf, cf, qf, dl, fl):
+    """Raw Terrier DFree formula (scoring.py:337-350)."""
+    prior = tf / dl
+    post = (tf + 1.0) / (dl + 1.0)
+    invpriorcol = fl / cf
+    norm = tf * np.log(post / prior)
+    return qf * norm * (tf * (np.log(prior * invpriorcol))
+                        + (tf + 1.0) * (np.log(post * invpriorcol))
+                        + 0.5 * np.log(post / prior))
+
+
+def pl2(tf, cf, qf, dc, fl, avgfl, c):
+    """Raw Terrier PL2 formula (scoring.py:388-404)."""
+    TF = tf * np.log(1.0 + (c * avgfl) / fl)
+    norm = 1.0 / (TF + 1.0)
+    f = cf / dc
+    return norm * qf * (TF * np.log(1.0 / f)
+                        + f * rec_log2_of_e
+                        + 0.5 * np.log(2 * pi * TF)
+                        + TF * (np.log(TF) - rec_log2_of_e))
+
+
+# the reference's scorer base name (scoring.py:88); our vectorized
+# Scorer plays that role
+BaseScorer = Scorer
+
+
+class WeightLengthScorer(Scorer):
+    """Base for custom scorers whose score depends only on (weight,
+    field length) — override ``_score(weight, length)`` with
+    numpy-broadcastable ops (reference scoring.py:167-225, vectorized:
+    one call per posting array instead of per posting)."""
+
+    def score_array(self, tfs, len_bytes):
+        return np.asarray(
+            self._score(tfs.astype(np.float64),
+                        byte_to_length(len_bytes).astype(np.float64)),
+            dtype=np.float64)
+
+    def _score(self, weight, length):
+        raise NotImplementedError
+
+    def max_quality(self):
+        return float("inf")
+
+    def block_quality(self, max_weight, min_len_byte):
+        return float("inf")
+
+
+def score_postings(scorer, docids, tfs, len_bytes):
+    """Dispatch helper: scorers that need document ids (legacy
+    ``Weighting`` compat, DebugScorer) get them; vectorized scorers
+    keep the two-array fast path."""
+    if getattr(scorer, "needs_docids", False):
+        return scorer.score_array_docids(docids, tfs, len_bytes)
+    return scorer.score_array(tfs, len_bytes)
+
+
+class Weighting(WeightingModel):
+    """Back-compat per-document scoring plug-point (reference
+    scoring.py:479-500): subclass and override
+    ``score(searcher, fieldname, text, docnum, weight)``.  Inherently
+    per-document Python — queries run the exhaustive path (no pruning
+    bounds), and each posting costs a callback; prefer
+    :class:`FunctionWeighting` / :class:`WeightLengthScorer` for
+    vectorized custom scoring."""
+
+    needs_docids = True  # Searcher.search_topk falls back to search()
+
+    def scorer(self, searcher, fieldname, text, qf=1):
+        return CompatibilityScorer(searcher, fieldname, text, self.score)
+
+    def score(self, searcher, fieldname, text, docnum, weight):
+        raise NotImplementedError
+
+
+class CompatibilityScorer(Scorer):
+    needs_docids = True
+
+    def __init__(self, searcher, fieldname, text, scoremethod):
+        self.searcher = searcher
+        self.fieldname = fieldname
+        self.text = text
+        self.scoremethod = scoremethod
+
+    def score_array_docids(self, docids, tfs, len_bytes):
+        sm, s, f, t = (self.scoremethod, self.searcher, self.fieldname,
+                       self.text)
+        return np.array([sm(s, f, t, int(d), float(w))
+                         for d, w in zip(docids, tfs)], dtype=np.float64)
+
+    def max_quality(self):
+        return float("inf")
+
+    def block_quality(self, max_weight, min_len_byte):
+        return float("inf")
+
+
+class DebugModel(WeightingModel):
+    """Logs every scored posting as (fieldname, text, docnum, weight,
+    length) and scores raw weight (reference scoring.py:228-260)."""
+
+    needs_docids = True
+
+    def __init__(self):
+        self.log = []
+
+    def scorer(self, searcher, fieldname, text, qf=1):
+        return DebugScorer(searcher, fieldname, text, self.log)
+
+
+class DebugScorer(Scorer):
+    needs_docids = True
+
+    def __init__(self, searcher, fieldname, text, log):
+        self.fieldname = fieldname
+        self.text = text
+        self.log = log
+
+    def score_array_docids(self, docids, tfs, len_bytes):
+        w = tfs.astype(np.float64)
+        lens = byte_to_length(len_bytes)
+        self.log.extend(
+            (self.fieldname, self.text, int(d), float(wt), int(ln))
+            for d, wt, ln in zip(docids, w, lens))
+        return w
+
+    def max_quality(self):
+        return float("inf")
+
+    def block_quality(self, max_weight, min_len_byte):
+        return float("inf")

@@ -1200,8 +1200,11 @@ class Searcher:
 
         if limit is None:
             return self.search(q, None)
-        if getattr(self.weighting, "use_final", False):
-            # final() breaks the score bounds pruning relies on
+        if (getattr(self.weighting, "use_final", False)
+                or getattr(self.weighting, "needs_docids", False)):
+            # final() breaks the score bounds pruning relies on;
+            # docid-coupled scorers (legacy Weighting compat, Debug)
+            # have no bounds at all
             return self.search(q, limit)
         self._eval_cache.clear()
         self._global_cache.clear()

@@ -190,9 +190,11 @@ def test_correct_query(engine):
     from whoosh_ray.search.query import And, Term
 
     q = And([Term("text", "deplou"), Term("text", "render")])
-    fixed, changes = engine.correct_query(q)
-    assert changes and changes[0][0] == "text" and changes[0][1] == "deplou"
-    r = engine.search(fixed, limit=5)
+    c = engine.correct_query(q)
+    assert [(t.fieldname, t.original) for t in c.tokens] == [("text",
+                                                              "deplou")]
+    assert c.string == ""  # no qstring given
+    r = engine.search(c.query, limit=5)
     assert len(r) > 0
 
 
@@ -523,11 +525,13 @@ def test_correct_query_phrases(engine):
     from whoosh_ray.state.schema import transcripts_schema
 
     p = QueryParser("text", transcripts_schema())
-    q, changes = engine.correct_query(p.parse('"deploi rendor"'))
-    assert isinstance(q, Phrase)
-    assert q.words == ["deploy", "render"]
-    assert [(o, n) for _, o, n in changes] == [("deploi", "deploy"),
-                                               ("rendor", "render")]
+    qs = '"deploi rendor"'
+    c = engine.correct_query(p.parse(qs), qs)
+    assert isinstance(c.query, Phrase)
+    assert c.query.words == ["deploy", "render"]
+    assert [(t.original, t.text) for t in c.tokens] == [
+        ("deploi", "deploy"), ("rendor", "render")]
+    assert c.string == '"deploy render"'
 
 
 def test_null_formatter_matches_reference(engine, oracle):
@@ -734,3 +738,37 @@ def test_highlight_module_public_names():
     assert myh.get_text("x deploy y", tok, True) == "deploy"
     assert myh.mkfrag is myh._mkfrag
     assert myh.Fragmenter().must_retokenize()
+
+
+def test_correct_query_string_matches_reference(engine, oracle):
+    """Correction.query/.string/.format_string parity with the
+    reference on shared-corpus misspellings (searching.py:820-931 +
+    spelling.py:178-344): parser-recorded char spans splice the
+    corrected words back into the user's string."""
+    from whoosh import highlight as wh
+    from whoosh.qparser import QueryParser as WQP
+
+    from whoosh_ray.search import highlight as myh
+    from whoosh_ray.search.qparser import QueryParser as MyQP
+
+    myp = MyQP("text", engine.schema)
+    with oracle.searcher() as s:
+        wp = WQP("text", oracle.schema)
+        for qs in ['deplou AND rendor', 'mary "deploi rendor"',
+                   'text:deploi extra', 'clustre^2 deploy',
+                   '(deplou OR rendor) batch', 'NOT deplou render']:
+            mc = engine.correct_query(myp.parse(qs), qs)
+            rc = s.correct_query(wp.parse(qs), qs)
+            assert mc.string == rc.string, (qs, mc.string, rc.string)
+            assert repr(mc.query.normalize()) != ""  # well-formed
+            got = mc.format_string(myh.UppercaseFormatter())
+            want = rc.format_string(wh.UppercaseFormatter())
+            assert got == want, (qs, got, want)
+            got_html = mc.format_string(myh.HtmlFormatter(classname="change"))
+            want_html = rc.format_string(wh.HtmlFormatter(classname="change"))
+            assert got_html == want_html, (qs, got_html, want_html)
+            # corrected tokens carry (original, corrected, span) parity
+            assert ([(t.fieldname, t.original, t.text, t.startchar,
+                      t.endchar) for t in mc.tokens]
+                    == [(t.fieldname, t.original, t.text, t.startchar,
+                         t.endchar) for t in rc.tokens]), qs

@@ -263,3 +263,96 @@ class MultiCorrector(Corrector):
                 seen[sug] = (self.op(seen[sug], score) if sug in seen
                              else score)
         return ((score, sug) for sug, score in seen.items())
+
+
+# ---- query correction objects (reference spelling.py:178-344) ----
+
+
+class Correction:
+    """The corrected form of a user query (reference spelling.py:
+    178-240): ``query``/``string`` corrected, ``original_query``/
+    ``original_string`` as given, ``tokens`` the corrected word tokens
+    (with ``original`` text and original-string char spans).
+    ``format_string(formatter)`` splices the corrections back into the
+    original string via the formatter's replace mode."""
+
+    def __init__(self, q, qstring, corr_q, tokens):
+        self.original_query = q
+        self.query = corr_q
+        self.original_string = qstring
+        self.tokens = tokens
+        if self.original_string:
+            from whoosh_ray.search.highlight import NullFormatter
+
+            self.string = self.format_string(NullFormatter())
+        else:
+            self.string = ""
+
+    def __repr__(self):
+        return "%s(%r, %r)" % (self.__class__.__name__, self.query,
+                               self.string)
+
+    def format_string(self, formatter):
+        if not self.original_string:
+            return ""
+        if isinstance(formatter, type):
+            formatter = formatter()
+        from whoosh_ray.search.highlight import Fragment
+
+        fragment = Fragment(self.original_string, self.tokens, 0,
+                            len(self.original_string))
+        return formatter.format_fragment(fragment, replace=True)
+
+
+class QueryCorrector:
+    """Plug-point base (reference spelling.py:243-267)."""
+
+    def __init__(self, fieldname):
+        self.fieldname = fieldname
+
+    def correct_query(self, q, qstring) -> Correction:
+        raise NotImplementedError
+
+    def field(self):
+        return self.fieldname
+
+
+class SimpleQueryCorrector(QueryCorrector):
+    """Corrects the terms in ``terms`` using per-field ``correctors``,
+    taking each word's FIRST suggestion (reference spelling.py:270-344).
+    Token char spans come from the parsed query, so the corrected
+    string splices exactly; tokens without spans correct the query but
+    not the string."""
+
+    def __init__(self, correctors, terms, aliases=None, prefix: int = 0,
+                 maxdist: int = 2):
+        self.correctors = correctors
+        self.aliases = aliases or {}
+        self.termset = frozenset(terms)
+        self.prefix = prefix
+        self.maxdist = maxdist
+
+    def correct_query(self, q, qstring) -> Correction:
+        correctors = self.correctors
+        aliases = self.aliases
+        termset = self.termset
+        corrected_tokens = []
+        corrected_q = q
+        # Query.replace returns copies, so no deepcopy needed — but
+        # token ORDER (position in the string) must be preserved for
+        # the formatter, hence a list, not a set
+        for token in q.all_tokens():
+            fname = token.fieldname
+            aname = aliases.get(fname, fname)
+            if (fname, token.text) in termset:
+                c = correctors[aname]
+                sugs = c.suggest(token.text, prefix=self.prefix,
+                                 maxdist=self.maxdist)
+                if sugs:
+                    sug = sugs[0]
+                    corrected_q = corrected_q.replace(token.fieldname,
+                                                      token.text, sug)
+                    token.original = token.text
+                    token.text = sug
+                    corrected_tokens.append(token)
+        return Correction(q, qstring, corrected_q, corrected_tokens)

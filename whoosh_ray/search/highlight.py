@@ -34,6 +34,9 @@ class Token:
     endchar: int
     matched: bool = False
     boost: float = 1.0
+    # set on query-derived tokens (Query.tokens/all_tokens); analysis
+    # tokens leave it None
+    fieldname: str | None = None
 
 
 @dataclass
@@ -446,10 +449,13 @@ class Formatter:
     def _text(self, text):
         return text
 
-    def format_token(self, text, token):
+    def format_token(self, text, token, replace=False):
         raise NotImplementedError
 
-    def format_fragment(self, fragment: Fragment) -> str:
+    def format_fragment(self, fragment: Fragment, replace=False) -> str:
+        """``replace=True`` renders each match's ``token.text`` instead
+        of the original slice (the Correction.format_string currency,
+        reference highlight.py:683-723)."""
         output = []
         index = fragment.startchar
         text = fragment.text
@@ -458,7 +464,7 @@ class Formatter:
                 continue
             if t.startchar > index:
                 output.append(self._text(text[index:t.startchar]))
-            output.append(self.format_token(text, t))
+            output.append(self.format_token(text, t, replace))
             index = t.endchar
         output.append(self._text(text[index:fragment.endchar]))
         return "".join(output)
@@ -471,13 +477,13 @@ class NullFormatter(Formatter):
     """Returns matched fragments without marking the hits (reference
     highlight.py:726-731)."""
 
-    def format_token(self, text, token):
-        return text[token.startchar:token.endchar]
+    def format_token(self, text, token, replace=False):
+        return get_text(text, token, replace)
 
 
 class UppercaseFormatter(Formatter):
-    def format_token(self, text, token):
-        return text[token.startchar:token.endchar].upper()
+    def format_token(self, text, token, replace=False):
+        return get_text(text, token, replace).upper()
 
 
 class HtmlFormatter(Formatter):
@@ -499,12 +505,12 @@ class HtmlFormatter(Formatter):
     def _text(self, text):
         return htmlescape(text, quote=False)
 
-    def format_token(self, text, token):
+    def format_token(self, text, token, replace=False):
         # parity: classes are keyed by the DISPLAYED (original-case) text,
         # so "Deploy" and "deploy" get different term classes, and the
         # mapping persists across hits of one result set (highlight.py:802-813)
         seen = self.seen
-        ttext = self._text(text[token.startchar:token.endchar])
+        ttext = self._text(get_text(text, token, replace))
         if ttext in seen:
             termnum = seen[ttext]
         else:

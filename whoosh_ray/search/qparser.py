@@ -63,6 +63,31 @@ _RANGE_BODY = re.compile(r"""
 _OPS = {"AND", "OR", "NOT", "ANDNOT", "ANDMAYBE", "REQUIRE"}
 
 
+class SpannedStr(str):
+    """Lexed token text carrying its (startchar, endchar) in the
+    original query string — feeds Term.startchar/endchar so
+    Correction.format_string can splice corrected words back into the
+    user's string (the reference parser's node char positions,
+    qparser/syntax.py node r/startchar plumbing)."""
+
+    span: tuple[int, int] | None = None
+
+    @classmethod
+    def make(cls, s, start: int, end: int) -> "SpannedStr":
+        v = cls(s)
+        v.span = (start, end)
+        return v
+
+
+def _subspan(val, start: int, stop: int):
+    """Slice ``val`` keeping an adjusted span when it carries one."""
+    s = str(val)[start:stop]
+    sp = getattr(val, "span", None)
+    if sp is None:
+        return s
+    return SpannedStr.make(s, sp[0] + start, sp[0] + stop)
+
+
 class QueryParser:
     """``plugins`` enables the optional reference plugins
     (qparser/plugins.py:89-1293 subset):
@@ -157,7 +182,8 @@ class QueryParser:
                     yield ("word", head)
                     yield ("phrase", (None, m.group("rbody"), 1))
             elif m.group("quoted") is not None:
-                yield ("phrase", (m.group("qfield"), m.group("qbody"),
+                body = SpannedStr.make(m.group("qbody"), *m.span("qbody"))
+                yield ("phrase", (m.group("qfield"), body,
                                   int(m.group("slop") or 1)))
             elif m.group("fieldsq") is not None:
                 yield ("word", m.group("fieldsq"))
@@ -172,9 +198,9 @@ class QueryParser:
                     # whitespace ((?<=\s)OP(?=\s), plugins.py:925-930) —
                     # elsewhere the word is a plain term ("ANDNOT deploy"
                     # = And([andnot, deploy]))
-                    yield ("wordlit", val)
+                    yield ("wordlit", SpannedStr.make(val, *m.span("word")))
                 else:
-                    yield ("word", val)
+                    yield ("word", SpannedStr.make(val, *m.span("word")))
 
     @staticmethod
     def _op_context_ok(text: str, m) -> bool:
@@ -224,7 +250,7 @@ class QueryParser:
             if ("plusminus" in self.plugins and kind == "word"
                     and len(val) > 1 and val[0] in "+-"):
                 sign = val[0]
-                val = val[1:]
+                val = _subspan(val, 1, len(val))
             q = self._leaf(kind, val)
             i += 1
             if q is not None:
@@ -449,7 +475,7 @@ class QueryParser:
         boost = 1.0
         bm = re.match(r"^(.*)\^(\d+(?:\.\d+)?)$", text)
         if bm and bm.group(1):
-            text = bm.group(1)
+            text = _subspan(text, 0, len(bm.group(1)))
             boost = float(bm.group(2))
             q = self._leaf(kind, text)
             return _with_boost(q, boost) if isinstance(q, Query) and not isinstance(q, _NullQuery) else q
@@ -461,11 +487,12 @@ class QueryParser:
         if m and (m.group(1) in fieldnames or m.group(1) in self.aliases
                   or m.group(1) in self.datefields):
             field = self.aliases.get(m.group(1), m.group(1))
-            text = m.group(2)
+            text = _subspan(text, m.start(2), len(text))
             if field in self.datefields:
                 return self._make_date(field, text)
             if text.startswith('"') and text.endswith('"') and len(text) > 1:
-                return self._make_phrase(field, text[1:-1], 1)
+                return self._make_phrase(field,
+                                         _subspan(text, 1, len(text) - 1), 1)
             if text.startswith("[") or text.startswith("{"):
                 return self._make_range(field, text)
         if "gtlt" in self.plugins:
@@ -559,7 +586,11 @@ class QueryParser:
         if not words:
             return _NullQuery()
         if len(words) == 1:
-            return Term(field, words[0])
+            t = Term(field, words[0])
+            chars = self._token_chars(field, text)
+            if chars and len(chars) == 1:
+                t.startchar, t.endchar = chars[0]
+            return t
         spec = next((f for f in self.schema.fields if f.name == field),
                     None)
         if spec is not None and spec.analyzer.ngram is not None:
@@ -574,6 +605,34 @@ class QueryParser:
         # identically to boosting the group)
         return And([Term(field, w) for w in words])
 
+    def _token_chars(self, field, text):
+        """Absolute (startchar, endchar) per surviving query token, when
+        the lexer recorded the token's span and the field's chain can
+        carry char offsets; None otherwise.  Feeds Term.startchar /
+        Phrase.char_ranges for Correction string splicing — the
+        reference parser's equivalent plumbing runs the analyzer with
+        chars=True offset by the word position (default.py
+        process_text)."""
+        sp = getattr(text, "span", None)
+        if sp is None:
+            return None
+        base = sp[0]
+        try:
+            tb = self._analyzers[field]([str(text)], with_chars=True)
+        except (ValueError, TypeError):
+            tb = None
+        if tb is None or tb.startchars is None:
+            # chars-less analyzer path (ID fields, restructuring
+            # chains): a single whole-word token spans the word itself
+            if tb is None:
+                tb = self._analyzers[field]([str(text)])
+            n = int(tb.row_lengths[0]) if len(tb.row_lengths) else 0
+            if n == 1:
+                return [(base, base + len(str(text)))]
+            return None
+        return [(base + int(s), base + int(e))
+                for s, e in zip(tb.startchars, tb.endchars)]
+
     def _make_phrase(self, field, body, slop) -> Query | None:
         words = self._analyzers[field].token_lists([body])[0]
         if not words:
@@ -584,9 +643,17 @@ class QueryParser:
             # so '"the the" ANDNOT x' is Null while 'the ANDNOT x' is x
             # (syntax.py:351-366 + Phrase.normalize).
             return Phrase(field, [], slop=slop)
+        chars = self._token_chars(field, body)
+        if chars is not None and len(chars) != len(words):
+            chars = None
         if len(words) == 1:
-            return Term(field, words[0])
-        return Phrase(field, words, slop=slop)
+            t = Term(field, words[0])
+            if chars:
+                t.startchar, t.endchar = chars[0]
+            return t
+        p = Phrase(field, words, slop=slop)
+        p.char_ranges = chars
+        return p
 
     def _make_range(self, field, text) -> Query:
         startexcl = text[0] == "{"

@@ -282,6 +282,22 @@ class Query:
         """Iterator of matching docnums (qcore.py:535-548)."""
         return iter(searcher.docs_for_query(self))
 
+    def tokens(self, boost: float = 1.0, exreader=None):
+        """Token objects for the terms this leaf searches, carrying
+        startchar/endchar when the query came from the parser
+        (qcore.py:456-486); non-term leaves yield nothing."""
+        return iter(())
+
+    def all_tokens(self, boost: float = 1.0):
+        """All term tokens in the tree, boosts multiplied down
+        (qcore.py:438-454)."""
+        if self.is_leaf():
+            yield from self.tokens(boost)
+        else:
+            boost *= getattr(self, "boost", 1.0)
+            for child in self.children():
+                yield from child.all_tokens(boost)
+
     def deletion_docs(self, searcher):
         """Docnums for delete_by_query (qcore.py:550-560; forwards to
         ``docs`` — special queries may override)."""
@@ -309,8 +325,20 @@ class Term(Query):
     text: str
     boost: float = 1.0
 
+    # original-query char span, set by the parser on single-token words
+    # (reference terms.py:89-92; None on hand-built or multi-token
+    # queries).  NOT part of structural equality, like the reference.
+    startchar = None
+    endchar = None
+
     def terms(self):
         return [(self.fieldname, self.text)]
+
+    def tokens(self, boost: float = 1.0, exreader=None):
+        from whoosh_ray.search.highlight import Token
+
+        yield Token(self.text, self.startchar, self.endchar,
+                    boost=boost * self.boost, fieldname=self.fieldname)
 
     def has_terms(self):
         return True
@@ -351,6 +379,13 @@ def _scale_boost(q: "Query", mult: float) -> "Query":
     return q2
 
 
+# original-string char positions are presentation metadata, NOT query
+# identity: the reference's __eq__/__hash__ compare (class, fieldname,
+# text, boost) only (terms.py:54-84), so 'deploy deploy' still dedups
+# at normalize even though the two terms carry different spans
+_QKEY_SKIP = frozenset({"startchar", "endchar", "char_ranges"})
+
+
 def _qkey(v):
     """Structural identity key used by normalize's duplicate
     elimination — mirrors the reference queries' field-wise
@@ -358,7 +393,8 @@ def _qkey(v):
     significant)."""
     if isinstance(v, Query):
         return (type(v).__name__,
-                tuple((k, _qkey(x)) for k, x in sorted(vars(v).items())))
+                tuple((k, _qkey(x)) for k, x in sorted(vars(v).items())
+                      if k not in _QKEY_SKIP))
     if isinstance(v, (list, tuple)):
         return tuple(_qkey(x) for x in v)
     if isinstance(v, (set, frozenset)):
@@ -1561,6 +1597,9 @@ class Phrase(Query):
     term positions within [1, slop]).  Scores the sum of the constituent
     terms' scores on matching docs (oracle-pinned)."""
 
+    # per-word original-query char spans, parser-set (positional.py:174)
+    char_ranges = None
+
     def __init__(self, fieldname: str, words: list[str], slop: int = 1,
                  boost: float = 1.0):
         self.fieldname = fieldname
@@ -1570,6 +1609,31 @@ class Phrase(Query):
 
     def has_terms(self):
         return True  # positional.py:166-167
+
+    def tokens(self, boost: float = 1.0, exreader=None):
+        from whoosh_ray.search.highlight import Token
+
+        char_ranges = self.char_ranges
+        startchar = endchar = None
+        for i, word in enumerate(self.words):
+            if char_ranges:
+                startchar, endchar = char_ranges[i]
+            yield Token(word, startchar, endchar,
+                        boost=boost * self.boost,
+                        fieldname=self.fieldname)
+
+    def replace(self, fieldname, oldtext, newtext):
+        import copy as _copy
+
+        q = _copy.copy(self)
+        if q.fieldname == fieldname:
+            for i, word in enumerate(q.words):
+                if word == oldtext:
+                    # NB the shallow copy SHARES the words list, so the
+                    # original query's words mutate too — the reference
+                    # does exactly this (positional.py:198-204); pinned
+                    q.words[i] = newtext
+        return q
 
     def replace(self, fieldname, oldtext, newtext):
         # positional.py:198-204 (every matching word swapped in place)
@@ -1597,8 +1661,11 @@ class Phrase(Query):
         if len(self.words) == 1:
             return Term(self.fieldname, self.words[0])
         words = [w for w in self.words if w is not None]
-        return Phrase(self.fieldname, words, slop=self.slop,
-                      boost=self.boost)
+        p = Phrase(self.fieldname, words, slop=self.slop,
+                   boost=self.boost)
+        if self.char_ranges and len(words) == len(self.words):
+            p.char_ranges = self.char_ranges
+        return p
 
     def terms(self):
         return [(self.fieldname, w) for w in self.words]

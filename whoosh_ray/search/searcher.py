@@ -1264,56 +1264,40 @@ class Searcher:
         best.sort(key=lambda x: (0 - x[0], x[1]))
         return [w for _, w in best]
 
-    def correct_query(self, q: Query, prefix: int = 0, maxdist: int = 2):
-        """Replace unknown Term texts with their top suggestion
-        (searching.py:820-931 / spelling.py:243-344 behavior on the query
-        tree; string splicing is left to the caller).  Returns
-        (corrected_query, [(fieldname, old, new), ...])."""
-        import copy
+    def correct_query(self, q: Query, qstring: str | None = None,
+                      correctors: dict | None = None, terms=None,
+                      maxdist: int = 2, prefix: int = 0,
+                      aliases: dict | None = None):
+        """Corrected version of a user query (reference
+        searching.py:820-931): by default every query term missing from
+        the index is replaced by its field corrector's first
+        suggestion.  Returns a :class:`~whoosh_ray.functions.spelling.
+        Correction` — ``.query`` is the corrected tree, ``.string``
+        splices the corrections into ``qstring`` using the parser's
+        recorded char spans, ``.format_string(formatter)`` renders them
+        marked up."""
+        from whoosh_ray.functions.spelling import SimpleQueryCorrector
 
-        from whoosh_ray.search.query import Phrase as _Phrase
-        from whoosh_ray.search.query import Term as _Term
-
-        changes: list[tuple[str, str, str]] = []
-
-        def fix(node):
-            if isinstance(node, _Phrase):
-                # phrase words correct individually (the reference's
-                # SimpleQueryCorrector tokens include quoted words)
-                new_words, changed = [], False
-                for w in node.words:
-                    if self.doc_frequency(node.fieldname, w) == 0:
-                        sugs = self.suggest(node.fieldname, w, limit=1,
-                                            maxdist=maxdist, prefix=prefix)
-                        if sugs:
-                            changes.append((node.fieldname, w, sugs[0]))
-                            new_words.append(sugs[0])
-                            changed = True
-                            continue
-                    new_words.append(w)
-                if changed:
-                    node = copy.copy(node)
-                    node.words = new_words
-                return node
-            if isinstance(node, _Term):
-                if self.doc_frequency(node.fieldname, node.text) == 0:
-                    sugs = self.suggest(node.fieldname, node.text,
-                                        limit=1, maxdist=maxdist,
-                                        prefix=prefix)
-                    if sugs:
-                        changes.append((node.fieldname, node.text, sugs[0]))
-                        return _Term(node.fieldname, sugs[0], node.boost)
-                return node
-            node = copy.copy(node)
-            if hasattr(node, "subqueries"):
-                node.subqueries = [fix(c) for c in node.subqueries]
-            for attr in ("a", "b", "subquery"):
-                child = getattr(node, attr, None)
-                if isinstance(child, Query):
-                    setattr(node, attr, fix(child))
-            return node
-
-        return fix(q), changes
+        reader = self.reader()
+        aliases = aliases or {}
+        correctors = {aliases.get(f, f): c
+                      for f, c in (correctors or {}).items()}
+        for spec in self.schema.fields:
+            fieldname = aliases.get(spec.name, spec.name)
+            if fieldname not in correctors:
+                correctors[fieldname] = reader.corrector(fieldname)
+        if terms is None:
+            terms = []
+            for token in q.all_tokens():
+                aname = aliases.get(token.fieldname, token.fieldname)
+                if (aname in correctors
+                        and (aname, token.text) not in reader):
+                    # keep the ORIGINAL fieldname so the replace hits
+                    # the query's own nodes (searching.py:924)
+                    terms.append((token.fieldname, token.text))
+        sqc = SimpleQueryCorrector(correctors, terms, aliases,
+                                   maxdist=maxdist, prefix=prefix)
+        return sqc.correct_query(q, qstring)
 
     def key_terms(self, docids, fieldname: str, numterms: int = 5,
                   **kwargs):

@@ -181,8 +181,12 @@ def language_analyzer(lang: str) -> AnalyzerSpec:
 
     lang = LANG_ALIASES.get(lang, lang)
     has_stop = lang in STOPLISTS
+    # the reference builds StopFilter(lang=lang), whose stoplist=
+    # STOP_WORDS default stays in place and the language list is
+    # ADDED (filters.py:271-288) — so English stopwords drop too
     return AnalyzerSpec(
-        stopwords=frozenset(STOPLISTS[lang]) if has_stop else None,
+        stopwords=(frozenset(STOPLISTS[lang]) | STOP_WORDS) if has_stop
+        else None,
         minsize=2 if has_stop else 0,
         lang=lang if lang in STEMMERS else None)
 
@@ -691,3 +695,122 @@ class VectorAnalyzer:
             if not np.array_equal(w, out["tfs"].astype(np.float64)):
                 out["weights"] = w
         return out
+
+
+# ---- reference-named analyzer factories (analyzers.py:117-296,
+# ngrams.py:223-237): each returns an AnalyzerSpec so schemas written
+# against the reference API port by changing only the import ----
+
+
+def _pat(expression) -> str:
+    return getattr(expression, "pattern", expression)
+
+
+def IDAnalyzer(lowercase: bool = False) -> AnalyzerSpec:
+    return AnalyzerSpec(pattern=None, stopwords=None, minsize=0,
+                        lowercase=lowercase)
+
+
+def KeywordAnalyzer(lowercase: bool = False,
+                    commas: bool = False) -> AnalyzerSpec:
+    if commas:
+        return AnalyzerSpec(pattern=r"[^,]+", lowercase=lowercase,
+                            stopwords=None, minsize=0, strip=True)
+    return AnalyzerSpec(pattern=r"[^ \t\r\n]+", lowercase=lowercase,
+                        stopwords=None, minsize=0)
+
+
+def RegexAnalyzer(expression: str = r"\w+(?:\.?\w+)*",
+                  gaps: bool = False) -> AnalyzerSpec:
+    """Tokenizer only — no case folding (analyzers.py:149-153).  NB the
+    reference default spells the pattern with a CAPTURING group (the
+    matched text is the same); the vectorized tokenizer extracts whole
+    matches, so pass non-capturing groups in custom patterns."""
+    return AnalyzerSpec(pattern=_pat(expression), gaps=gaps,
+                        lowercase=False, stopwords=None, minsize=0)
+
+
+def SimpleAnalyzer(expression: str = r"\w+(?:\.?\w+)*",
+                   gaps: bool = False) -> AnalyzerSpec:
+    return AnalyzerSpec(pattern=_pat(expression), gaps=gaps,
+                        stopwords=None, minsize=0)
+
+
+def StandardAnalyzer(expression: str = r"\w+(?:\.?\w+)*",
+                     stoplist=STOP_WORDS, minsize: int = 2,
+                     maxsize: int | None = None,
+                     gaps: bool = False) -> AnalyzerSpec:
+    if stoplist is None:
+        return AnalyzerSpec(pattern=_pat(expression), gaps=gaps,
+                            stopwords=None, minsize=0)
+    return AnalyzerSpec(pattern=_pat(expression), gaps=gaps,
+                        stopwords=frozenset(stoplist), minsize=minsize,
+                        maxsize=maxsize)
+
+
+def StemmingAnalyzer(expression: str = r"\w+(?:\.?\w+)*",
+                     stoplist=STOP_WORDS, minsize: int = 2,
+                     maxsize: int | None = None, gaps: bool = False,
+                     stemfn=None, ignore=None,
+                     cachesize: int = 50000) -> AnalyzerSpec:
+    """``stemfn`` accepts the chain names ("porter", "porter2",
+    "lovins", "paicehusk") or None for the default porter; arbitrary
+    callables aren't expressible in a spec — pass a name."""
+    base = StandardAnalyzer(expression, stoplist, minsize, maxsize, gaps)
+    if stemfn is None and ignore is None:
+        import dataclasses as _dc
+
+        return _dc.replace(base, stem=True)
+    name = stemfn or "porter"
+    if not isinstance(name, str):
+        raise TypeError("StemmingAnalyzer(stemfn=) takes a stemmer NAME "
+                        "('porter'/'porter2'/'lovins'/'paicehusk'); "
+                        "arbitrary callables aren't spec-expressible")
+    chain = [("tokenizer", (_pat(expression), gaps)), ("lowercase", ())]
+    if stoplist is not None:
+        chain.append(("stop", (tuple(sorted(stoplist)), minsize,
+                               maxsize, True)))
+    chain.append(("stemfn", (name, tuple(sorted(ignore or ())),
+                             cachesize)))
+    return AnalyzerSpec(chain=tuple(chain))
+
+
+def FancyAnalyzer(expression: str = r"\s+", stoplist=STOP_WORDS,
+                  minsize: int = 2, maxsize: int | None = None,
+                  gaps: bool = True, splitwords: bool = True,
+                  splitnums: bool = True, mergewords: bool = False,
+                  mergenums: bool = False) -> AnalyzerSpec:
+    return AnalyzerSpec(chain=(
+        ("tokenizer", (_pat(expression), gaps)),
+        ("intraword", ("-_'\"()!@#$%^&*[]{}<>\\|;:,./?`~=+",
+                       splitwords, splitnums, mergewords, mergenums)),
+        ("lowercase", ()),
+        ("stop", (tuple(sorted(stoplist)) if stoplist is not None
+                  else (), minsize, maxsize, True)),
+    ))
+
+
+def LanguageAnalyzer(lang: str, expression: str = r"\w+(?:\.?\w+)*",
+                     gaps: bool = False,
+                     cachesize: int = 50000) -> AnalyzerSpec:
+    import dataclasses as _dc
+
+    return _dc.replace(language_analyzer(lang), pattern=_pat(expression),
+                       gaps=gaps)
+
+
+def NgramAnalyzer(minsize: int, maxsize: int | None = None) -> AnalyzerSpec:
+    return AnalyzerSpec(stopwords=None, minsize=0,
+                        ngram=(minsize, maxsize or minsize),
+                        ngram_mode="text")
+
+
+def NgramWordAnalyzer(minsize: int, maxsize: int | None = None,
+                      tokenizer=None, at=None) -> AnalyzerSpec:
+    if tokenizer is not None or at is not None:
+        raise TypeError("NgramWordAnalyzer custom tokenizer/at trimming "
+                        "aren't spec-expressible; use AnalyzerSpec "
+                        "directly")
+    return AnalyzerSpec(stopwords=None, minsize=0,
+                        ngram=(minsize, maxsize or minsize),
+                        ngram_mode="words")

@@ -1,0 +1,237 @@
+"""Reference-compatible field constructors + Schema builder.
+
+Schemas written against the reference API (fields.py:538-1565) port by
+changing only the import::
+
+    from whoosh_ray.fields import Schema, TEXT, ID, NUMERIC, STORED
+    schema = Schema(title=TEXT(stored=True), path=ID(unique=True),
+                    count=NUMERIC(int, 32), body=TEXT)
+
+Each constructor returns an UNBOUND field definition; ``Schema(**kw)``
+binds names and produces the engine's :class:`IndexSchema`.  Bare
+classes work like the reference (``path=ID``).  Declarative
+``SchemaClass`` subclasses are supported via ``build_schema()`` /
+passing the class itself to ``index.create_in``.
+
+Deliberate mapping notes (engine is columnar Arrow):
+- ``sortable=`` is accepted and ignored — every stored column is
+  sortable/facetable here (the reference needs a separate column file).
+- ``spelling=`` is accepted and ignored — suggestions always come from
+  the main term dictionary (the reference's add_spelling role is
+  replaced by levenshtein_batch over the lexicon).
+- Inexpressible knobs (Decimal ``decimal_places``, NUMERIC defaults,
+  custom NGRAMWORDS tokenizer/at) raise TypeError.
+"""
+
+from __future__ import annotations
+
+import dataclasses as _dc
+
+from whoosh_ray.functions.analysis import AnalyzerSpec
+from whoosh_ray.state.schema import FieldSpec, IndexSchema
+
+
+class FieldConfigurationError(Exception):
+    pass
+
+
+class UnknownFieldError(KeyError):
+    pass
+
+
+class FieldDef:
+    """An unbound field: FieldSpec factory + kwargs, bound by Schema."""
+
+    def __init__(self, binder, sort_key: int = 0):
+        self._binder = binder
+
+    def bind(self, name: str):
+        return self._binder(name)
+
+
+class _FieldCtor:
+    """Constructor facade: calling returns a FieldDef; passing the bare
+    name (``path=ID``) also works, like the reference SchemaClass."""
+
+    def __init__(self, fn, name):
+        self._fn = fn
+        self.__name__ = name
+
+    def __call__(self, *args, **kwargs):
+        self._fn("probe", *args, **kwargs)  # validate args eagerly
+        return FieldDef(lambda name: self._fn(name, *args, **kwargs))
+
+    def bind(self, name: str):
+        return self._fn(name)
+
+
+def _text(name, analyzer=None, phrase=True, chars=False, stored=False,
+          field_boost=1.0, multitoken_query="default", spelling=False,
+          sortable=False, lang=None, vector=None, spelling_prefix="spell_"):
+    if multitoken_query != "default":
+        raise TypeError("multitoken_query modes other than 'default' are "
+                        "not supported (the parser And-groups multi-token "
+                        "words, the reference default)")
+    if lang is not None and analyzer is None:
+        from whoosh_ray.functions.analysis import LanguageAnalyzer
+
+        analyzer = LanguageAnalyzer(lang)
+    kw = dict(stored=stored, positions=phrase, chars=chars,
+              vector=bool(vector), boost=field_boost)
+    if analyzer is not None:
+        if not isinstance(analyzer, AnalyzerSpec):
+            raise TypeError("analyzer must be an AnalyzerSpec (use the "
+                            "factories in whoosh_ray.functions.analysis)")
+        kw["analyzer"] = analyzer
+    return FieldSpec.text(name, **kw)
+
+
+def _id(name, stored=False, unique=False, field_boost=1.0, sortable=False,
+        analyzer=None):
+    if analyzer is not None:
+        raise TypeError("ID with a custom analyzer: use FieldSpec directly")
+    return FieldSpec.id(name, stored=stored, unique=unique,
+                        boost=field_boost)
+
+
+def _keyword(name, stored=False, lowercase=False, commas=False,
+             scorable=False, unique=False, field_boost=1.0, sortable=False,
+             vector=None, analyzer=None):
+    if analyzer is not None or vector:
+        raise TypeError("KEYWORD custom analyzer/vector: use FieldSpec")
+    return FieldSpec.keyword(name, stored=stored, lowercase=lowercase,
+                             commas=commas, scorable=scorable,
+                             unique=unique, boost=field_boost)
+
+
+def _idlist(name, stored=False, unique=False, expression=None,
+            field_boost=1.0):
+    kw = dict(stored=stored, unique=unique, boost=field_boost)
+    if expression is not None:
+        kw["expression"] = getattr(expression, "pattern", expression)
+    return FieldSpec.idlist(name, **kw)
+
+
+def _numeric(name, numtype=int, bits=32, stored=False, unique=False,
+             field_boost=1.0, decimal_places=0, shift_step=4, signed=True,
+             sortable=False, default=None):
+    if numtype is not int or decimal_places or not signed \
+            or default is not None:
+        raise TypeError("NUMERIC supports signed ints without defaults "
+                        "(floats/Decimal: store the column and use "
+                        "NumericRange over the stored values)")
+    spec = FieldSpec.numeric(name, bits=bits, step=shift_step,
+                             stored=stored, boost=field_boost)
+    return _dc.replace(spec, unique=unique) if unique else spec
+
+
+def _datetime(name, stored=False, unique=False, sortable=False):
+    spec = FieldSpec.datetime(name, stored=stored)
+    return _dc.replace(spec, unique=unique) if unique else spec
+
+
+def _boolean(name, stored=False, field_boost=1.0):
+    return FieldSpec.boolean(name, stored=stored, boost=field_boost)
+
+
+def _ngram(name, minsize=2, maxsize=4, stored=False, field_boost=1.0,
+           queryor=False, phrase=False, sortable=False):
+    return FieldSpec.ngram(name, minsize=minsize, maxsize=maxsize,
+                           stored=stored, queryor=queryor, phrase=phrase,
+                           boost=field_boost)
+
+
+def _ngramwords(name, minsize=2, maxsize=4, stored=False, field_boost=1.0,
+                tokenizer=None, at=None, queryor=False, sortable=False):
+    if tokenizer is not None or at is not None:
+        raise TypeError("NGRAMWORDS custom tokenizer/at: use FieldSpec")
+    return FieldSpec.ngramwords(name, minsize=minsize, maxsize=maxsize,
+                                stored=stored, queryor=queryor,
+                                boost=field_boost)
+
+
+TEXT = _FieldCtor(_text, "TEXT")
+ID = _FieldCtor(_id, "ID")
+KEYWORD = _FieldCtor(_keyword, "KEYWORD")
+IDLIST = _FieldCtor(_idlist, "IDLIST")
+NUMERIC = _FieldCtor(_numeric, "NUMERIC")
+DATETIME = _FieldCtor(_datetime, "DATETIME")
+BOOLEAN = _FieldCtor(_boolean, "BOOLEAN")
+NGRAM = _FieldCtor(_ngram, "NGRAM")
+NGRAMWORDS = _FieldCtor(_ngramwords, "NGRAMWORDS")
+
+
+class _StoredDef:
+    """STORED marker: the column lands in stored_columns (docs.parquet
+    passthrough), never indexed (reference fields.py:980-996)."""
+
+
+def STORED():
+    return _StoredDef()
+
+
+def Schema(**fields) -> IndexSchema:
+    """Bind (name -> field def) pairs into an IndexSchema.  Field names
+    are sorted like the reference Schema (its dict iteration is sorted
+    in names()); a leading-underscore name raises, mirroring the
+    reference's reserved-name check (fields.py:1334-1336)."""
+    specs = []
+    stored_cols = []
+    for name in sorted(fields):
+        if name.startswith("_"):
+            raise FieldConfigurationError(
+                "Field names cannot start with an underscore")
+        fd = fields[name]
+        if isinstance(fd, _StoredDef) or fd is STORED:
+            stored_cols.append(name)
+            continue
+        if isinstance(fd, (FieldDef, _FieldCtor)):
+            specs.append(fd.bind(name))
+            continue
+        if isinstance(fd, FieldSpec):
+            specs.append(_dc.replace(fd, name=name))
+            continue
+        raise FieldConfigurationError(f"{name}: not a field definition "
+                                      f"({fd!r})")
+    return IndexSchema(fields=tuple(specs),
+                       stored_columns=tuple(stored_cols))
+
+
+class MetaSchema(type):
+    def __new__(mcs, clsname, bases, attrs):
+        new_class = super().__new__(mcs, clsname, bases, attrs)
+        fields = {}
+        for b in bases:
+            fields.update(getattr(b, "_declared_fields", {}))
+        for key, val in attrs.items():
+            if key.startswith("_"):
+                continue
+            if isinstance(val, (FieldDef, _FieldCtor, FieldSpec,
+                                _StoredDef)) or val is STORED:
+                fields[key] = val
+        new_class._declared_fields = fields
+        return new_class
+
+    def schema_(cls) -> IndexSchema:
+        return Schema(**cls._declared_fields)
+
+
+class SchemaClass(metaclass=MetaSchema):
+    """Declarative schema (reference fields.py:1538-1565)::
+
+        class MySchema(SchemaClass):
+            path = ID(stored=True)
+            content = TEXT
+
+    ``MySchema.schema_()`` (or passing the class to ``ensure_schema``)
+    yields the bound IndexSchema; inheritance shares fields."""
+
+
+def ensure_schema(schema) -> IndexSchema:
+    """IndexSchema from an IndexSchema, a Schema(...) result, or a
+    SchemaClass subclass (reference fields.py:1568-1575)."""
+    if isinstance(schema, type) and issubclass(schema, SchemaClass):
+        return schema.schema_()
+    if isinstance(schema, IndexSchema):
+        return schema
+    raise FieldConfigurationError(f"{schema!r} is not a schema")

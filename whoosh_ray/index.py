@@ -45,6 +45,11 @@ def create_in(dirname: str, schema: IndexSchema,
     """Create (or CLEAR — reference parity, index.py:85-105) an index
     under ``dirname`` and return it.  ``conv_col``/``turn_col`` name
     the document-identity columns writers will use."""
+    if isinstance(schema, type):
+        # a declarative SchemaClass (whoosh_ray.fields) — bind it
+        from whoosh_ray.fields import ensure_schema
+
+        schema = ensure_schema(schema)
     path = _ix_dir(dirname, indexname)
     shutil.rmtree(path, ignore_errors=True)
     os.makedirs(os.path.join(path, "segments"), exist_ok=True)

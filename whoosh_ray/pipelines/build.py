@@ -122,6 +122,11 @@ def build_index(
     segment on the store.
     """
     t_start = time.time()
+    if isinstance(schema, type):
+        # a declarative SchemaClass (whoosh_ray.fields) — bind it
+        from whoosh_ray.fields import ensure_schema
+
+        schema = ensure_schema(schema)
     if schema.glob_fields:
         # dynamic glob fields resolve against the SOURCE's columns up
         # front (one footer read), so the pruned read and the sealed

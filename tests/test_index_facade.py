@@ -168,3 +168,50 @@ def test_up_to_date_same_tick_commit(ray_session, tmp_path):
     g1 = open_dir(ix).latest_generation()
     write_manifest(ix, read_manifest(ix))
     assert open_dir(ix).latest_generation() == g1 + 1
+
+
+def test_index_module_conveniences(tmp_path):
+    """exists/version aliases, exception hierarchy, FileIndex,
+    ensure_schema, reader storage introspection, add_sortable."""
+    import whoosh_ray.index as I
+    from whoosh_ray import fields as wf
+    from whoosh_ray.search.facets import add_sortable
+
+    assert I.exists is I.exists_in and I.version is I.version_in
+    assert issubclass(I.IndexVersionError, I.IndexError_)
+    assert issubclass(I.OutOfDateError, I.IndexError_)
+    e = I.IndexVersionError("old", -100, release=(1, 2, 3))
+    assert e.version == -100 and e.release == (1, 2, 3)
+    assert I.FileIndex is I.Index
+    assert not I.exists(str(tmp_path))
+
+    class S(wf.SchemaClass):
+        text = wf.TEXT(stored=True)
+        role = wf.ID
+        note = wf.STORED()
+
+    ix = I.create_in(str(tmp_path), S)  # SchemaClass accepted directly
+    assert I.exists(str(tmp_path))
+    rel, fmt = I.version(str(tmp_path))
+    assert isinstance(fmt, int)
+    w = ix.writer()
+    w.add_document(conv_id="c1", turn_idx=0, text="deploy the cluster",
+                   role="user", note="kept")
+    w.commit()
+    s = ix.searcher()
+    r = s.search(__import__("whoosh_ray.search", fromlist=["Term"])
+                 .Term("text", "deploy"), limit=5)
+    assert len(r) == 1 and r[0]["note"] == "kept"
+    # reader introspection: composite reader -> None accessors,
+    # segments() lists the per-segment readers
+    rd = s.reader()
+    assert rd.codec() is None and rd.segment() is None
+    assert rd.storage() is None and rd.supports_caches() is False
+    assert len(rd.segments()) == len(s.segments) >= 1
+    # add_sortable: stored field/column no-op; unstored raises
+    w2 = ix.writer()
+    add_sortable(w2, "text")
+    add_sortable(w2, "note")
+    with pytest.raises(KeyError):
+        add_sortable(w2, "nope")
+    w2.cancel()

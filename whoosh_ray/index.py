@@ -30,6 +30,27 @@ from whoosh_ray.state.schema import IndexSchema
 _DEF_INDEX_NAME = "MAIN"
 
 
+class IndexError_(Exception):
+    """Generic index error (the reference exports ``IndexError``
+    shadowing the builtin, index.py:47-57; renamed here to avoid the
+    shadow — ``IndexVersionError``/``OutOfDateError`` subclass it like
+    the reference's)."""
+
+
+class IndexVersionError(IndexError_):
+    """The on-disk format is newer/older than this library reads
+    (reference index.py:59-70)."""
+
+    def __init__(self, msg, version, release=None):
+        super().__init__(msg)
+        self.version = version
+        self.release = release
+
+
+class OutOfDateError(IndexError_):
+    """A commit raced a newer generation (reference index.py:72-75)."""
+
+
 class EmptyIndexError(Exception):
     """The directory holds no index (reference index.py:78-82)."""
 
@@ -120,6 +141,17 @@ def version_in(dirname: str, indexname: str | None = None) -> tuple:
 
     open_dir(dirname, indexname)  # raises EmptyIndexError when absent
     return (__version__, FORMAT_VERSION)
+
+
+# reference module-level conveniences (index.py:146-196): ``exists``/
+# ``version`` take a directory here (the Storage role is a directory
+# of parquet/blob files)
+exists = exists_in
+version = version_in
+
+# the writer's advisory flock error, re-exported where the reference
+# keeps it (whoosh.index.LockError)
+from whoosh_ray.pipelines.writer import LockError  # noqa: E402
 
 
 class Index:
@@ -299,3 +331,17 @@ class Index:
         w.commit()
         self.refresh()
         return n
+
+
+# reference name for the concrete directory-backed index class
+# (index.py:411); the TOC's role is played by state/manifest.py
+FileIndex = Index
+
+
+def ensure_schema(schema):
+    """Re-export (reference fields.ensure_schema is reachable via
+    whoosh.index in user code through ``from whoosh.index import *``
+    patterns); accepts IndexSchema or a SchemaClass."""
+    from whoosh_ray.fields import ensure_schema as _es
+
+    return _es(schema)

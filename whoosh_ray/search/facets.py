@@ -525,3 +525,27 @@ def sort_match_set(searcher, sortedby, docids, scores,
                    reverse=reverse)
     idx = np.asarray(order, dtype=np.int64)
     return docids[idx], scores[idx]
+
+
+def add_sortable(writer, fieldname: str, facet=None, column=None) -> None:
+    """Reference sorting.add_sortable (sorting.py upgrade-in-place:
+    builds a per-document column for an existing field so it can sort/
+    facet without loading stored fields).  This engine's stored values
+    ARE Arrow columns, so a stored field or stored column is already
+    sortable — validated here as a no-op.  A field indexed without
+    storing its value has nothing to derive the column from in-place;
+    re-index it with ``stored=True`` (raises NotImplementedError)."""
+    schema = writer.schema
+    stored_cols = set(getattr(schema, "stored_columns", ()))
+    if fieldname in stored_cols:
+        return
+    try:
+        spec = schema.field(fieldname)
+    except KeyError:
+        raise KeyError(f"No field named {fieldname!r}")
+    if getattr(spec, "stored", False):
+        return
+    raise NotImplementedError(
+        f"field {fieldname!r} is indexed without stored values; the "
+        "columnar engine derives sort keys from stored Arrow columns — "
+        "re-index the field with stored=True")

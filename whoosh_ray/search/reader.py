@@ -209,6 +209,30 @@ class IndexReader:
     def generation(self) -> int:
         return int(self.searcher.manifest.settings.get("generation", -1))
 
+    # ---- storage introspection (reference reading.py:158-186,631-642:
+    # atomic readers expose their codec/segment/storage, composite
+    # readers return None; this reader is composite by design — the
+    # per-segment objects are reachable via segments()/leaf_readers) --
+
+    def codec(self):
+        return None
+
+    def segment(self):
+        return None
+
+    def storage(self):
+        return None
+
+    def segments(self) -> list:
+        """The per-segment readers backing this reader (the engine's
+        Segment objects; reference reading.py:174-178)."""
+        return list(self.searcher.segments)
+
+    def supports_caches(self) -> bool:
+        # the reference's field-cache files don't exist here; sorting/
+        # faceting read the Arrow stored columns directly
+        return False
+
     def indexed_field_names(self) -> list[str]:
         return [f.name for f in self.schema.fields]
 

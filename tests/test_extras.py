@@ -4,6 +4,7 @@ highlighting — each vs the reference engine on the same corpus."""
 import numpy as np
 import pytest
 
+from tests.conftest import load_whoosh_oracle
 from tests.oracle import build_oracle_index
 from whoosh_ray.pipelines.build import build_index
 from whoosh_ray.search import Searcher, Term
@@ -772,3 +773,92 @@ def test_correct_query_string_matches_reference(engine, oracle):
                       t.endchar) for t in mc.tokens]
                     == [(t.fieldname, t.original, t.text, t.startchar,
                          t.endchar) for t in rc.tokens]), qs
+
+
+def test_set_matched_filter_phrases_slop_parity():
+    """Direct parity of the strict-phrase marker vs the reference
+    function, including the sloppy reversed-window probe
+    (highlight.py:176-259): 'one two two six three'~2 matches because
+    the LAST in-window 'two' is taken."""
+    from types import SimpleNamespace
+
+    load_whoosh_oracle()
+    from whoosh.highlight import (
+        set_matched_filter_phrases as ref_fn)
+
+    from whoosh_ray.search.highlight import (Token, tokenize_chars,
+                                             set_matched_filter_phrases)
+
+    class RefTok(SimpleNamespace):
+        pass
+
+    cases = [
+        # (text, terms, [(words, slop)])
+        ("one two two six three end", set(), [(["one", "two", "three"], 2)]),
+        ("one two six six three", set(), [(["one", "two", "three"], 2)]),
+        ("alpha beta gamma beta alpha", {"gamma"}, [(["alpha", "beta"], 1)]),
+        ("a b c a b c", set(), [(["a", "b", "c"], 1)]),
+        ("x one two three y one three", {"y"},
+         [(["one", "two", "three"], 1)]),
+        ("repeat repeat repeat", set(), [(["repeat", "repeat"], 1)]),
+    ]
+    for text, terms, phrases in cases:
+        words = text.split()
+        my_phr = [SimpleNamespace(words=w, slop=s) for w, s in phrases]
+        my_toks = tokenize_chars(text)
+        mine = [t.matched for t in set_matched_filter_phrases(
+            my_toks, text, terms, my_phr)]
+        ref_toks = [RefTok(text=w, matched=False) for w in words]
+        ref_terms = [SimpleNamespace(text=t) for t in terms]
+        want = [t.matched for t in ref_fn(iter(ref_toks), text, ref_terms,
+                                          my_phr)]
+        assert mine == want, (text, terms, phrases, mine, want)
+
+
+def test_correct_query_random_sweep(engine, oracle):
+    """Seeded random misspelled query strings: corrected string parity
+    with the reference across word/phrase/field/boost shapes."""
+    import random
+
+    from whoosh.qparser import QueryParser as WQP
+
+    from whoosh_ray.search.qparser import QueryParser as MyQP
+
+    rng = random.Random(1234)
+    words = ["deploy", "render", "cluster", "batch", "error", "metric",
+             "november", "throughput"]
+
+    def misspell(w):
+        i = rng.randrange(len(w))
+        op = rng.choice(["swap", "drop", "dup"])
+        if op == "swap":
+            return w[:i] + rng.choice("abcdefgh") + w[i + 1:]
+        if op == "drop" and len(w) > 3:
+            return w[:i] + w[i + 1:]
+        return w[:i] + w[i] + w[i:]
+
+    myp = MyQP("text", engine.schema)
+    with oracle.searcher() as s:
+        wp = WQP("text", oracle.schema)
+        for _ in range(30):
+            parts = []
+            for _ in range(rng.randrange(1, 4)):
+                w = rng.choice(words)
+                w = misspell(w) if rng.random() < 0.7 else w
+                if rng.random() < 0.25:
+                    w2 = rng.choice(words)
+                    parts.append(f'"{w} {w2}"')
+                elif rng.random() < 0.2:
+                    parts.append(f"{w}^2")
+                else:
+                    parts.append(w)
+                if rng.random() < 0.2:
+                    parts.append(rng.choice(["AND", "OR"]))
+            qs = " ".join(p for p in parts if p not in
+                          ("AND", "OR")) if parts and parts[-1] in (
+                              "AND", "OR") else " ".join(parts)
+            if not qs.strip():
+                continue
+            mc = engine.correct_query(myp.parse(qs), qs)
+            rc = s.correct_query(wp.parse(qs), qs)
+            assert mc.string == rc.string, (qs, mc.string, rc.string)

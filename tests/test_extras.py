@@ -862,3 +862,64 @@ def test_correct_query_random_sweep(engine, oracle):
             mc = engine.correct_query(myp.parse(qs), qs)
             rc = s.correct_query(wp.parse(qs), qs)
             assert mc.string == rc.string, (qs, mc.string, rc.string)
+
+
+def test_collapse_matches_reference(engine, oracle):
+    """search(collapse=, collapse_limit=, collapse_order=) — the
+    CollapseCollector semantics (collectors.py:850-1004): per-key
+    survivor selection incl. the arrival-order eviction rule, falsy
+    keys exempt, and collapsed_counts counting only docs rejected on
+    arrival (evictions are uncounted — reference quirk)."""
+    from whoosh import sorting as wsort
+    from whoosh.query import Or as WOr
+    from whoosh.query import Term as WT
+
+    from whoosh_ray.search.facets import FieldFacet
+    from whoosh_ray.search.query import Or
+
+    myq = Or([Term("text", "deploy"), Term("text", "render")])
+    wq = WOr([WT("text", "deploy"), WT("text", "render")])
+    with oracle.searcher() as s:
+        for climit in (1, 2, 3):
+            for order, worder in [
+                (None, None),
+                (FieldFacet("conv_id"), wsort.FieldFacet("conv_id")),
+                (FieldFacet("conv_id", reverse=True),
+                 wsort.FieldFacet("conv_id", reverse=True)),
+            ]:
+                unlimited = engine.search(myq, limit=None,
+                                          collapse=FieldFacet("role"),
+                                          collapse_limit=climit,
+                                          collapse_order=order)
+                for limtop in (None, 5):
+                    mine = engine.search(myq, limit=limtop,
+                                         collapse=FieldFacet("role"),
+                                         collapse_limit=climit,
+                                         collapse_order=order)
+                    # our limited search is ALWAYS the unlimited-ranking
+                    # prefix (the same deliberate divergence as the
+                    # limited DJM/AndNot paths: reference score-pruning
+                    # can hide docs from the collapse buckets and change
+                    # survivor sets under limit + a reverse order facet)
+                    k = len(mine.docids)
+                    assert [int(d) for d in mine.docids] == [
+                        int(d) for d in unlimited.docids[:k]]
+                    if limtop is not None and order is not None and \
+                            getattr(order, "reverse", False):
+                        continue  # reference pruning divergence (above)
+                    c = s.collector(limit=limtop,
+                                    collapse=wsort.FieldFacet("role"),
+                                    collapse_limit=climit,
+                                    collapse_order=worder)
+                    s.search_with_collector(wq, c)
+                    ref = c.results()
+                    got = [(int(d), round(float(sc), 9)) for d, sc in mine]
+                    want = [(h.docnum, round(h.score, 9)) for h in ref]
+                    assert got == want, (climit, worder, limtop)
+                    cc = c
+                    while not hasattr(cc, "collapsed_counts"):
+                        cc = cc.child
+                    assert dict(mine.collapsed_counts) == dict(
+                        cc.collapsed_counts), (climit, worder, limtop)
+                    assert mine.collapsed_total == sum(
+                        cc.collapsed_counts.values())

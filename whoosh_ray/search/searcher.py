@@ -57,6 +57,11 @@ class Results:
     termdocs: dict | None = None
     # populated by search(groupedby=...): facet name -> groups dict
     _groups: dict | None = None
+    # populated by search(collapse=...): {collapse key: docs removed}
+    # (the reference exposes these on CollapseCollector,
+    # collectors.py:860-866; here they ride the Results)
+    collapsed_counts: dict | None = None
+    collapsed_total: int = 0
 
     def groups(self, name: str | None = None) -> dict:
         """Facet groups recorded by ``search(groupedby=...)``
@@ -1032,7 +1037,9 @@ class Searcher:
     def search(self, q: Query, limit: int | None = 10, *,
                filter=None, mask=None, terms: bool = False,
                sortedby=None, reverse: bool = False,
-               groupedby=None, maptype=None) -> Results:
+               groupedby=None, maptype=None,
+               collapse=None, collapse_limit: int = 1,
+               collapse_order=None) -> Results:
         """``filter``/``mask`` restrict/exclude results by a query, a
         Results, or a docid set without changing scores — the reference's
         FilterCollector wrappers (collectors.py:657-760,
@@ -1052,12 +1059,15 @@ class Searcher:
         return self._finish_match_set(
             q, docids, scores, limit=limit, allow=allow, deny=deny,
             terms=terms, sortedby=sortedby, reverse=reverse,
-            groupedby=groupedby, maptype=maptype)
+            groupedby=groupedby, maptype=maptype, collapse=collapse,
+            collapse_limit=collapse_limit, collapse_order=collapse_order)
 
     def _finish_match_set(self, q: Query, docids, scores, *, limit,
                           allow=None, deny=None, terms: bool = False,
                           sortedby=None, reverse: bool = False,
-                          groupedby=None, maptype=None) -> Results:
+                          groupedby=None, maptype=None, collapse=None,
+                          collapse_limit: int = 1,
+                          collapse_order=None) -> Results:
         """Everything ``search`` does AFTER evaluation — filter/mask
         cuts, final(), sort/facet, limit, terms=True bookkeeping —
         shared with the timelimit path so a budgeted search honours the
@@ -1092,6 +1102,12 @@ class Searcher:
         else:
             full = np.lexsort((docids, -scores))
             r_docids, r_scores = docids[full], scores[full]
+        collapsed_counts = None
+        if collapse is not None and len(r_docids):
+            keep, collapsed_counts = self._collapse_match_set(
+                r_docids, r_scores, collapse, collapse_limit,
+                collapse_order)
+            r_docids, r_scores = r_docids[keep], r_scores[keep]
         groups = None
         if groupedby is not None:
             from whoosh_ray.search.facets import Facets, compute_groups
@@ -1107,6 +1123,9 @@ class Searcher:
         res = Results(self, r_docids, r_scores)
         res.q = q
         res._groups = groups
+        if collapsed_counts is not None:
+            res.collapsed_counts = collapsed_counts
+            res.collapsed_total = sum(collapsed_counts.values())
         if terms:
             termdocs: dict[tuple[str, str], np.ndarray] = {}
             for key in set(q.terms()):
@@ -1122,6 +1141,57 @@ class Searcher:
                     termdocs[key] = hit
             res.termdocs = termdocs
         return res
+
+    def _collapse_match_set(self, r_docids, r_scores, collapse,
+                            collapse_limit, collapse_order):
+        """CollapseCollector semantics (reference collectors.py:
+        850-1004) over a RESULTS-ORDERED match set: keep at most
+        ``collapse_limit`` docs per collapse key; which survive is the
+        results order, or ``collapse_order`` facet keys with strictly-
+        less replacement (ties keep the earlier-matched = lower docid).
+        Docs with a FALSY key are never collapsed (collectors.py:963-
+        966: ``if not ckey``).  Returns (keep mask over the results
+        order, {key: n_removed})."""
+        from collections import defaultdict
+
+        from whoosh_ray.search.facets import MultiFacet
+
+        keyfacet = MultiFacet.from_sortedby(collapse)
+        keys = keyfacet.keys(self, r_docids, r_scores)
+        n = len(r_docids)
+        keep = np.ones(n, dtype=bool)
+        counts: dict = defaultdict(int)
+        if collapse_order is not None:
+            orderfacet = MultiFacet.from_sortedby(collapse_order)
+            sortkeys = list(orderfacet.keys(self, r_docids, r_scores))
+        else:
+            # the results order itself is the sort key (TopCollector
+            # sort_key == rank here, since r_docids is results-ordered)
+            sortkeys = list(range(n))
+        # sequential pass in MATCHING order (ascending docid), exactly
+        # like the reference's collect loop: a full bucket admits a
+        # strictly-better arrival by EVICTING its worst (eviction is
+        # NOT counted — reference collapsed_counts counts only docs
+        # rejected on arrival, collectors.py:975-1002)
+        arrival = np.argsort(r_docids, kind="stable")
+        best: dict = defaultdict(list)  # key -> sorted [(sortkey, docid, i)]
+        for i in map(int, arrival):
+            k = keys[i]
+            if not k:
+                continue
+            lst = best[k]
+            entry = (sortkeys[i], int(r_docids[i]), i)
+            if len(lst) < collapse_limit:
+                lst.append(entry)
+                lst.sort()
+            elif entry[0] < lst[-1][0]:
+                keep[lst.pop()[2]] = False
+                lst.append(entry)
+                lst.sort()
+            else:
+                keep[i] = False
+                counts[k] += 1
+        return keep, dict(counts)
 
     def search_page(self, query: Query, pagenum: int, pagelen: int = 10,
                     **kw) -> "ResultsPage":

@@ -923,3 +923,28 @@ def test_collapse_matches_reference(engine, oracle):
                         cc.collapsed_counts), (climit, worder, limtop)
                     assert mine.collapsed_total == sum(
                         cc.collapsed_counts.values())
+
+
+def test_unscored_search_matches_reference(engine, oracle):
+    """search(scored=False): matching (docid) order, score None, and
+    the limit is IGNORED (reference UnsortedCollector quirk);
+    optimize= is accepted."""
+    from whoosh.query import Or as WOr
+    from whoosh.query import Term as WT
+
+    from whoosh_ray.search.query import Or
+
+    myq = Or([Term("text", "deploy"), Term("text", "render")])
+    wq = WOr([WT("text", "deploy"), WT("text", "render")])
+    with oracle.searcher() as s:
+        for limtop in (None, 3):
+            mine = engine.search(myq, limit=limtop, scored=False)
+            ref = s.search(wq, limit=limtop, scored=False)
+            assert [(d, sc) for d, sc in mine] == [
+                (h.docnum, h.score) for h in ref], limtop
+            assert mine.score(0) is None and mine[0].score is None
+            assert list(mine.items())[0][1] is None
+        # optimize kwarg accepted; scored results unchanged
+        a = engine.search(myq, limit=5, optimize=False)
+        b = engine.search(myq, limit=5)
+        assert [int(d) for d in a.docids] == [int(d) for d in b.docids]

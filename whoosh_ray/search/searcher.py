@@ -47,10 +47,16 @@ class Results:
         self.docids = docids
         self.scores = scores
 
+    # search(scored=False): scores are not computed — score accessors
+    # return None (reference UnsortedCollector results)
+    _unscored = False
+
     def __len__(self):
         return len(self.docids)
 
     def __iter__(self):
+        if self._unscored:
+            return iter((d, None) for d in self.docids.tolist())
         return iter(zip(self.docids.tolist(), self.scores.tolist()))
 
     # populated by search(terms=True): {(field, term): matching result docids}
@@ -201,6 +207,8 @@ class Results:
     def items(self):
         """Iterator of (docnum, score) pairs in rank order (reference
         Results.items, searching.py:1024-1029)."""
+        if self._unscored:
+            return ((d, None) for d in self.docids.tolist())
         return zip(self.docids.tolist(), self.scores.tolist())
 
     def __getitem__(self, n):
@@ -223,7 +231,9 @@ class Results:
     def scored_length(self) -> int:
         return len(self.docids)
 
-    def score(self, n: int) -> float:
+    def score(self, n: int) -> float | None:
+        if self._unscored:
+            return None
         return float(self.scores[n])
 
     def docnum(self, n: int) -> int:
@@ -301,7 +311,8 @@ class Hit:
         self.searcher = results.searcher
         self.pos = self.rank = rank
         self.docid = self.docnum = int(results.docids[rank])
-        self.score = float(results.scores[rank])
+        self.score = (None if results._unscored
+                      else float(results.scores[rank]))
         self._fields: dict | None = None
 
     def fields(self) -> dict:
@@ -1039,7 +1050,8 @@ class Searcher:
                sortedby=None, reverse: bool = False,
                groupedby=None, maptype=None,
                collapse=None, collapse_limit: int = 1,
-               collapse_order=None) -> Results:
+               collapse_order=None, scored: bool = True,
+               optimize: bool = True) -> Results:
         """``filter``/``mask`` restrict/exclude results by a query, a
         Results, or a docid set without changing scores — the reference's
         FilterCollector wrappers (collectors.py:657-760,
@@ -1060,14 +1072,16 @@ class Searcher:
             q, docids, scores, limit=limit, allow=allow, deny=deny,
             terms=terms, sortedby=sortedby, reverse=reverse,
             groupedby=groupedby, maptype=maptype, collapse=collapse,
-            collapse_limit=collapse_limit, collapse_order=collapse_order)
+            collapse_limit=collapse_limit, collapse_order=collapse_order,
+            scored=scored)
 
     def _finish_match_set(self, q: Query, docids, scores, *, limit,
                           allow=None, deny=None, terms: bool = False,
                           sortedby=None, reverse: bool = False,
                           groupedby=None, maptype=None, collapse=None,
                           collapse_limit: int = 1,
-                          collapse_order=None) -> Results:
+                          collapse_order=None,
+                          scored: bool = True) -> Results:
         """Everything ``search`` does AFTER evaluation — filter/mask
         cuts, final(), sort/facet, limit, terms=True bookkeeping —
         shared with the timelimit path so a budgeted search honours the
@@ -1094,11 +1108,19 @@ class Searcher:
             if groupedby is not None:
                 res._groups = {}
             return res
+        unscored = not scored and sortedby is None
         if sortedby is not None:
             from whoosh_ray.search.facets import sort_match_set
 
             r_docids, r_scores = sort_match_set(self, sortedby, docids,
                                                 scores, reverse=reverse)
+        elif unscored:
+            # scored=False (reference UnsortedCollector,
+            # collectors.py:468-533): matching (docid) order, no
+            # scores, and — reference quirk — the limit is IGNORED
+            full = np.argsort(docids, kind="stable")
+            r_docids, r_scores = docids[full], scores[full]
+            limit = None
         else:
             full = np.lexsort((docids, -scores))
             r_docids, r_scores = docids[full], scores[full]
@@ -1123,6 +1145,8 @@ class Searcher:
         res = Results(self, r_docids, r_scores)
         res.q = q
         res._groups = groups
+        if unscored:
+            res._unscored = True
         if collapsed_counts is not None:
             res.collapsed_counts = collapsed_counts
             res.collapsed_total = sum(collapsed_counts.values())

@@ -1232,7 +1232,10 @@ class Searcher:
                               timelimit: float, greedy: bool = False,
                               filter=None, mask=None, terms: bool = False,
                               sortedby=None, reverse: bool = False,
-                              groupedby=None, maptype=None) -> Results:
+                              groupedby=None, maptype=None,
+                              collapse=None, collapse_limit: int = 1,
+                              collapse_order=None, scored: bool = True,
+                              optimize: bool = True) -> Results:
         """TimeLimitCollector analogue (collectors.py:1006-1102): abort
         when the budget is exceeded, raising :class:`TimeLimit` with the
         partial results collected so far.  The check granularity is one
@@ -1266,7 +1269,9 @@ class Searcher:
             res = self._finish_match_set(
                 qx, docids, scores, limit=limit, allow=allow, deny=deny,
                 terms=terms, sortedby=sortedby, reverse=reverse,
-                groupedby=groupedby, maptype=maptype)
+                groupedby=groupedby, maptype=maptype, collapse=collapse,
+                collapse_limit=collapse_limit,
+                collapse_order=collapse_order, scored=scored)
             if timed_out:
                 raise TimeLimit(res)
             return res

@@ -752,6 +752,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return ir.collapse_best_per_key(_searcher(sf_dir),
                                         Term("text", "spark"), "lang")
 
+    def ir_collapse_top(sf_dir):
+        # full collapse contract: top-2 per language ordered by the
+        # n_chars column (collapse_limit + collapse_order, distributed)
+        return ir.collapse_top_per_key(_searcher(sf_dir),
+                                       Term("text", "spark"), "lang",
+                                       limit=2, order_col="n_chars")
+
     def dedup_exact_q(sf_dir):
         from whoosh_ray.pipelines.dedup import dedup_exact
 
@@ -1215,6 +1222,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ir_date_range": ir_date_range,
         "ir_sorted_nchars": ir_sorted_nchars,
         "ir_collapse_lang": ir_collapse_lang,
+        "ir_collapse_top": ir_collapse_top,
         "dedup_exact": dedup_exact_q,
         "dedup_jaccard_pairs": dedup_jaccard_pairs,
         "dedup_minhash_pairs": dedup_minhash_pairs,
@@ -1498,6 +1506,21 @@ SELECT lang, docid, score FROM (
                             ORDER BY s.score DESC, s.docid) AS rn
   FROM scored s JOIN documents d ON d.doc_id = s.docid)
 WHERE rn = 1 ORDER BY lang
+""",
+        "ir_collapse_top": rf"""
+WITH {_base_ctes()},
+scored AS (
+  SELECT p.doc_id AS docid, {_BM25_EXPR} AS score
+  FROM postings p JOIN lens USING (doc_id), stats, ts
+  WHERE p.term = 'spark' AND ts.term = 'spark'
+)
+SELECT lang, docid, n_chars, score FROM (
+  SELECT d.lang AS lang, s.docid AS docid, d.n_chars AS n_chars,
+         s.score AS score,
+         row_number() OVER (PARTITION BY d.lang
+                            ORDER BY d.n_chars, s.docid) AS rn
+  FROM scored s JOIN documents d ON d.doc_id = s.docid)
+WHERE rn <= 2 ORDER BY lang, n_chars, docid
 """,
         "dedup_exact": """
 SELECT min(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id

@@ -98,3 +98,41 @@ def test_nondecomposable_rejected(searcher):
         ir._segment_op_ds(searcher,
                           DisjunctionMax([Term("text", "spark")]),
                           "facet", "lang")
+
+
+def test_collapse_top_matches_driver(searcher):
+    """collapse_top_per_key == the driver computation for both orders
+    (score desc default; order_col asc), at limits 1 and 3; limit=1
+    default-order equals collapse_best_per_key."""
+    q = Term("text", "spark")
+    r = searcher.search(q, limit=None)
+    stored = searcher.stored(r.docids, columns=["lang", "n_chars"]).to_pandas()
+    scores = pd.Series(r.scores, index=r.docids)
+    stored["score"] = stored["docid"].map(scores)
+
+    for limit, order_col in [(1, None), (3, None), (2, "n_chars")]:
+        got = ir.collapse_top_per_key(searcher, q, "lang", limit=limit,
+                                      order_col=order_col).to_pandas()
+        if order_col:
+            sdf = stored.sort_values([order_col, "docid"], kind="mergesort")
+        else:
+            sdf = stored.sort_values(["score", "docid"],
+                                     ascending=[False, True],
+                                     kind="mergesort")
+        want = sdf.groupby("lang", sort=False, as_index=False).head(limit)
+        if order_col:
+            want = want.sort_values(["lang", order_col, "docid"])
+            want = want[["lang", "docid", order_col, "score"]]
+        else:
+            want = want.sort_values(["lang", "score", "docid"],
+                                    ascending=[True, False, True],
+                                    kind="mergesort")
+            want = want[["lang", "docid", "score"]]
+        pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                      want.reset_index(drop=True),
+                                      check_dtype=False)
+    one = ir.collapse_top_per_key(searcher, q, "lang", limit=1).to_pandas()
+    best = ir.collapse_best_per_key(searcher, q, "lang").to_pandas()
+    pd.testing.assert_frame_equal(one.reset_index(drop=True),
+                                  best.reset_index(drop=True),
+                                  check_dtype=False)

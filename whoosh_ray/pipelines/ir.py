@@ -172,13 +172,14 @@ class _SegmentOpWorker:
     full match set never reaches the driver (VERDICT r1 #4)."""
 
     def __init__(self, index_dir: str, qblob: bytes, op: str, col: str,
-                 limit: int, descending: bool):
+                 limit: int, descending: bool, col2: str | None = None):
         import pickle
 
         self.searcher = Searcher(index_dir)
         self.q = pickle.loads(qblob).expansion_queries(self.searcher)[0]
         self.op, self.col = op, col
         self.limit, self.descending = limit, descending
+        self.col2 = col2  # collapse_top order column (None = score)
         self.__name__ = type(self).__name__
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -188,7 +189,8 @@ class _SegmentOpWorker:
             docids, scores = self.searcher.eval(self.q, seg)
             if not len(docids):
                 continue
-            stored = seg.stored(docids, columns=[self.col])
+            readcols = [self.col] + ([self.col2] if self.col2 else [])
+            stored = seg.stored(docids, columns=readcols)
             if self.op == "facet":
                 g = (stored.select([self.col]).group_by(self.col)
                      .aggregate([(self.col, "count")]))
@@ -211,6 +213,16 @@ class _SegmentOpWorker:
                                       kind="mergesort")
                 best = pdf.groupby(self.col, sort=False, as_index=False).head(1)
                 parts.append(pa.Table.from_pandas(best, preserve_index=False))
+            elif self.op == "collapse_top":
+                cols = ["docid", self.col] + ([self.col2] if self.col2
+                                              else [])
+                pdf = stored.select(cols).to_pandas()
+                pdf["score"] = scores[np.searchsorted(docids,
+                                                      pdf["docid"].to_numpy())]
+                pdf = _collapse_top_sort(pdf, self.col2)
+                top = pdf.groupby(self.col, sort=False,
+                                  as_index=False).head(self.limit)
+                parts.append(pa.Table.from_pandas(top, preserve_index=False))
         if not parts:
             # probe the column type from any segment's docs schema
             # (cached in the actor — VERDICT r2 #3: this ran a parquet
@@ -228,14 +240,33 @@ class _SegmentOpWorker:
                 return pa.table(cols)
             out = {"docid": pa.array([], type=pa.int64()),
                    self.col: pa.array([], type=key_t)}
-            if self.op == "collapse":
+            if self.op == "collapse_top" and self.col2:
+                import pyarrow.parquet as _pq
+
+                sch2 = _pq.read_schema(
+                    self.searcher.segments[0]._docs_source())
+                out[self.col2] = pa.array([],
+                                          type=sch2.field(self.col2).type)
+            if self.op in ("collapse", "collapse_top"):
                 out["score"] = pa.array([], type=pa.float64())
             return pa.table(out)
         return pa.concat_tables(parts)
 
 
+def _collapse_top_sort(pdf: "pd.DataFrame", order_col: str | None):
+    """Within-key survivor ordering: (order_col asc, docid asc) when an
+    order column is given, else (score desc, docid asc) — the results
+    order, like CollapseCollector's default."""
+    if order_col:
+        return pdf.sort_values([order_col, "docid"],
+                               ascending=[True, True], kind="mergesort")
+    return pdf.sort_values(["score", "docid"], ascending=[False, True],
+                           kind="mergesort")
+
+
 def _segment_op_ds(searcher: Searcher, q: Query, op: str, col: str,
-                   limit: int = 20, descending: bool = True):
+                   limit: int = 20, descending: bool = True,
+                   col2: str | None = None):
     """Partial-aggregate dataset: one row group per segment partial."""
     import pickle
 
@@ -254,7 +285,7 @@ def _segment_op_ds(searcher: Searcher, q: Query, op: str, col: str,
         _SegmentOpWorker, batch_format="pyarrow",
         batch_size=max(1, -(-n // 8)), concurrency=min(8, n),
         fn_constructor_args=(searcher.index_dir, pickle.dumps(q), op, col,
-                             limit, descending))
+                             limit, descending, col2))
 
 
 def facet_count(searcher: Searcher, q: Query, facet_col: str) -> pa.Table:
@@ -319,3 +350,46 @@ def collapse_best_per_key(searcher: Searcher, q: Query, key_col: str) -> pa.Tabl
         "docid": pa.array(pdf["docid"], type=pa.int64()),
         "score": pa.array(pdf["score"], type=pa.float64()),
     })
+
+
+def collapse_top_per_key(searcher: Searcher, q: Query, key_col: str,
+                         limit: int = 1,
+                         order_col: str | None = None) -> pa.Table:
+    """Top-``limit`` hits per key — the full CollapseCollector contract
+    (collapse_limit/collapse_order, collectors.py:850-1005) as a
+    distributed partial aggregate: each segment emits its local
+    per-key top-``limit`` (bounded: limit x keys-per-segment rows), a
+    hash-partitioned whole-block reduce keeps the global top-``limit``
+    per key, and the driver sees at most limit x n_keys rows.  Survivor
+    order is (``order_col`` asc, docid) when given, else
+    (score desc, docid) — the results order."""
+    from whoosh_ray.stages.grouping import groups_in_blocks
+
+    part = _segment_op_ds(searcher, q, "collapse_top", key_col,
+                          limit=limit, col2=order_col)
+
+    def _top_block(block: pd.DataFrame) -> pd.DataFrame:
+        if not len(block):
+            return block
+        block = _collapse_top_sort(block, order_col)
+        return block.groupby(key_col, sort=False,
+                             as_index=False).head(limit)
+
+    _top_block.__name__ = "_top_block"
+    pdf = groups_in_blocks(part, [key_col], _top_block).to_pandas()
+    cols = ([key_col, "docid"] + ([order_col] if order_col else [])
+            + ["score"])
+    if key_col not in pdf.columns:  # all-empty blocks drop the schema
+        pdf = pd.DataFrame(columns=cols)
+    if order_col:
+        pdf = pdf.sort_values([key_col, order_col, "docid"])
+    else:
+        pdf = pdf.sort_values([key_col, "score", "docid"],
+                              ascending=[True, False, True],
+                              kind="mergesort")
+    out = {key_col: pa.array(pdf[key_col]),
+           "docid": pa.array(pdf["docid"], type=pa.int64())}
+    if order_col:
+        out[order_col] = pa.array(pdf[order_col])
+    out["score"] = pa.array(pdf["score"], type=pa.float64())
+    return pa.table(out)

@@ -444,3 +444,21 @@ def test_query_tree_utilities_parity(whoosh_oracle):
         # apply/accept round-trip: identity fn preserves structure
         assert key(mine.apply(lambda q: q)) == key(mine)
         assert key(mine.accept(lambda q: q)) == key(ref.accept(lambda q: q))
+
+
+def test_sequence_subterm_spans_absolute():
+    """Sequence sub-lexed tokens carry spans in the ORIGINAL string
+    (body offset applied), so corrections splice quoted sub-queries
+    correctly."""
+    from whoosh_ray.search.qparser import QueryParser
+    from whoosh_ray.state.schema import FieldSpec, IndexSchema
+
+    schema = IndexSchema(fields=(FieldSpec.text("text"),))
+    p = QueryParser("text", schema, plugins=("sequence",))
+    qs = 'front "alpha beta" tail'
+    toks = [(t.text, t.startchar, t.endchar)
+            for t in p.parse(qs).all_tokens()]
+    assert toks == [("front", 0, 5), ("alpha", 7, 12), ("beta", 13, 17),
+                    ("tail", 19, 23)]
+    for text, s, e in toks:
+        assert qs[s:e].lower() == text

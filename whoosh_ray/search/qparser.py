@@ -544,7 +544,28 @@ class QueryParser:
         spans."""
         from whoosh_ray.search.query import Sequence
 
-        toks = list(self._lex(body))
+        toks = list(self._lex(str(body)))
+        base = getattr(body, "span", None)
+        if base is not None:
+            # sub-lexed spans are body-relative; shift them into the
+            # original query string so corrections splice correctly
+            off = base[0]
+
+            def _shift(v):
+                sp = getattr(v, "span", None)
+                if sp is None:
+                    return v
+                return SpannedStr.make(str(v), sp[0] + off, sp[1] + off)
+
+            def _shift_tok(k, v):
+                if isinstance(v, str):
+                    return (k, _shift(v))
+                if k == "phrase":
+                    qf, b, sl = v
+                    return (k, (qf, _shift(b), sl))
+                return (k, v)
+
+            toks = [_shift_tok(k, v) for k, v in toks]
         items, _ = self._collect_items(toks, 0)
         return Sequence(self._op_passes(items), slop=slop)
 

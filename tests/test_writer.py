@@ -357,3 +357,68 @@ def test_asyncwriter_tolerates_held_lock(small_index):
     t.join(timeout=60)
     assert done.is_set()
     assert len(hits(Searcher(small_index), "text", "asyncmarker")) == 1
+
+
+def test_doc_and_field_boosts_match_reference(tmp_path):
+    """add_document(_boost=, _<field>_boost=): index-time posting-weight
+    scaling (reference writing.py:42-77,112-120; a set field boost
+    REPLACES the doc boost for that field).  Scores bit-compare vs the
+    reference on the same corpus."""
+    import numpy as np
+
+    from tests.conftest import load_whoosh_oracle
+    from whoosh_ray import index as wrindex
+    from whoosh_ray.search import Or, Term
+    from whoosh_ray.state.schema import FieldSpec, IndexSchema
+
+    docs = [
+        dict(text="alpha beta beta", title="alpha intro"),
+        dict(text="alpha gamma", title="beta notes", _boost=2.0),
+        dict(text="beta beta alpha", title="alpha beta",
+             _boost=2.0, _title_boost=3.0),
+        dict(text="gamma alpha", title="gamma", _text_boost=0.5),
+    ]
+    schema = IndexSchema(fields=(FieldSpec.text("text", stored=True),
+                                 FieldSpec.text("title", stored=True)))
+    ix = wrindex.create_in(str(tmp_path), schema)
+    w = ix.writer()
+    for i, d in enumerate(docs):
+        w.add_document(conv_id=f"c{i:03d}", turn_idx=0, **d)
+    w.commit(merge=False)
+    s = ix.searcher()
+
+    load_whoosh_oracle()
+    from whoosh import fields as rf
+    from whoosh.analysis import StandardAnalyzer
+    from whoosh.filedb.filestore import RamStorage
+    from whoosh.query import Or as WOr
+    from whoosh.query import Term as WT
+
+    rix = RamStorage().create_index(rf.Schema(
+        text=rf.TEXT(analyzer=StandardAnalyzer(), stored=True),
+        title=rf.TEXT(analyzer=StandardAnalyzer(), stored=True)))
+    rw = rix.writer()
+    for d in docs:
+        rw.add_document(**d)
+    rw.commit()
+
+    with rix.searcher() as rs:
+        for myq, refq in [
+            (Term("text", "alpha"), WT("text", "alpha")),
+            (Term("text", "beta"), WT("text", "beta")),
+            (Term("title", "alpha"), WT("title", "alpha")),
+            (Or([Term("text", "alpha"), Term("title", "beta")]),
+             WOr([WT("text", "alpha"), WT("title", "beta")])),
+        ]:
+            mine = [(int(d), float(sc))
+                    for d, sc in s.search(myq, limit=None)]
+            ref = [(int(h.docnum), float(h.score))
+                   for h in rs.search(refq, limit=None)]
+            assert [d for d, _ in mine] == [d for d, _ in ref], myq
+            np.testing.assert_allclose([x for _, x in mine],
+                                       [x for _, x in ref], rtol=1e-12,
+                                       err_msg=repr(myq))
+    # boosts never leak into stored fields
+    hit = s.search(Term("text", "gamma"), limit=1)[0]
+    assert set(hit.keys()) >= {"text", "title"}
+    assert not any(k.startswith("__boost") for k in hit.keys())

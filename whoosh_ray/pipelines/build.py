@@ -295,14 +295,27 @@ def build_index(
                 needed.append(p)
         read_source = needed
 
+    def _boost_cols(names) -> list[str]:
+        # per-document / per-(doc, field) index-time boost side columns
+        # ("__boost", "__boost__<field>"; reference add_document _boost /
+        # _fieldname_boost kwargs, writing.py:473-500).  They ride next
+        # to the data columns and scale posting weights in the fused
+        # writer; they never land in docs.parquet.
+        return [c for c in names
+                if c == "__boost" or c.startswith("__boost__")]
+
     if isinstance(source, ray.data.Dataset):
+        src_names = source.schema().names
         ds = source.select_columns(
-            [c for c in schema.input_columns()
-             if c in source.schema().names] +
-            ([conv_col, turn_col] if docid_col is None else [docid_col]))
+            [c for c in schema.input_columns() if c in src_names]
+            + _boost_cols(src_names)
+            + ([conv_col, turn_col] if docid_col is None else [docid_col]))
     elif read_source:
+        import pyarrow.parquet as _pq
+
+        src_names = _pq.read_schema(_expand_paths(read_source)[0]).names
         cols = list(dict.fromkeys(
-            schema.input_columns()
+            schema.input_columns() + _boost_cols(src_names)
             + ([conv_col, turn_col] if docid_col is None else [docid_col])))
         # split the read well beyond the file count (files with several row
         # groups can be read by multiple tasks) so the scan keeps every CPU
@@ -311,6 +324,11 @@ def build_index(
                                    override_num_blocks=4 * _ncpu)
     else:
         ds = None  # every file fully covered by resumed segments
+        src_names = []
+    if mode != "fused" and _boost_cols(src_names):
+        raise ValueError(
+            "__boost side columns scale posting weights in the fused "
+            f"writer only (got mode={mode!r})")
 
     bases_ds = None
     local_paths = None

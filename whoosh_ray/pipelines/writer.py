@@ -210,7 +210,22 @@ class IndexWriter:
     def add_document(self, **fields) -> None:
         with self._lock:
             self._acquire_writelock()
-            self._rows.append(fields)
+            self._rows.append(self._capture_boosts(fields))
+
+    @staticmethod
+    def _capture_boosts(fields: dict) -> dict:
+        """Reference add_document boost kwargs (writing.py:473-500):
+        ``_boost=`` scales every posting of the document,
+        ``_<field>_boost=`` one field's.  They become ``__boost`` /
+        ``__boost__<field>`` side columns the fused writer applies."""
+        if "_boost" in fields:
+            fields["__boost"] = float(fields.pop("_boost"))
+        for k in [k for k in fields
+                  if k.startswith("_") and not k.startswith("__")
+                  and k.endswith("_boost") and len(k) > len("__boost")]:
+            fields[f"__boost__{k[1:-len('_boost')]}"] = float(
+                fields.pop(k))
+        return fields
 
     def delete_document(self, docid: int) -> None:
         with self._lock:
@@ -543,7 +558,7 @@ class AsyncWriter(IndexWriter):
 
     def add_document(self, **fields) -> None:
         with self._lock:                 # buffer WITHOUT the writelock
-            self._rows.append(fields)
+            self._rows.append(self._capture_boosts(fields))
 
     def delete_document(self, docid: int) -> None:
         with self._lock:
@@ -655,7 +670,7 @@ class BufferedWriter(IndexWriter):
 
     def add_document(self, **fields) -> None:
         with self._lock:
-            self._rows.append(fields)
+            self._rows.append(self._capture_boosts(fields))
             self._gen += 1
             if len(self._rows) >= self.limit:
                 self.commit()

@@ -112,6 +112,14 @@ class FusedSegmentWriter:
                     pa.ListArray.from_arrays(pa.array(z, type=pa.int32()),
                                              pa.array([], type=pa.float64()))
         n_postings = 0
+        # index-time doc/field boosts (reference add_document _boost /
+        # _fieldname_boost, writing.py:473-500): side columns scale the
+        # posting weights (weights tail engages, tf stays the raw count)
+        base_boost = None
+        if "__boost" in group.column_names:
+            base_boost = np.nan_to_num(
+                group["__boost"].to_numpy(zero_copy_only=False)
+                .astype(np.float64), nan=1.0)
         for f in sorted(self.schema.fields, key=lambda f: f.name):
             texts = group[f.name].to_numpy(zero_copy_only=False)
             agg = self._analyzers[f.name].aggregate(
@@ -121,6 +129,23 @@ class FusedSegmentWriter:
             rows = agg["row_ids"]
             if len(rows) == 0:
                 continue
+            fboost = base_boost
+            bcol = f"__boost__{f.name}"
+            if bcol in group.column_names:
+                # a set field boost REPLACES the doc boost for that
+                # field (reference _field_boost(default=docboost),
+                # writing.py:74-77); null = unset = fall back
+                col = group[bcol].to_numpy(
+                    zero_copy_only=False).astype(np.float64)
+                fallback = (base_boost if base_boost is not None
+                            else np.ones(len(col), dtype=np.float64))
+                fboost = np.where(np.isnan(col), fallback, col)
+            if fboost is not None and np.any(fboost != 1.0):
+                pw = (agg["weights"].astype(np.float64)
+                      if "weights" in agg
+                      else agg["tfs"].astype(np.float64))
+                agg = dict(agg)
+                agg["weights"] = pw * fboost[rows]
             tcode = agg["term_codes"].astype(np.int64)
             tdict = agg["term_dict"]
             # rank terms lexicographically (sort only the dictionary)

@@ -422,3 +422,19 @@ def test_doc_and_field_boosts_match_reference(tmp_path):
     hit = s.search(Term("text", "gamma"), limit=1)[0]
     assert set(hit.keys()) >= {"text", "title"}
     assert not any(k.startswith("__boost") for k in hit.keys())
+
+
+def test_multivalue_list_raises_with_guidance(tmp_path):
+    """Reference list-valued fields bypass the analyzer (entoken) and
+    store the raw list — inexpressible in one Arrow column; we raise
+    with guidance instead of silently diverging."""
+    from whoosh_ray import index as wrindex
+    from whoosh_ray.state.schema import FieldSpec, IndexSchema
+
+    schema = IndexSchema(fields=(FieldSpec.text("text", stored=True),),
+                         stored_columns=("meta",))
+    ix = wrindex.create_in(str(tmp_path), schema)
+    w = ix.writer()
+    with pytest.raises(TypeError, match="pre-analyzed token lists"):
+        w.add_document(conv_id="c0", turn_idx=0, text=["a b", "c d"])
+    w.cancel()

@@ -212,12 +212,27 @@ class IndexWriter:
             self._acquire_writelock()
             self._rows.append(self._capture_boosts(fields))
 
-    @staticmethod
-    def _capture_boosts(fields: dict) -> dict:
+    def _capture_boosts(self, fields: dict) -> dict:
         """Reference add_document boost kwargs (writing.py:473-500):
         ``_boost=`` scales every posting of the document,
         ``_<field>_boost=`` one field's.  They become ``__boost`` /
-        ``__boost__<field>`` side columns the fused writer applies."""
+        ``__boost__<field>`` side columns the fused writer applies.
+
+        DOCUMENTED DIVERGENCE: the reference accepts a LIST value for
+        an indexed field and bypasses the analyzer (each element = one
+        pre-analyzed token, formats.py:121-126 entoken) while storing
+        the raw list — a schemaless-store trick the columnar layout
+        can't mirror (one Arrow column, one type).  Raise with guidance
+        instead of silently diverging; plain stored_columns passthrough
+        still takes lists."""
+        indexed = {f.name for f in self.schema.fields}
+        for k, v in fields.items():
+            if k in indexed and isinstance(v, (list, tuple)):
+                raise TypeError(
+                    f"{k}={v!r}: pre-analyzed token lists aren't "
+                    "supported by the columnar store — join the values "
+                    "into one string (KEYWORD fields tokenize on their "
+                    "separator) or use a stored_columns passthrough")
         if "_boost" in fields:
             fields["__boost"] = float(fields.pop("_boost"))
         for k in [k for k in fields

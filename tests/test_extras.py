@@ -948,3 +948,42 @@ def test_unscored_search_matches_reference(engine, oracle):
         a = engine.search(myq, limit=5, optimize=False)
         b = engine.search(myq, limit=5)
         assert [int(d) for d in a.docids] == [int(d) for d in b.docids]
+
+
+def test_fuzz_strict_phrase_marker():
+    """Hypothesis sweep of set_matched_filter_phrases vs the reference
+    on random word streams and random phrases (exact skip/evict/slop
+    behavior, excluding the reference's 1-word-sloppy hang)."""
+    from types import SimpleNamespace
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    load_whoosh_oracle()
+    from whoosh.highlight import set_matched_filter_phrases as ref_fn
+
+    from whoosh_ray.search.highlight import (set_matched_filter_phrases,
+                                             tokenize_chars)
+
+    words = st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"])
+
+    @settings(max_examples=120, deadline=None, derandomize=True)
+    @given(
+        text_words=st.lists(words, min_size=1, max_size=12),
+        phrase_words=st.lists(words, min_size=2, max_size=4),
+        slop=st.integers(min_value=1, max_value=3),
+        terms=st.sets(words, max_size=2),
+    )
+    def check(text_words, phrase_words, slop, terms):
+        text = " ".join(text_words)
+        phr = [SimpleNamespace(words=phrase_words, slop=slop)]
+        mine = [t.matched for t in set_matched_filter_phrases(
+            tokenize_chars(text), text, terms, phr)]
+        ref_toks = [SimpleNamespace(text=w, matched=False)
+                    for w in text_words]
+        ref_terms = [SimpleNamespace(text=t) for t in terms]
+        want = [t.matched for t in ref_fn(iter(ref_toks), text,
+                                          ref_terms, phr)]
+        assert mine == want, (text, phrase_words, slop, terms)
+
+    check()

@@ -438,3 +438,72 @@ def test_multivalue_list_raises_with_guidance(tmp_path):
     with pytest.raises(TypeError, match="pre-analyzed token lists"):
         w.add_document(conv_id="c0", turn_idx=0, text=["a b", "c d"])
     w.cancel()
+
+
+def test_remove_field_and_optimize_away(tmp_path):
+    """Reference test_removefield/test_optimize_away semantics: after
+    remove_field+commit the field vanishes from the reader and stored
+    reads immediately; optimize RECLAIMS its postings and stored
+    column from the merged segment."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from whoosh_ray import index as wrindex
+    from whoosh_ray.search import Term
+    from whoosh_ray.state.schema import FieldSpec, IndexSchema
+
+    schema = IndexSchema(fields=(FieldSpec.id("id", stored=True),
+                                 FieldSpec.text("content", stored=False),
+                                 FieldSpec.keyword("city", stored=True)))
+    ix = wrindex.create_in(str(tmp_path), schema)
+    w = ix.writer()
+    for i, (d, c, city) in enumerate([("b", "bravo", "baghdad"),
+                                      ("c", "charlie", "cairo"),
+                                      ("d", "delta", "dakar")]):
+        w.add_document(conv_id=f"x{i}", turn_idx=0, id=d, content=c,
+                       city=city)
+    w.commit(merge=False)
+    s = ix.searcher()
+    doc = s.search(Term("id", "c"), limit=1)[0]
+    assert doc["id"] == "c" and doc["city"] == "cairo"
+
+    w = ix.writer()
+    w.remove_field("content")
+    w.remove_field("city")
+    w.commit(merge=False)
+    ix.refresh()
+    s = ix.searcher()
+    assert [f.name for f in s.schema.fields] == ["id"]
+    rd = s.reader()
+    # gone from the reader and stored reads IMMEDIATELY (pre-merge)
+    assert ("content", "charlie") not in rd
+    hit = s.search(Term("id", "c"), limit=1)[0]
+    assert "city" not in hit.keys() and "content" not in hit.keys()
+    # ...but still physically present until a merge
+    tp = glob.glob(os.path.join(str(tmp_path), "MAIN", "segments", "*",
+                                "terms.parquet"))
+    on_disk = set()
+    for p in tp:
+        on_disk.update(pq.read_table(p, columns=["field"])
+                       ["field"].to_pylist())
+    assert "content" in on_disk
+
+    w = ix.writer()
+    w.commit(optimize=True)
+    ix.refresh()
+    s = ix.searcher()
+    tp = glob.glob(os.path.join(str(tmp_path), "MAIN", "segments", "*",
+                                "terms.parquet"))
+    on_disk = set()
+    doc_cols = set()
+    for p in tp:
+        on_disk.update(pq.read_table(p, columns=["field"])
+                       ["field"].to_pylist())
+        doc_cols.update(pq.read_schema(
+            os.path.join(os.path.dirname(p), "docs.parquet")).names)
+    assert on_disk == {"id"}
+    assert "city" not in doc_cols and "content" not in doc_cols
+    hit = s.search(Term("id", "c"), limit=1)[0]
+    assert dict(hit.items())["id"] == "c"

@@ -282,6 +282,15 @@ class MergeWorker:
 
         # ---- terms: concat -> stable sort -> combine duplicate terms
         terms = pa.concat_tables(terms_parts)
+        # a merge RECLAIMS removed fields (reference test_optimize_away:
+        # optimize after remove_field drops the field's data): postings
+        # of fields absent from the current schema are filtered out here
+        schema_fields = {f.name for f in self.manifest.schema.fields}
+        if terms.num_rows:
+            fcol = terms["field"].to_numpy(zero_copy_only=False)
+            keep = np.array([f in schema_fields for f in fcol])
+            if not keep.all():
+                terms = terms.take(pa.array(np.flatnonzero(keep)))
         # stable sort by (field, term); min_docid orders duplicates since
         # docid ranges are disjoint per segment
         fields = terms["field"].to_numpy(zero_copy_only=False)
@@ -381,6 +390,14 @@ class MergeWorker:
         docs = pa.concat_tables(docs_parts)
         docs = docs.take(pa.array(np.argsort(docs["docid"].to_numpy(),
                                              kind="stable")))
+        # stored columns of removed fields reclaim too
+        allowed = {"docid", *self.manifest.schema.stored_columns}
+        for f in self.manifest.schema.fields:
+            allowed.update((f.name, f"{f.name}__vector_terms",
+                            f"{f.name}__vector_weights"))
+        keep_cols = [c for c in docs.column_names if c in allowed]
+        if len(keep_cols) != len(docs.column_names):
+            docs = docs.select(keep_cols)
 
         # ---- atomic commit: rename the merged segment into place under a
         # FRESH id first, then retire the inputs
@@ -397,6 +414,9 @@ class MergeWorker:
                 field_lengths[k] = field_lengths.get(k, 0) + v
         for k, v in removed_fl.items():
             field_lengths[k] = field_lengths.get(k, 0) - v
+        # removed fields contribute no lengths to the merged segment
+        field_lengths = {k: v for k, v in field_lengths.items()
+                         if k in schema_fields}
         # fp_parts: each constituent (lo, hi, fingerprint) so build-resume
         # can re-validate a merged segment range-by-range against the
         # current input files (build.py _meta_valid); inputs that are
@@ -459,6 +479,17 @@ def merge_segments(index_dir: str, policy: str = "MERGE_SMALL",
     plan = (plan_optimize(mergeable, target_segments)
             if policy == "OPTIMIZE"
             else plan_merge_small(mergeable))
+    if policy == "OPTIMIZE":
+        # optimize also RECLAIMS removed fields (reference
+        # test_optimize_away): segments still carrying data for fields
+        # absent from the current schema rewrite even when there is
+        # nothing to fold (single-member groups)
+        schema_fields = {f.name for f in manifest.schema.fields}
+        planned = {s for g in plan for s in g}
+        stale = [m.seg_id for m in mergeable
+                 if m.seg_id not in planned
+                 and set(m.field_lengths) - schema_fields]
+        plan = plan + [[s] for s in stale]
     if plan:
         next_id = max((m.seg_id for m in manifest.segments), default=-1) + 1
         items = [{"group": json.dumps(g), "new_seg": next_id + i}

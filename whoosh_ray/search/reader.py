@@ -240,6 +240,11 @@ class IndexReader:
 
     def __contains__(self, term: tuple[str, str]) -> bool:
         f, t = term
+        # removed fields vanish from the reader IMMEDIATELY, before any
+        # merge reclaims their postings (reference test_removefield:
+        # ("content", ...) not in reader right after remove_field+commit)
+        if not any(fs.name == f for fs in self.schema.fields):
+            return False
         return self.searcher.global_term_info(f, str(t)) is not None
 
     def all_terms(self):

@@ -1562,6 +1562,20 @@ class Searcher:
         # promote: segments written before an Index.add_field lack the
         # new column (null-typed there)
         t = pa.concat_tables(parts, promote_options="default")
+        if columns is None:
+            # a REMOVED field's values vanish from stored reads at once,
+            # before any merge reclaims the column (reference
+            # test_removefield: document() drops it right after
+            # remove_field+commit) — filter the default projection to
+            # the CURRENT schema
+            allowed = {"docid", *self.schema.stored_columns}
+            for f in self.schema.fields:
+                allowed.add(f.name)
+                allowed.add(f"{f.name}__vector_terms")
+                allowed.add(f"{f.name}__vector_weights")
+            keep = [c for c in t.column_names if c in allowed]
+            if len(keep) != len(t.column_names):
+                t = t.select(keep)
         # restore requested (rank) order: segments are docid-ordered and
         # per-segment results docid-sorted, so the concat is globally
         # sorted — one vectorized searchsorted, no per-row Python

@@ -138,14 +138,31 @@ class AnalyzerSpec:
     def __or__(self, stage) -> "AnalyzerSpec":
         """Reference ``tokenizer | filter`` composition sugar
         (analysis/acore.py:137-145): a NEW spec whose chain is this
-        spec's stages plus the given ("kind", params) stage."""
+        spec's stages plus the given ("kind", params) stage — or a
+        tuple of such stages (a pre-composed filter chain)."""
         import dataclasses
 
-        if not (isinstance(stage, tuple) and len(stage) == 2
-                and isinstance(stage[0], str)):
+        def _is_stage(s):
+            return (isinstance(s, tuple) and len(s) == 2
+                    and isinstance(s[0], str))
+
+        if _is_stage(stage):
+            stages = (stage,)
+        elif (isinstance(stage, tuple) and stage
+              and all(_is_stage(s) for s in stage)):
+            stages = tuple(stage)
+        else:
             raise TypeError(
                 "compose with a ('kind', params) chain stage tuple")
-        return dataclasses.replace(self, chain=self.to_chain() + (stage,))
+        if self.ngram is not None and self.chain is None:
+            # NgramTokenizer | LowercaseFilter — the composition
+            # NgramAnalyzer uses (ngrams.py:223-233); other filters
+            # can't ride the vectorized ngram path
+            if all(k == "lowercase" for k, _ in stages):
+                return dataclasses.replace(self, lowercase=True)
+            raise TypeError(
+                "only LowercaseFilter composes onto NgramTokenizer")
+        return dataclasses.replace(self, chain=self.to_chain() + stages)
 
 
 # ISO-639 aliases accepted by the reference's language registry
@@ -201,8 +218,7 @@ KEYWORD = AnalyzerSpec(pattern=r"[^ \t\r\n]+", lowercase=False,
 COMMA_SEPARATED = AnalyzerSpec(pattern=r"[^,]+", lowercase=False,
                                stopwords=None, minsize=0, strip=True)
 # PathTokenizer (tokenizers.py:320-337): prefixes of a /-path
-PATH = AnalyzerSpec(pattern=r"[^/]+", lowercase=False, stopwords=None,
-                    minsize=0)
+PATH = AnalyzerSpec(chain=(("tokenizer", (r"[^/]+", False, "path")),))
 # FancyAnalyzer (analyzers.py:229-254): whitespace-gaps tokenizer |
 # IntraWordFilter | LowercaseFilter | StopFilter — stream parity with
 # the reference incl. IntraWord's quirks (test_tokenfilters)
@@ -416,6 +432,9 @@ class VectorAnalyzer:
         has_any = row_lengths > 0
         first_orig[has_any] = orig_pos[cuts[:-1][has_any]]
         positions = (first_orig[row_ids] + rank_in_row).astype(np.int32)
+        if self._re is None and self._breakmap is None:
+            # IDTokenizer emits pos = start_pos + 1 (tokenizers.py:66-67)
+            positions += 1
         return TokenizedBatch(row_ids, terms, positions, row_lengths,
                               startchars=sc_flat, endchars=ec_flat)
 
@@ -807,10 +826,18 @@ def NgramAnalyzer(minsize: int, maxsize: int | None = None) -> AnalyzerSpec:
 
 def NgramWordAnalyzer(minsize: int, maxsize: int | None = None,
                       tokenizer=None, at=None) -> AnalyzerSpec:
-    if tokenizer is not None or at is not None:
-        raise TypeError("NgramWordAnalyzer custom tokenizer/at trimming "
-                        "aren't spec-expressible; use AnalyzerSpec "
-                        "directly")
-    return AnalyzerSpec(stopwords=None, minsize=0,
-                        ngram=(minsize, maxsize or minsize),
-                        ngram_mode="words")
+    """ngrams.py:236-244: tokenizer | LowercaseFilter | NgramFilter.
+    The default shape rides the vectorized words-mode ngram path; a
+    custom ``tokenizer`` (an AnalyzerSpec) or ``at`` trimming routes
+    through the equivalent declarative chain."""
+    if tokenizer is None and at is None:
+        return AnalyzerSpec(stopwords=None, minsize=0,
+                            ngram=(minsize, maxsize or minsize),
+                            ngram_mode="words")
+    tok = tokenizer if tokenizer is not None else RegexAnalyzer()
+    if not isinstance(tok, AnalyzerSpec):
+        raise TypeError("NgramWordAnalyzer(tokenizer=) takes an "
+                        "AnalyzerSpec (e.g. RegexTokenizer())")
+    return AnalyzerSpec(chain=tok.to_chain() + (
+        ("lowercase", ()),
+        ("ngram", (minsize, maxsize or minsize, at))))

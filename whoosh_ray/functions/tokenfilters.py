@@ -157,6 +157,62 @@ def charset_filter(tokens, charmap):
         yield t
 
 
+def substitution_filter(tokens, rex, replacement):
+    for t in tokens:
+        t.text = rex.sub(replacement, t.text)
+        yield t
+
+
+def reverse_text_filter(tokens):
+    for t in tokens:
+        t.text = t.text[::-1]
+        yield t
+
+
+def ngram_filter(tokens, gmin, gmax, at, mode):
+    """NgramFilter parity (ngrams.py:119-219): words shorter than
+    ``gmin`` drop; index mode emits grams per (start, size) — or only
+    start-/end-anchored grams for ``at`` — all at the word's original
+    position; query mode emits the single size min(gmax, len)."""
+    for t in tokens:
+        text = t.text
+        if len(text) < gmin:
+            continue
+        if mode == "query":
+            size = min(gmax, len(text))
+            if at == "start":
+                t.text = text[:size]
+                yield t
+            elif at == "end":
+                t.text = text[len(text) - size:]
+                yield t
+            else:
+                for start in range(0, len(text) - size + 1):
+                    nt = t.copy()
+                    nt.text = text[start:start + size]
+                    yield nt
+        elif at == "start":
+            limit = min(gmax, len(text))
+            for size in range(gmin, limit + 1):
+                nt = t.copy()
+                nt.text = text[:size]
+                yield nt
+        elif at == "end":
+            for start in range(max(0, len(text) - gmax),
+                               len(text) - gmin + 1):
+                nt = t.copy()
+                nt.text = text[start:]
+                yield nt
+        else:
+            for start in range(0, len(text) - gmin + 1):
+                for size in range(gmin, gmax + 1):
+                    if start + size > len(text):
+                        continue
+                    nt = t.copy()
+                    nt.text = text[start:start + size]
+                    yield nt
+
+
 def delimited_attribute_filter(tokens, delimiter="^"):
     """DelimitedAttributeFilter parity (filters.py:375-436): the
     delimited payload is stripped from the token text and parsed into
@@ -412,6 +468,9 @@ def compile_chain(chain: tuple, mode: str = "index"):
       ("stemfn", (name, ignore|None, cachesize))  — porter/porter2/lovins/paicehusk
       ("stop", (words|None, minsize, maxsize, renumber))
       ("charset", items)                        — (ord, str) pairs
+      ("substitute", (pattern, replacement))    — re.sub on token text
+      ("reverse", ())                           — text[::-1]
+      ("ngram", (minsize, maxsize, at|None))    — NgramFilter (mode-aware)
       ("intraword", (delims, sw, sn, mw, mn))
       ("biword", (sep,))      ("shingle", (size, sep))
       ("compound", (words, keep_compound))
@@ -420,12 +479,45 @@ def compile_chain(chain: tuple, mode: str = "index"):
       ("multi", ((mode, chain), ...))           — pick sub-chain by mode
     """
     items = list(chain)
-    pattern, gaps = r"\w+(?:\.?\w+)*", False
+    pattern, gaps, tmode = r"\w+(?:\.?\w+)*", False, None
     if items and items[0][0] == "tokenizer":
-        pattern, gaps = items[0][1]
+        params = items[0][1]
+        pattern, gaps = params[0], params[1]
+        # optional third element: "path" = PathTokenizer semantics
+        tmode = params[2] if len(params) > 2 else None
         items = items[1:]
 
+    if pattern is None:
+        # IDTokenizer semantics (tokenizers.py:47-71): the whole value
+        # is one token; the empty string still indexes the term ''.
+        # The reference emits pos = start_pos + 1 (:66-67), i.e. 1.
+        def tokenize(text: str, with_chars: bool = False):
+            if text is None:
+                return iter(())
+            t = str(text)
+            if with_chars:
+                return iter((Token(t, 1, startchar=0, endchar=len(t)),))
+            return iter((Token(t, 1),))
+
+        fns = [_compile_filter(kind, params, mode) for kind, params in items]
+        return tokenize, [f for f in fns if f is not None]
+
     rex = re.compile(pattern, re.UNICODE)
+
+    if tmode == "path":
+        # PathTokenizer (tokenizers.py:320-337): the pattern matches
+        # path COMPONENTS; each token is the cumulative prefix of the
+        # value up to that component's end.
+        def tokenize(text: str, with_chars: bool = False):
+            if with_chars:
+                raise ValueError("char offsets aren't defined for "
+                                 "path-prefix tokens")
+            t = text or ""
+            return (Token(t[:m.end()], i)
+                    for i, m in enumerate(rex.finditer(t)))
+
+        fns = [_compile_filter(kind, params, mode) for kind, params in items]
+        return tokenize, [f for f in fns if f is not None]
 
     def tokenize(text: str, with_chars: bool = False):
         if gaps:
@@ -449,7 +541,7 @@ def compile_chain(chain: tuple, mode: str = "index"):
 # rewrites; stream-restructuring filters synthesize spans we don't model)
 CHARS_SAFE_FILTERS = frozenset(
     ["lowercase", "strip", "stop", "charset", "delimited", "stem",
-     "pystemmer", "stemfn"])
+     "pystemmer", "stemfn", "substitute", "reverse"])
 
 
 def chain_chars_safe(chain: tuple) -> bool:
@@ -463,6 +555,19 @@ def chain_chars_safe(chain: tuple) -> bool:
 
 
 def _compile_filter(kind: str, params, mode: str):
+    if kind == "pass":
+        return None  # identity (reference PassFilter, filters.py:84-89)
+    if kind == "logging":
+        import logging
+
+        lg = logging.getLogger("whoosh_ray.analysis")
+
+        def _logging(tokens, _lg=lg):
+            for t in tokens:
+                _lg.debug(repr(t.text))
+                yield t
+
+        return _logging
     if kind == "lowercase":
         return lowercase_filter
     if kind == "strip":
@@ -497,6 +602,18 @@ def _compile_filter(kind: str, params, mode: str):
     if kind == "charset":
         cm = dict(params)
         return lambda toks: charset_filter(toks, cm)
+    if kind == "substitute":
+        # SubstitutionFilter (filters.py:439-479): re.sub on token text;
+        # char offsets keep pointing at the ORIGINAL text (reference
+        # leaves them untouched for text-only rewrites)
+        pat, rep = params
+        srex = re.compile(pat)
+        return lambda toks: substitution_filter(toks, srex, rep)
+    if kind == "reverse":
+        return reverse_text_filter
+    if kind == "ngram":
+        gmin, gmax, at = params
+        return lambda toks: ngram_filter(toks, gmin, gmax, at, mode)
     if kind == "intraword":
         iw = _IntraWord(*params)
         return iw

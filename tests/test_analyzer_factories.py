@@ -73,5 +73,7 @@ def test_stemming_analyzer_named_stemfn(refa):
         assert _mine(spec, text) == _ref(ref, text), text
     with pytest.raises(TypeError):
         mya.StemmingAnalyzer(stemfn=porter_stem)
+    # NgramWordAnalyzer(at=) routes through the ngram chain kind now
+    # (parity in test_analysis_compat); a non-spec tokenizer still raises
     with pytest.raises(TypeError):
-        mya.NgramWordAnalyzer(2, at="start")
+        mya.NgramWordAnalyzer(2, tokenizer=object())

@@ -135,15 +135,23 @@ def test_plusminus_plugin(engine, oracle, whoosh_oracle):
     from whoosh.qparser import OrGroup, PlusMinusPlugin
     from whoosh.qparser import QueryParser as WQP
 
-    my_parser = QueryParser("text", transcripts_schema(),
-                            plugins=("plusminus",))
+    # the "optional" bucket takes the parser's group (reference
+    # plugins.py:1037-1039) — compare an or-group pair AND the default
+    # and-group pair
+    my_or = QueryParser("text", transcripts_schema(),
+                        plugins=("plusminus",), group="or")
+    my_and = QueryParser("text", transcripts_schema(),
+                         plugins=("plusminus",))
     with oracle.searcher() as os_:
-        ref_parser = WQP("text", schema=oracle.schema, group=OrGroup)
-        ref_parser.add_plugin(PlusMinusPlugin())
+        ref_or = WQP("text", schema=oracle.schema, group=OrGroup)
+        ref_or.add_plugin(PlusMinusPlugin())
+        ref_and = WQP("text", schema=oracle.schema)
+        ref_and.add_plugin(PlusMinusPlugin())
         for qs in ["+deploy render -cluster", "+deploy +render",
                    "render error -cluster", "+deploy -render"]:
-            _compare(engine, os_, my_parser.parse(qs),
-                     ref_parser.parse(qs), qs)
+            _compare(engine, os_, my_or.parse(qs), ref_or.parse(qs), qs)
+            _compare(engine, os_, my_and.parse(qs), ref_and.parse(qs),
+                     "and:" + qs)
 
 
 def test_multifield_parser(engine, oracle, whoosh_oracle):

@@ -63,6 +63,21 @@ _RANGE_BODY = re.compile(r"""
 _OPS = {"AND", "OR", "NOT", "ANDNOT", "ANDMAYBE", "REQUIRE"}
 
 
+def _norm_group(group):
+    """Normalize a ``group=`` argument: None/"and" -> ("and", None);
+    "or" / ("or", scale) -> or-group; also accepts the compat module's
+    AndGroup/OrGroup markers (anything with a ``_wr_group`` attr)."""
+    g = getattr(group, "_wr_group", group)
+    if g is None or g == "and":
+        return "and", None
+    if g == "or":
+        return "or", None
+    if (isinstance(g, tuple) and len(g) == 2 and g[0] == "or"):
+        return "or", g[1]
+    raise TypeError(f"unsupported group {group!r}; use 'and', 'or' or "
+                    f"('or', scale)")
+
+
 class SpannedStr(str):
     """Lexed token text carrying its (startchar, endchar) in the
     original query string — feeds Term.startchar/endchar so
@@ -94,7 +109,8 @@ class QueryParser:
 
     - "gtlt": ``field:>x  >=x  <x  <=x`` open-ended ranges
       (GtLtPlugin, plugins.py:519-586);
-    - "plusminus": ``+required -prohibited`` with bare terms optional
+    - "plusminus": ``+required -prohibited`` with bare terms grouped by
+      the parser's group (optional-Or under ``group="or"``)
       (PlusMinusPlugin, plugins.py:589-643; builds the reference's
       BooleanQuery shape AndNot(AndMaybe(And(req), Or(should)),
       Or(proh)));
@@ -124,10 +140,17 @@ class QueryParser:
                  datefields: tuple[str, ...] = (),
                  basedate=None,
                  functions: dict | None = None,
-                 pseudofields: dict | None = None):
+                 pseudofields: dict | None = None,
+                 group=None):
         self.default_field = default_field
         self.schema = schema
         self.plugins = frozenset(plugins)
+        # reference QueryParser(group=AndGroup) default (default.py:78):
+        # the group joins whitespace-separated clauses AND a single word
+        # analyzing to several tokens; "or" takes an optional Or(scale=)
+        # coordination bonus (OrGroup.factory, syntax.py:413-422).
+        # Accepts "and" / "or" / ("or", scale) / None.
+        self.group, self.group_scale = _norm_group(group)
         self.aliases = dict(aliases or {})
         self.copyfields = dict(copyfields or {})
         # FunctionPlugin (plugins.py:560-645): ``#name[a,b,kw=v]`` calls
@@ -155,6 +178,81 @@ class QueryParser:
                 if f.analyzer.boolean or f.analyzer.ngram is not None
                 else f.analyzer)
             for f in schema.fields}
+
+    def add_plugin(self, pin) -> "QueryParser":
+        """Enable a plugin on an existing parser (reference
+        QueryParser.add_plugin, default.py:119-123).  Accepts a flag
+        name ("gtlt"/"plusminus"/"fuzzy"/"regex"/"sequence"), or a
+        marker object from whoosh_ray.qparser carrying a
+        ``_wr_plugin = (kind, payload)`` attribute."""
+        if isinstance(pin, type):
+            pin = pin()
+        spec = getattr(pin, "_wr_plugin", None)
+        if spec is None and isinstance(pin, str):
+            spec = (pin, None)
+        if spec is None:
+            raise TypeError(f"not a recognized plugin: {pin!r}")
+        kind, payload = spec
+        if kind == "noop":
+            pass  # a default-set plugin (always on)
+        elif kind in ("gtlt", "plusminus", "fuzzy", "regex", "sequence"):
+            self.plugins = self.plugins | {kind}
+        elif kind == "aliases":
+            self.aliases.update(payload)
+        elif kind == "copyfields":
+            self.copyfields.update(payload)
+        elif kind == "functions":
+            self.functions.update(payload)
+        elif kind == "pseudofields":
+            self.pseudofields.update(payload)
+        elif kind == "dateparser":
+            basedate, fieldnames = payload
+            if basedate is not None:
+                self.basedate = basedate
+            if not fieldnames:
+                # auto-select datetime-shaped fields: 64-bit tiered
+                # numeric (what FieldSpec.datetime builds)
+                fieldnames = tuple(
+                    f.name for f in self.schema.fields
+                    if f.kind == "numeric" and f.analyzer.numeric
+                    and f.analyzer.numeric[0] == 64)
+            self.datefields = self.datefields | frozenset(fieldnames)
+        else:
+            raise TypeError(f"unknown plugin kind {kind!r}")
+        return self
+
+    def remove_plugin(self, pin) -> "QueryParser":
+        """Disable a previously-enabled optional plugin (reference
+        remove_plugin_class, default.py:133-140)."""
+        if isinstance(pin, type):
+            pin = pin()
+        spec = getattr(pin, "_wr_plugin", None)
+        if spec is None and isinstance(pin, str):
+            spec = (pin, None)
+        if spec is None:
+            raise TypeError(f"not a recognized plugin: {pin!r}")
+        kind, payload = spec
+        if kind in ("gtlt", "plusminus", "fuzzy", "regex", "sequence"):
+            self.plugins = self.plugins - {kind}
+        elif kind == "aliases":
+            for k in (payload or dict(self.aliases)):
+                self.aliases.pop(k, None)
+        elif kind == "copyfields":
+            for k in (payload or dict(self.copyfields)):
+                self.copyfields.pop(k, None)
+        elif kind == "functions":
+            for k in (payload or dict(self.functions)):
+                self.functions.pop(k, None)
+        elif kind == "pseudofields":
+            for k in (payload or dict(self.pseudofields)):
+                self.pseudofields.pop(k, None)
+        elif kind == "dateparser":
+            self.datefields = frozenset()
+        elif kind != "noop":
+            raise TypeError(f"unknown plugin kind {kind!r}")
+        return self
+
+    remove_plugin_class = remove_plugin
 
     # ---- lexing ----
 
@@ -296,19 +394,25 @@ class QueryParser:
                 elif isinstance(it, Query) and not isinstance(it, _NullQuery):
                     should.append(it)
             # BooleanQuery shape (compound.py:656-658), normalized like
-            # the reference: drop empty branches
+            # the reference: drop empty branches.  The "optional" nodes
+            # take the PARSER'S group (an AndGroup parser makes bare
+            # terms required-by-default, plugins.py:1037-1039); banned
+            # is always an OrGroup (:1035).
             def one_or(qs):
                 return qs[0] if len(qs) == 1 else Or(qs)
 
             def one_and(qs):
                 return qs[0] if len(qs) == 1 else And(qs)
 
+            def one_group(qs):
+                return qs[0] if len(qs) == 1 else self._group_join(qs)
+
             if required and should:
-                base = AndMaybe(one_and(required), one_or(should))
+                base = AndMaybe(one_and(required), one_group(should))
             elif required:
                 base = one_and(required)
             elif should:
-                base = one_or(should)
+                base = one_group(should)
             else:
                 base = None
             if prohibited and base is not None:
@@ -317,7 +421,12 @@ class QueryParser:
         qs = self._op_passes(items)
         if not qs:
             return None
-        return qs[0] if len(qs) == 1 else And(qs)
+        return qs[0] if len(qs) == 1 else self._group_join(qs)
+
+    def _group_join(self, qs: list) -> Query:
+        if self.group == "or":
+            return Or(qs, scale=self.group_scale)
+        return And(qs)
 
     def _op_passes(self, items) -> list:
         """Operator application over a flat item list, returning the
@@ -620,11 +729,12 @@ class QueryParser:
             cls = Or if getattr(spec, "queryor", False) else And
             return cls([Term(field, w) for w in words])
         # ONE query word analyzing to several tokens ("deploy-render")
-        # groups as And — the parser's default group, NOT a Phrase
+        # groups as THE PARSER'S GROUP (And by default), NOT a Phrase
         # (reference WordNode + process_text, default.py term handling;
-        # a trailing ^boost lands on each term, which normalize-flattens
-        # identically to boosting the group)
-        return And([Term(field, w) for w in words])
+        # an OrGroup parser flattens the word's tokens into the
+        # surrounding Or; a trailing ^boost lands on each term, which
+        # normalize-flattens identically to boosting the group)
+        return self._group_join([Term(field, w) for w in words])
 
     def _token_chars(self, field, text):
         """Absolute (startchar, endchar) per surviving query token, when
@@ -773,6 +883,145 @@ class MultifieldParser(QueryParser):
             # via the _leaf val check
             return self._fanout(lambda f: Every(f, boost=q.boost))
         return q
+
+
+# SimpleParser grammar (default.py:406-418 plugin set): plus/minus
+# markers match ANYWHERE (PlusMinusPlugin taggers "\+"/"-" carry no
+# word-boundary guard, plugins.py:1017-1023 — so "deploy-render" parses
+# as deploy AND NOT render), quoted phrases take an optional ~slop, and
+# whitespace separates; everything between matches accumulates into
+# words.  No fields, parens, operators, ranges or boosts.
+_SIMPLE_TOKEN_RE = re.compile(
+    r'(?P<plus>\+)'
+    r'|(?P<minus>-)'
+    r'|"(?P<phrase>[^"]*?)"(~(?P<slop>[1-9][0-9]*))?'
+    r'|(?P<ws>\s+)')
+
+
+class SimpleParser(QueryParser):
+    """Reference SimpleParser (qparser/default.py:406-418): only +, -
+    and phrase syntax over an OrGroup — built for end-user search
+    boxes.  Whitespace-separated terms join with Or; ``+``/``-`` mark
+    the NEXT node (word or phrase) required/prohibited, building
+    AndNot(AndMaybe(And(required), Or(optional)), Or(banned))
+    (PlusMinusPlugin.do_plusminus, plugins.py:1028-1061); a word that
+    analyzes to several tokens joins as Or (the OrGroup), not And; a
+    stopped required word nulls the whole query (AndMaybe(Null, x) ->
+    Null)."""
+
+    def parse(self, text: str) -> Query:
+        nodes: list = []
+        pos = 0
+
+        def flush_word(upto: int):
+            nonlocal pos
+            w = text[pos:upto]
+            if w:
+                nodes.append(self._simple_word(
+                    SpannedStr.make(w, pos, upto)))
+            pos = upto
+
+        for m in _SIMPLE_TOKEN_RE.finditer(text):
+            flush_word(m.start())
+            pos = m.end()
+            if m.group("plus"):
+                nodes.append("plus")
+            elif m.group("minus"):
+                nodes.append("minus")
+            elif m.group("phrase") is not None:
+                body = SpannedStr.make(m.group("phrase"),
+                                       *m.span("phrase"))
+                q = self._simple_phrase(body, int(m.group("slop") or 1))
+                if q is not None:
+                    nodes.append(q)
+        flush_word(len(text))
+
+        required: list = []
+        optional: list = []
+        banned: list = []
+        target = optional
+        for nd in nodes:
+            if nd == "plus":
+                target = required
+            elif nd == "minus":
+                target = banned
+            else:
+                target.append(nd)
+                target = optional
+        group: Query = Or(optional) if optional else _NullQuery()
+        if required:
+            group = AndMaybe(And(required), group)
+        if banned:
+            group = AndNot(group, Or(banned))
+        return group.normalize()
+
+    def _simple_word(self, text) -> Query:
+        field = self.default_field
+        words = self._analyzers[field].token_lists([str(text)])[0]
+        if not words:
+            return _NullQuery()
+        if len(words) == 1:
+            t = Term(field, words[0])
+            chars = self._token_chars(field, text)
+            if chars and len(chars) == 1:
+                t.startchar, t.endchar = chars[0]
+            return t
+        # OrGroup: a multi-token word joins the surrounding Or flat
+        return Or([Term(field, w) for w in words])
+
+    def _simple_phrase(self, body, slop) -> Query | None:
+        return self._make_phrase(self.default_field, body, slop)
+
+
+class DisMaxParser(SimpleParser):
+    """Reference DisMaxParser (qparser/default.py:421-439): the simple
+    +/-/phrase grammar, with each term/phrase fanned out over
+    ``fieldboosts`` as a DisjunctionMax (MultifieldPlugin with
+    group=DisMaxGroup)."""
+
+    _SENTINEL = "\x00dismax"
+
+    def __init__(self, fieldboosts: dict, schema: IndexSchema,
+                 tiebreak: float = 0.0, **kw):
+        self.fieldboosts = dict(fieldboosts)
+        names = list(self.fieldboosts)
+        super().__init__(names[0], schema, **kw)
+        self.tiebreak = tiebreak
+
+    def _dismax(self, per_field) -> Query:
+        from whoosh_ray.search.query import DisjunctionMax
+
+        subs = []
+        for f, b in self.fieldboosts.items():
+            q = per_field(f)
+            if q is None:
+                q = _NullQuery()
+            if b != 1.0 and not isinstance(q, _NullQuery):
+                q = _with_boost(q, q.boost * b)
+            subs.append(q)
+        return DisjunctionMax(subs, tiebreak=self.tiebreak)
+
+    def _simple_word(self, text) -> Query:
+        return self._dismax(
+            lambda f: SimpleParser._simple_word(
+                _FieldView(self, f), text))
+
+    def _simple_phrase(self, body, slop) -> Query | None:
+        return self._dismax(
+            lambda f: self._make_phrase(f, body, slop))
+
+
+class _FieldView:
+    """Proxy presenting ``parser`` with a different default field —
+    lets DisMaxParser reuse SimpleParser's per-word builder per
+    fanned-out field."""
+
+    def __init__(self, parser, field):
+        self._parser = parser
+        self.default_field = field
+
+    def __getattr__(self, name):
+        return getattr(self._parser, name)
 
 
 def _parse_fn_args(argstring: str) -> tuple[list, dict]:

@@ -81,6 +81,14 @@ def test_merge_small_policy_shape():
     plan = plan_merge_small(metas_of([1, 1, 1, 1, 1, 1000]))
     assert plan == [[0, 1, 2, 3, 4]]
 
+    # fib CONVENTION parity (util/__init__.py:104-112: fib(1)=1,
+    # fib(2)=2, so the i=4 threshold is fib(9)=55, NOT standard F(9)=34):
+    # a 50-doc running total at i=4 is under 55 and folds
+    plan = plan_merge_small(metas_of([10, 10, 10, 10, 10, 1000]))
+    assert plan == [[0, 1, 2, 3, 4]]
+    # ...and 60 is not
+    assert plan_merge_small(metas_of([12, 12, 12, 12, 12, 1000])) == []
+
 
 def test_merge_small_docid_adjacency():
     # the fold set must split at docid-range gaps so merged ranges never

@@ -1,0 +1,138 @@
+"""The reference's top-level module layout ports 1:1: every
+``from whoosh.X import Y`` a reference user writes resolves as
+``from whoosh_ray.X import Y``."""
+
+import pytest
+
+from tests.conftest import load_whoosh_oracle
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _oracle():
+    load_whoosh_oracle()
+
+
+# (module, names a reference pipeline actually imports)
+SURFACE = {
+    "analysis": ["RegexTokenizer", "IDTokenizer", "SpaceSeparatedTokenizer",
+                 "CommaSeparatedTokenizer", "PathTokenizer",
+                 "CharsetTokenizer", "NgramTokenizer", "LowercaseFilter",
+                 "StopFilter", "StemFilter", "PyStemmerFilter",
+                 "CharsetFilter", "SubstitutionFilter", "ReverseTextFilter",
+                 "NgramFilter", "DelimitedAttributeFilter",
+                 "IntraWordFilter", "CompoundWordFilter", "BiWordFilter",
+                 "ShingleFilter", "DoubleMetaphoneFilter", "TeeFilter",
+                 "MultiFilter", "PassFilter", "LoggingFilter",
+                 "StandardAnalyzer", "StemmingAnalyzer", "SimpleAnalyzer",
+                 "FancyAnalyzer", "KeywordAnalyzer", "IDAnalyzer",
+                 "RegexAnalyzer", "NgramAnalyzer", "NgramWordAnalyzer",
+                 "LanguageAnalyzer", "STOP_WORDS", "Token", "unstopped",
+                 "entoken", "CompositionError"],
+    "fields": ["TEXT", "ID", "KEYWORD", "IDLIST", "NUMERIC", "DATETIME",
+               "BOOLEAN", "NGRAM", "NGRAMWORDS", "STORED", "Schema",
+               "SchemaClass", "ensure_schema"],
+    "index": ["create_in", "open_dir", "exists_in", "version_in",
+              "EmptyIndexError", "LockError"],
+    "qparser": ["QueryParser", "MultifieldParser", "SimpleParser",
+                "DisMaxParser", "OrGroup", "AndGroup", "GtLtPlugin",
+                "PlusMinusPlugin", "FuzzyTermPlugin", "RegexPlugin",
+                "SequencePlugin", "FieldAliasPlugin", "CopyFieldPlugin",
+                "FunctionPlugin", "PseudoFieldPlugin", "DateParserPlugin",
+                "PhrasePlugin", "WildcardPlugin", "OperatorsPlugin"],
+    "query": ["Term", "And", "Or", "Not", "DisjunctionMax", "AndNot",
+              "AndMaybe", "Require", "Otherwise", "Phrase", "Sequence",
+              "Ordered", "Prefix", "Wildcard", "Regex", "FuzzyTerm",
+              "Variations", "TermRange", "NumericRange", "DateRange",
+              "Every", "NestedParent", "NestedChildren", "ColumnQuery",
+              "SpanFirst", "SpanNear", "SpanNear2", "SpanOr", "SpanNot",
+              "SpanContains", "SpanBefore", "SpanCondition", "Query",
+              "QueryError", "TermNotFound", "NullQuery", "WrappingQuery"],
+    "searching": ["Searcher", "Results", "Hit", "ResultsPage",
+                  "Collector", "SearchContext", "TimeLimit",
+                  "NoTermsException"],
+    "scoring": ["BM25F", "TF_IDF", "Frequency", "PL2", "DFree",
+                "FunctionWeighting", "MultiWeighting", "ReverseWeighting",
+                "WeightingModel", "WeightScorer", "WeightLengthScorer",
+                "BaseScorer", "Weighting", "TF_IDFScorer", "DebugModel"],
+    "sorting": ["FieldFacet", "QueryFacet", "RangeFacet", "DateRangeFacet",
+                "ScoreFacet", "FunctionFacet", "TranslateFacet",
+                "StoredFieldFacet", "MultiFacet", "Facets", "FacetType",
+                "FacetMap", "Count", "Best", "OrderedList", "UnorderedList"],
+    "highlight": ["Highlighter", "WholeFragmenter", "SentenceFragmenter",
+                  "ContextFragmenter", "PinpointFragmenter",
+                  "HtmlFormatter", "UppercaseFormatter", "NullFormatter",
+                  "GenshiFormatter", "BasicFragmentScorer", "highlight",
+                  "SCORE", "FIRST", "LONGER", "SHORTER"],
+    "spelling": ["Corrector", "ReaderCorrector", "ListCorrector",
+                 "MultiCorrector", "QueryCorrector", "SimpleQueryCorrector",
+                 "Correction"],
+    "classify": ["ExpansionModel", "Bo1Model", "Bo2Model", "KLModel",
+                 "Expander"],
+    "reading": ["IndexReader", "MultiReader", "TermInfo", "TermNotFound",
+                "ReaderClosed"],
+    "collectors": ["Collector", "TimeLimitCollector", "TimeExceeded"],
+    "idsets": ["DocIdSet", "BaseBitSet", "BitSet", "OnDiskBitSet",
+               "SortedIntSet", "MultiIdSet", "RoaringIdSet",
+               "bytes_for_bits"],
+    "writing": ["IndexWriter", "AsyncWriter", "BufferedWriter",
+                "BatchWriter", "CLEAR", "MERGE_SMALL", "NO_MERGE",
+                "OPTIMIZE", "LockError", "IndexingError",
+                "UnknownFieldError", "fib"],
+}
+
+
+def test_every_surface_name_importable():
+    import importlib
+
+    missing = []
+    for mod, names in SURFACE.items():
+        m = importlib.import_module(f"whoosh_ray.{mod}")
+        for n in names:
+            if not hasattr(m, n):
+                missing.append(f"whoosh_ray.{mod}.{n}")
+    assert not missing, missing
+
+
+def test_fib_matches_reference():
+    from whoosh.util import fib as ref_fib
+
+    from whoosh_ray.writing import fib
+
+    assert [fib(i) for i in range(1, 21)] == [
+        ref_fib(i) for i in range(1, 21)]
+
+
+def test_unknown_field_error(tmp_path):
+    from whoosh_ray import index as wix
+    from whoosh_ray.state.schema import FieldSpec, IndexSchema
+    from whoosh_ray.writing import UnknownFieldError
+
+    schema = IndexSchema(fields=(
+        FieldSpec.text("text", stored=True),
+        FieldSpec.id("conv_id", stored=True),
+    ), stored_columns=("turn_idx",))
+    ix = wix.create_in(str(tmp_path), schema, seg_size=512)
+    w = ix.writer()
+    w.add_document(text="ok", conv_id="c1", turn_idx=0)   # fine
+    with pytest.raises(UnknownFieldError):
+        w.add_document(text="x", conv_id="c2", turn_idx=0, bogus="nope")
+    w.commit()
+
+
+def test_unknown_field_error_respects_globs(tmp_path):
+    from whoosh_ray import index as wix
+    from whoosh_ray.state.schema import FieldSpec, IndexSchema
+
+    schema = IndexSchema(fields=(
+        FieldSpec.text("text", stored=True),
+        FieldSpec.id("conv_id", stored=True),
+    ), stored_columns=("turn_idx",),
+        glob_fields=(("tag_*", FieldSpec.id("tag_*", stored=True)),))
+    ix = wix.create_in(str(tmp_path), schema, seg_size=512)
+    w = ix.writer()
+    w.add_document(text="ok", conv_id="c1", turn_idx=0, tag_lang="en")
+    w.commit()
+    with ix.searcher() as s:
+        from whoosh_ray.query import Term
+
+        assert len(s.search(Term("tag_lang", "en"), limit=5).docids) == 1

@@ -235,3 +235,85 @@ def ensure_schema(schema) -> IndexSchema:
     if isinstance(schema, IndexSchema):
         return schema
     raise FieldConfigurationError(f"{schema!r} is not a schema")
+
+
+# ---- numeric / datetime sortable helpers (reference re-exports from
+# util/numeric.py:104-140 and util/times.py:70-90) ----
+
+def float_to_sortable_long(x: float, signed: bool) -> int:
+    import struct
+
+    v = struct.unpack("<q", struct.pack("<d", x))[0]
+    if v < 0:
+        v ^= 0x7fffffffffffffff
+    if signed:
+        v += 1 << 63
+    assert v >= 0
+    return v
+
+
+def sortable_long_to_float(x: int, signed: bool) -> float:
+    import struct
+
+    if signed:
+        x -= 1 << 63
+    if x < 0:
+        x ^= 0x7fffffffffffffff
+    return struct.unpack("<d", struct.pack("<q", x))[0]
+
+
+def to_sortable(numtype, intsize: int, signed: bool, x):
+    if numtype is int:
+        return x + (1 << intsize - 1) if signed else x
+    return float_to_sortable_long(x, signed)
+
+
+def from_sortable(numtype, intsize: int, signed: bool, x):
+    if numtype is int:
+        return x - (1 << intsize - 1) if signed else x
+    return sortable_long_to_float(x, signed)
+
+
+def datetime_to_long(dt) -> int:
+    """Microseconds since datetime.min (reference util/times.py:70-75)."""
+    d = dt.replace(tzinfo=None) - dt.min
+    return (d.days * 86400 + d.seconds) * 1000000 + d.microseconds
+
+
+def long_to_datetime(x: int):
+    from datetime import datetime, timedelta
+
+    days, x = divmod(x, 86400000000)
+    seconds, x = divmod(x, 1000000)
+    return datetime.min + timedelta(days=days, seconds=seconds,
+                                    microseconds=x)
+
+
+# ---- schema merging (reference fields.py:1589-1613) ----
+
+def merge_schemas(schemas) -> IndexSchema:
+    """Union of several IndexSchemas; equal-named fields must be equal
+    (reference merge_fielddict raises on inconsistency)."""
+    out = ensure_schema(schemas[0])
+    for s in schemas[1:]:
+        s = ensure_schema(s)
+        have = {f.name: f for f in out.fields}
+        merged = list(out.fields)
+        for f in s.fields:
+            prev = have.get(f.name)
+            if prev is None:
+                merged.append(f)
+            elif prev != f:
+                raise Exception(
+                    f"Inconsistent field {f.name!r}: {prev!r} != {f!r}")
+        stored = tuple(dict.fromkeys(tuple(out.stored_columns)
+                                     + tuple(s.stored_columns)))
+        globs = tuple(dict.fromkeys(tuple(out.glob_fields)
+                                    + tuple(s.glob_fields)))
+        out = IndexSchema(fields=tuple(merged), stored_columns=stored,
+                          glob_fields=globs)
+    return out
+
+
+def merge_schema(s1, s2) -> IndexSchema:
+    return merge_schemas([s1, s2])

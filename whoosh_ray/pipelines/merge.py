@@ -56,11 +56,15 @@ _COMBINE_COLS = ("df", "sum_tf", "total_weight", "max_weight",
 
 
 def _fib(n: int) -> int:
-    """Parity: util/__init__.py:104-112."""
-    a, b = 0, 1
-    for _ in range(n):
+    """Parity: util/__init__.py:104-112 — the reference's sequence
+    starts fib(1)=1, fib(2)=2 (i.e. fib(n) = standard F(n+1)), so
+    fib(9) = 55, not 34."""
+    if n <= 2:
+        return n
+    a, b = 1, 2
+    for _ in range(n - 2):
         a, b = b, a + b
-    return a
+    return b
 
 
 def _adjacent_runs(fold_ids: set[int],

@@ -163,8 +163,24 @@ def add_documents(index_dir: str, source, *, conv_col: str = "conv_id",
         new_metas.append(meta)
     shutil.rmtree(inc_dir, ignore_errors=True)
 
+    # glob fields the incremental build resolved against THIS batch's
+    # columns (build.py resolve_globs) join the sealed schema as
+    # concrete fields; the patterns stay for future batches (reference
+    # dynamic fields behave like declared fields once matched,
+    # fields.py:1487-1488)
+    sealed_schema = manifest.schema
+    known = {f.name for f in sealed_schema.fields}
+    fresh = tuple(f for f in inc.schema.fields if f.name not in known)
+    if fresh:
+        from whoosh_ray.state.schema import IndexSchema
+
+        sealed_schema = IndexSchema(
+            fields=tuple(sealed_schema.fields) + fresh,
+            stored_columns=sealed_schema.stored_columns,
+            glob_fields=sealed_schema.glob_fields)
+
     manifest = Manifest(
-        schema=manifest.schema,
+        schema=sealed_schema,
         segments=list(manifest.segments) + new_metas,
         settings={**manifest.settings,
                   "docid_span": old_span + int(inc.settings["docid_span"])},

@@ -71,6 +71,14 @@ OPTIMIZE = "OPTIMIZE"
 CLEAR = "CLEAR"
 
 
+class IndexingError(Exception):
+    """Raised for writer-lifecycle misuse (reference writing.py:51-52)."""
+
+
+class UnknownFieldError(Exception):
+    """add_document kwarg names no schema field (writing.py:47-48)."""
+
+
 class LockError(Exception):
     """The index is locked by another writer (reference index.py:51;
     SegmentWriter acquires WRITELOCK with timeout, writing.py:506-514)."""
@@ -240,7 +248,31 @@ class IndexWriter:
                   and k.endswith("_boost") and len(k) > len("__boost")]:
             fields[f"__boost__{k[1:-len('_boost')]}"] = float(
                 fields.pop(k))
+        self._check_fieldnames(fields)
         return fields
+
+    def _check_fieldnames(self, fields: dict) -> None:
+        """Reference add_document raises for a kwarg naming no schema
+        field (writing.py:462-471 UnknownFieldError) — catch typos
+        instead of silently storing a stray column.  Allowed: schema
+        fields, declared stored_columns, the document-identity columns,
+        glob-field matches, and the __boost side columns."""
+        import fnmatch
+
+        allowed = ({f.name for f in self.schema.fields}
+                   | set(self.schema.stored_columns)
+                   | {self.conv_col, self.turn_col})
+        if self.docid_col:
+            allowed.add(self.docid_col)
+        globs = [pat for pat, _t in self.schema.glob_fields]
+        for k in fields:
+            if k in allowed or k.startswith("__boost"):
+                continue
+            if any(fnmatch.fnmatchcase(k, pat) for pat in globs):
+                continue
+            raise UnknownFieldError(
+                f"There is no field named {k!r} (schema fields: "
+                f"{sorted(allowed)}; glob patterns: {globs})")
 
     def delete_document(self, docid: int) -> None:
         with self._lock:

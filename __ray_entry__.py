@@ -465,6 +465,121 @@ UNION ALL SELECT * FROM q_slop
 """
 
 
+def _transcripts_parsed_sql(src: str = "/tmp/whoosh_ray_qsparsed/src") -> str:
+    """Parsed-query members (SimpleParser / OrGroup-scale / DisMax).
+
+    - simple_or: Or union-sum;
+    - simple_pm: AndNot(AndMaybe(deploy, render), cluster) incl. the
+      AndNot first-doc-escape quirk;
+    - orgroup_scale: the SQR coordination formula
+      (score + (matching-1)/(termcount-scale)^2) * (termcount-1)/termcount
+      with left-associated addition matching the engine's bincount order;
+    - dismax: the reference DJM cursor-leak — per doc, per LEAF, the
+      leaf's score at its first docid >= doc, max over leaves
+      (binary.py:369-376; correlated subqueries encode the leak)."""
+    rank = ("(row_number() OVER (ORDER BY score DESC, docid) - 1) AS rank, "
+            "docid, score")
+    return rf"""
+WITH {_transcripts_ctes(src)},
+sdeploy AS (
+  SELECT p.doc_id AS docid, {_BM25_EXPR} AS score
+  FROM postings p JOIN lens USING (doc_id), stats, ts
+  WHERE p.term = 'deploy' AND ts.term = 'deploy'
+),
+srender AS (
+  SELECT p.doc_id AS docid, {_BM25_EXPR} AS score
+  FROM postings p JOIN lens USING (doc_id), stats, ts
+  WHERE p.term = 'render' AND ts.term = 'render'
+),
+scluster AS (
+  SELECT p.doc_id AS docid, {_BM25_EXPR} AS score
+  FROM postings p JOIN lens USING (doc_id), stats, ts
+  WHERE p.term = 'cluster' AND ts.term = 'cluster'
+),
+serror AS (
+  SELECT p.doc_id AS docid, {_BM25_EXPR} AS score
+  FROM postings p JOIN lens USING (doc_id), stats, ts
+  WHERE p.term = 'error' AND ts.term = 'error'
+),
+sbash AS (
+  SELECT p.doc_id AS docid, {_BM25_EXPR} AS score
+  FROM postings p JOIN lens USING (doc_id), stats, ts
+  WHERE p.term = 'bash' AND ts.term = 'bash'
+),
+stool AS (
+  -- tool is an ID field: WeightScorer raw weight (tf = 1)
+  SELECT docid, 1.0::DOUBLE AS score FROM (
+    SELECT tool,
+      (row_number() OVER (ORDER BY conv_id, turn_idx) - 1)::BIGINT AS docid
+    FROM read_parquet('{src}/*.parquet'))
+  WHERE tool = 'bash'
+),
+q_simple_or AS (
+  SELECT 'simple_or' AS query, {rank} FROM (
+    SELECT coalesce(a.docid, b.docid) AS docid,
+           coalesce(a.score, 0) + coalesce(b.score, 0) AS score
+    FROM sdeploy a FULL OUTER JOIN srender b ON a.docid = b.docid)
+  ORDER BY score DESC, docid LIMIT 10
+),
+am AS (
+  SELECT a.docid, a.score + coalesce(b.score, 0) AS score
+  FROM sdeploy a LEFT JOIN srender b USING (docid)
+),
+q_simple_pm AS (
+  SELECT 'simple_pm' AS query, {rank} FROM (
+    SELECT am.docid, am.score FROM am
+    WHERE am.docid NOT IN (SELECT docid FROM scluster)
+    UNION
+    SELECT am.docid, am.score FROM am
+    WHERE am.docid = (SELECT min(docid) FROM am)
+      AND (SELECT min(docid) FROM am)
+          IS DISTINCT FROM (SELECT min(docid) FROM scluster))
+  ORDER BY score DESC, docid LIMIT 10
+),
+u3 AS (
+  SELECT coalesce(a.docid, b.docid, c.docid) AS docid,
+         coalesce(a.score, 0) + coalesce(b.score, 0)
+           + coalesce(c.score, 0) AS score,
+         ((a.docid IS NOT NULL)::INT + (b.docid IS NOT NULL)::INT
+           + (c.docid IS NOT NULL)::INT)::BIGINT AS matching
+  FROM sdeploy a
+  FULL OUTER JOIN srender b ON a.docid = b.docid
+  FULL OUTER JOIN serror c ON coalesce(a.docid, b.docid) = c.docid
+),
+tc AS (
+  SELECT count(*)::BIGINT AS n FROM ts
+  WHERE term IN ('deploy', 'render', 'error')
+),
+q_orgroup_scale AS (
+  SELECT 'orgroup_scale' AS query, {rank} FROM (
+    SELECT u3.docid,
+           (u3.score + (u3.matching - 1)::DOUBLE
+              / ((tc.n - 0.9::DOUBLE) * (tc.n - 0.9::DOUBLE)))
+           * ((tc.n - 1)::DOUBLE / tc.n) AS score
+    FROM u3, tc)
+  ORDER BY score DESC, docid LIMIT 10
+),
+udj AS (SELECT docid FROM sbash UNION SELECT docid FROM stool),
+dj AS (
+  SELECT u.docid, (SELECT s.score FROM sbash s WHERE s.docid >= u.docid
+                   ORDER BY s.docid LIMIT 1) AS sc
+  FROM udj u
+  UNION ALL
+  SELECT u.docid, (SELECT s.score FROM stool s WHERE s.docid >= u.docid
+                   ORDER BY s.docid LIMIT 1) AS sc
+  FROM udj u
+),
+q_dismax AS (
+  SELECT 'dismax' AS query, {rank} FROM (
+    SELECT docid, max(sc) AS score FROM dj
+    WHERE sc IS NOT NULL GROUP BY docid)
+  ORDER BY score DESC, docid LIMIT 10
+)
+SELECT * FROM q_simple_or UNION ALL SELECT * FROM q_simple_pm
+UNION ALL SELECT * FROM q_orgroup_scale UNION ALL SELECT * FROM q_dismax
+"""
+
+
 def _transcripts_queryset_sql(
         src: str = "/tmp/whoosh_ray_qsoracle/src") -> str:
     """term/and/or/phrase/role of the flagship queryset, rank+score."""
@@ -1172,6 +1287,48 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "query", pa.array([name] * t.num_rows, type=pa.string())))
         return pa.concat_tables(parts)
 
+    def transcripts_parsed_rank(sf_dir):
+        """Drop-in parser constructors under the hash gate: queries are
+        parsed from STRINGS by SimpleParser (the +/- end-user grammar),
+        QueryParser(group=("or", 0.9)) (coordination-scaled OrGroup),
+        and DisMaxParser, then ranked top-10 over the transcripts
+        schema.  The SQL oracle reproduces the parse results' scoring
+        exactly, including the SQR coordination formula and the
+        reference's DJM cursor-leak (a doc scores the max over every
+        leaf of the leaf's score at its first docid >= doc)."""
+        import shutil
+
+        from whoosh_ray.pipelines.build import build_index
+        from whoosh_ray.pipelines.ir import topk_table
+        from whoosh_ray.search import Searcher
+        from whoosh_ray.search.qparser import (DisMaxParser, QueryParser,
+                                               SimpleParser)
+        from whoosh_ray.sources.transcripts import write_transcripts
+        from whoosh_ray.state.schema import transcripts_schema
+
+        work = "/tmp/whoosh_ray_qsparsed"
+        shutil.rmtree(work, ignore_errors=True)
+        src = write_transcripts(os.path.join(work, "src"), n_convs=120)
+        manifest = build_index(src, os.path.join(work, "ix"),
+                               transcripts_schema(), seg_size=256)
+        s = Searcher(os.path.join(work, "ix"), manifest)
+        schema = transcripts_schema()
+        sp = SimpleParser("text", schema)
+        op = QueryParser("text", schema, group=("or", 0.9))
+        dp = DisMaxParser({"text": 1.0, "tool": 1.0}, schema)
+        queryset = {
+            "simple_or": sp.parse("deploy render"),
+            "simple_pm": sp.parse("+deploy render -cluster"),
+            "orgroup_scale": op.parse("deploy render error"),
+            "dismax": dp.parse("bash"),
+        }
+        parts = []
+        for name, q in queryset.items():
+            t = topk_table(s, q, limit=10)
+            parts.append(t.append_column(
+                "query", pa.array([name] * t.num_rows, type=pa.string())))
+        return pa.concat_tables(parts)
+
     def transcripts_bm25_rank_packed(sf_dir):
         """transcripts_bm25_rank over COMPOUND-packed segments (one
         segment.cmpd per partition, state/compound.py): same corpus
@@ -1246,6 +1403,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_queryset": transcripts_queryset,
         "transcripts_bm25_rank": transcripts_bm25_rank,
         "transcripts_ops_rank": transcripts_ops_rank,
+        "transcripts_parsed_rank": transcripts_parsed_rank,
         "transcripts_bm25_rank_packed": transcripts_bm25_rank_packed,
     }
 
@@ -1428,6 +1586,7 @@ FROM top10 t
 """,
         "transcripts_bm25_rank": _transcripts_queryset_sql(),
         "transcripts_ops_rank": _transcripts_ops_sql(),
+        "transcripts_parsed_rank": _transcripts_parsed_sql(),
         "transcripts_bm25_rank_packed": _transcripts_queryset_sql(
             "/tmp/whoosh_ray_qsoracle_packed/src"),
         "text_fingerprints": _fingerprints_sql(),

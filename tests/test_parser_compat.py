@@ -92,7 +92,13 @@ def test_dismax_parser_parity(engine, oracle, whoosh_oracle):
     with oracle.searcher() as os_:
         ref = WDP(boosts, oracle.schema)
         for qs in ["deploy", "bash", "deploy bash", "+deploy bash",
-                   '"deploy render" bash', "-bash deploy render"]:
+                   '"deploy render" bash', "-bash deploy render",
+                   # fieldboost rides the PHRASE NODE: a quoted body
+                   # analyzing to ONE token (1-word text phrase, or any
+                   # phrase on an ID field) fans out UNBOOSTED — found
+                   # by fuzz, pinned (the Term-sans-boost quirk)
+                   '"bash" deploy', '"" bash', '~2-x ""cluster error"~2 ',
+                   'deploy-render "bash"']:
             _compare(engine, os_, mine.parse(qs), ref.parse(qs), qs)
 
 
@@ -180,6 +186,34 @@ def test_plugin_markers_add_plugin(engine, oracle, whoosh_oracle):
         ref2.add_plugin(wq.FieldAliasPlugin({"role": ["who"]}))
         _compare(engine, os_, mine2.parse("who:user deploy"),
                  ref2.parse("who:user deploy"), "alias")
+
+
+def test_simple_parser_random_strings(engine, oracle, whoosh_oracle):
+    """Random-string sweep of the simple grammar: markers, quotes,
+    slop, mid-word minus, op words, parens, concatenation accidents —
+    full ranked-result parity per string."""
+    import random
+
+    from whoosh.qparser import SimpleParser as WSP
+
+    from whoosh_ray.search.qparser import SimpleParser
+
+    rng = random.Random(1234)
+    pieces = ["deploy", "render", "cluster", "error", "the", "a", "bash",
+              "retry", "deploy-render", "a.b.c", "x", "November",
+              "+", "-", '"deploy render"', '"cluster error"~2',
+              "(", ")", "AND", "OR", "NOT"]
+    mine = SimpleParser("text", transcripts_schema())
+    with oracle.searcher() as os_:
+        ref = WSP("text", oracle.schema)
+        for _ in range(120):
+            toks = [rng.choice(pieces) for _ in range(rng.randint(1, 6))]
+            qs = ""
+            for t in toks:
+                qs += t
+                if rng.random() < 0.85:
+                    qs += " "
+            _compare(engine, os_, mine.parse(qs), ref.parse(qs), qs)
 
 
 def test_simple_parser_null_shapes(whoosh_oracle):

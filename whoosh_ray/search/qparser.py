@@ -1007,8 +1007,22 @@ class DisMaxParser(SimpleParser):
                 _FieldView(self, f), text))
 
     def _simple_phrase(self, body, slop) -> Query | None:
-        return self._dismax(
-            lambda f: self._make_phrase(f, body, slop))
+        from whoosh_ray.search.query import DisjunctionMax
+
+        # the fieldboost rides the PHRASE NODE, and the reference's
+        # one-token-phrase -> Term conversion DROPS node boost — so a
+        # quoted body that analyzes to a single token (1-word text
+        # phrase, or ANY phrase on an ID field) fans out UNBOOSTED
+        # (PhraseNode.query + the Term-sans-boost quirk)
+        subs = []
+        for f, b in self.fieldboosts.items():
+            q = self._make_phrase(f, body, slop)
+            if q is None:
+                q = _NullQuery()
+            if b != 1.0 and isinstance(q, Phrase):
+                q = _with_boost(q, q.boost * b)
+            subs.append(q)
+        return DisjunctionMax(subs, tiebreak=self.tiebreak)
 
 
 class _FieldView:

@@ -270,3 +270,51 @@ def test_end_to_end_field_analyzer(tmp_path):
         # "running" -> "runn", the pinned inert double-consonant rule)
         r = s.search(Term("body", "runner"), limit=5)
         assert [h["conv_id"] for h in r.hits()] == ["c1"]
+
+
+def test_stemmed_field_highlights_match_reference(tmp_path):
+    """Hit.highlights retokenizes with the FIELD'S analyzer
+    (removestops=False): on a stemmed field the query term ('runner')
+    must highlight the surface word ('runners') — string parity with
+    the reference."""
+    from whoosh import fields as wf
+    from whoosh.analysis import StemmingAnalyzer as RefStemming
+    from whoosh.filedb.filestore import RamStorage
+    from whoosh.qparser import QueryParser as WQP
+
+    from whoosh_ray import index as wix
+    from whoosh_ray.search.qparser import QueryParser
+    from whoosh_ray.state.schema import FieldSpec, IndexSchema
+
+    docs = ["The runners were running happily through fields",
+            "nothing to see here at all",
+            "a runner runs alone in the rain"]
+
+    rix = RamStorage().create_index(wf.Schema(
+        body=wf.TEXT(analyzer=RefStemming(), stored=True)))
+    w = rix.writer()
+    for t in docs:
+        w.add_document(body=t)
+    w.commit()
+
+    schema = IndexSchema(fields=(
+        FieldSpec.text("body", stored=True,
+                       analyzer=wa.StemmingAnalyzer()),
+        FieldSpec.id("conv_id", stored=True),
+    ), stored_columns=("turn_idx",))
+    ix = wix.create_in(str(tmp_path), schema, seg_size=512)
+    mw = ix.writer()
+    for i, t in enumerate(docs):
+        mw.add_document(body=t, conv_id=f"c{i}", turn_idx=0)
+    mw.commit()
+
+    for qs in ["runners", "running fields", "rain alone"]:
+        with rix.searcher() as rs:
+            rq = WQP("body", rix.schema).parse(qs)
+            ref = {h["body"]: h.highlights("body")
+                   for h in rs.search(rq, limit=None)}
+        with ix.searcher() as s:
+            mq = QueryParser("body", schema).parse(qs)
+            mine = {h["body"]: h.highlights("body")
+                    for h in s.search(mq, limit=None)}
+        assert mine == ref, qs

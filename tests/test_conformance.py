@@ -60,7 +60,7 @@ def oracle(corpus):
 
 
 def both(engine, oracle, myq, wq, limit=10):
-    mine = [(int(d), float(s)) for d, s in engine.search(myq, limit=limit)]
+    mine = [(int(d), float(s)) for d, s in engine.search(myq, limit=limit).pairs()]
     ref = [(int(d), float(s)) for d, s in oracle_search(oracle, wq, limit=limit)]
     return mine, ref
 
@@ -296,7 +296,7 @@ def test_reader_stats_and_postings_parity(engine, oracle):
         from whoosh_ray.search.query import Term as T
         assert (list(engine.docs_for_query(T("text", "deploy")))
                 == sorted(d for d, _ in engine.search(T("text", "deploy"),
-                                                      limit=None)))
+                                                      limit=None).pairs()))
 
     # freshness probes
     assert engine.up_to_date() and engine.refresh() is engine
@@ -385,11 +385,11 @@ def test_ordered_min_position_tree_semantics(pos_engine, pos_oracle,
         assert_rank_identical(mine, ref)
     # the two pinned shapes, explicitly:
     got = {d for d, _ in pos_engine.search(
-        Ordered([t("deploy"), t("render")]), limit=None)}
+        Ordered([t("deploy"), t("render")]), limit=None).pairs()}
     assert 0 not in got          # render..deploy..render
     got4 = {d for d, _ in pos_engine.search(
         Ordered([t("deploy"), t("beta"), t("render"), t("gamma")]),
-        limit=None)}
+        limit=None).pairs()}
     assert 8 in got4             # deploy render beta gamma
 
 

@@ -136,6 +136,6 @@ def test_date_fielded_queries_match_oracle(tmp_path):
                    f"deploy ts:{day}"]:
             myq = my_parser.parse(qs)
             refq = wp.parse(qs)
-            mine = [int(d) for d, _ in s.search(myq, limit=None)]
+            mine = [int(d) for d, _ in s.search(myq, limit=None).pairs()]
             ref = [h.docnum for h in os_.search(refq, limit=None)]
             assert mine == ref, (qs, myq, refq)

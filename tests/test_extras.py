@@ -80,7 +80,7 @@ def test_more_like_matches_oracle(engine, oracle):
             ref = [(h.docnum, h.score)
                    for h in s.more_like(docnum, "text", top=10)]
             mine = [(int(d), float(sc))
-                    for d, sc in engine.more_like(docnum, "text", top=10)]
+                    for d, sc in engine.more_like(docnum, "text", top=10).pairs()]
             assert [d for d, _ in mine] == [d for d, _ in ref]
             np.testing.assert_allclose([x for _, x in mine],
                                        [x for _, x in ref], rtol=1e-9)
@@ -146,7 +146,7 @@ def test_numeric_and_date_ranges_match_oracle(corpus, engine, tmp_path_factory):
     cases.append((DateRange("ts", lo, hi), WDateRange("ts", lo, hi)))
     for myq, refq in cases:
         ref = oracle_search(oix, refq, limit=None)
-        mine = [(int(d), float(s)) for d, s in engine.search(myq, limit=None)]
+        mine = [(int(d), float(s)) for d, s in engine.search(myq, limit=None).pairs()]
         assert [d for d, _ in mine] == [d for d, _ in ref], refq
         np.testing.assert_allclose([s for _, s in mine],
                                    [s for _, s in ref])
@@ -166,7 +166,7 @@ def test_regex_and_sequence_match_oracle(engine, oracle):
         (Regex("text", "clus|err"), WRegex("text", "clus|err")),
     ]
     for myq, refq in cases:
-        mine = [(int(d), float(s)) for d, s in engine.search(myq, limit=None)]
+        mine = [(int(d), float(s)) for d, s in engine.search(myq, limit=None).pairs()]
         ref = [(int(d), float(s))
                for d, s in oracle_search(oracle, refq, limit=None)]
         assert [d for d, _ in mine] == [d for d, _ in ref], refq
@@ -179,7 +179,7 @@ def test_regex_and_sequence_match_oracle(engine, oracle):
     for words, slop in seq_cases:
         myq = Sequence([Term("text", w) for w in words], slop=slop)
         refq = WSequence([WTerm("text", w) for w in words], slop=slop)
-        mine = [(int(d), float(s)) for d, s in engine.search(myq, limit=None)]
+        mine = [(int(d), float(s)) for d, s in engine.search(myq, limit=None).pairs()]
         ref = [(int(d), float(s))
                for d, s in oracle_search(oracle, refq, limit=None)]
         assert [d for d, _ in mine] == [d for d, _ in ref], (words, slop)
@@ -913,7 +913,7 @@ def test_collapse_matches_reference(engine, oracle):
                                     collapse_order=worder)
                     s.search_with_collector(wq, c)
                     ref = c.results()
-                    got = [(int(d), round(float(sc), 9)) for d, sc in mine]
+                    got = [(int(d), round(float(sc), 9)) for d, sc in mine.pairs()]
                     want = [(h.docnum, round(h.score, 9)) for h in ref]
                     assert got == want, (climit, worder, limtop)
                     cc = c
@@ -940,7 +940,7 @@ def test_unscored_search_matches_reference(engine, oracle):
         for limtop in (None, 3):
             mine = engine.search(myq, limit=limtop, scored=False)
             ref = s.search(wq, limit=limtop, scored=False)
-            assert [(d, sc) for d, sc in mine] == [
+            assert [(d, sc) for d, sc in mine.pairs()] == [
                 (h.docnum, h.score) for h in ref], limtop
             assert mine.score(0) is None and mine[0].score is None
             assert list(mine.items())[0][1] is None

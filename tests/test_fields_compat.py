@@ -77,7 +77,7 @@ def test_schema_builds_and_scores_like_reference(built, oracle):
             (NumericRange("count", 4, 8), WNR("count", 4, 8)),
         ]:
             mine = [(int(d), float(sc))
-                    for d, sc in built.search(myq, limit=None)]
+                    for d, sc in built.search(myq, limit=None).pairs()]
             ref = [(int(h.docnum), float(h.score))
                    for h in s.search(refq, limit=None)]
             assert [d for d, _ in mine] == [d for d, _ in ref], myq

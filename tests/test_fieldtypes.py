@@ -85,7 +85,7 @@ def oracle():
 
 def _compare(engine, os_, myq, refq, label):
     mine = [(int(d), round(float(s), 9))
-            for d, s in engine.search(myq, limit=None)]
+            for d, s in engine.search(myq, limit=None).pairs()]
     ref = [(int(h.docnum), round(float(h.score), 9))
            for h in os_.search(refq, limit=None)]
     assert mine == ref, (label, myq, refq, mine, ref)

@@ -129,7 +129,7 @@ def test_parsed_query_strings_rank_and_score_identical(engine, oracle,
     with oracle.searcher() as os_:
         refq = WQP("text", schema=oracle.schema).parse(qs)
         mine = [(int(d), float(s))
-                for d, s in engine.search(myq, limit=None)]
+                for d, s in engine.search(myq, limit=None).pairs()]
         r = os_.search(refq, limit=None)
         ref = [(int(h.docnum), float(h.score)) for h in r]
     if _has_nested_quirky(myq):

@@ -191,7 +191,18 @@ _LIMITED_LOSSY = (DisjunctionMax, AndNot)
 def _limited_lossy(q) -> bool:
     if isinstance(q, _LIMITED_LOSSY):
         return True
-    for sub in (getattr(q, "subqueries", None) or []):
+    subs = list(getattr(q, "subqueries", None) or [])
+    if subs and len(set(subs)) < len(subs):
+        # un-normalized DUPLICATE siblings (search() never normalizes):
+        # the reference's block-quality estimates multi-count the dup
+        # matchers and its limited search can skip the true top docs
+        # (probed: And([deploy, Or([deploy]*3)]) limit=1 returns doc 24
+        # while its own unlimited top is doc 180) — compare against the
+        # unlimited prefix.  Shapes where the reference's pruning IS a
+        # prefix coincide under either baseline, so classifying every
+        # dup-sibling tree lossy is safe.
+        return True
+    for sub in subs:
         if _limited_lossy(sub):
             return True
     for attr in ("a", "b", "subquery"):
@@ -225,7 +236,7 @@ def test_random_query_trees_rank_and_score_identical(engine, oracle,
     if ref_limit is None and limit is not None:
         ref = ref[:limit]
     mine = [(int(d), float(s))
-            for d, s in engine.search(myq, limit=limit)]
+            for d, s in engine.search(myq, limit=limit).pairs()]
     assert [d for d, _ in mine] == [d for d, _ in ref]
     np.testing.assert_allclose([s for _, s in mine], [s for _, s in ref],
                                rtol=1e-9, atol=1e-12)
@@ -248,7 +259,7 @@ def test_djm_limited_prune_divergence(engine, oracle):
     # the special-casing in the fuzz above)
     assert [d for d, _ in lim_ref] != [d for d, _ in full_ref[:2]]
     # ours: exact prefix, scores identical to the reference's unlimited
-    mine = [(int(d), float(s)) for d, s in engine.search(myq, limit=2)]
+    mine = [(int(d), float(s)) for d, s in engine.search(myq, limit=2).pairs()]
     assert mine == [(int(d), float(s)) for d, s in full_ref[:2]]
 
 

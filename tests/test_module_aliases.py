@@ -78,6 +78,14 @@ SURFACE = {
                 "BatchWriter", "CLEAR", "MERGE_SMALL", "NO_MERGE",
                 "OPTIMIZE", "LockError", "IndexingError",
                 "UnknownFieldError", "fib"],
+    "util": ["rcompile", "fib", "to_sortable", "from_sortable",
+             "datetime_to_long", "long_to_datetime"],
+    "formats": ["Format", "Existence", "Frequency", "Positions",
+                "Characters", "PositionBoosts", "CharacterBoosts"],
+    "lang": ["languages", "aliases", "two_letter_code", "has_stemmer",
+             "has_stopwords", "stemmer_for_language",
+             "stopwords_for_language", "NoStemmer", "NoStopWords"],
+    "support.charset": ["accent_map", "charset_table_to_dict"],
 }
 
 

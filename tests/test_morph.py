@@ -71,7 +71,7 @@ def test_variations_query_oracle(tmp_path):
     for word in ["deploy", "render", "cluster", "error", "deployed",
                  "rendering"]:
         mine = [(int(d), float(sc))
-                for d, sc in s.search(Variations("text", word), limit=20)]
+                for d, sc in s.search(Variations("text", word), limit=20).pairs()]
         ref = oracle_search(oracle, wq.Variations("text", word), limit=20)
         assert [d for d, _ in mine] == [d for d, _ in ref], word
         np.testing.assert_allclose([sc for _, sc in mine],

@@ -54,7 +54,7 @@ def test_delete_by_term_matches_oracle(tmp_path):
              WOr([WTerm("text", "deploy"), WTerm("text", "render")]),
              WAnd([WTerm("text", "cluster"), WNot(WTerm("text", "error"))])]
     for myq, refq in zip(QUERIES(), refqs):
-        mine = [(int(d), float(sc)) for d, sc in s.search(myq, limit=None)]
+        mine = [(int(d), float(sc)) for d, sc in s.search(myq, limit=None).pairs()]
         ref = [(int(d), float(sc))
                for d, sc in oracle_search(oix, refq, limit=None)]
         assert [d for d, _ in mine] == [d for d, _ in ref], myq
@@ -87,7 +87,7 @@ def test_incremental_add(tmp_path):
 
     for t in ["deploy", "render", "november"]:
         mine = [(int(d), float(sc))
-                for d, sc in s1.search(Term("text", t), limit=None)]
+                for d, sc in s1.search(Term("text", t), limit=None).pairs()]
         ref = [(int(d), float(sc))
                for d, sc in oracle_search(oix, WTerm("text", t), limit=None)]
         assert [d for d, _ in mine] == [d for d, _ in ref], t
@@ -135,7 +135,7 @@ def test_build_resume_skips_committed_segments(tmp_path):
     s0 = Searcher(ix)
     before = [(int(d), float(sc)) for d, sc in
               s0.search(Or([Term("text", "deploy"), Term("text", "render")]),
-                        limit=None)]
+                        limit=None).pairs()]
     segdirs = sorted(p for p in (tmp_path / "index" / "segments").iterdir()
                      if p.name.startswith("seg="))
     shutil.rmtree(segdirs[1])
@@ -145,5 +145,5 @@ def test_build_resume_skips_committed_segments(tmp_path):
     s1 = Searcher(ix)
     after = [(int(d), float(sc)) for d, sc in
              s1.search(Or([Term("text", "deploy"), Term("text", "render")]),
-                       limit=None)]
+                       limit=None).pairs()]
     assert before == after

@@ -36,7 +36,7 @@ def oracle(corpus):
 
 
 def _compare(engine, os_, myq, refq, label):
-    mine = [(int(d), float(s)) for d, s in engine.search(myq, limit=None)]
+    mine = [(int(d), float(s)) for d, s in engine.search(myq, limit=None).pairs()]
     r = os_.search(refq, limit=None)
     ref = [(int(h.docnum), float(h.score)) for h in r]
     assert [d for d, _ in mine] == [d for d, _ in ref], (
@@ -141,7 +141,7 @@ def test_orgroup_factory_scale_parity(engine, oracle, whoosh_oracle):
         # still agree exactly.
         qs = "deploy render error retry"
         mq, rq = mine.parse(qs), ref.parse(qs)
-        mined = {int(d): float(s) for d, s in engine.search(mq, limit=None)}
+        mined = {int(d): float(s) for d, s in engine.search(mq, limit=None).pairs()}
         refd = {int(h.docnum): float(h.score)
                 for h in os_.search(rq, limit=None)}
         assert set(mined) == set(refd)

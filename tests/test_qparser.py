@@ -82,7 +82,7 @@ def test_parsed_queries_match_oracle(engine, oracle, whoosh_oracle):
             myq = my_parser.parse(qs)
             refq = ref_parser.parse(qs)
             mine = [(int(d), float(s))
-                    for d, s in engine.search(myq, limit=None)]
+                    for d, s in engine.search(myq, limit=None).pairs()]
             r = os_.search(refq, limit=None)
             ref = [(int(h.docnum), float(h.score)) for h in r]
             assert [d for d, _ in mine] == [d for d, _ in ref], (
@@ -93,7 +93,7 @@ def test_parsed_queries_match_oracle(engine, oracle, whoosh_oracle):
 
 
 def _compare(engine, os_, myq, refq, label):
-    mine = [(int(d), float(s)) for d, s in engine.search(myq, limit=None)]
+    mine = [(int(d), float(s)) for d, s in engine.search(myq, limit=None).pairs()]
     r = os_.search(refq, limit=None)
     ref = [(int(h.docnum), float(h.score)) for h in r]
     assert [d for d, _ in mine] == [d for d, _ in ref], (

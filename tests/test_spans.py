@@ -80,7 +80,7 @@ def test_span_queries_match_oracle(engine, oracle, whoosh_oracle):
          WSpanCondition(wt("deploy"), wt("november"))),
     ]
     for myq, refq in cases:
-        mine = [(int(d), float(s)) for d, s in engine.search(myq, limit=None)]
+        mine = [(int(d), float(s)) for d, s in engine.search(myq, limit=None).pairs()]
         ref = [(int(d), float(s))
                for d, s in oracle_search(oracle, refq, limit=None)]
         assert [d for d, _ in mine] == [d for d, _ in ref], refq
@@ -126,7 +126,7 @@ def test_classic_spannear_matches_oracle(engine, oracle, whoosh_oracle):
     ]
     n_nonempty = 0
     for myq, refq in cases:
-        mine = [(int(d), float(s)) for d, s in engine.search(myq, limit=None)]
+        mine = [(int(d), float(s)) for d, s in engine.search(myq, limit=None).pairs()]
         ref = [(int(d), float(s))
                for d, s in oracle_search(oracle, refq, limit=None)]
         assert [d for d, _ in mine] == [d for d, _ in ref], refq
@@ -156,7 +156,7 @@ def test_nested_queries_match_oracle(engine, oracle):
          WNestedChildren(WT("role", "user"), WT("conv_id", "conv000003"))),
     ]
     for myq, refq in cases:
-        mine = [(int(d), float(s)) for d, s in engine.search(myq, limit=None)]
+        mine = [(int(d), float(s)) for d, s in engine.search(myq, limit=None).pairs()]
         ref = [(int(d), float(s))
                for d, s in oracle_search(oracle, refq, limit=None)]
         assert [d for d, _ in mine] == [d for d, _ in ref], refq

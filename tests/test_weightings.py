@@ -99,7 +99,7 @@ def test_all_models_match_oracle(engine_ix, oracle):
                 refq = (WTerm("text", qterms[0]) if len(qterms) == 1
                         else WOr([WTerm("text", t) for t in qterms]))
                 mine = [(int(d), float(sc))
-                        for d, sc in s.search(myq, limit=None)]
+                        for d, sc in s.search(myq, limit=None).pairs()]
                 r = os_.search(refq, limit=None)
                 ref = [(int(h.docnum), float(h.score)) for h in r]
                 assert [d for d, _ in mine] == [d for d, _ in ref], (
@@ -233,7 +233,7 @@ def test_legacy_weighting_compat(engine_ix, oracle):
             (Or([Term("text", "bravo"), Term("text", "echo")]),
              WOr([WTerm("text", "bravo"), WTerm("text", "echo")])),
         ]:
-            mine = [(int(d), float(sc)) for d, sc in s.search(myq, limit=None)]
+            mine = [(int(d), float(sc)) for d, sc in s.search(myq, limit=None).pairs()]
             ref = [(int(h.docnum), float(h.score))
                    for h in os_.search(refq, limit=None)]
             assert mine == pytest.approx(ref)
@@ -269,7 +269,7 @@ def test_weight_length_scorer_base(engine_ix, oracle):
     s = Searcher(engine_ix, weighting=MyModel())
     with oracle.searcher(weighting=RefModel()) as os_:
         mine = [(int(d), float(sc))
-                for d, sc in s.search(Term("text", "charlie"), limit=None)]
+                for d, sc in s.search(Term("text", "charlie"), limit=None).pairs()]
         ref = [(int(h.docnum), float(h.score))
                for h in os_.search(WTerm("text", "charlie"), limit=None)]
         assert [d for d, _ in mine] == [d for d, _ in ref]
@@ -289,7 +289,7 @@ def test_debug_model_log(engine_ix, oracle):
     with oracle.searcher(weighting=rdm) as os_:
         mine = [(int(d), float(sc)) for d, sc in
                 s.search(Or([Term("text", "alfa"), Term("text", "delta")]),
-                         limit=None)]
+                         limit=None).pairs()]
         ref = [(int(h.docnum), float(h.score)) for h in
                os_.search(WOr([WTerm("text", "alfa"),
                                WTerm("text", "delta")]), limit=None)]

@@ -183,10 +183,10 @@ def test_bufferedwriter_scores_match_committed(small_index):
                        text="deploy the deploy ferret deploy")
         pre = [(int(d), float(s))
                for d, s in w.searcher().search(Term("text", "deploy"),
-                                               limit=20)]
+                                               limit=20).pairs()]
     post = [(int(d), float(s))
             for d, s in Searcher(small_index).search(Term("text", "deploy"),
-                                                     limit=20)]
+                                                     limit=20).pairs()]
     assert pre == post
 
 
@@ -411,7 +411,7 @@ def test_doc_and_field_boosts_match_reference(tmp_path):
              WOr([WT("text", "alpha"), WT("title", "beta")])),
         ]:
             mine = [(int(d), float(sc))
-                    for d, sc in s.search(myq, limit=None)]
+                    for d, sc in s.search(myq, limit=None).pairs()]
             ref = [(int(h.docnum), float(h.score))
                    for h in rs.search(refq, limit=None)]
             assert [d for d, _ in mine] == [d for d, _ in ref], myq

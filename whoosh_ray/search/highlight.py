@@ -101,6 +101,68 @@ def tokenize_chars(text: str, pattern: str = r"\w+(?:\.?\w+)*",
     return out
 
 
+def analyzer_tokens(spec, text: str) -> list[Token] | None:
+    """Char-span tokens through the FIELD'S analyzer with stopwords
+    KEPT — the reference retokenizes with ``analyzer(text, chars=True,
+    removestops=False)`` (highlight.py:1038-1040), so stemmed /
+    charset-folded / substituted token TEXT matches query terms while
+    the spans still point at the original text.  Returns None when the
+    analyzer can't carry char offsets (ngram / charset / gaps
+    tokenizers, numeric/boolean fields, stream-restructuring chains):
+    callers fall back to the plain char tokenizer."""
+    import re as _re
+
+    if spec is None or spec.numeric is not None or spec.boolean:
+        return None
+    if spec.chain is not None:
+        from whoosh_ray.functions.tokenfilters import (chain_chars_safe,
+                                                       compile_chain)
+
+        if not chain_chars_safe(spec.chain):
+            return None
+        # drop the stop stages: removestops=False keeps every token
+        chain = tuple(st for st in spec.chain if st[0] != "stop")
+        tokenize, fns = compile_chain(chain, mode=spec.mode)
+        try:
+            toks = tokenize(text or "", with_chars=True)
+        except ValueError:
+            return None
+        for f in fns:
+            toks = f(toks)
+        return [Token(t.text, t.startchar, t.endchar) for t in toks
+                if t.startchar is not None]
+    if spec.ngram is not None or spec.charset_tokenize or spec.gaps:
+        return None
+
+    def transform(s: str) -> str:
+        if spec.lowercase:
+            s = s.lower()
+        if spec.charmap:
+            s = s.translate(dict(spec.charmap))
+        if spec.strip:
+            s = s.strip()
+        if spec.substitute:
+            s = _re.sub(spec.substitute[0], spec.substitute[1], s)
+        if spec.stem or spec.lang:
+            if spec.stem:
+                from whoosh_ray.functions.porter import stem as stem_fn
+            else:
+                from whoosh_ray.functions.snowball import STEMMERS
+
+                stem_fn = STEMMERS[spec.lang]
+            s = stem_fn(s)
+        if spec.reverse:
+            s = s[::-1]
+        return s
+
+    if spec.pattern is None:
+        # ID field: the whole value is one token
+        t = text or ""
+        return [Token(transform(t), 0, len(t))]
+    return [Token(transform(m.group(0)), m.start(), m.end())
+            for m in _re.finditer(spec.pattern, text or "", _re.UNICODE)]
+
+
 def set_matched(tokens: list[Token], termset) -> list[Token]:
     for t in tokens:
         t.matched = t.text in termset
@@ -594,13 +656,17 @@ class Highlighter:
         self.order = order
 
     def highlight(self, text: str, terms, top: int = 3,
-                  minscore: int = 1, phrases=None) -> str:
+                  minscore: int = 1, phrases=None, tokens=None) -> str:
         """``phrases`` switches on strict-phrase marking (the reference
         ``strict_phrase=True`` path, highlight.py:1043-1045): phrase
         constituents highlight only where the whole phrase matches;
-        ``terms`` then marks the stray individual terms."""
+        ``terms`` then marks the stray individual terms.  ``tokens``
+        supplies a pre-analyzed char-span stream (analyzer_tokens) —
+        the field-analyzer retokenize path; default is the plain char
+        tokenizer."""
         words = frozenset(terms)
-        tokens = tokenize_chars(text)
+        if tokens is None:
+            tokens = tokenize_chars(text)
         if phrases is not None:
             tokens = set_matched_filter_phrases(tokens, text, words,
                                                 phrases)

@@ -55,6 +55,15 @@ class Results:
         return len(self.docids)
 
     def __iter__(self):
+        """Iterate :class:`Hit` objects in rank order — the reference
+        Results protocol (searching.py:1010-1016), so
+        ``for hit in results: hit["field"]`` ports unchanged.  The
+        batch engine's native (docid, score) pairs are :meth:`pairs`."""
+        return (Hit(self, i) for i in range(len(self.docids)))
+
+    def pairs(self):
+        """Iterator of (docid, score) tuples in rank order; score is
+        None for unscored searches."""
         if self._unscored:
             return iter((d, None) for d in self.docids.tolist())
         return iter(zip(self.docids.tolist(), self.scores.tolist()))
@@ -213,10 +222,9 @@ class Results:
 
     def __getitem__(self, n):
         """``results[n]`` -> :class:`Hit` (reference searching.py:996-
-        1004); slices give lists of Hits.  NB ``__iter__`` yields
-        (docid, score) tuples — the batch engine's native currency —
-        where the reference iterates Hits; use :meth:`hits` for the
-        reference style."""
+        1004); slices give lists of Hits.  ``__iter__`` also yields
+        Hits (reference protocol); (docid, score) tuples are
+        :meth:`pairs` / :meth:`items`."""
         if isinstance(n, slice):
             return [Hit(self, i)
                     for i in range(*n.indices(len(self.docids)))]
@@ -1495,9 +1503,17 @@ class Searcher:
                              formatter=formatter, **kw)
             return hl.highlight_spans(text, spans, top=top,
                                       minscore=minscore)
+        from whoosh_ray.search.highlight import analyzer_tokens
+
         hl = Highlighter(fragmenter=fragmenter, formatter=formatter, **kw)
+        # retokenize with the FIELD'S analyzer, stopwords kept
+        # (reference removestops=False, highlight.py:1038-1040) — so
+        # stemmed/folded fields match query terms; analyzers that can't
+        # carry char offsets fall back to the plain char tokenizer
+        toks = analyzer_tokens(spec.analyzer if spec is not None else None,
+                               text)
         return hl.highlight(text, set(terms), top=top, minscore=minscore,
-                            phrases=phrases)
+                            phrases=phrases, tokens=toks)
 
     def char_offsets(self, docid: int, field: str,
                      term: str) -> list[tuple[int, int]]:

@@ -215,3 +215,60 @@ def test_index_module_conveniences(tmp_path):
     with pytest.raises(KeyError):
         add_sortable(w2, "nope")
     w2.cancel()
+
+
+def test_quickstart_idioms(tmp_path):
+    """The reference quickstart, verbatim modulo the package name:
+    writer context manager (commit on clean exit, cancel on exception),
+    schemas WITHOUT identity columns (arrival-order docids), Index
+    handles seeing a writer's commit without refresh(), native
+    NUMERIC/DATETIME stored round-trips, and writers accepting the
+    Index object itself."""
+    import datetime as dt
+
+    from whoosh_ray import index as wix
+    from whoosh_ray.fields import DATETIME, ID, NUMERIC, TEXT, Schema
+    from whoosh_ray.qparser import QueryParser
+    from whoosh_ray.query import NumericRange
+    from whoosh_ray.writing import AsyncWriter
+
+    schema = Schema(title=TEXT(stored=True),
+                    path=ID(stored=True, unique=True),
+                    content=TEXT(stored=True), num=NUMERIC(stored=True),
+                    ts=DATETIME(stored=True))
+    ix = wix.create_in(str(tmp_path), schema)
+    with ix.writer() as w:
+        w.add_document(title="Alpha doc", path="/a",
+                       content="alpha words here", num=1,
+                       ts=dt.datetime(2024, 5, 1, 12, 0))
+        w.add_document(title="Beta doc", path="/b",
+                       content="beta words here", num=20,
+                       ts=dt.datetime(2024, 6, 1, 12, 0))
+    # the handle reflects the commit without an explicit refresh()
+    assert ix.doc_count_all() == 2 and ix.up_to_date()
+
+    with ix.searcher() as s:
+        d = s.document(path="/a")
+        assert d["num"] == 1                      # native int, not '1'
+        assert d["ts"] == dt.datetime(2024, 5, 1, 12, 0)
+        q = QueryParser("content", ix.schema).parse("words")
+        assert len(s.search(q, limit=5)) == 2
+        assert [h["path"] for h in s.search(NumericRange("num", 5, 50),
+                                            limit=5)] == ["/b"]
+
+    # cancel on exception: the doomed doc never lands
+    try:
+        with ix.writer() as w:
+            w.add_document(title="Doomed", path="/x", content="nope",
+                           num=9, ts=dt.datetime(2024, 1, 1))
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert ix.doc_count_all() == 2
+
+    # writers accept the Index handle like the reference constructors
+    aw = AsyncWriter(ix)
+    aw.add_document(title="Gamma", path="/c", content="gamma words",
+                    num=3, ts=dt.datetime(2024, 7, 1))
+    aw.commit()
+    assert ix.doc_count_all() == 3

@@ -169,7 +169,7 @@ class Index:
 
     @property
     def schema(self) -> IndexSchema:
-        return self._manifest.schema
+        return self._mf().schema
 
     def refresh(self) -> "Index":
         """Re-read the manifest (reference returns an up-to-date
@@ -197,22 +197,35 @@ class Index:
         return self.latest_generation()
 
     def up_to_date(self) -> bool:
-        return True  # no cross-process writers; refresh() re-reads
+        """Whether this handle reflects the latest committed generation
+        (reference index.py:294-300); the Searcher has the same check."""
+        mine = self._manifest.settings.get("generation")
+        if mine is None:
+            return True
+        return self.latest_generation() == mine
+
+    def _mf(self):
+        """Current manifest: the reference Index re-reads the TOC per
+        accessor, so a writer's commit is visible on the same handle —
+        refresh only when the generation moved."""
+        if not self.up_to_date():
+            self._manifest = read_manifest(self.index_dir)
+        return self._manifest
 
     def is_empty(self) -> bool:
-        return self._manifest.doc_count_all == 0
+        return self._mf().doc_count_all == 0
 
     def doc_count_all(self) -> int:
-        return self._manifest.doc_count_all
+        return self._mf().doc_count_all
 
     def doc_count(self) -> int:
         return self.searcher().doc_count()
 
     def field_length(self, fieldname: str) -> int:
-        return self._manifest.field_length(fieldname)
+        return self._mf().field_length(fieldname)
 
     def field_names(self) -> list[str]:
-        return list(self._manifest.schema.field_names)
+        return list(self._mf().schema.field_names)
 
     def max_field_length(self, fieldname: str) -> int:
         """Largest per-doc quantized field length (reference

@@ -99,10 +99,13 @@ class IndexWriter:
     with its process; ``commit``/``cancel`` release it, and the next
     mutation on a reused writer re-acquires."""
 
-    def __init__(self, index_dir: str, *, conv_col: str = "conv_id",
+    def __init__(self, index_dir, *, conv_col: str = "conv_id",
                  turn_col: str = "turn_idx", docid_col: str | None = None,
                  timeout: float = 0.0, delay: float = 0.1,
                  lock: bool = True):
+        # also accept an Index handle, like the reference writer
+        # constructors (writing.py:1012, AsyncWriter(index))
+        index_dir = getattr(index_dir, "index_dir", index_dir)
         self.index_dir = index_dir
         self.manifest = read_manifest(index_dir)
         self.schema = self.manifest.schema
@@ -120,6 +123,17 @@ class IndexWriter:
         self._lk_fd: int | None = None
         if lock:
             self._acquire_writelock()
+
+    def __enter__(self) -> "IndexWriter":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> None:
+        # reference IndexWriter context manager (writing.py:183-189):
+        # cancel on exception, commit on clean exit
+        if exc_type is not None:
+            self.cancel()
+        else:
+            self.commit()
 
     # ---- WRITELOCK ----
 
@@ -547,7 +561,11 @@ class IndexWriter:
             for k in r:
                 if k not in cols:
                     cols.append(k)
-        text_fields = {f.name for f in self.schema.fields}
+        # str-coerce only the TEXT/ID/BOOLEAN-analyzed fields; numeric/
+        # datetime fields keep their native values (a NUMERIC stored
+        # value must round-trip as a number, not '1')
+        text_fields = {f.name for f in self.schema.fields
+                       if f.kind != "numeric"}
         data = {}
         ref_schema = self._docs_file_schema()
         for c in cols:

@@ -27,12 +27,19 @@ SURFACE = {
                  "FancyAnalyzer", "KeywordAnalyzer", "IDAnalyzer",
                  "RegexAnalyzer", "NgramAnalyzer", "NgramWordAnalyzer",
                  "LanguageAnalyzer", "STOP_WORDS", "Token", "unstopped",
-                 "entoken", "CompositionError"],
+                 "entoken", "CompositionError", "Composable",
+                 "CompositeAnalyzer", "Tokenizer", "Analyzer", "Filter",
+                 "stem", "double_metaphone", "rcompile",
+                 "default_pattern"],
     "fields": ["TEXT", "ID", "KEYWORD", "IDLIST", "NUMERIC", "DATETIME",
                "BOOLEAN", "NGRAM", "NGRAMWORDS", "STORED", "Schema",
-               "SchemaClass", "ensure_schema"],
+               "SchemaClass", "ensure_schema", "FieldType", "COLUMN",
+               "merge_fielddict", "merge_schema", "merge_schemas",
+               "to_sortable", "from_sortable", "datetime_to_long",
+               "long_to_datetime"],
     "index": ["create_in", "open_dir", "exists_in", "version_in",
-              "EmptyIndexError", "LockError"],
+              "EmptyIndexError", "LockError", "IndexError",
+              "IndexVersionError", "OutOfDateError"],
     "qparser": ["QueryParser", "MultifieldParser", "SimpleParser",
                 "DisMaxParser", "OrGroup", "AndGroup", "GtLtPlugin",
                 "PlusMinusPlugin", "FuzzyTermPlugin", "RegexPlugin",
@@ -46,10 +53,13 @@ SURFACE = {
               "Every", "NestedParent", "NestedChildren", "ColumnQuery",
               "SpanFirst", "SpanNear", "SpanNear2", "SpanOr", "SpanNot",
               "SpanContains", "SpanBefore", "SpanCondition", "Query",
-              "QueryError", "TermNotFound", "NullQuery", "WrappingQuery"],
+              "QueryError", "TermNotFound", "NullQuery", "WrappingQuery",
+              "CompoundQuery", "MultiTerm", "ExpandingTerm",
+              "PatternQuery", "variations", "datetime_to_long",
+              "long_to_datetime"],
     "searching": ["Searcher", "Results", "Hit", "ResultsPage",
                   "Collector", "SearchContext", "TimeLimit",
-                  "NoTermsException"],
+                  "NoTermsException", "BitSet", "DocIdSet"],
     "scoring": ["BM25F", "TF_IDF", "Frequency", "PL2", "DFree",
                 "FunctionWeighting", "MultiWeighting", "ReverseWeighting",
                 "WeightingModel", "WeightScorer", "WeightLengthScorer",
@@ -57,7 +67,8 @@ SURFACE = {
     "sorting": ["FieldFacet", "QueryFacet", "RangeFacet", "DateRangeFacet",
                 "ScoreFacet", "FunctionFacet", "TranslateFacet",
                 "StoredFieldFacet", "MultiFacet", "Facets", "FacetType",
-                "FacetMap", "Count", "Best", "OrderedList", "UnorderedList"],
+                "FacetMap", "Count", "Best", "OrderedList", "UnorderedList",
+                "add_sortable"],
     "highlight": ["Highlighter", "WholeFragmenter", "SentenceFragmenter",
                   "ContextFragmenter", "PinpointFragmenter",
                   "HtmlFormatter", "UppercaseFormatter", "NullFormatter",
@@ -77,9 +88,11 @@ SURFACE = {
     "writing": ["IndexWriter", "AsyncWriter", "BufferedWriter",
                 "BatchWriter", "CLEAR", "MERGE_SMALL", "NO_MERGE",
                 "OPTIMIZE", "LockError", "IndexingError",
-                "UnknownFieldError", "fib"],
+                "UnknownFieldError", "fib", "random_name", "add_spelling"],
     "util": ["rcompile", "fib", "to_sortable", "from_sortable",
-             "datetime_to_long", "long_to_datetime"],
+             "datetime_to_long", "long_to_datetime", "make_binary_tree",
+             "make_weighted_tree", "synchronized", "random_name",
+             "random_bytes"],
     "formats": ["Format", "Existence", "Frequency", "Positions",
                 "Characters", "PositionBoosts", "CharacterBoosts"],
     "lang": ["languages", "aliases", "two_letter_code", "has_stemmer",

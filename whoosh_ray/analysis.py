@@ -380,3 +380,25 @@ def entoken(textstream, positions: bool = False, chars: bool = False,
         yield t
         if positions:
             pos += 1
+
+
+# ---- remaining reference module-level names ----
+
+#: reference analysis re-exports (analysis/__init__.py): the porter
+#: stem function and double_metaphone
+from whoosh_ray.functions.dmetaphone import double_metaphone  # noqa: E402,F401
+from whoosh_ray.functions.porter import stem  # noqa: E402,F401
+
+
+def rcompile(pattern, flags=0, verbose=False):
+    from whoosh_ray.util import rcompile as _rc
+
+    return _rc(pattern, flags, verbose)
+
+
+#: an analyzer IS the composite here (a picklable spec); the names are
+#: kept so isinstance checks in ported code keep working
+CompositeAnalyzer = AnalyzerSpec
+Tokenizer = AnalyzerSpec
+#: isinstance(x, Composable) covers specs AND filter stages/chains
+Composable = (AnalyzerSpec, Stage, StageChain)

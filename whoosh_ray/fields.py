@@ -317,3 +317,31 @@ def merge_schemas(schemas) -> IndexSchema:
 
 def merge_schema(s1, s2) -> IndexSchema:
     return merge_schemas([s1, s2])
+
+
+#: the unbound-field type (the reference FieldType role): what TEXT()/
+#: ID()/... return before Schema binds a name
+FieldType = FieldDef
+
+
+def COLUMN(columnobj=None):
+    """Reference COLUMN field (fields.py:1014-1035): a stored per-doc
+    value with no indexed terms.  The engine's stored columns are
+    columnar parquet already (inherently sortable), so this is the
+    STORED marker; a custom column object has no meaning here."""
+    if columnobj is not None:
+        raise TypeError("custom column objects aren't supported — "
+                        "stored columns are columnar parquet already")
+    return STORED()
+
+
+def merge_fielddict(d1: dict, d2: dict) -> dict:
+    """Union of two {name: field} dicts; same-named fields must be
+    equal (reference fields.py:1589-1599)."""
+    out = {}
+    for name in set(d1) | set(d2):
+        f1, f2 = d1.get(name), d2.get(name)
+        if f1 and f2 and f1 != f2:
+            raise Exception(f"Inconsistent field {name!r}: {f1!r} != {f2!r}")
+        out[name] = f1 or f2
+    return out

@@ -358,3 +358,9 @@ def ensure_schema(schema):
     from whoosh_ray.fields import ensure_schema as _es
 
     return _es(schema)
+
+
+# The reference exports ``IndexError`` (shadowing the builtin,
+# index.py:47-57); keep the import-compatible name at the END of the
+# module so nothing inside accidentally catches the shadowed builtin.
+globals()["IndexError"] = IndexError_

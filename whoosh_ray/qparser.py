@@ -161,3 +161,10 @@ class MultifieldPlugin(Plugin):
         raise TypeError("construct MultifieldParser(fieldnames, schema, "
                         "fieldboosts=...) instead of adding "
                         "MultifieldPlugin to an existing parser")
+
+
+class QueryParserError(Exception):
+    """Raised by reference parsers on malformed input
+    (qparser/common.py:34-42).  This engine's parser is lenient (every
+    string parses to SOME query, like the reference's default plugins),
+    so the class exists for ported except-clauses."""

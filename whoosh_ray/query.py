@@ -48,3 +48,17 @@ from whoosh_ray.search.spans import (  # noqa: F401
     SpanNot,
     SpanOr,
 )
+
+# base-class aliases for ported isinstance checks / subclass walks:
+# the engine's _Compound plays CompoundQuery's role, _MultiTerm covers
+# the reference's MultiTerm / ExpandingTerm / PatternQuery lexicon-
+# expansion bases (qcore.py/terms.py class split)
+from whoosh_ray.search.query import _Compound as CompoundQuery  # noqa: E402,F401
+from whoosh_ray.search.query import _MultiTerm as MultiTerm  # noqa: E402,F401
+
+ExpandingTerm = MultiTerm
+PatternQuery = MultiTerm
+
+# reference whoosh.query module-level re-exports
+from whoosh_ray.fields import datetime_to_long, long_to_datetime  # noqa: E402,F401
+from whoosh_ray.functions.morph_en import variations  # noqa: E402,F401

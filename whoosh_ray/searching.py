@@ -18,3 +18,7 @@ from whoosh_ray.search.query import TermNotFound  # noqa: F401
 #: recorded for a search (search(terms=True) not requested)
 class NoTermsException(Exception):
     message = "Results were created without recording terms"
+
+# reference searching.py imports these for filter/mask coercion
+from whoosh_ray.functions.idsets import BitIdSet as BitSet  # noqa: E402,F401
+from whoosh_ray.functions.idsets import DocIdSet  # noqa: E402,F401

@@ -26,3 +26,5 @@ from whoosh_ray.search.facets import (  # noqa: F401
     TranslateFacet,
     UnorderedList,
 )
+
+from whoosh_ray.search.facets import add_sortable  # noqa: E402,F401

@@ -14,3 +14,5 @@ from whoosh_ray.functions.charset import (  # noqa: F401
     accent_map,
     charset_table_to_dict,
 )
+
+from whoosh_ray.functions.charset import _spec_int as charspec_to_int  # noqa: E402,F401

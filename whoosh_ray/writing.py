@@ -28,3 +28,22 @@ def fib(n: int) -> int:
     for _ in range(n - 2):
         a, b = b, a + b
     return b
+
+
+def random_name(size: int = 28) -> str:
+    """Random base-36-ish name (reference util/__init__.py:60-62)."""
+    import random
+    import string
+
+    return "".join(random.choice(string.ascii_lowercase + string.digits)
+                   for _ in range(size))
+
+
+def add_spelling(ix, fieldnames, commit: bool = True) -> None:
+    """Reference writing.add_spelling retrofits FST word-graph files
+    so suggest() works on an existing index (writing.py:60-107 in older
+    releases).  This engine's suggest/FuzzyTerm read the sorted term
+    dictionary directly (functions/spelling.levenshtein_batch over the
+    lexicon), so every field is already 'spellable' — nothing to
+    retrofit; provided as a documented no-op."""
+    return None

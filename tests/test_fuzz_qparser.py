@@ -142,3 +142,34 @@ def test_parsed_query_strings_rank_and_score_identical(engine, oracle,
         f"{qs!r}: mine={myq!r} ref={refq!r}")
     np.testing.assert_allclose([s for _, s in mine], [s for _, s in ref],
                                rtol=1e-9, atol=1e-12, err_msg=qs)
+
+
+@settings(max_examples=150, deadline=None, derandomize=True)
+@given(qs=qstrings())
+def test_orgroup_parsed_strings_rank_and_score_identical(engine, oracle,
+                                                         qs):
+    """The same grammar fuzz with group="or" parsers on both sides:
+    whitespace joins with Or, multi-token words flatten into it, and
+    operator words still bind — full ranked parity (the nested-quirky
+    and dup-sibling cursor-state families compare by match SET, like
+    the and-group fuzz and the limited-lossy policy)."""
+    load_whoosh_oracle()
+    from whoosh.qparser import OrGroup as WOG
+    from whoosh.qparser import QueryParser as WQP
+
+    my_parser = QueryParser("text", transcripts_schema(), group="or")
+    myq = my_parser.parse(qs)
+    with oracle.searcher() as os_:
+        refq = WQP("text", schema=oracle.schema, group=WOG).parse(qs)
+        mine = [(int(d), float(s))
+                for d, s in engine.search(myq, limit=None).pairs()]
+        r = os_.search(refq, limit=None)
+        ref = [(int(h.docnum), float(h.score)) for h in r]
+    if _has_nested_quirky(myq):
+        assert sorted(d for d, _ in mine) == sorted(d for d, _ in ref), (
+            f"{qs!r}: mine={myq!r} ref={refq!r}")
+        return
+    assert [d for d, _ in mine] == [d for d, _ in ref], (
+        f"{qs!r}: mine={myq!r} ref={refq!r}")
+    np.testing.assert_allclose([s for _, s in mine], [s for _, s in ref],
+                               rtol=1e-9, atol=1e-12, err_msg=qs)

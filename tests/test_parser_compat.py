@@ -231,3 +231,66 @@ def test_simple_parser_null_shapes(whoosh_oracle):
         mq, rq = mine.parse(qs), ref.parse(qs)
         assert isinstance(mq, _NullQuery) == (
             rq.__class__.__name__ == "_NullQuery"), (qs, mq, rq)
+
+
+def test_unpaired_parens_and_boost_terminators(engine, oracle,
+                                               whoosh_oracle):
+    """Unpaired parens VANISH from the node list (ops bind across the
+    phantom boundary); a whole-query paren group unwraps first; a
+    space-detached '^n' boost dies at the top level but applies inside
+    a nested group (the reference's clean_boost doesn't recurse,
+    plugins.py:256-267); a '^n' not followed by space/')'/end is no
+    boost at all."""
+    from whoosh.qparser import QueryParser as WQP
+
+    from whoosh_ray.search.qparser import QueryParser
+
+    mine = QueryParser("text", transcripts_schema())
+    with oracle.searcher() as os_:
+        ref = WQP("text", oracle.schema)
+        for qs in [") cluster deploy", "cluster ) deploy",
+                   "cluster ( deploy render",
+                   "^2.5( ANDNOT ( cluster render ",
+                   "deploy (render cluster))",
+                   "render ^2", "(render ^2)", "render ^2)",
+                   "deploy (render ^2) x", "((render ^2))",
+                   "(deploy (render ^2.5))", "render ^2 deploy",
+                   'deploy^2"deploy render" OR ',
+                   "retry ^2 deploy-render retry"]:
+            _compare(engine, os_, mine.parse(qs), ref.parse(qs), qs)
+
+
+def test_plusminus_markers_on_default_parser(engine, oracle,
+                                             whoosh_oracle):
+    """PlusMinusPlugin on the DEFAULT parser: markers tag the next
+    node ANYWHERE ('deploy-render' = deploy ANDNOT render), operator
+    binding runs inside the routed buckets ('OR NOT deploy-render'
+    bans render and Nots deploy), a marker eats an op word (which then
+    can't operate), and a required bucket that dissolves to op words
+    nulls the query."""
+    from whoosh.qparser import OrGroup, PlusMinusPlugin
+    from whoosh.qparser import QueryParser as WQP
+
+    from whoosh_ray.search.qparser import QueryParser
+
+    mine_and = QueryParser("text", transcripts_schema(),
+                           plugins=("plusminus",))
+    mine_or = QueryParser("text", transcripts_schema(),
+                          plugins=("plusminus",), group="or")
+    with oracle.searcher() as os_:
+        ref_and = WQP("text", oracle.schema)
+        ref_and.add_plugin(PlusMinusPlugin())
+        ref_or = WQP("text", oracle.schema, group=OrGroup)
+        ref_or.add_plugin(PlusMinusPlugin())
+        for qs in ["deploy - render", "deploy-render", "deploy + render",
+                   "+ deploy render", "- deploy render", "+the deploy",
+                   "OR NOT deploy-render ", "- NOT ) cluster deploy",
+                   "render bash+AND", "error cluster AND + OR ( ",
+                   "deploy-render retry + ANDNOT cluster",
+                   "render ^2.5- OR deploy ", "render ^2+deploy render ",
+                   "ANDNOT error^2.5- -render AND ",
+                   "deploy cluster - render( deploy "]:
+            _compare(engine, os_, mine_and.parse(qs), ref_and.parse(qs),
+                     "and:" + qs)
+            _compare(engine, os_, mine_or.parse(qs), ref_or.parse(qs),
+                     "or:" + qs)

@@ -257,8 +257,14 @@ class QueryParser:
     # ---- lexing ----
 
     def _lex(self, text: str):
+        prev_end = -1
         for m in _TOKEN_RE.finditer(text):
-            kind = m.lastgroup if m.lastgroup in ("lparen", "rparen") else None
+            # a "^n" word acts as a BOOST only when directly attached
+            # to the previous token (the reference BoostPlugin tagger
+            # requires (?<=\S); 'retry ^2' leaves '^2' a plain word
+            # whose analysis is the term '2' — stopped when too short)
+            detached = m.start() > prev_end
+            prev_end = m.end()
             if m.group("lparen"):
                 yield ("(", None)
             elif m.group("rparen"):
@@ -297,6 +303,23 @@ class QueryParser:
                     # elsewhere the word is a plain term ("ANDNOT deploy"
                     # = And([andnot, deploy]))
                     yield ("wordlit", SpannedStr.make(val, *m.span("word")))
+                elif (re.search(r"\^[0-9]*(\.[0-9]+)?$", val)
+                      and m.end() < len(text)
+                      and text[m.end()] not in " \t\r\n)"):
+                    # a trailing ^num NOT followed by the boost
+                    # terminator class ($ / whitespace / ')') is no
+                    # boost at all (the tagger expr, plugins.py:229) —
+                    # 'deploy^2"..."' keeps the plain word 'deploy^2'
+                    yield ("wordnb", SpannedStr.make(val, *m.span("word")))
+                elif (detached and re.fullmatch(r"\^[0-9]*(\.[0-9]+)?", val)
+                      and len(val) > 1):
+                    # space-detached "^n" boost token: the reference's
+                    # clean_boost (plugins.py:256-267) kills it at the
+                    # TOP level (previous node is whitespace) but does
+                    # NOT recurse into groups, where do_boost (:269-287,
+                    # post-ws-removal) applies it to the previous node —
+                    # nesting decides, so tag it for _collect_items
+                    yield ("boostw", SpannedStr.make(val, *m.span("word")))
                 else:
                     yield ("word", SpannedStr.make(val, *m.span("word")))
 
@@ -316,6 +339,18 @@ class QueryParser:
 
     def parse(self, text: str) -> Query:
         tokens = list(self._lex(text))
+        tokens = self._drop_unpaired_parens(tokens)
+        # a query that is ENTIRELY one paren group unwraps ONE layer
+        # before filtering (the reference's top group), so
+        # '(render ^2)' behaves like 'render ^2' (top-level detached
+        # boost dies) while '((render ^2))' keeps a nested group where
+        # the boost survives clean_boost's non-recursion
+        if (len(tokens) >= 2 and tokens[0][0] == "("
+                and tokens[-1][0] == ")"
+                and self._is_whole_group(tokens)):
+            tokens = tokens[1:-1]
+        if "plusminus" in self.plugins:
+            tokens = list(self._split_pm_markers(tokens))
         q, _ = self._parse_group(tokens, 0)
         if q is None:
             return _NullQuery()
@@ -324,19 +359,118 @@ class QueryParser:
         # at PARSE time, never inside search()
         return q.normalize()
 
-    def _parse_group(self, tokens, i):
-        items, i = self._collect_items(tokens, i)
+    @staticmethod
+    def _drop_unpaired_parens(tokens):
+        """The reference's group machinery PAIRS parens; an unmatched
+        '(' or ')' simply vanishes from the flat node list, so
+        'a ( b OP c' parses exactly like 'a b OP c' (ops bind across
+        the phantom boundary) — probed on 'cluster ( deploy render',
+        '^2.5( ANDNOT ( cluster render' and friends."""
+        stack = []
+        drop = set()
+        for idx, (kind, _val) in enumerate(tokens):
+            if kind == "(":
+                stack.append(idx)
+            elif kind == ")":
+                if stack:
+                    stack.pop()
+                else:
+                    drop.add(idx)
+        drop.update(stack)
+        if not drop:
+            return tokens
+        return [t for i, t in enumerate(tokens) if i not in drop]
+
+    @staticmethod
+    def _is_whole_group(tokens) -> bool:
+        depth = 0
+        for i, (kind, _v) in enumerate(tokens):
+            if kind == "(":
+                depth += 1
+            elif kind == ")":
+                depth -= 1
+                if depth == 0 and i != len(tokens) - 1:
+                    return False
+        return depth == 0
+
+    @staticmethod
+    def _split_pm_markers(tokens):
+        """PlusMinusPlugin lexing (plugins.py:1017-1023): the +/-
+        taggers match ANYWHERE — a word token splits at every +/- into
+        subwords and marker tokens, and a marker tags the NEXT query
+        item across whitespace ('deploy - render' bans render;
+        'deploy-render' with the plugin on means deploy ANDNOT
+        render).  Split FRAGMENTS are never operators (the reference
+        op taggers demand surrounding whitespace, so 'bash+AND' yields
+        the plain term 'and')."""
+        for kind, val in tokens:
+            if kind not in ("word", "wordlit", "wordnb") or val in _OPS \
+                    or not ("+" in val or "-" in val):
+                yield (kind, val)
+                continue
+            def _frag_kind(frag, final):
+                # a NON-final fragment's terminator was the +/- the
+                # split consumed, so the reference's op and boost
+                # taggers (which demand whitespace / a ")" / end there)
+                # never fire on it: "wordnb" = plain word, no trailing
+                # ^boost, never an operator.  The FINAL fragment keeps
+                # the original word's terminator and semantics.
+                if not final or kind == "wordnb":
+                    return "wordnb"
+                if kind == "wordlit" or str(frag) in _OPS \
+                        or str(frag).startswith("^"):
+                    return "wordlit"
+                return "word"
+
+            pos = 0
+            s = str(val)
+            for j, ch in enumerate(s):
+                if ch in "+-":
+                    if j > pos:
+                        frag = _subspan(val, pos, j)
+                        yield (_frag_kind(frag, final=False), frag)
+                    yield ("pm", ch)
+                    pos = j + 1
+            if pos < len(s):
+                frag = _subspan(val, pos, len(s))
+                yield (_frag_kind(frag, final=True), frag)
+
+    def _parse_group(self, tokens, i, nested: bool = False):
+        items, i = self._collect_items(tokens, i, nested)
         return self._combine(items), i
 
-    def _collect_items(self, tokens, i):
-        items: list = []  # queries and operator markers
+    def _collect_items(self, tokens, i, nested: bool = False):
+        items: list = []  # queries, op markers, plusminus markers
         while i < len(tokens):
             kind, val = tokens[i]
             if kind == ")":
                 i += 1
-                break
+                if nested:
+                    break
+                # unmatched close paren at the top level is DROPPED
+                # (the reference's group machinery ignores it; our old
+                # break silently truncated the rest of the query)
+                continue
+            if kind == "pm":
+                items.append(("pm", val))
+                i += 1
+                continue
+            if kind == "boostw":
+                # space-detached boost: applies to the previous node
+                # only INSIDE a nested group (reference do_boost after
+                # ws removal); at the top level it degrades to a word
+                i += 1
+                if nested and items and isinstance(items[-1], Query) \
+                        and not isinstance(items[-1], _NullQuery):
+                    items[-1] = _with_boost(items[-1],
+                                            float(str(val)[1:]))
+                else:
+                    q = self._leaf("wordlit", val)
+                    if q is not None:
+                        items.append(q)
+                continue
             if kind == "(":
-                sub, i = self._parse_group(tokens, i + 1)
+                sub, i = self._parse_group(tokens, i + 1, nested=True)
                 items.append(sub if sub is not None else _NullQuery())
                 items, i = self._maybe_boost(items, tokens, i)
                 continue
@@ -344,19 +478,18 @@ class QueryParser:
                 items.append(("op", val))
                 i += 1
                 continue
-            sign = None
-            if ("plusminus" in self.plugins and kind == "word"
-                    and len(val) > 1 and val[0] in "+-"):
-                sign = val[0]
-                val = _subspan(val, 1, len(val))
             q = self._leaf(kind, val)
             i += 1
             if q is not None:
                 items.append(q)
                 items, i = self._maybe_boost(items, tokens, i)
-                if sign is not None and isinstance(items[-1], Query):
-                    items[-1] = ("plus" if sign == "+" else "minus",
-                                 items[-1])
+            elif (items and isinstance(items[-1], tuple)
+                  and items[-1][0] == "pm"):
+                # a marker CONSUMES a stopped word as a Null node — the
+                # reference required bucket holds the (stopped) word
+                # node, so '+the deploy' nulls the whole query instead
+                # of promoting deploy to required
+                items.append(_NullQuery())
         return items, i
 
     def _maybe_boost(self, items, tokens, i):
@@ -383,16 +516,32 @@ class QueryParser:
 
     def _combine(self, items) -> Query | None:
         if "plusminus" in self.plugins and any(
-                isinstance(it, tuple) and it[0] in ("plus", "minus")
-                for it in items):
-            required, should, prohibited = [], [], []
+                isinstance(it, tuple) and it[0] == "pm" for it in items):
+            # do_plusminus (plugins.py:1028-1061): route EVERY node —
+            # queries, stopped-word Nulls, even op markers — into
+            # required/optional/banned (a marker's target consumes the
+            # NEXT node of any kind, then resets to optional); operator
+            # binding then runs INSIDE each bucket (do_operators is a
+            # later filter pass over the re-grouped tree).
+            required, should, banned = [], [], []
+            target = should
             for it in items:
-                if isinstance(it, tuple) and it[0] == "plus":
-                    required.append(it[1])
-                elif isinstance(it, tuple) and it[0] == "minus":
-                    prohibited.append(it[1])
-                elif isinstance(it, Query) and not isinstance(it, _NullQuery):
-                    should.append(it)
+                if isinstance(it, tuple) and it[0] == "pm":
+                    target = required if it[1] == "+" else banned
+                    continue
+                target.append(it)
+                target = should
+            req_q = self._op_passes(required)
+            sh_q = [q for q in self._op_passes(should)
+                    if not isinstance(q, _NullQuery)]
+            ban_q = self._op_passes(banned)
+            if required and not req_q:
+                # a required bucket that DISSOLVES (it held only op
+                # words, e.g. '+ OR') nulls the whole query — the
+                # reference's AndMaybe keeps the empty required side
+                # and normalizes to Null (probed: 'error + OR' -> Null)
+                return None
+
             # BooleanQuery shape (compound.py:656-658), normalized like
             # the reference: drop empty branches.  The "optional" nodes
             # take the PARSER'S group (an AndGroup parser makes bare
@@ -407,16 +556,16 @@ class QueryParser:
             def one_group(qs):
                 return qs[0] if len(qs) == 1 else self._group_join(qs)
 
-            if required and should:
-                base = AndMaybe(one_and(required), one_group(should))
-            elif required:
-                base = one_and(required)
-            elif should:
-                base = one_group(should)
+            if req_q and sh_q:
+                base = AndMaybe(one_and(req_q), one_group(sh_q))
+            elif req_q:
+                base = one_and(req_q)
+            elif sh_q:
+                base = one_group(sh_q)
             else:
                 base = None
-            if prohibited and base is not None:
-                base = AndNot(base, one_or(prohibited))
+            if ban_q and base is not None:
+                base = AndNot(base, one_or(ban_q))
             return base
         qs = self._op_passes(items)
         if not qs:
@@ -579,10 +728,12 @@ class QueryParser:
                 # reference fns take (qs, *args, **kwargs); qs is the
                 # (in practice always empty) sub-node list
                 return self.functions[fm.group(1)]([], *args, **kwargs)
-        # word — maybe carrying an attached ^boost (Boost plugin)
+        # word — maybe carrying an attached ^boost (Boost plugin);
+        # "wordnb" fragments (plusminus splits) never boost
         text = val
         boost = 1.0
-        bm = re.match(r"^(.*)\^(\d+(?:\.\d+)?)$", text)
+        bm = (None if kind == "wordnb"
+              else re.match(r"^(.*)\^(\d+(?:\.\d+)?)$", text))
         if bm and bm.group(1):
             text = _subspan(text, 0, len(bm.group(1)))
             boost = float(bm.group(2))

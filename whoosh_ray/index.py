@@ -158,9 +158,19 @@ class Index:
     """Handle on one index directory: writers, searchers, maintenance
     (reference Index/FileIndex, index.py:217-470)."""
 
-    def __init__(self, index_dir: str):
+    def __init__(self, index_dir: str, schema=None,
+                 indexname: str | None = None):
+        # also accept a Storage object, like the reference
+        # FileIndex(storage, schema=None, indexname="MAIN")
+        folder = getattr(index_dir, "folder", None)
+        if folder is not None:
+            index_dir = _ix_dir(folder, indexname) if os.path.exists(
+                os.path.join(_ix_dir(folder, indexname), "manifest.json")
+            ) else folder
         self.index_dir = index_dir
         self._manifest = read_manifest(index_dir)
+        if schema is not None:
+            self._manifest.schema = schema
 
     def __repr__(self):
         return f"Index({self.index_dir!r})"

@@ -84,6 +84,53 @@ class LockError(Exception):
     SegmentWriter acquires WRITELOCK with timeout, writing.py:506-514)."""
 
 
+class FLock:
+    """Standalone advisory file lock with the reference's lock-object
+    protocol (util/filelock.py:44-78: ``acquire(blocking=False)`` →
+    bool, ``release()``).  flock-based like the writer's WRITELOCK, so
+    a crashed holder's lock releases with its process."""
+
+    def __init__(self, filename: str):
+        self.filename = filename
+        self.fd: int | None = None
+        self.locked = False
+
+    def __del__(self):
+        if getattr(self, "fd", None) is not None:
+            try:
+                self.release()
+            except Exception:
+                pass
+
+    def acquire(self, blocking: bool = False) -> bool:
+        import fcntl
+
+        fd = os.open(self.filename, os.O_CREAT | os.O_RDWR, 0o644)
+        flags = fcntl.LOCK_EX | (0 if blocking else fcntl.LOCK_NB)
+        try:
+            fcntl.flock(fd, flags)
+        except OSError:
+            os.close(fd)
+            return False
+        self.fd = fd
+        self.locked = True
+        return True
+
+    def release(self) -> None:
+        if self.fd is None:
+            raise Exception("Lock was not acquired")
+        os.close(self.fd)  # flock releases with the fd
+        self.fd = None
+        self.locked = False
+
+    def __enter__(self) -> "FLock":
+        self.acquire(blocking=True)
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> None:
+        self.release()
+
+
 class IndexWriter:
     """Op-log batch writer over an existing index directory.
 

@@ -81,3 +81,24 @@ def random_name(size: int = 28) -> str:
     from whoosh_ray.writing import random_name as _rn
 
     return _rn(size)
+
+
+#: valid separate characters in case-insensitive filenames
+#: (reference util/__init__.py:37)
+IDCHARS = "0123456789abcdefghijklmnopqrstuvwxyz"
+
+from time import perf_counter as now  # noqa: E402  (reference util:41-46)
+
+
+def unclosed(method):
+    """Method decorator raising on a closed object
+    (reference util/__init__.py:132-143)."""
+    import functools
+
+    @functools.wraps(method)
+    def unclosed_wrapper(self, *args, **kwargs):
+        if self.closed:
+            raise ValueError("Operation on a closed object")
+        return method(self, *args, **kwargs)
+
+    return unclosed_wrapper

@@ -331,3 +331,62 @@ def test_groupedby_best_maptype(engine, oracle):
         oracle, wq.Term("text", "deploy"), limit=None,
         groupedby=ws.FieldFacet("role", maptype=ws.Best))
     assert mine.groups() == ref_groups["role"]
+
+
+def test_custom_categorizer_facet(engine, oracle):
+    """A reference-style custom FacetType (subclass + categorizer()
+    returning a Categorizer) plugs into sortedby/groupedby unchanged —
+    the extension contract from reference sorting.py:74-155."""
+    from whoosh import sorting as ws
+
+    from whoosh_ray.sorting import Categorizer, FacetType
+
+    class MyParity(FacetType):
+        """Groups docs by turn_idx parity via per-doc key_for."""
+
+        def categorizer(self, global_searcher):
+            outer = self
+
+            class _C(Categorizer):
+                def set_searcher(self, s, offset):
+                    self._s = s
+                    self._off = offset
+
+                def key_for(self, matcher, docnum):
+                    t = self._s.stored(
+                        np.array([docnum + self._off]),
+                        columns=["turn_idx"])
+                    return int(t["turn_idx"][0].as_py()) % 2
+
+                def key_to_name(self, key):
+                    return "odd" if key else "even"
+
+            return _C()
+
+    class WParity(ws.FacetType):
+        def categorizer(self, global_searcher):
+            class _C(ws.Categorizer):
+                def set_searcher(self, s, offset):
+                    self._r = s.reader()
+
+                def key_for(self, matcher, docnum):
+                    return self._r.stored_fields(docnum)["turn_idx"] % 2
+
+                def key_to_name(self, key):
+                    return "odd" if key else "even"
+
+            return _C()
+
+    wq = wquery()
+    q = Term("text", "deploy")
+    rq = wq.Term("text", "deploy")
+
+    mine = engine.search(q, limit=None, groupedby={"par": MyParity()})
+    odocs, ogroups = o_search(oracle, rq, limit=None,
+                              groupedby={"par": WParity()})
+    assert dict(mine.groups("par")) == ogroups["par"]
+
+    mine_s = engine.search(q, limit=None, sortedby=MyParity())
+    ours_docs = mine_s.docids.tolist()
+    odocs_s, _ = o_search(oracle, rq, limit=None, sortedby=WParity())
+    assert ours_docs == odocs_s

@@ -17,4 +17,21 @@ docstrings point at the *behavior* being reproduced.
 
 __version__ = "0.1.0"
 
-from whoosh_ray.state.schema import FieldSpec, IndexSchema  # noqa: F401
+#: version as a tuple, the shape the reference keeps in
+#: ``whoosh.__version__`` (tuple there, string here — ours predates the
+#: compat layer and is part of the manifest format)
+version_tuple = (0, 1, 0)
+
+
+def versionstring(build: bool = True, extra: bool = True) -> str:
+    """Version number as a string (reference __init__.py:36-55):
+    ``build=False`` drops the third component, ``extra`` appends any
+    alpha/beta/rc tags beyond it."""
+    first = 3 if build else 2
+    s = ".".join(str(n) for n in version_tuple[:first])
+    if build and extra:
+        s += "".join(str(n) for n in version_tuple[3:])
+    return s
+
+
+from whoosh_ray.state.schema import FieldSpec, IndexSchema  # noqa: F401,E402

@@ -396,6 +396,19 @@ def rcompile(pattern, flags=0, verbose=False):
     return _rc(pattern, flags, verbose)
 
 
+#: URL-or-word tokenizer pattern (reference analysis/filters.py:50-58),
+#: for RegexTokenizer(url_pattern)-style schemas
+url_pattern = rcompile(r"""
+(
+    [A-Za-z+]+://          # URL protocol
+    \S+?                   # URL body
+    (?=\s|[.]\s|$|[.]$)    # Stop at space/end, or a dot followed by space/end
+) | (                      # or...
+    \w+([:.]?\w+)*         # word characters, with opt. internal colons/dots
+)
+""", verbose=True)
+
+
 #: an analyzer IS the composite here (a picklable spec); the names are
 #: kept so isinstance checks in ported code keep working
 CompositeAnalyzer = AnalyzerSpec

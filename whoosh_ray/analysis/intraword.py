@@ -1,0 +1,3 @@
+"""Reference-layout shim (whoosh/analysis/intraword.py)."""
+from whoosh_ray.analysis import (  # noqa: F401
+    BiWordFilter, CompoundWordFilter, IntraWordFilter, ShingleFilter)

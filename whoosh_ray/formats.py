@@ -71,3 +71,44 @@ class CharacterBoosts(Characters):
 
     def fieldspec_kwargs(self) -> dict:
         return {"positions": True, "chars": True, "token_boosts": True}
+
+
+# ---- module-level token helpers (reference formats.py:121-130) ----
+
+def tokens(value, analyzer, kwargs: dict | None = None):
+    """Token stream for a value: pre-tokenized lists go through
+    ``entoken``; strings run through the analyzer (an
+    :class:`~whoosh_ray.functions.analysis.AnalyzerSpec` here), with
+    stopped tokens removed (the reference pipes through ``unstopped``;
+    this engine's analyzers drop stopped tokens eagerly)."""
+    from whoosh_ray.analysis import entoken, unstopped
+
+    kwargs = kwargs or {}
+    if isinstance(value, (tuple, list)):
+        return unstopped(entoken(value, **kwargs))
+    from whoosh_ray.analysis import Token
+    from whoosh_ray.functions.analysis import VectorAnalyzer
+
+    tb = VectorAnalyzer(analyzer)([value])
+
+    def _gen():
+        for i in range(len(tb.terms)):
+            t = Token(str(tb.terms[i]), int(tb.positions[i]))
+            if getattr(tb, "startchars", None) is not None:
+                t.startchar = int(tb.startchars[i])
+                t.endchar = int(tb.endchars[i])
+            yield t
+
+    return _gen()
+
+
+def entoken(textstream, **kwargs):
+    from whoosh_ray.analysis import entoken as _e
+
+    return _e(textstream, **kwargs)
+
+
+def unstopped(tokenstream):
+    from whoosh_ray.analysis import unstopped as _u
+
+    return _u(tokenstream)

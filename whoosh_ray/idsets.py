@@ -2,6 +2,7 @@
 the vectorized numpy sets in whoosh_ray.functions.idsets)."""
 
 from whoosh_ray.functions.idsets import (  # noqa: F401
+    ROARING_CUTOFF,
     BitIdSet,
     DocIdSet,
     MultiIdSet,

@@ -104,6 +104,39 @@ class _Rev:
         return f"Rev({self.v!r})"
 
 
+class Categorizer:
+    """Per-document key extractor — the reference's FacetType extension
+    contract (sorting.py:93-155): a custom FacetType returns one of
+    these from ``categorizer(searcher)``; the engine calls
+    ``set_searcher`` then ``key_for``/``keys_for`` per matched doc and
+    renders keys with ``key_to_name``.
+
+    This engine evaluates its built-in facets vectorized, but a
+    reference-written subclass plugs in unchanged: the base
+    :meth:`FacetType.keys` detects an overridden ``categorizer`` and
+    drives it per doc.  One documented divergence:
+    ``requires_matcher`` categorizers get ``matcher=None`` (there is no
+    pull-based matcher object at scoring time here) — use
+    searcher/reader state instead."""
+
+    allow_overlap = False
+    requires_matcher = False
+
+    def set_searcher(self, segment_searcher, docoffset: int) -> None:
+        """Called per segment; this engine passes the global searcher
+        once with ``docoffset=0`` (docids are globally dense)."""
+
+    def key_for(self, matcher, segment_docnum: int):
+        raise NotImplementedError(self.__class__.__name__)
+
+    def keys_for(self, matcher, segment_docnum: int):
+        """Overlap variant (reference sorting.py:129-135)."""
+        raise NotImplementedError(self.__class__.__name__)
+
+    def key_to_name(self, key):
+        return key
+
+
 class FacetType:
     allow_overlap = False
     maptype = None
@@ -111,14 +144,32 @@ class FacetType:
     def default_name(self) -> str:
         return "facet"
 
+    def categorizer(self, global_searcher) -> Categorizer:
+        """Reference extension hook (sorting.py:74-90).  Built-in
+        facets never call this; a subclass that overrides it gets the
+        base ``keys``/``overlap_keys`` driven through its Categorizer."""
+        raise NotImplementedError
+
+    def _categorizer_keys(self, searcher, docids, overlap: bool):
+        c = self.categorizer(searcher)
+        c.set_searcher(searcher, 0)
+        if overlap:
+            return [[c.key_to_name(k) for k in c.keys_for(None, int(d))]
+                    for d in docids]
+        return [c.key_to_name(c.key_for(None, int(d))) for d in docids]
+
     def keys(self, searcher, docids: np.ndarray,
              scores: np.ndarray) -> list:
         """One sort/group key per matched doc."""
+        if type(self).categorizer is not FacetType.categorizer:
+            return self._categorizer_keys(searcher, docids, overlap=False)
         raise NotImplementedError
 
     def overlap_keys(self, searcher, docids, scores) -> list[list]:
         """Per-doc key lists for allow_overlap grouping (keys_for,
         sorting.py:129-135)."""
+        if type(self).categorizer is not FacetType.categorizer:
+            return self._categorizer_keys(searcher, docids, overlap=True)
         return [[k] for k in self.keys(searcher, docids, scores)]
 
 

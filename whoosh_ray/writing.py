@@ -18,6 +18,27 @@ from whoosh_ray.pipelines.writer import (  # noqa: F401
 #: BufferedWriter
 BatchWriter = BufferedWriter
 
+#: reference writing.py:505 — SegmentWriter is the concrete writer an
+#: ``ix.writer()`` call returns; here that role is IndexWriter itself
+#: (the posting-sort/flush machinery it adds over the base class is the
+#: Ray build pipeline)
+SegmentWriter = IndexWriter
+
+
+def groupmanager(writer):
+    """Context manager marking a hierarchical document group
+    (reference writing.py:52-56) — the function form of
+    ``writer.group()``."""
+    return writer.group()
+
+
+def try_for(fn, timeout: float = 5.0, delay: float = 0.1):
+    """Retry helper the reference writer's lock loop uses
+    (re-export; util/filelock.py:44-60)."""
+    from whoosh_ray.util.filelock import try_for as _tf
+
+    return _tf(fn, timeout, delay)
+
 
 def fib(n: int) -> int:
     """Fibonacci helper the MERGE_SMALL policy thresholds on

@@ -415,3 +415,7 @@ CompositeAnalyzer = AnalyzerSpec
 Tokenizer = AnalyzerSpec
 #: isinstance(x, Composable) covers specs AND filter stages/chains
 Composable = (AnalyzerSpec, Stage, StageChain)
+
+#: cache decorators the reference analysis module re-exports
+#: (analysis/__init__.py imports them for its own memoized helpers)
+from whoosh_ray.util.cache import lfu_cache, unbound_cache  # noqa: E402,F401

@@ -1,6 +1,6 @@
 """Reference-layout shim (whoosh/analysis/filters.py)."""
 from whoosh_ray.analysis import (  # noqa: F401
-    STOP_WORDS, CharsetFilter, DelimitedAttributeFilter, Filter,
-    LoggingFilter, LowercaseFilter, MultiFilter, PassFilter,
+    STOP_WORDS, CharsetFilter, Composable, DelimitedAttributeFilter,
+    Filter, LoggingFilter, LowercaseFilter, MultiFilter, PassFilter,
     ReverseTextFilter, StopFilter, StripFilter, SubstitutionFilter,
-    TeeFilter, url_pattern)
+    TeeFilter, rcompile, url_pattern)

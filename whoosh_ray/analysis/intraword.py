@@ -1,3 +1,4 @@
 """Reference-layout shim (whoosh/analysis/intraword.py)."""
 from whoosh_ray.analysis import (  # noqa: F401
-    BiWordFilter, CompoundWordFilter, IntraWordFilter, ShingleFilter)
+    BiWordFilter, CompoundWordFilter, Filter, IntraWordFilter,
+    ShingleFilter)

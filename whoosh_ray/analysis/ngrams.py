@@ -1,3 +1,4 @@
 """Reference-layout shim (whoosh/analysis/ngrams.py)."""
 from whoosh_ray.analysis import (  # noqa: F401
-    NgramAnalyzer, NgramFilter, NgramTokenizer, NgramWordAnalyzer)
+    Filter, LowercaseFilter, NgramAnalyzer, NgramFilter, NgramTokenizer,
+    NgramWordAnalyzer, RegexTokenizer, Token, Tokenizer)

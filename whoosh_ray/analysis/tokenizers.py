@@ -1,4 +1,5 @@
 """Reference-layout shim (whoosh/analysis/tokenizers.py)."""
 from whoosh_ray.analysis import (  # noqa: F401
-    CharsetTokenizer, CommaSeparatedTokenizer, IDTokenizer, PathTokenizer,
-    RegexTokenizer, SpaceSeparatedTokenizer, Tokenizer, default_pattern)
+    CharsetTokenizer, CommaSeparatedTokenizer, Composable, IDTokenizer,
+    PathTokenizer, RegexTokenizer, SpaceSeparatedTokenizer, Token,
+    Tokenizer, default_pattern, rcompile)

@@ -144,3 +144,103 @@ class FixedBytesListColumn(ListColumn):
 
     def __init__(self, fixedlen: int):
         self.fixedlen = fixedlen
+
+
+class ColumnWriter:
+    """Marker for the reference's writer half (columns.py:119-135);
+    stored Arrow columns are written by the build pipeline here."""
+
+    def __init__(self, dbfile=None):
+        self.dbfile = dbfile
+
+
+class EmptyColumnReader:
+    """Reader returning a default value for every document
+    (reference columns.py:1010-1031)."""
+
+    def __init__(self, default, doccount: int):
+        self._default = default
+        self._doccount = doccount
+
+    def __len__(self) -> int:
+        return self._doccount
+
+    def __getitem__(self, docnum):
+        return self._default
+
+    def __iter__(self):
+        from itertools import repeat
+
+        return repeat(self._default, self._doccount)
+
+    def sort_key(self, docnum):
+        return self._default
+
+
+class MultiColumnReader:
+    """Concatenation of per-segment readers (reference
+    columns.py:1034-1072)."""
+
+    def __init__(self, readers, offsets=None):
+        self._readers = list(readers)
+        if offsets is None:
+            self._offsets = []
+            base = 0
+            for r in self._readers:
+                self._offsets.append(base)
+                base += len(r)
+        else:
+            self._offsets = list(offsets)
+
+    def __len__(self) -> int:
+        return sum(len(r) for r in self._readers)
+
+    def _find(self, docnum: int):
+        from bisect import bisect_right
+
+        i = bisect_right(self._offsets, docnum) - 1
+        return self._readers[i], docnum - self._offsets[i]
+
+    def __getitem__(self, docnum):
+        r, n = self._find(docnum)
+        return r[n]
+
+    def __iter__(self):
+        for r in self._readers:
+            yield from r
+
+    def sort_key(self, docnum):
+        r, n = self._find(docnum)
+        return r.sort_key(n) if hasattr(r, "sort_key") else r[n]
+
+
+class TranslatingColumnReader:
+    """Wraps a reader, applying ``translate`` per value (reference
+    columns.py:1075-1116); ``raw_column()`` unwraps."""
+
+    def __init__(self, reader, translate):
+        self._reader = reader
+        self._translate = translate
+
+    def raw_column(self):
+        return self._reader
+
+    def __len__(self) -> int:
+        return len(self._reader)
+
+    def __getitem__(self, docnum):
+        return self._translate(self._reader[docnum])
+
+    def __iter__(self):
+        return (self._translate(v) for v in self._reader)
+
+    def sort_key(self, docnum):
+        return self._reader.sort_key(docnum) \
+            if hasattr(self._reader, "sort_key") else self[docnum]
+
+
+#: list-column reader role (reference columns.py:1237-1243) — the
+#: engine's ColumnReader already returns native lists for list columns
+ListColumnReader = ColumnReader
+WrappedColumnReader = TranslatingColumnReader
+WrappedColumnWriter = ColumnWriter

@@ -326,3 +326,8 @@ def copy_to_ram(storage: Storage) -> RamStorage:
     ram = RamStorage().create()
     copy_storage(storage, ram)
     return ram
+
+
+# names the reference module exposes at module level
+from whoosh_ray.index import EmptyIndexError  # noqa: E402,F401
+from whoosh_ray.writing import random_name  # noqa: E402,F401

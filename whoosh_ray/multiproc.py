@@ -47,3 +47,7 @@ class MultiSegmentWriter(MpWriter):
                  **kwargs):
         super().__init__(ix, procs=procs, batchsize=batchsize,
                          multisegment=True, **kwargs)
+
+
+# the reference module imports SegmentWriter as its base; same alias
+from whoosh_ray.writing import SegmentWriter  # noqa: E402,F401

@@ -139,3 +139,35 @@ def length_to_byte(length) -> int:
 
 def byte_to_length(b: int) -> int:
     return int(_b2l_vec(b)[()] if not hasattr(b, "__len__") else _b2l_vec(b))
+
+
+# struct packers the reference module exposes at top level
+# (numeric.py:33-55) — big-endian fixed-width codecs
+_pk = struct.Struct
+
+
+def _mk(fmt):
+    s = _pk(">" + fmt)
+    return s.pack, lambda b: s.unpack(b)
+
+
+pack_byte, unpack_byte = _mk("B")
+pack_ushort, unpack_ushort = _mk("H")
+pack_int, unpack_int = _mk("i")
+pack_uint, unpack_uint = _mk("I")
+pack_long, unpack_long = _mk("q")
+pack_ulong, unpack_ulong = _mk("Q")
+pack_float, unpack_float = _mk("f")
+pack_double, unpack_double = _mk("d")
+
+typecode_pack = {"B": pack_byte, "H": pack_ushort, "i": pack_int,
+                 "I": pack_uint, "q": pack_long, "Q": pack_ulong,
+                 "f": pack_float, "d": pack_double}
+typecode_unpack = {"B": unpack_byte, "H": unpack_ushort, "i": unpack_int,
+                   "I": unpack_uint, "q": unpack_long, "Q": unpack_ulong,
+                   "f": unpack_float, "d": unpack_double}
+typecode_min = {"B": 0, "H": 0, "i": -2 ** 31, "I": 0, "q": -2 ** 63,
+                "Q": 0, "f": -1e38, "d": -1e308}
+typecode_max = {"B": 255, "H": 2 ** 16 - 1, "i": 2 ** 31 - 1,
+                "I": 2 ** 32 - 1, "q": 2 ** 63 - 1, "Q": 2 ** 64 - 1,
+                "f": 1e38, "d": 1e308}

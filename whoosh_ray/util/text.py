@@ -74,3 +74,9 @@ def utf8encode(s: str) -> tuple:
 def utf8decode(bs) -> tuple:
     s = bytes(bs).decode("utf-8")
     return s, len(bs)
+
+
+def byte(i: int) -> bytes:
+    """Single byte (reference compat.b/byte helper used by
+    prefix_encode)."""
+    return bytes([i])

@@ -1076,6 +1076,71 @@ class _ConstantTermSet(Query):
         return ids, np.full(len(ids), self.boost, dtype=np.float64)
 
 
+class ConstantScoreQuery(WrappingQuery):
+    """Matches exactly the child's documents but scores every one a
+    constant ``score`` (reference query/wrappers.py:152-184 — the
+    "this branch is only a filter" optimization).  The child's own
+    scores are never computed into the result; ``score`` is NOT
+    multiplied by boost (the reference matcher uses the raw
+    ``self.score`` as ``all_weights``)."""
+
+    def __init__(self, child: Query, score: float = 1.0):
+        super().__init__(child)
+        self.score = float(score)
+
+    def __repr__(self):
+        return f"{type(self).__name__}({self.child!r}, score={self.score!r})"
+
+    def docs_scores(self, searcher, seg):
+        ids, _ = searcher.eval(self.child, seg)
+        return ids, np.full(len(ids), self.score, dtype=np.float64)
+
+    def global_docs_scores(self, searcher):
+        # evaluate the child on ITS global path so whole-index quirks
+        # (DJM cursor leak, AndNot first-doc) keep their docid sets
+        ids, _ = searcher.global_eval(self.child)
+        return ids, np.full(len(ids), self.score, dtype=np.float64)
+
+
+class WeightingQuery(WrappingQuery):
+    """Scores the child subtree with a specific WeightingModel instead
+    of the searcher's (reference query/wrappers.py:186-199, which sets
+    ``context.weighting`` for the subtree).  Like the reference, only
+    matcher-time scores change — any top-level ``final()`` is still the
+    searcher's own model's, applied at collection time."""
+
+    def __init__(self, child: Query, weighting):
+        super().__init__(child)
+        self.weighting = weighting
+
+    def __repr__(self):
+        return f"{type(self).__name__}({self.child!r}, {self.weighting!r})"
+
+    def _eval_swapped(self, searcher, fn):
+        # scoped weighting swap: fresh scorer/eval caches so the
+        # subtree's scores never leak into (or read from) entries
+        # computed under the searcher's own model
+        saved = (searcher.weighting, searcher._scorer_cache,
+                 searcher._eval_cache, searcher._global_cache)
+        searcher.weighting = self.weighting
+        searcher._scorer_cache = {}
+        searcher._eval_cache = {}
+        searcher._global_cache = {}
+        try:
+            return fn()
+        finally:
+            (searcher.weighting, searcher._scorer_cache,
+             searcher._eval_cache, searcher._global_cache) = saved
+
+    def docs_scores(self, searcher, seg):
+        return self._eval_swapped(
+            searcher, lambda: self.child.docs_scores(searcher, seg))
+
+    def global_docs_scores(self, searcher):
+        return self._eval_swapped(
+            searcher, lambda: self.child.global_docs_scores(searcher))
+
+
 class Prefix(_MultiTerm):
     def __init__(self, fieldname, text, boost: float = 1.0,
                  constantscore: bool = True):

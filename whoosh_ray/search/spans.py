@@ -29,7 +29,121 @@ from whoosh_ray.search.query import (
     Term,
 )
 
-# spans are (start, end) tuples
+# spans are (start, end) tuples internally; the public Span class below
+# is the reference's user-facing span object (query/spans.py:53-168)
+
+
+class Span:
+    """A (start, end) position range with optional char offsets —
+    the object reference APIs hand to users (query/spans.py:53-168).
+    Engine internals stay plain tuples; this class exists for ported
+    code that constructs, merges and compares spans."""
+
+    __slots__ = ("start", "end", "startchar", "endchar", "boost")
+
+    def __init__(self, start, end=None, startchar=None, endchar=None,
+                 boost=1.0):
+        if end is None:
+            end = start
+        assert start <= end
+        self.start = start
+        self.end = end
+        self.startchar = startchar
+        self.endchar = endchar
+        self.boost = boost
+
+    def __repr__(self):
+        if self.startchar is not None or self.endchar is not None:
+            return "<%d-%d %d:%d>" % (self.start, self.end,
+                                      self.startchar, self.endchar)
+        return "<%d-%d>" % (self.start, self.end)
+
+    # reference quirk kept: __eq__ compares char offsets too, but
+    # __ne__/__hash__ look at positions only
+    def __eq__(self, other):
+        return (self.start == other.start and self.end == other.end
+                and self.startchar == other.startchar
+                and self.endchar == other.endchar)
+
+    def __ne__(self, other):
+        return self.start != other.start or self.end != other.end
+
+    def __lt__(self, other):
+        return self.start < other.start
+
+    def __gt__(self, other):
+        return self.start > other.start
+
+    def __hash__(self):
+        return hash((self.start, self.end))
+
+    @classmethod
+    def merge(cls, spans):
+        """Coalesce overlapping/touching spans IN PLACE and return the
+        list (reference classmethod semantics, including the mutation)."""
+        i = 0
+        while i < len(spans) - 1:
+            here = spans[i]
+            j = i + 1
+            while j < len(spans):
+                there = spans[j]
+                if there.start > here.end + 1:
+                    break
+                if here.touches(there) or here.overlaps(there):
+                    here = here.to(there)
+                    spans[i] = here
+                    del spans[j]
+                else:
+                    j += 1
+            i += 1
+        return spans
+
+    def to(self, span):
+        if self.startchar is None:
+            minchar = span.startchar
+        elif span.startchar is None:
+            minchar = self.startchar
+        else:
+            minchar = min(self.startchar, span.startchar)
+        if self.endchar is None:
+            maxchar = span.endchar
+        elif span.endchar is None:
+            maxchar = self.endchar
+        else:
+            maxchar = max(self.endchar, span.endchar)
+        return type(self)(min(self.start, span.start),
+                          max(self.end, span.end), minchar, maxchar)
+
+    def overlaps(self, span):
+        return _overlaps((self.start, self.end), (span.start, span.end))
+
+    def surrounds(self, span):
+        return self.start < span.start and self.end > span.end
+
+    def is_within(self, span):
+        return self.start >= span.start and self.end <= span.end
+
+    def is_before(self, span):
+        return self.end < span.start
+
+    def is_after(self, span):
+        return self.start > span.end
+
+    def touches(self, span):
+        return self.start == span.end + 1 or self.end == span.start - 1
+
+    def distance_to(self, span):
+        if self.overlaps(span):
+            return 0
+        if self.is_before(span):
+            return span.start - self.end
+        return self.start - span.end
+
+
+def bisect_spans(spans, start):
+    """Leftmost index in ``spans`` whose .start >= start (reference
+    query/spans.py:170-179)."""
+    return bisect_left(spans, start, key=lambda s: s.start)
 
 
 def _overlaps(a, b):

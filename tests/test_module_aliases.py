@@ -99,6 +99,49 @@ SURFACE = {
              "has_stopwords", "stemmer_for_language",
              "stopwords_for_language", "NoStemmer", "NoStopWords"],
     "support.charset": ["accent_map", "charset_table_to_dict"],
+    "matching": ["Matcher", "NullMatcher", "NullMatcherClass",
+                 "ListMatcher", "ConstantScoreMatcher", "ReadTooFar",
+                 "NoQualityAvailable", "BiMatcher", "AdditiveBiMatcher",
+                 "UnionMatcher", "DisjunctionMaxMatcher",
+                 "IntersectionMatcher", "AndNotMatcher", "AndMaybeMatcher",
+                 "WrappingMatcher", "MultiMatcher", "FilterMatcher",
+                 "ExcludeMatcher", "InverseMatcher", "RequireMatcher",
+                 "ConstantScoreWrapperMatcher", "SingleTermMatcher",
+                 "CoordMatcher", "CombinationMatcher",
+                 "PreloadedUnionMatcher", "ArrayUnionMatcher"],
+    "externalsort": ["SortingPool", "imerge", "sort"],
+    "compat": ["u", "b", "text_type", "bytes_type", "string_type",
+               "integer_types", "iteritems", "itervalues", "iterkeys",
+               "xrange", "izip", "unichr", "byte", "dumps", "loads",
+               "dump", "load", "BytesIO", "StringIO", "htmlescape",
+               "with_metaclass", "memoryview_", "array_tobytes",
+               "array_frombytes", "permutations"],
+    "system": ["IS_LITTLE", "emptybytes", "pack_byte", "pack_int",
+               "pack_uint", "pack_uint_le", "pack_ushort",
+               "pack_ushort_le", "pack_long", "pack_ulong", "pack_float",
+               "pack_double", "unpack_byte", "unpack_int", "unpack_uint",
+               "unpack_ushort", "unpack_long", "unpack_float"],
+    "codec": ["default_codec"],
+    "codec.whoosh3": ["W3Codec"],
+    "codec.plaintext": ["PlainTextCodec"],
+    "codec.memory": ["MemoryCodec"],
+    "filedb.structfile": ["StructFile", "BufferFile", "ChecksumFile"],
+    "filedb.filestore": ["FileStorage", "RamStorage", "OverlayStorage",
+                         "Storage", "ReadOnlyError"],
+    "util.numlists": ["delta_encode", "delta_decode", "GrowableArray",
+                      "NumberEncoding", "FixedEncoding", "ByteEncoding",
+                      "UShortEncoding", "UIntEncoding", "Varints",
+                      "Simple16", "GInts"],
+    "util.testing": ["TempDir", "TempStorage", "TempIndex",
+                     "is_abstract_method", "check_abstract_methods",
+                     "timing"],
+    "util.varints": ["varint", "signed_varint", "decode_signed_varint",
+                     "read_varint"],
+    "support.base85": ["b85chars", "b85dec", "to_base85", "from_base85",
+                       "b85encode", "b85decode"],
+    "support.unicode": ["blocks", "blockname", "blocknum", "digits",
+                        "lowercase", "uppercase"],
+    "support.relativedelta": ["relativedelta"],
 }
 
 

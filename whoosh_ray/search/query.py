@@ -43,7 +43,22 @@ class Query:
         return hash(_qkey(self))
 
     def docs_scores(self, searcher, seg):
-        """Evaluate over ONE segment -> (docids asc, scores)."""
+        """Evaluate over ONE segment -> (docids asc, scores).
+
+        Bridge for reference-protocol custom queries: a subclass that
+        implements ``matcher(searcher, seg)`` (returning a
+        whoosh_ray.matching.Matcher over this segment's docids —
+        globally valid, since docids are global here) but not
+        docs_scores is evaluated by draining the matcher."""
+        if type(self).matcher is not Query.matcher:
+            from whoosh_ray import matching as pull_matching
+            return pull_matching.drain(self.matcher(searcher, seg))
+        raise NotImplementedError
+
+    def matcher(self, searcher, seg=None):
+        """Reference extension protocol: build a pull Matcher for this
+        query over one segment.  Engine queries use docs_scores
+        directly; implement either one in a custom subclass."""
         raise NotImplementedError
 
     def global_docs_scores(self, searcher):

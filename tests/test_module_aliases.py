@@ -142,6 +142,14 @@ SURFACE = {
     "support.unicode": ["blocks", "blockname", "blocknum", "digits",
                         "lowercase", "uppercase"],
     "support.relativedelta": ["relativedelta"],
+    "automata.fsa": ["EPSILON", "ANY", "FSA", "NFA", "DFA",
+                     "renumber_dfa", "u_to_utf8", "find_all_matches",
+                     "reverse_nfa", "product", "intersection", "union",
+                     "epsilon_nfa", "dot_nfa", "basic_nfa", "charset_nfa",
+                     "string_nfa", "choice_nfa", "concat_nfa", "star_nfa",
+                     "plus_nfa", "optional_nfa", "strings_dfa"],
+    "automata.glob": ["parse_glob", "glob_automaton"],
+    "automata.lev": ["levenshtein_automaton"],
 }
 
 

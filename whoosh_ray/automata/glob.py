@@ -2,13 +2,16 @@
 
 The engine's Wildcard query expands terms with a compiled-regex scan
 over the sorted lexicon; this NFA form exists for user code driving
-``find_all_matches`` directly.  Grammar quirks preserved: repeated
-``*`` collapse, ``?`` AFTER a ``*`` is dropped (the reference treats
-``*?`` as ``*``), and ``[...]`` ranges never negate (the parser reads
-a ``negate`` flag but no syntax sets it)."""
+``find_all_matches`` directly.  Grammar quirks preserved (output-
+matched vs the reference in tests/test_automata.py): consecutive ``*``
+collapse to one, a ``?`` immediately AFTER a ``*`` is dropped, and
+``[...]`` ranges never negate (the reference parser carries a negate
+flag no syntax can set).
+"""
 
 from whoosh_ray.automata.fsa import ANY, EPSILON, NFA
 
+# token kinds
 _LIT = 0
 _STAR = 1
 _PLUS = 2
@@ -18,50 +21,47 @@ _RANGE = 4
 
 def parse_glob(pattern, _glob_multi="*", _glob_single="?",
                _glob_range1="[", _glob_range2="]"):
-    pos = 0
-    last = None
-    while pos < len(pattern):
-        char = pattern[pos]
-        pos += 1
-        if char == _glob_multi:
-            if last is not _STAR:
-                yield _STAR, None
-                last = _STAR
-        elif char == _glob_single:
-            if last is not _STAR:
-                yield _QUEST, None
-                last = _QUEST
-        elif char == _glob_range1:
-            chars = set()
-            negate = False
-            while pos < len(pattern):
-                char = pattern[pos]
-                pos += 1
-                if char == _glob_range2:
+    """Tokenize a glob pattern into (kind, payload) pairs."""
+    out = []
+    chars = iter(enumerate(pattern))
+    for pos, ch in chars:
+        prev = out[-1][0] if out else None
+        if ch == _glob_multi:
+            if prev is not _STAR:
+                out.append((_STAR, None))
+        elif ch == _glob_single:
+            if prev is not _STAR:  # "*?" behaves as "*"
+                out.append((_QUEST, None))
+        elif ch == _glob_range1:
+            members = set()
+            for _, rc in chars:
+                if rc == _glob_range2:
                     break
-                chars.add(char)
-            if chars:
-                yield _RANGE, (chars, negate)
-                last = _RANGE
+                members.add(rc)
+            if members:
+                out.append((_RANGE, (members, False)))
         else:
-            yield _LIT, char
-            last = _LIT
+            out.append((_LIT, ch))
+    return iter(out)
 
 
 def glob_automaton(pattern):
+    """NFA over the token stream: one state per token, a star loops
+    its state pair, literals/ranges/question advance."""
     nfa = NFA(0)
-    i = -1
-    for i, (op, arg) in enumerate(parse_glob(pattern)):
-        if op is _LIT:
-            nfa.add_transition(i, arg, i + 1)
-        elif op is _STAR:
-            nfa.add_transition(i, ANY, i + 1)
-            nfa.add_transition(i, EPSILON, i + 1)
-            nfa.add_transition(i + 1, EPSILON, i)
-        elif op is _QUEST:
-            nfa.add_transition(i, ANY, i + 1)
-        elif op is _RANGE:
-            for char in arg[0]:
-                nfa.add_transition(i, char, i + 1)
-    nfa.add_final_state(i + 1)
+    state = -1
+    for state, (kind, payload) in enumerate(parse_glob(pattern)):
+        nxt = state + 1
+        if kind is _STAR:
+            nfa.add_transition(state, ANY, nxt)
+            nfa.add_transition(state, EPSILON, nxt)
+            nfa.add_transition(nxt, EPSILON, state)
+        elif kind is _QUEST:
+            nfa.add_transition(state, ANY, nxt)
+        elif kind is _RANGE:
+            for ch in payload[0]:
+                nfa.add_transition(state, ch, nxt)
+        else:
+            nfa.add_transition(state, payload, nxt)
+    nfa.add_final_state(state + 1)
     return nfa

@@ -178,25 +178,25 @@ class Simple16(NumberEncoding):
     _bitsize = 28
     maxint = 2 ** _bitsize - 1
 
-    _num = [28, 21, 21, 21, 14, 9, 8, 7, 6, 6, 5, 5, 4, 3, 2, 1]
-    _bits = [
-        (1,) * 28,
-        (2, 2, 2, 2, 2, 2, 2) + (1,) * 14,
-        (1,) * 7 + (2, 2, 2, 2, 2, 2, 2) + (1,) * 7,
-        (1,) * 14 + (2, 2, 2, 2, 2, 2, 2),
-        (2,) * 14,
-        (4, 3, 3, 3, 3, 3, 3, 3, 3),
-        (3, 4, 4, 4, 4, 3, 3, 3),
-        (4,) * 7,
-        (5, 5, 5, 5, 4, 4),
-        (4, 4, 5, 5, 5, 5),
-        (6, 6, 6, 5, 5),
-        (5, 5, 6, 6, 6),
-        (7, 7, 7, 7),
-        (10, 9, 9),
-        (14, 14),
-        (28,),
-    ]
+    # the 16 selector layouts, written run-length ("count x width"):
+    # each row's widths sum to 28 payload bits
+    _LAYOUTS = "28x1|7x2 14x1|7x1 7x2 7x1|14x1 7x2|14x2|1x4 8x3|" \
+               "1x3 4x4 3x3|7x4|4x5 2x4|2x4 4x5|3x6 2x5|2x5 3x6|" \
+               "4x7|1x10 2x9|2x14|1x28"
+
+    @staticmethod
+    def _expand_layouts(spec):
+        rows = []
+        for row in spec.split("|"):
+            widths = []
+            for run in row.split():
+                count, width = run.split("x")
+                widths.extend([int(width)] * int(count))
+            rows.append(tuple(widths))
+        return rows
+
+    _bits = _expand_layouts.__func__(_LAYOUTS)
+    _num = [len(row) for row in _bits]
 
     def write_nums(self, f, numbers):
         i = 0

@@ -367,8 +367,10 @@ def unstopped(tokenstream):
 
 
 def entoken(textstream, positions: bool = False, chars: bool = False,
-            start_pos: int = 0, start_char: int = 0):
-    """acore.py:53-74: wrap pre-tokenized strings as a token stream."""
+            start_pos: int = 0, start_char: int = 0, **kwargs):
+    """acore.py:53-74: wrap pre-tokenized strings as a token stream.
+    Extra kwargs (``boosts`` etc.) are Token-mode flags in the
+    reference; tokens here always carry boost 1.0."""
     pos = start_pos
     char = start_char
     for text in textstream:

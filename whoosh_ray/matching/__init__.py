@@ -380,6 +380,55 @@ class ListMatcher(Matcher):
 # -------------------------------------------------------------- binary
 
 
+class LeafMatcher(Matcher):
+    """Base for term-level matchers (reference mcore.py:575-632):
+    subclasses set ``self.scorer`` (a Scorer or None) and
+    ``self.format`` (a :class:`whoosh_ray.formats.Format`) and get the
+    value_as/spans/quality surface for free."""
+
+    def __repr__(self):
+        return "%s(%r, %s)" % (type(self).__name__, self.term(),
+                               self.is_active())
+
+    def term(self):
+        return self._term
+
+    def items_as(self, astype):
+        decoder = self.format.decoder(astype)
+        for id_, value in self.all_items():
+            yield (id_, decoder(value))
+
+    def supports(self, astype):
+        return self.format.supports(astype)
+
+    def value_as(self, astype):
+        return self.format.decoder(astype)(self.value())
+
+    def spans(self):
+        from whoosh_ray.search.spans import Span
+
+        if self.supports("characters"):
+            return [Span(pos, startchar=sc, endchar=ec)
+                    for pos, sc, ec in self.value_as("characters")]
+        elif self.supports("positions"):
+            return [Span(pos) for pos in self.value_as("positions")]
+        else:
+            raise Exception("Field does not support positions (%r)"
+                            % (self.term(),))
+
+    def supports_block_quality(self):
+        return self.scorer and self.scorer.supports_block_quality()
+
+    def max_quality(self):
+        return self.scorer.max_quality()
+
+    def block_quality(self):
+        return self.scorer.block_quality(self)
+
+    def score(self):
+        return self.scorer.score(self)
+
+
 class BiMatcher(Matcher):
     """Combines two sub-matchers (reference binary.py:31-69)."""
 

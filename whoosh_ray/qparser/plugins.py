@@ -1,11 +1,8 @@
-"""Drop-in qparser surface with the reference's names.
+"""Reference Plugin classes (reference qparser/plugins.py:89-1352).
 
-``from whoosh.qparser import QueryParser, FuzzyTermPlugin`` ports by
-changing the package name: the parsers live in
-whoosh_ray.search.qparser and the reference Plugin classes become thin
-markers that ``QueryParser.add_plugin`` translates onto the engine
-parser's declarative options (reference qparser/plugins.py:89-1352;
-parser constructors default.py:38-439).
+The reference plugins are tagger pipelines; here they are thin markers
+that ``QueryParser.add_plugin`` translates onto the engine parser's
+declarative options.
 
 Default-set plugins (Whitespace/Fields/Wildcard/Phrase/Range/Group/
 Operators/Boost/Every/SingleQuote) are always on in the engine parser —
@@ -14,33 +11,6 @@ unchanged.
 """
 
 from __future__ import annotations
-
-from whoosh_ray.search.qparser import (  # noqa: F401  (re-exports)
-    DisMaxParser,
-    MultifieldParser,
-    QueryParser,
-    SimpleParser,
-)
-from whoosh_ray.search import query as _query  # noqa: F401
-
-
-# ---- group markers (reference qparser/syntax.py:395-431) ----
-
-class AndGroup:
-    """Whitespace joins clauses with And (the default)."""
-    _wr_group = "and"
-
-
-class OrGroup:
-    """Whitespace joins clauses with Or; ``factory(scale)`` adds the
-    coordination bonus (syntax.py:413-422 -> Or(scale=))."""
-    _wr_group = "or"
-
-    @classmethod
-    def factory(cls, scale: float = 1.0):
-        class ScaledOrGroup(OrGroup):
-            _wr_group = ("or", scale)
-        return ScaledOrGroup
 
 
 # ---- plugin markers ----
@@ -163,8 +133,3 @@ class MultifieldPlugin(Plugin):
                         "MultifieldPlugin to an existing parser")
 
 
-class QueryParserError(Exception):
-    """Raised by reference parsers on malformed input
-    (qparser/common.py:34-42).  This engine's parser is lenient (every
-    string parses to SOME query, like the reference's default plugins),
-    so the class exists for ported except-clauses."""

@@ -70,12 +70,12 @@ def _norm_group(group):
     g = getattr(group, "_wr_group", group)
     if g is None or g == "and":
         return "and", None
-    if g == "or":
-        return "or", None
+    if g in ("or", "dismax", "ordered"):
+        return g, None
     if (isinstance(g, tuple) and len(g) == 2 and g[0] == "or"):
         return "or", g[1]
-    raise TypeError(f"unsupported group {group!r}; use 'and', 'or' or "
-                    f"('or', scale)")
+    raise TypeError(f"unsupported group {group!r}; use 'and', 'or', "
+                    f"('or', scale), 'dismax' or 'ordered'")
 
 
 class SpannedStr(str):
@@ -575,6 +575,16 @@ class QueryParser:
     def _group_join(self, qs: list) -> Query:
         if self.group == "or":
             return Or(qs, scale=self.group_scale)
+        if self.group == "dismax":
+            # reference syntax.py:424 DisMaxGroup (qclass DisjunctionMax)
+            from whoosh_ray.search.query import DisjunctionMax
+
+            return DisjunctionMax(qs)
+        if self.group == "ordered":
+            # reference syntax.py:428 OrderedGroup (qclass Ordered)
+            from whoosh_ray.search.query import Ordered
+
+            return Ordered(qs)
         return And(qs)
 
     def _op_passes(self, items) -> list:

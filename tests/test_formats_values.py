@@ -57,6 +57,36 @@ def test_word_values_and_decode_parity(name, boost):
                         (name, dec, text)
 
 
+@pytest.mark.parametrize("name", ["Frequency", "Positions",
+                                  "PositionBoosts", "CharacterBoosts"])
+def test_word_values_stem_and_boost_chains(name):
+    """Parity through a stemming analyzer (chars survive the chain) and
+    a per-token ^boost chain (DelimitedAttributeFilter -> t.boost)."""
+    load_whoosh_oracle()
+    from whoosh.analysis import (LowercaseFilter, RegexTokenizer,
+                                 StemmingAnalyzer)
+    from whoosh.analysis.filters import DelimitedAttributeFilter
+
+    from whoosh_ray.analysis import \
+        DelimitedAttributeFilter as MyDAF
+    from whoosh_ray.analysis import LowercaseFilter as MyLC
+    from whoosh_ray.analysis import RegexTokenizer as MyRT
+    from whoosh_ray.analysis import StemmingAnalyzer as MyStem
+
+    R, M = _pairs(name, 1.5)
+    pairs = [
+        (StemmingAnalyzer(), MyStem(),
+         "running runners ran the jumping"),
+        (RegexTokenizer(r"\S+") | DelimitedAttributeFilter()
+         | LowercaseFilter(),
+         MyRT(r"\S+") | MyDAF() | MyLC(),
+         "deploy^2 render^0.5 deploy test"),
+    ]
+    for ra, ma, text in pairs:
+        assert sorted(R.word_values(text, ra)) == \
+            sorted(M.word_values(text, ma)), (name, text)
+
+
 @pytest.mark.parametrize("name", FORMAT_NAMES)
 def test_pretokenized_list_path(name):
     R, M = _pairs(name)

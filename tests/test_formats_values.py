@@ -182,3 +182,98 @@ def test_listmatcher_value_as_and_spans():
     assert [(s.startchar, s.endchar) for s in sp] == [(0, 5), (12, 17)]
     m.next()
     assert m.value_as("characters") == [(1, 6, 9)]
+
+
+# ---- hypothesis byte-parity fuzz over random posting payloads ----
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+def _poslist():
+    # strictly increasing positions
+    return st.lists(st.integers(0, 50), min_size=1, max_size=12,
+                    unique=True).map(sorted)
+
+
+def _charlist():
+    # (pos, startchar, endchar) with increasing positions and
+    # non-overlapping increasing char spans
+    def build(pairs):
+        out, char = [], 0
+        for i, width in enumerate(pairs):
+            out.append((i * 2, char, char + width))
+            char += width + 1
+        return out
+    return st.lists(st.integers(1, 9), min_size=1, max_size=10).map(build)
+
+
+def _boost():
+    return st.floats(min_value=0.25, max_value=4.0,
+                     allow_nan=False, allow_infinity=False)
+
+
+@settings(max_examples=150, deadline=None, derandomize=True)
+@given(_poslist())
+def test_fuzz_positions_bytes(poslist):
+    load_whoosh_oracle()
+    import whoosh.formats as rf
+
+    import whoosh_ray.formats as mf
+
+    R, M = rf.Positions(), mf.Positions()
+    assert R.encode(poslist) == M.encode(poslist)
+    v = R.encode(poslist)
+    assert M.decode_positions(v) == R.decode_positions(v) == list(poslist)
+    assert M.decode_frequency(v) == R.decode_frequency(v)
+
+
+@settings(max_examples=150, deadline=None, derandomize=True)
+@given(_charlist())
+def test_fuzz_characters_bytes(poslist):
+    load_whoosh_oracle()
+    import whoosh.formats as rf
+
+    import whoosh_ray.formats as mf
+
+    R, M = rf.Characters(), mf.Characters()
+    assert R.encode(poslist) == M.encode(poslist)
+    v = R.encode(poslist)
+    assert M.decode_characters(v) == R.decode_characters(v) == poslist
+    assert M.decode_positions(v) == R.decode_positions(v)
+
+
+@settings(max_examples=150, deadline=None, derandomize=True)
+@given(_poslist(), st.data())
+def test_fuzz_position_boosts_bytes(poslist, data):
+    load_whoosh_oracle()
+    import whoosh.formats as rf
+
+    import whoosh_ray.formats as mf
+
+    poses = [(p, data.draw(_boost())) for p in poslist]
+    R, M = rf.PositionBoosts(), mf.PositionBoosts()
+    assert R.encode(poses) == M.encode(poses)
+    v = R.encode(poses)
+    assert M.decode_position_boosts(v) == R.decode_position_boosts(v)
+    assert M.decode_weight(v) == R.decode_weight(v)
+    # combine parity on two disjoint-position payloads
+    shifted = [(p + 100, b) for p, b in poses]
+    vs = [v, R.encode(shifted)]
+    assert R.combine(vs) == M.combine(vs)
+
+
+@settings(max_examples=150, deadline=None, derandomize=True)
+@given(_charlist(), st.data())
+def test_fuzz_character_boosts_bytes(charlist, data):
+    load_whoosh_oracle()
+    import whoosh.formats as rf
+
+    import whoosh_ray.formats as mf
+
+    poses = [(p, sc, ec, data.draw(_boost())) for p, sc, ec in charlist]
+    R, M = rf.CharacterBoosts(), mf.CharacterBoosts()
+    assert R.encode(poses) == M.encode(poses)
+    v = R.encode(poses)[0]
+    assert M.decode_character_boosts(v) == R.decode_character_boosts(v)
+    assert M.decode_positions(v) == R.decode_positions(v)
+    assert M.decode_weight(v) == R.decode_weight(v)

@@ -83,7 +83,26 @@ def _text(name, analyzer=None, phrase=True, chars=False, stored=False,
             raise TypeError("analyzer must be an AnalyzerSpec (use the "
                             "factories in whoosh_ray.functions.analysis)")
         kw["analyzer"] = analyzer
-    return FieldSpec.text(name, **kw)
+    spec = FieldSpec.text(name, **kw)
+    # Separate spelling (reference TEXT.subfields, fields.py:1132-1147):
+    # with a morphic analyzer, also index the UNMORPHED words into a
+    # spelling-only subfield; suggestions then draw candidates from it
+    # (frequency still ranks on the parent — spelling.py:109-115).
+    # With a non-morphic analyzer spelling=True is a no-op, exactly
+    # like the reference (separate_spelling() is False).
+    from whoosh_ray.functions.analysis import (analyzer_has_morph,
+                                               analyzer_no_morph)
+
+    if spelling and analyzer_has_morph(spec.analyzer):
+        spell_name = spelling_prefix + name
+        spell = _dc.replace(
+            spec, name=spell_name, source=name,
+            analyzer=analyzer_no_morph(spec.analyzer),
+            stored=False, scorable=False, positions=False, chars=False,
+            token_boosts=False, vector=False, unique=False,
+            fmt="frequency")
+        return [_dc.replace(spec, spell_field=spell_name), spell]
+    return spec
 
 
 def _id(name, stored=False, unique=False, field_boost=1.0, sortable=False,
@@ -161,6 +180,82 @@ NGRAM = _FieldCtor(_ngram, "NGRAM")
 NGRAMWORDS = _FieldCtor(_ngramwords, "NGRAMWORDS")
 
 
+def _bind_specs(fd, name: str) -> list:
+    """Bind a field definition to its FieldSpec expansion (one spec, or
+    parent+subfields — the reference's FieldType.subfields())."""
+    if isinstance(fd, FieldSpec):
+        return [_dc.replace(fd, name=name)]
+    out = fd.bind(name)
+    return list(out) if isinstance(out, (list, tuple)) else [out]
+
+
+def _with_reverse(spec: AnalyzerSpec) -> AnalyzerSpec:
+    """Append a ReverseTextFilter to an analyzer chain (chain analyzers
+    get a trailing stage; flag analyzers set the reverse flag)."""
+    if spec.chain is not None:
+        return _dc.replace(spec, chain=tuple(spec.chain) + (("reverse", ()),))
+    return _dc.replace(spec, reverse=True)
+
+
+class FieldWrapper:
+    """Delegating wrapper around a field definition (reference
+    fields.py:362-440).  The DEFAULT wrapper indexes only the wrapped
+    field — its subfields() does not split (fields.py:436-439 comment);
+    subclasses like :class:`ReverseField` override the expansion."""
+
+    def __init__(self, subfield, prefix: str):
+        if isinstance(subfield, _FieldCtor):
+            subfield = subfield()
+        self.subfield = subfield
+        self.name_prefix = prefix
+
+    def bind(self, name: str):
+        return _bind_specs(self.subfield, name)
+
+
+class ReverseField(FieldWrapper):
+    """Index the field normally AND reversed under ``rev_<name>``
+    (reference fields.py:1270-1284): the reversed subfield runs the
+    subfield's analyzer + ReverseTextFilter, Existence format
+    (BasicFormat(lengths=False, weights=False)), unstored/unscorable —
+    the leading-wildcard acceleration pattern."""
+
+    def __init__(self, subfield, prefix: str = "rev_"):
+        super().__init__(subfield, prefix)
+
+    def bind(self, name: str):
+        specs = _bind_specs(self.subfield, name)
+        parent = specs[0]
+        rev = _dc.replace(
+            parent, name=self.name_prefix + name,
+            source=parent.source or name,
+            analyzer=_with_reverse(parent.analyzer),
+            stored=False, scorable=False, positions=False, chars=False,
+            token_boosts=False, vector=False, unique=False,
+            fmt="existence", spell_field="")
+        return specs + [rev]
+
+
+class SpellField:
+    """Minimal unmorphed-words field (reference fields.py:1151-1180),
+    normally created internally by ``TEXT(spelling=True)``; usable
+    directly in a Schema with ``source=`` pointing at the text column."""
+
+    def __init__(self, analyzer, source: str = ""):
+        if not isinstance(analyzer, AnalyzerSpec):
+            raise TypeError("analyzer must be an AnalyzerSpec")
+        self.analyzer = analyzer
+        self.source = source
+
+    def bind(self, name: str):
+        from whoosh_ray.functions.analysis import analyzer_no_morph
+
+        return FieldSpec(name=name, kind="text",
+                         analyzer=analyzer_no_morph(self.analyzer),
+                         source=self.source, stored=False, scorable=False,
+                         positions=False, fmt="frequency")
+
+
 class _StoredDef:
     """STORED marker: the column lands in stored_columns (docs.parquet
     passthrough), never indexed (reference fields.py:980-996)."""
@@ -185,11 +280,9 @@ def Schema(**fields) -> IndexSchema:
         if isinstance(fd, _StoredDef) or fd is STORED:
             stored_cols.append(name)
             continue
-        if isinstance(fd, (FieldDef, _FieldCtor)):
-            specs.append(fd.bind(name))
-            continue
-        if isinstance(fd, FieldSpec):
-            specs.append(_dc.replace(fd, name=name))
+        if isinstance(fd, (FieldDef, _FieldCtor, FieldWrapper, SpellField,
+                           FieldSpec)):
+            specs.extend(_bind_specs(fd, name))
             continue
         raise FieldConfigurationError(f"{name}: not a field definition "
                                       f"({fd!r})")
@@ -206,8 +299,8 @@ class MetaSchema(type):
         for key, val in attrs.items():
             if key.startswith("_"):
                 continue
-            if isinstance(val, (FieldDef, _FieldCtor, FieldSpec,
-                                _StoredDef)) or val is STORED:
+            if isinstance(val, (FieldDef, _FieldCtor, FieldSpec, _StoredDef,
+                                FieldWrapper, SpellField)) or val is STORED:
                 fields[key] = val
         new_class._declared_fields = fields
         return new_class

@@ -208,6 +208,46 @@ def language_analyzer(lang: str) -> AnalyzerSpec:
         lang=lang if lang in STEMMERS else None)
 
 
+# Chain-stage kinds that transform word FORMS — the reference's
+# is_morph=True filters (StemFilter + subclasses analysis/morph.py:71,
+# DoubleMetaphoneFilter morph.py:227, IntraWordFilter intraword.py:280).
+# analyzer(value, no_morph=True) skips exactly these top-level stages
+# (analyzers.py:91); sub-chains inside multi/tee are NOT filtered, like
+# the reference (MultiFilter is not is_morph and no_morph does not
+# propagate into wrapped filters).
+MORPH_KINDS = frozenset({
+    "stem", "stemfn", "porter", "porter2", "lovins", "paicehusk",
+    "pystemmer", "dmetaphone", "intraword",
+})
+
+
+def analyzer_has_morph(spec: "AnalyzerSpec") -> bool:
+    """CompositeAnalyzer.has_morph (reference analyzers.py:111-112)."""
+    if spec.stem or spec.lang:
+        return True
+    if spec.chain:
+        return any(st and st[0] in MORPH_KINDS for st in spec.chain)
+    return False
+
+
+def analyzer_no_morph(spec: "AnalyzerSpec") -> "AnalyzerSpec":
+    """The same chain with every morphological stage removed — what the
+    reference's ``analyzer(value, no_morph=True)`` call runs
+    (analyzers.py:88-93).  Used by separate-spelling subfields
+    (FieldType.spellable_words, fields.py:299-315)."""
+    import dataclasses as _dc
+
+    kw: dict = {}
+    if spec.stem:
+        kw["stem"] = False
+    if spec.lang:
+        kw["lang"] = None
+    if spec.chain:
+        kw["chain"] = tuple(st for st in spec.chain
+                            if not (st and st[0] in MORPH_KINDS))
+    return _dc.replace(spec, **kw) if kw else spec
+
+
 STANDARD = AnalyzerSpec()
 SIMPLE = AnalyzerSpec(stopwords=None, minsize=0)
 ID_ANALYZER = AnalyzerSpec(pattern=None, stopwords=None, minsize=0)  # whole value

@@ -471,6 +471,13 @@ class IndexReader:
         plain Levenshtein, fuzz-pinned vs the reference automaton)."""
         from whoosh_ray.functions.spelling import levenshtein_batch
 
+        # reference reading.py:855-863: redirect to the separate-spelling
+        # subfield's lexicon when the field has one
+        try:
+            fieldname = (self.searcher.schema.field(fieldname).spell_field
+                         or fieldname)
+        except KeyError:
+            pass
         cands = (self.searcher.expand_prefix(fieldname, text[:prefix])
                  if prefix else self.searcher.lexicon(fieldname))
         dists = levenshtein_batch(text, cands, maxdist)

@@ -1359,8 +1359,16 @@ class Searcher:
 
         from whoosh_ray.functions.spelling import levenshtein_batch
 
-        cands = (self.expand_prefix(fieldname, text[:prefix]) if prefix
-                 else self.lexicon(fieldname))
+        # separate spelling (reference spelling.py:103-115): candidates
+        # come from the spell subfield's UNMORPHED lexicon; frequency
+        # (the rank) still reads the parent field
+        sugfield = fieldname
+        try:
+            sugfield = self.schema.field(fieldname).spell_field or fieldname
+        except KeyError:
+            pass
+        cands = (self.expand_prefix(sugfield, text[:prefix]) if prefix
+                 else self.lexicon(sugfield))
         dists = levenshtein_batch(text, cands, maxdist)
         items = []
         for w, d in zip(cands, dists):

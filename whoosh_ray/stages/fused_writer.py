@@ -121,7 +121,7 @@ class FusedSegmentWriter:
                 group["__boost"].to_numpy(zero_copy_only=False)
                 .astype(np.float64), nan=1.0)
         for f in sorted(self.schema.fields, key=lambda f: f.name):
-            texts = group[f.name].to_numpy(zero_copy_only=False)
+            texts = group[f.source or f.name].to_numpy(zero_copy_only=False)
             agg = self._analyzers[f.name].aggregate(
                 texts, with_positions=f.positions,
                 with_chars=getattr(f, "chars", False),

@@ -47,7 +47,7 @@ class TokenizePostings:
             for f in self.schema.fields
         )
         for f in self.schema.fields:
-            texts = batch[f.name].to_numpy(zero_copy_only=False)
+            texts = batch[f.source or f.name].to_numpy(zero_copy_only=False)
             want_pos = f.positions if self._with_positions is None else (
                 self._with_positions and f.positions)
             agg = self._analyzers[f.name].aggregate(texts, with_positions=want_pos)

@@ -44,6 +44,16 @@ class FieldSpec:
     queryor: bool = False          # NGRAM(queryor=): parse multi-gram
                                    # query text as Or instead of And
                                    # (fields.py:1227-1231)
+    # Subfield support (reference FieldType.subfields / FieldWrapper,
+    # fields.py:320-326,362-440): a subfield indexes ANOTHER field's
+    # source column under its own name/analyzer.  ``source`` names the
+    # input column to tokenize ("" = this field's own name).
+    source: str = ""
+    # Set on a PARENT field: the name of the separate-spelling subfield
+    # whose lexicon feeds suggestions for this field (reference
+    # spelling_fieldname, fields.py:1144-1147; suggestion frequency
+    # still comes from the parent field — spelling.py:109-115).
+    spell_field: str = ""
 
     @staticmethod
     def text(name: str, *, stored: bool = True, positions: bool = False,
@@ -270,8 +280,9 @@ class IndexSchema:
     def input_columns(self) -> list[str]:
         cols: list[str] = []
         for f in self.fields:
-            if f.name not in cols:
-                cols.append(f.name)
+            src = f.source or f.name
+            if src not in cols:
+                cols.append(src)
         for c in self.stored_columns:
             if c not in cols:
                 cols.append(c)

@@ -113,3 +113,24 @@ def test_charset_fuzz_random_codepoints(ref):
     text = "".join(chr(int(c)) for c in cps
                    if not (0xD800 <= int(c) <= 0xDFFF))
     assert text.translate(accent_map) == text.translate(ref.accent_map)
+
+
+def test_default_charset_parses_to_reference_mapping(ref):
+    """Our canonical default_charset (regenerated data, scripts/
+    gen_default_charset.py) parses to the reference table's exact
+    mapping through BOTH parsers."""
+    from whoosh_ray.functions.charset import (charset_table_to_dict,
+                                              default_charset)
+
+    ref_map = dict(ref.charset_table_to_dict(ref.default_charset))
+    ours = dict(charset_table_to_dict(default_charset))
+    assert ours == ref_map
+    # and the reference parser accepts our canonical string identically
+    cross = dict(ref.charset_table_to_dict(default_charset))
+    assert cross == ref_map
+
+
+def test_default_charset_importable_from_support_alias():
+    from whoosh_ray.support.charset import default_charset
+
+    assert "->" in default_charset and "U+" in default_charset

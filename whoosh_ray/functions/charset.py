@@ -180,6 +180,11 @@ def charset_table_to_dict(tablestring: str) -> defaultdict:
     return out
 
 
+from whoosh_ray.functions.charset_default_data import (  # noqa: E402
+    DEFAULT_CHARSET as default_charset,
+)
+
+
 def accent_items() -> tuple:
     """``accent_map`` as a sorted hashable tuple for AnalyzerSpec fields."""
     return tuple(sorted(accent_map.items()))

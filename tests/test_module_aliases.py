@@ -39,7 +39,9 @@ SURFACE = {
                "long_to_datetime"],
     "index": ["create_in", "open_dir", "exists_in", "version_in",
               "EmptyIndexError", "LockError", "IndexError",
-              "IndexVersionError", "OutOfDateError"],
+              "IndexVersionError", "OutOfDateError", "TOC",
+              "toc_loaders", "clean_files", "FileIndex",
+              "ensure_schema"],
     "qparser": ["QueryParser", "MultifieldParser", "SimpleParser",
                 "DisMaxParser", "OrGroup", "AndGroup", "GtLtPlugin",
                 "PlusMinusPlugin", "FuzzyTermPlugin", "RegexPlugin",
@@ -80,7 +82,9 @@ SURFACE = {
     "classify": ["ExpansionModel", "Bo1Model", "Bo2Model", "KLModel",
                  "Expander"],
     "reading": ["IndexReader", "MultiReader", "TermInfo", "TermNotFound",
-                "ReaderClosed"],
+                "ReaderClosed", "EmptyReader", "MultiCursor",
+                "combine_terminfos", "SegmentReader", "OverlayStorage",
+                "TermCursor", "ColumnReader"],
     "collectors": ["Collector", "TimeLimitCollector", "TimeExceeded"],
     "idsets": ["DocIdSet", "BaseBitSet", "BitSet", "OnDiskBitSet",
                "SortedIntSet", "MultiIdSet", "RoaringIdSet",
@@ -88,7 +92,9 @@ SURFACE = {
     "writing": ["IndexWriter", "AsyncWriter", "BufferedWriter",
                 "BatchWriter", "CLEAR", "MERGE_SMALL", "NO_MERGE",
                 "OPTIMIZE", "LockError", "IndexingError",
-                "UnknownFieldError", "fib", "random_name", "add_spelling"],
+                "UnknownFieldError", "fib", "random_name", "add_spelling",
+                "PostingPool", "SortingPool", "SegmentWriter",
+                "groupmanager", "try_for"],
     "util": ["rcompile", "fib", "to_sortable", "from_sortable",
              "datetime_to_long", "long_to_datetime", "make_binary_tree",
              "make_weighted_tree", "synchronized", "random_name",
@@ -98,7 +104,29 @@ SURFACE = {
     "lang": ["languages", "aliases", "two_letter_code", "has_stemmer",
              "has_stopwords", "stemmer_for_language",
              "stopwords_for_language", "NoStemmer", "NoStopWords"],
-    "support.charset": ["accent_map", "charset_table_to_dict"],
+    "support.charset": ["accent_map", "charset_table_to_dict",
+                        "default_charset", "charspec_to_int"],
+    "columns": ["Column", "VarBytesColumn", "FixedBytesColumn",
+                "RefBytesColumn", "NumericColumn", "BitColumn",
+                "CompressedBytesColumn", "StructColumn", "PickleColumn",
+                "VarBytesListColumn", "FixedBytesListColumn",
+                "ClampedNumericColumn", "ColumnWriter", "ColumnReader",
+                "EmptyColumnReader", "MultiColumnReader",
+                "TranslatingColumnReader", "ListColumnReader",
+                "BitSet", "OnDiskBitSet", "GrowableArray"],
+    "matching.wrappers": ["WrappingMatcher", "MultiMatcher",
+                          "FilterMatcher", "ExcludeMatcher",
+                          "InverseMatcher", "RequireMatcher",
+                          "ConstantScoreWrapperMatcher",
+                          "SingleTermMatcher", "CoordMatcher"],
+    "query.spans": ["Span", "SpanFirst", "SpanNear", "SpanNear2",
+                    "SpanOr", "SpanNot", "SpanContains", "SpanBefore",
+                    "SpanCondition", "SpanQuery", "WrappingSpan",
+                    "bisect_spans", "And", "AndMaybe", "Or", "Query",
+                    "Term", "make_binary_tree"],
+    "codec.base": ["Codec", "Segment", "TermInfo", "FieldCursor",
+                   "EmptyCursor", "OutOfOrderError", "W3Codec",
+                   "default_codec"],
     "matching": ["Matcher", "NullMatcher", "NullMatcherClass",
                  "ListMatcher", "ConstantScoreMatcher", "ReadTooFar",
                  "NoQualityAvailable", "BiMatcher", "AdditiveBiMatcher",
@@ -127,7 +155,9 @@ SURFACE = {
     "codec.memory": ["MemoryCodec"],
     "filedb.structfile": ["StructFile", "BufferFile", "ChecksumFile"],
     "filedb.filestore": ["FileStorage", "RamStorage", "OverlayStorage",
-                         "Storage", "ReadOnlyError"],
+                         "Storage", "ReadOnlyError", "FileLock",
+                         "StructFile", "BufferFile", "copy_storage",
+                         "copy_to_ram"],
     "util.numlists": ["delta_encode", "delta_decode", "GrowableArray",
                       "NumberEncoding", "FixedEncoding", "ByteEncoding",
                       "UShortEncoding", "UIntEncoding", "Varints",

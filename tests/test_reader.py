@@ -439,3 +439,147 @@ def test_estimate_simplify_docs_parity(engine, oracle):
         rwords = sorted(x.decode() if isinstance(x, bytes) else x
                         for _, x in rsimp.all_terms())
         assert mwords == rwords and len(mwords) >= 1
+
+
+def test_multicursor_merge(engine, built_dir):
+    """reading.MultiCursor k-way merge over per-child cursors.  The
+    reference class is broken as shipped (reading.py:1280-1295
+    ``_find_low`` never seeds its low list — both ``if low and ...``
+    guards are false while ``low`` is empty — and term_info feeds bare
+    TermInfos to combine_terminfos which indexes ``(ti, offset)``
+    pairs); we implement the evident intent and pin the breakage."""
+    from whoosh_ray.reading import MultiCursor
+
+    r = engine.reader()
+    full = [t for t in r.lexicon("text")]
+
+    # two overlapping halves of the lexicon as child cursors
+    class ListCursor:
+        def __init__(self, terms, reader):
+            self._terms, self._r, self._i = terms, reader, 0
+
+        def is_valid(self):
+            return 0 <= self._i < len(self._terms)
+
+        def term(self):
+            return self._terms[self._i] if self.is_valid() else None
+
+        def first(self):
+            self._i = 0
+            return self.term()
+
+        def find(self, probe):
+            from bisect import bisect_left
+            self._i = bisect_left(self._terms, probe)
+            return self.term()
+
+        def next(self):
+            self._i += 1
+            return self.term()
+
+        def term_info(self):
+            return self._r.term_info("text", self.term())
+
+    a = ListCursor(full[: 2 * len(full) // 3], r)
+    b = ListCursor(full[len(full) // 3:], r)
+    mc = MultiCursor([a, b])
+
+    # walking the merged cursor yields the full lexicon exactly once
+    walked = []
+    assert mc.first() == full[0]
+    while mc.is_valid():
+        walked.append(mc.text())
+        mc.next()
+    assert walked == full
+
+    # term_info on an overlap term combines both children: stats sum,
+    # so df == 2x the single-reader df (both cursors serve one reader)
+    mid = full[len(full) // 2]
+    mc.find(mid)
+    assert mc.text() == mid
+    assert (mc.term_info().doc_frequency()
+            == 2 * r.term_info("text", mid).doc_frequency())
+
+
+def test_reference_multicursor_broken_as_shipped(oracle):
+    """Pin the reference artifact our MultiCursor diverges from."""
+    from whoosh.reading import MultiCursor as RefMultiCursor
+
+    with oracle.searcher() as s:
+        reader = s.reader()
+        c1 = reader.cursor("text")
+        c2 = reader.cursor("text")
+        # W3FieldCursor never implements the term() accessor _find_low
+        # calls (codec/base.py:299 raises), so construction crashes on
+        # any real cursor...
+        with pytest.raises(NotImplementedError):
+            RefMultiCursor([c1, c2])
+
+        # ...and even with term() patched in, _find_low's empty-low
+        # guards never seed the low list: no current term, ever
+        class Patched:
+            def __init__(self, c):
+                self._c = c
+
+            def __getattr__(self, n):
+                return getattr(self._c, n)
+
+            def term(self):
+                return self._c.text()
+
+        mc = RefMultiCursor([Patched(c1), Patched(c2)])
+        assert mc._low == [] and mc._text is None
+
+
+def test_combine_terminfos(engine):
+    from whoosh_ray.reading import combine_terminfos
+
+    r = engine.reader()
+    terms = list(r.lexicon("text"))[:3]
+    tis = [r.term_info("text", t) for t in terms]
+
+    one = combine_terminfos([(tis[0], 7)])
+    assert one.min_id() == tis[0].min_id() + 7
+    assert one.max_id() == tis[0].max_id() + 7
+    assert one.weight() == tis[0].weight()
+
+    many = combine_terminfos([(ti, off) for ti, off in
+                              zip(tis, (0, 100, 200))])
+    assert many.weight() == sum(ti.weight() for ti in tis)
+    assert many.doc_frequency() == sum(ti.doc_frequency() for ti in tis)
+    assert many.min_length() == min(ti.min_length() for ti in tis)
+    assert many.max_length() == max(ti.max_length() for ti in tis)
+    assert many.max_weight() == max(ti.max_weight() for ti in tis)
+    assert many.min_id() == min(ti.min_id() + o for ti, o in
+                                zip(tis, (0, 100, 200)))
+    assert many.max_id() == max(ti.max_id() + o for ti, o in
+                                zip(tis, (0, 100, 200)))
+
+
+def test_empty_reader_surface():
+    """reading.EmptyReader (reference reading.py:905-993): the full
+    reader surface answering 'nothing here'."""
+    import pytest as _pytest
+
+    from whoosh_ray.reading import EmptyReader
+
+    r = EmptyReader()
+    assert ("text", "deploy") not in r
+    assert list(iter(r)) == []
+    assert r.doc_count() == 0 and r.doc_count_all() == 0
+    assert r.field_length("text") == 0
+    assert r.doc_field_length(0, "text", default=42) == 42
+    assert not r.has_deletions() and not r.is_deleted(0)
+    assert list(r.lexicon("text")) == []
+    assert list(r.most_frequent_terms("text")) == []
+    assert r.frequency("text", "x") == 0 and r.doc_frequency("text", "x") == 0
+    cur = r.cursor("text")
+    assert not cur.is_valid() and cur.first() is None and cur.next() is None
+    with _pytest.raises(TermNotFound):
+        r.term_info("text", "deploy")
+    with _pytest.raises(TermNotFound):
+        r.postings("text", "deploy")
+    with _pytest.raises(KeyError):
+        r.stored_fields(0)
+    with _pytest.raises(KeyError):
+        r.vector(0, "text")

@@ -507,3 +507,83 @@ def test_remove_field_and_optimize_away(tmp_path):
     assert "city" not in doc_cols and "content" not in doc_cols
     hit = s.search(Term("id", "c"), limit=1)[0]
     assert dict(hit.items())["id"] == "c"
+
+
+def test_postingpool_external_sort_parity(tmp_path):
+    """writing.PostingPool (reference writing.py:130-180): byte-budgeted
+    spill of posting tuples; items() streams them back fully sorted.
+    Same inputs + limit against the reference pool must produce the
+    same sorted stream, the same fieldnames set, and the same number of
+    spilled runs (identical per-item size model)."""
+    import random
+
+    from tests.conftest import load_whoosh_oracle
+
+    from whoosh_ray.writing import PostingPool
+
+    load_whoosh_oracle()
+    from whoosh.filedb.filestore import FileStorage as RefStorage
+    from whoosh.writing import PostingPool as RefPool
+
+    rng = random.Random(7)
+    items = [(rng.choice(["text", "role", "tool"]),
+              ("w%04d" % rng.randrange(500)).encode(),
+              rng.randrange(10000),
+              float(rng.randrange(1, 5)),
+              None if rng.random() < 0.5 else b"\x01\x02")
+             for _ in range(5000)]
+
+    ours = PostingPool(str(tmp_path / "ours"), segment=None, limitmb=1)
+    # force several spills: the size model says ~100 bytes/item, so
+    # shrink the limit below the total
+    ours.limit = 64 * 1024
+
+    refdir = tmp_path / "ref"
+    refdir.mkdir()
+    ref = RefPool(RefStorage(str(refdir)), segment=None, limitmb=1)
+    ref.limit = 64 * 1024
+
+    for it in items:
+        ours.add(it)
+        ref.add(it)
+    assert ours.fieldnames == ref.fieldnames
+    assert len(ours.runs) == len(ref.runs) and len(ours.runs) >= 2
+
+    got = list(ours.iter_postings())
+    want = list(ref.iter_postings())
+    assert got == want == sorted(items)
+
+
+def test_clean_files_prunes_unreferenced_segments(small_index):
+    """index.clean_files (reference index.py:374-403 role): sealed
+    segment dirs the manifest doesn't reference are reaped; in-flight
+    temp dirs (no meta.json) are left alone; live segments survive."""
+    import json
+    import shutil
+
+    from whoosh_ray.index import clean_files, open_dir
+
+    segroot = os.path.join(small_index, "segments")
+    live = sorted(os.listdir(segroot))
+    assert live
+
+    # a sealed stranger: copy of a live segment under an unused id
+    stranger = os.path.join(segroot, "seg=99997")
+    shutil.copytree(os.path.join(segroot, live[0]), stranger)
+    # an in-flight builder temp: has files but no meta.json
+    inflight = os.path.join(segroot, "seg=99998")
+    shutil.copytree(os.path.join(segroot, live[0]), inflight)
+    os.remove(os.path.join(inflight, "meta.json"))
+
+    before = Searcher(small_index).search(Term("text", "deploy"),
+                                          limit=None).docids
+
+    removed = clean_files(small_index)
+    assert removed == ["seg=99997"]
+    names = set(os.listdir(segroot))
+    assert "seg=99997" not in names and "seg=99998" in names
+    assert set(live) <= names
+
+    after = Searcher(small_index).search(Term("text", "deploy"),
+                                         limit=None).docids
+    assert list(before) == list(after)

@@ -244,3 +244,10 @@ class TranslatingColumnReader:
 ListColumnReader = ColumnReader
 WrappedColumnReader = TranslatingColumnReader
 WrappedColumnWriter = ColumnWriter
+
+
+#: bit-set machinery the reference columns module re-exports
+#: (reference columns.py imports BitSet/OnDiskBitSet from idsets and
+#: GrowableArray from util.numlists)
+from whoosh_ray.idsets import BitSet, OnDiskBitSet  # noqa: E402,F401
+from whoosh_ray.util.numlists import GrowableArray  # noqa: E402,F401

@@ -331,3 +331,7 @@ def copy_to_ram(storage: Storage) -> RamStorage:
 # names the reference module exposes at module level
 from whoosh_ray.index import EmptyIndexError  # noqa: E402,F401
 from whoosh_ray.writing import random_name  # noqa: E402,F401
+
+#: re-exports the reference filestore module carries (filestore.py:36)
+from whoosh_ray.filedb.structfile import BufferFile, StructFile  # noqa: E402,F401
+from whoosh_ray.util.filelock import FileLock  # noqa: E402,F401

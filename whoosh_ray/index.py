@@ -361,6 +361,48 @@ class Index:
 FileIndex = Index
 
 
+#: the commit-state container (reference index.py:567 TOC: schema +
+#: segment list + generation); here that object is the Manifest
+from whoosh_ray.state.manifest import Manifest as TOC  # noqa: E402,F401
+
+#: reference legacy.toc_loaders maps old pickle TOC format versions to
+#: loaders; this engine's manifest is versioned JSON with no legacy
+#: formats, so the map is empty by design
+toc_loaders: dict = {}
+
+
+def clean_files(dirname: str, indexname: str | None = None) -> list[str]:
+    """Remove segment directories the current manifest no longer
+    references (reference index.py:374-403 role: prune files from
+    earlier generations after a commit).  Returns the removed dir
+    names.  Only fully-sealed strangers are touched — the manifest is
+    the authority; in-flight temp dirs (no ``meta.json`` yet) are left
+    for their builder."""
+    import shutil
+
+    from whoosh_ray.state.manifest import read_manifest, seg_dirname
+
+    ix_dir = _ix_dir(dirname, indexname)
+    if indexname is None and not os.path.exists(
+            os.path.join(ix_dir, "manifest.json")) and os.path.exists(
+            os.path.join(dirname, "manifest.json")):
+        ix_dir = dirname  # built directly by build_index(dir, ...)
+    manifest = read_manifest(ix_dir)
+    live = {seg_dirname(s.seg_id) for s in manifest.segments}
+    segroot = os.path.join(ix_dir, "segments")
+    removed: list[str] = []
+    if os.path.isdir(segroot):
+        for name in sorted(os.listdir(segroot)):
+            if not name.startswith("seg=") or name in live:
+                continue
+            path = os.path.join(segroot, name)
+            if not os.path.exists(os.path.join(path, "meta.json")):
+                continue  # in-flight builder temp, not ours to reap
+            shutil.rmtree(path, ignore_errors=True)
+            removed.append(name)
+    return removed
+
+
 def ensure_schema(schema):
     """Re-export (reference fields.ensure_schema is reachable via
     whoosh.index in user code through ``from whoosh.index import *``

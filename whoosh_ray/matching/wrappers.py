@@ -11,3 +11,5 @@ from whoosh_ray.matching import (  # noqa: F401
     SingleTermMatcher,
     WrappingMatcher,
 )
+
+from whoosh_ray.matching import RequireMatcher  # noqa: E402,F401

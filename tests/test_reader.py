@@ -583,3 +583,60 @@ def test_empty_reader_surface():
         r.stored_fields(0)
     with _pytest.raises(KeyError):
         r.vector(0, "text")
+
+
+def test_multicursor_fuzz_random_partitions():
+    """MultiCursor over arbitrary sorted child lists == sorted union
+    (property: every term exactly once, in order, regardless of how
+    terms are partitioned/duplicated across children)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from whoosh_ray.reading import MultiCursor
+
+    class ListCursor:
+        def __init__(self, terms):
+            # a real field cursor walks a sorted UNIQUE lexicon
+            self._terms, self._i = sorted(set(terms)), 0
+
+        def is_valid(self):
+            return 0 <= self._i < len(self._terms)
+
+        def term(self):
+            return self._terms[self._i] if self.is_valid() else None
+
+        def first(self):
+            self._i = 0
+            return self.term()
+
+        def find(self, probe):
+            from bisect import bisect_left
+            self._i = bisect_left(self._terms, probe)
+            return self.term()
+
+        def next(self):
+            self._i += 1
+            return self.term()
+
+    words = st.text(alphabet="abcd", min_size=1, max_size=4)
+
+    @settings(max_examples=200, deadline=None, derandomize=True)
+    @given(st.lists(st.lists(words, max_size=12), min_size=1, max_size=5),
+           words)
+    def check(children, probe):
+        mc = MultiCursor([ListCursor(c) for c in children])
+        want = sorted(set().union(*[set(c) for c in children]))
+        got = []
+        while mc.is_valid():
+            got.append(mc.text())
+            mc.next()
+        assert got == want
+        # find() = first term >= probe across all children
+        from bisect import bisect_left
+        assert mc.find(probe) == (
+            want[bisect_left(want, probe)]
+            if bisect_left(want, probe) < len(want) else None)
+        # first() rewinds fully
+        assert mc.first() == (want[0] if want else None)
+
+    check()

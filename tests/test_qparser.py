@@ -470,3 +470,118 @@ def test_sequence_subterm_spans_absolute():
                     ("tail", 19, 23)]
     for text, s, e in toks:
         assert qs[s:e].lower() == text
+
+
+def test_user_tagging_plugin_conformance(engine, oracle, whoosh_oracle):
+    """A USER-authored TaggingPlugin (the documented reference
+    extension pattern: expr + nodetype with a custom query()) injected
+    via add_plugin — same plugin source on both engines (only the
+    package imports differ), rank/score-identical results."""
+
+    def make_plugin(qparser_mod, syntax_mod, query_mod):
+        class MentionPlugin(qparser_mod.TaggingPlugin):
+            # @word searches the role field
+            expr = r"@(?P<text>\w+)"
+            priority = -1
+
+            class MentionNode(syntax_mod.TextNode):
+                def query(self, parser):
+                    return query_mod.Term("role", self.text.lower())
+
+            nodetype = MentionNode
+
+        return MentionPlugin
+
+    import whoosh.qparser as wq
+    import whoosh.qparser.syntax as wsyn
+    import whoosh.query as wquery
+
+    import whoosh_ray.qparser as mq
+    import whoosh_ray.qparser.syntax as msyn
+    import whoosh_ray.query as mquery
+
+    RefPlugin = make_plugin(wq, wsyn, wquery)
+    MyPlugin = make_plugin(mq, msyn, mquery)
+
+    my_parser = QueryParser("text", transcripts_schema())
+    my_parser.add_plugin(MyPlugin())
+
+    with oracle.searcher() as os_:
+        ref_parser = wq.QueryParser("text", schema=oracle.schema)
+        ref_parser.add_plugin(RefPlugin())
+        for qs in [
+            "@user",
+            "deploy @user",
+            "deploy @user render",
+            "@user OR @assistant",
+            "deploy AND @user",
+            "(deploy OR @assistant) render",
+            "@user^2 deploy",
+            "deploy NOT @user",
+        ]:
+            _compare(engine, os_, my_parser.parse(qs),
+                     ref_parser.parse(qs), qs)
+
+        # removal restores the plain parse on both sides
+        my_parser.remove_plugin(MyPlugin)
+        ref_parser.remove_plugin_class(RefPlugin)
+        _compare(engine, os_, my_parser.parse("deploy @user"),
+                 ref_parser.parse("deploy @user"), "removed")
+
+
+def test_user_tagging_plugin_wordnode_default_query(engine, oracle,
+                                                    whoosh_oracle):
+    """A plugin whose node RELIES on the default TextNode.query path
+    (qclass + parser.term_query): `!word` must analyze the text in the
+    default field exactly like a plain word — stemming/stopwords and
+    multi-token analysis included."""
+
+    def make_plugin(qparser_mod, syntax_mod):
+        class BangPlugin(qparser_mod.TaggingPlugin):
+            expr = r"!(?P<text>[\w-]+)"
+            priority = -1
+
+            class BangNode(syntax_mod.WordNode):
+                pass
+
+            nodetype = BangNode
+
+        return BangPlugin
+
+    import whoosh.qparser as wq
+    import whoosh.qparser.syntax as wsyn
+
+    import whoosh_ray.qparser as mq
+    import whoosh_ray.qparser.syntax as msyn
+
+    my_parser = QueryParser("text", transcripts_schema())
+    my_parser.add_plugin(make_plugin(mq, msyn)())
+
+    with oracle.searcher() as os_:
+        ref_parser = wq.QueryParser("text", schema=oracle.schema)
+        ref_parser.add_plugin(make_plugin(wq, wsyn)())
+        for qs in [
+            "!deploy",
+            "!DEPLOY render",     # analyzer lowercases through the node
+            "!the deploy",        # stopword node dissolves
+            "!deploy^3 render",
+        ]:
+            _compare(engine, os_, my_parser.parse(qs),
+                     ref_parser.parse(qs), qs)
+
+
+def test_user_tagging_plugin_filters_rejected():
+    """Plugins needing a node-list filter pass are rejected UP FRONT
+    (the engine parser has no syntax-node list) — documented
+    divergence, not a silent half-application."""
+    from whoosh_ray.qparser import TaggingPlugin
+
+    class FilteringPlugin(TaggingPlugin):
+        expr = r"@(?P<text>\w+)"
+
+        def filters(self, parser):
+            return [(lambda p, g: g, 100)]
+
+    p = QueryParser("text", transcripts_schema())
+    with pytest.raises(TypeError, match="filters"):
+        p.add_plugin(FilteringPlugin())

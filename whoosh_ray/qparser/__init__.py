@@ -45,6 +45,7 @@ from whoosh_ray.qparser.plugins import (  # noqa: F401
     RegexPlugin,
     SequencePlugin,
     SingleQuotePlugin,
+    TaggingPlugin,
     WhitespacePlugin,
     WildcardPlugin,
 )

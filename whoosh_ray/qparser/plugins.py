@@ -133,3 +133,42 @@ class MultifieldPlugin(Plugin):
                         "MultifieldPlugin to an existing parser")
 
 
+
+
+class TaggingPlugin(Plugin):
+    """User-authorable plugin base (reference plugins.py:63-86): the
+    plugin IS a tagger.  Subclasses set ``expr`` (regex string or
+    compiled), ``priority``, and either ``nodetype`` (instantiated with
+    the match's named groups) or an overridden ``create()``.  The
+    matched node's ``query(parser)`` supplies the query —
+    QueryParser.add_plugin registers the taggers on the engine lexer
+    (negative priority outranks builtin syntax; >= 0 outranks only the
+    plain-word fallback, mirroring the reference's priority-900 word
+    tagger)."""
+
+    priority = 0
+    expr = None
+    nodetype = None
+
+    def __init__(self, expr=None):
+        from whoosh_ray.util import rcompile
+
+        self.expr = rcompile(expr or self.expr)
+
+    def match(self, parser, text, pos):
+        match = self.expr.match(text, pos)
+        if match:
+            node = self.create(parser, match)
+            if node is not None:
+                node = node.set_range(match.start(), match.end())
+                return node
+
+    def taggers(self, parser):
+        return [(self, self.priority)]
+
+    def filters(self, parser):
+        return ()
+
+    def create(self, parser, match):
+        kwargs = {str(k): v for k, v in match.groupdict().items()}
+        return self.nodetype(**kwargs)

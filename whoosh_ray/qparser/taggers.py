@@ -1,10 +1,12 @@
 """Reference qparser/taggers.py classes (taggers.py:33-96).
 
-These are the extension protocol reference plugins use to match query
-syntax.  The engine parser is not tagger-driven, so custom taggers
-cannot be injected into it — but the classes themselves behave exactly
-like the reference for code that drives them directly (RegexTagger
-matches and calls ``create``; FnTagger calls ``fn(**groupdict)``)."""
+These are the extension protocol plugins use to match query syntax.
+USER TaggingPlugins carrying taggers like these inject into the engine
+parser through ``QueryParser.add_plugin`` (search/qparser.py:_lex_tagged
+tries them positionally; matched nodes contribute queries via
+``node.query(parser)``).  The classes also behave exactly like the
+reference when driven directly (RegexTagger matches and calls
+``create``; FnTagger calls ``fn(**groupdict)``)."""
 
 from __future__ import annotations
 

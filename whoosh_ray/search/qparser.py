@@ -167,6 +167,9 @@ class QueryParser:
         # inclusive DateRange queries
         self.datefields = frozenset(datefields)
         self.basedate = basedate
+        # user TaggingPlugins (reference qparser/plugins.py:33-86
+        # protocol): [(priority, tagger, owner_plugin)] — see add_plugin
+        self.custom_taggers: list = []
         import dataclasses as _dc
 
         # boolean/ngram fields analyze query strings in query mode
@@ -190,6 +193,25 @@ class QueryParser:
         spec = getattr(pin, "_wr_plugin", None)
         if spec is None and isinstance(pin, str):
             spec = (pin, None)
+        if callable(getattr(pin, "taggers", None)):
+            # a USER TaggingPlugin (reference qparser/plugins.py:33-86):
+            # taggers() returns (Tagger, priority) pairs whose matched
+            # nodes contribute queries via node.query(parser).  Node-
+            # list filters are the reference AST's transform pass — the
+            # engine parser has no node list, so plugins that need one
+            # are rejected up front rather than silently half-applied.
+            filters = (pin.filters(self)
+                       if callable(getattr(pin, "filters", None)) else ())
+            if filters:
+                raise TypeError(
+                    f"{type(pin).__name__}.filters() is not supported: "
+                    "the engine parser has no syntax-node list to "
+                    "filter — express the transform in the node's "
+                    "query() method instead")
+            for tagger, priority in pin.taggers(self):
+                self.custom_taggers.append((priority, tagger, pin))
+            self.custom_taggers.sort(key=lambda t: t[0])
+            return self
         if spec is None:
             raise TypeError(f"not a recognized plugin: {pin!r}")
         kind, payload = spec
@@ -229,6 +251,14 @@ class QueryParser:
         spec = getattr(pin, "_wr_plugin", None)
         if spec is None and isinstance(pin, str):
             spec = (pin, None)
+        if callable(getattr(pin, "taggers", None)):
+            # remove a user TaggingPlugin: by the registered instance,
+            # or by class (reference remove_plugin_class semantics)
+            cls = pin if isinstance(pin, type) else type(pin)
+            self.custom_taggers = [
+                (p, t, o) for p, t, o in self.custom_taggers
+                if o is not pin and type(o) is not cls]
+            return self
         if spec is None:
             raise TypeError(f"not a recognized plugin: {pin!r}")
         kind, payload = spec
@@ -254,17 +284,113 @@ class QueryParser:
 
     remove_plugin_class = remove_plugin
 
+    # ---- reference parser attributes user plugin nodes read ----
+
+    @property
+    def fieldname(self):
+        """The default field under the reference's attribute name
+        (default.py QueryParser.fieldname) — TextNode.query reads it."""
+        return self.default_field
+
+    @property
+    def termclass(self):
+        """Default term query class (default.py QueryParser.termclass)."""
+        from whoosh_ray.search.query import Term
+
+        return Term
+
+    def term_query(self, fieldname, text, termclass, boost: float = 1.0,
+                   tokenize: bool = True, removestops: bool = True):
+        """Build the query for one term (reference default.py:203-247):
+        analyze ``text`` in ``fieldname`` and construct ``termclass``;
+        several tokens join with the parser's group, each carrying the
+        boost (the engine's multi-token-word rule — equivalent to the
+        reference's group boost after normalize-flatten); no tokens is
+        Null.  An unknown field passes the raw text through."""
+        from whoosh_ray.search.query import Term
+
+        if fieldname in self._analyzers and tokenize:
+            words = self._analyzers[fieldname].token_lists([str(text)])[0]
+            if not words:
+                return _NullQuery()
+
+            def one(w):
+                q = termclass(fieldname, w)
+                return _with_boost(q, boost) if boost != 1.0 else q
+
+            if len(words) == 1:
+                return one(words[0])
+            return self._group_join([one(w) for w in words])
+        q = termclass(fieldname, str(text))
+        return _with_boost(q, boost) if boost != 1.0 else q
+
     # ---- lexing ----
 
     def _lex(self, text: str):
+        if self.custom_taggers:
+            yield from self._lex_tagged(text)
+            return
         prev_end = -1
         for m in _TOKEN_RE.finditer(text):
+            yield from self._classify(m, text, prev_end)
+            prev_end = m.end()
+
+    def _lex_tagged(self, text: str):
+        """Position-driven lexer variant used when user TaggingPlugins
+        are registered (reference parser core semantics, default.py
+        tag() loop: at each non-space position taggers are tried in
+        priority order, the word tagger — priority 900 — last).  Our
+        builtin syntax is one master regex, so the interleave is:
+        negative-priority taggers fire BEFORE any builtin token;
+        priority >= 0 taggers fire before a builtin that would be a
+        plain word but after builtin special syntax (phrases, ranges,
+        parens — all of which the reference tags at priority <= 0)."""
+        pos, prev_end = 0, -1
+        neg = [(p, t) for p, t, _o in self.custom_taggers if p < 0]
+        nonneg = [(p, t) for p, t, _o in self.custom_taggers if p >= 0]
+
+        def try_taggers(taggers, at):
+            for _p, tagger in taggers:
+                node = tagger.match(self, text, at)
+                if (node is not None
+                        and getattr(node, "endchar", None) is not None
+                        and node.endchar > at):
+                    return node
+            return None
+
+        while pos < len(text):
+            if text[pos].isspace():
+                pos += 1
+                continue
+            node = try_taggers(neg, pos)
+            if node is None:
+                m = _TOKEN_RE.match(text, pos)
+                if m is not None and m.group("word") is not None:
+                    # builtin would make a plain word here: >=0 taggers
+                    # outrank the reference's priority-900 word tagger
+                    node = try_taggers(nonneg, pos)
+                if node is None:
+                    if m is None or m.end() == pos:
+                        node = try_taggers(nonneg, pos)
+                        if node is None:
+                            pos += 1
+                            continue
+                    else:
+                        yield from self._classify(m, text, prev_end)
+                        prev_end = pos = m.end()
+                        continue
+            if getattr(node, "is_ws", lambda: False)():
+                prev_end = pos = node.endchar
+                continue
+            yield ("foreign", node)
+            prev_end = pos = node.endchar
+
+    def _classify(self, m, text: str, prev_end: int):
             # a "^n" word acts as a BOOST only when directly attached
             # to the previous token (the reference BoostPlugin tagger
             # requires (?<=\S); 'retry ^2' leaves '^2' a plain word
             # whose analysis is the term '2' — stopped when too short)
             detached = m.start() > prev_end
-            prev_end = m.end()
             if m.group("lparen"):
                 yield ("(", None)
             elif m.group("rparen"):
@@ -478,6 +604,24 @@ class QueryParser:
                 items.append(("op", val))
                 i += 1
                 continue
+            if kind == "foreign":
+                # a trailing ^n lands on the NODE (reference do_boost
+                # calls set_boost on the previous syntax node; whether
+                # the query carries it is the node's query() business —
+                # a custom query() that ignores self.boost drops it,
+                # exactly like the reference)
+                i += 1
+                if (i < len(tokens) and tokens[i][0] == "word"
+                        and tokens[i][1].startswith("^")):
+                    try:
+                        val.set_boost(float(tokens[i][1][1:]))
+                        i += 1
+                    except ValueError:
+                        pass
+                q = self._leaf(kind, val)
+                if q is not None:
+                    items.append(q)
+                continue
             q = self._leaf(kind, val)
             i += 1
             if q is not None:
@@ -670,6 +814,11 @@ class QueryParser:
 
     def _leaf(self, kind, val) -> Query | None:
         field = self.default_field
+        if kind == "foreign":
+            # a user TaggingPlugin node: its query() IS the leaf
+            # (reference SyntaxNode.query contract, syntax.py:82-88)
+            q = val.query(self)
+            return q if q is not None else _NullQuery()
         if kind == "phrase":
             qfield, body, slop = val
             fieldnames = {f.name for f in self.schema.fields}

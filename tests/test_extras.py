@@ -987,3 +987,100 @@ def test_fuzz_strict_phrase_marker():
         assert mine == want, (text, phrase_words, slop, terms)
 
     check()
+
+
+def test_query_expanded_terms_and_needs_spans(engine, oracle):
+    """Per-node expanded_terms (qcore.py:335 + MultiTerm override) and
+    needs_spans (qcore.py:233, spans.py:284) vs the reference on the
+    same corpus."""
+    load_whoosh_oracle()
+    from whoosh import query as wq
+
+    from whoosh_ray.search.query import And, Or, Prefix, Term
+    from whoosh_ray.search.spans import SpanFirst, SpanNear
+
+    r = engine.reader()
+    with oracle.searcher() as s:
+        rr = s.reader()
+
+        def ref_expand(q):
+            return sorted((f, t.decode() if isinstance(t, bytes) else t)
+                          for f, t in q.expanded_terms(rr))
+
+        # literal leaf passes through even when it doesn't exist
+        assert (sorted(Term("text", "zzznope").expanded_terms(r))
+                == ref_expand(wq.Term("text", "zzznope"))
+                == [("text", "zzznope")])
+        # pattern leaf expands against the reader
+        assert (sorted(Prefix("text", "de").expanded_terms(r))
+                == ref_expand(wq.Prefix("text", "de")))
+        # compound yields nothing per-node
+        q = And([Term("text", "deploy"), Term("text", "render")])
+        wqq = wq.And([wq.Term("text", "deploy"), wq.Term("text", "render")])
+        assert list(q.expanded_terms(r)) == ref_expand(wqq) == []
+
+    t = Term("text", "deploy")
+    assert not t.needs_spans()
+    assert not And([t, Or([t, t])]).needs_spans()
+    assert SpanFirst(t).needs_spans()
+    assert And([t, SpanNear(t, Term("text", "render"))]).needs_spans()
+    # reference agrees
+    assert not wq.And([wq.Term("text", "a"), wq.Term("text", "b")]).needs_spans()
+    assert wq.SpanFirst(wq.Term("text", "a")).needs_spans()
+    # parser-surface attrs exist with reference defaults
+    assert t.error is None and Term.startchar is None
+
+
+def test_highlighter_can_load_chars_and_highlight_hit(corpus, engine,
+                                                      tmp_path_factory):
+    """Highlighter.can_load_chars gates (highlight.py:920-937) and
+    highlight_hit == Hit.highlights with this highlighter's config."""
+    import pyarrow.parquet as pq
+
+    from whoosh_ray.pipelines.build import build_index
+    from whoosh_ray.search import Searcher, Term
+    from whoosh_ray.search.highlight import (ContextFragmenter,
+                                             Highlighter,
+                                             PinpointFragmenter,
+                                             UppercaseFormatter)
+    from whoosh_ray.state.schema import FieldSpec, IndexSchema
+
+    d = tmp_path_factory.mktemp("hlchars")
+    (d / "src").mkdir()
+    pq.write_table(corpus, str(d / "src" / "p.parquet"))
+    schema = IndexSchema(
+        fields=(FieldSpec.text("text", stored=True, positions=True,
+                               chars=True),
+                FieldSpec.id("role", stored=True),
+                FieldSpec.id("tool", stored=True),
+                FieldSpec.id("conv_id", stored=True)),
+        stored_columns=("turn_idx", "ts"))
+    build_index(str(d / "src"), str(d / "index"), schema, seg_size=64)
+    s = Searcher(str(d / "index"))
+
+    res = s.search(Term("text", "deploy"), limit=3, terms=True)
+    hi_pin = Highlighter(fragmenter=PinpointFragmenter(),
+                         formatter=UppercaseFormatter())
+    hi_ctx = Highlighter(fragmenter=ContextFragmenter(),
+                         formatter=UppercaseFormatter())
+
+    # chars field + pinpoint + matched terms -> loadable
+    assert hi_pin.can_load_chars(res, "text")
+    # context fragmenter must retokenize
+    assert not hi_ctx.can_load_chars(res, "text")
+    # forced retokenize wins
+    assert not Highlighter(fragmenter=PinpointFragmenter(),
+                           always_retokenize=True).can_load_chars(res, "text")
+    # no matched terms recorded -> not loadable
+    res_nt = s.search(Term("text", "deploy"), limit=3)
+    assert not hi_pin.can_load_chars(res_nt, "text")
+    # unknown / chars-less field -> not loadable
+    assert not hi_pin.can_load_chars(res, "role")
+    assert not hi_pin.can_load_chars(res, "bogus")
+
+    hit = res[0]
+    got = hi_ctx.highlight_hit(hit, "text")
+    want = hit.highlights("text", fragmenter=hi_ctx.fragmenter,
+                          formatter=hi_ctx.formatter,
+                          scorer=hi_ctx.scorer, order=hi_ctx.order)
+    assert got == want and "DEPLOY" in got

@@ -158,6 +158,13 @@ class Index:
     """Handle on one index directory: writers, searchers, maintenance
     (reference Index/FileIndex, index.py:217-470)."""
 
+    @classmethod
+    def create(cls, storage, schema, indexname: str | None = None) -> "Index":
+        """Create a new index in the given Storage / directory
+        (reference FileIndex.create, index.py:423-439)."""
+        folder = getattr(storage, "folder", storage)
+        return create_in(folder, schema, indexname)
+
     def __init__(self, index_dir: str, schema=None,
                  indexname: str | None = None):
         # also accept a Storage object, like the reference

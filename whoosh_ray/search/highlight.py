@@ -649,11 +649,43 @@ class GenshiFormatter(Formatter):
 
 class Highlighter:
     def __init__(self, fragmenter=None, scorer=None, formatter=None,
-                 order=FIRST):
+                 order=FIRST, always_retokenize: bool = False):
         self.fragmenter = fragmenter or ContextFragmenter()
         self.scorer = scorer or basic_fragment_scorer
         self.formatter = formatter or HtmlFormatter(tagname="b")
         self.order = order
+        self.always_retokenize = always_retokenize
+
+    def can_load_chars(self, results, fieldname: str) -> bool:
+        """Whether matched-term char spans can come straight from the
+        index — no re-tokenize (reference highlight.py:920-937: needs
+        matched terms, a span-capable fragmenter, and a chars=True
+        field)."""
+        if self.always_retokenize:
+            return False
+        if not results.has_matched_terms():
+            return False
+        if getattr(self.fragmenter, "must_retokenize", lambda: True)():
+            return False
+        try:
+            spec = results.searcher.schema.field(fieldname)
+        except KeyError:
+            return False
+        return bool(getattr(spec, "chars", False))
+
+    def highlight_hit(self, hitobj, fieldname: str, text: str | None = None,
+                      top: int = 3, minscore: int = 1,
+                      strict_phrase: bool = False) -> str:
+        """Highlights for one Hit using THIS highlighter's config
+        (reference highlight.py:990-1060; Hit.highlights delegates the
+        chars-vs-retokenize branch to the same gates can_load_chars
+        describes)."""
+        return hitobj.highlights(fieldname, top=top, text=text,
+                                 minscore=minscore,
+                                 strict_phrase=strict_phrase,
+                                 fragmenter=self.fragmenter,
+                                 formatter=self.formatter,
+                                 scorer=self.scorer, order=self.order)
 
     def highlight(self, text: str, terms, top: int = 3,
                   minscore: int = 1, phrases=None, tokens=None) -> str:

@@ -284,6 +284,57 @@ class QueryParser:
 
     remove_plugin_class = remove_plugin
 
+    def add_plugins(self, pins) -> "QueryParser":
+        """Add several plugins (reference default.py:107-113)."""
+        for pin in pins:
+            self.add_plugin(pin)
+        return self
+
+    def replace_plugin(self, pin) -> "QueryParser":
+        """Remove the given plugin's prior configuration, then add it
+        (reference default.py:140-151 remove-class-then-add).  The
+        instance itself names what to remove — marker payloads (alias /
+        copyfield / function maps) are keyed, so removing via the
+        instance clears exactly the keys it re-adds."""
+        if isinstance(pin, type):
+            pin = pin()
+        self.remove_plugin(pin)
+        return self.add_plugin(pin)
+
+    def default_set(self) -> list:
+        """The default plugin set as marker instances (reference
+        default.py:89-105) — these are always on in the engine parser;
+        the list exists so reference-style setup code can iterate it."""
+        from whoosh_ray.qparser import plugins as _p
+
+        return [_p.WhitespacePlugin(), _p.SingleQuotePlugin(),
+                _p.FieldsPlugin(), _p.WildcardPlugin(),
+                _p.PhrasePlugin(), _p.RangePlugin(), _p.GroupPlugin(),
+                _p.OperatorsPlugin(), _p.BoostPlugin(), _p.EveryPlugin()]
+
+    def multitoken_query(self, spec: str, texts, fieldname, termclass,
+                         boost: float = 1.0):
+        """Join several analyzed tokens per the field's multitoken
+        policy (reference default.py:180-201): "and"/"or" join with
+        that compound, "phrase" builds a Phrase, "default" uses the
+        parser's group."""
+        from whoosh_ray.search.query import Phrase
+
+        spec = spec.lower()
+
+        def one(w):
+            q = termclass(fieldname, w)
+            return _with_boost(q, boost) if boost != 1.0 else q
+
+        if spec == "phrase":
+            q = Phrase(fieldname, list(texts))
+            return _with_boost(q, boost) if boost != 1.0 else q
+        if spec == "and":
+            return And([one(w) for w in texts])
+        if spec == "or":
+            return Or([one(w) for w in texts])
+        return self._group_join([one(w) for w in texts])
+
     # ---- reference parser attributes user plugin nodes read ----
 
     @property

@@ -31,6 +31,13 @@ from whoosh_ray.search import matching
 
 class Query:
     boost: float = 1.0
+    #: parser-recorded char span (reference qcore.py:164; Terms carry
+    #: real values when parsed, everything else keeps the None default)
+    startchar = None
+    endchar = None
+    #: parse error recorded on queries the parser salvaged
+    #: (reference qcore.py:167; see error_query)
+    error = None
 
     # structural identity, shared by every node type (the reference
     # queries define field-wise __eq__/__hash__ per class,
@@ -102,6 +109,34 @@ class Query:
         else:
             for k in kids:
                 yield from k.leaves()
+
+    def needs_spans(self) -> bool:
+        """True when any node in this tree is a span query
+        (reference qcore.py:233-237; spans.py:284 overrides True)."""
+        return any(c.needs_spans() for c in self.children())
+
+    def expanded_terms(self, reader, phrases: bool = True):
+        """This NODE's (fieldname, text) pairs — per-node like the
+        reference (qcore.py:335: base = terms(phrases); the MultiTerm
+        override expands against the reader).  Literal leaves pass
+        their terms through unfiltered; pattern leaves (Prefix/
+        Wildcard/Fuzzy/...) yield their reader expansions; compound
+        nodes yield nothing (walk ``leaves()`` / use ``existing_terms``
+        for whole trees)."""
+        if isinstance(self, Phrase):
+            return iter([(self.fieldname, w) for w in self.words]
+                        if phrases else ())
+        if not self.is_leaf():
+            # compound nodes yield nothing per-node (our terms() is the
+            # internal stats-preload collector, which DOES recurse)
+            return iter(())
+        lit = self.terms()
+        if lit:
+            return iter(lit)
+        out = []
+        for q in self.expansion_queries(reader.searcher):
+            out.extend(q.terms())
+        return iter(out)
 
     def existing_terms(self, reader, phrases: bool = True,
                        expand: bool = False,

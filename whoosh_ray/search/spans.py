@@ -289,6 +289,10 @@ def doc_spans(q: Query, searcher, seg, docids: np.ndarray) -> list[list[tuple]]:
 class _SpanQuery(Query):
     """Base: evaluate the scoring query, keep docs with non-empty spans."""
 
+    def needs_spans(self) -> bool:
+        # reference spans.py:284-285
+        return True
+
     def _scoring_query(self) -> Query:
         raise NotImplementedError
 

@@ -31,8 +31,9 @@ from whoosh_ray.functions.analysis import AnalyzerSpec
 from whoosh_ray.state.schema import FieldSpec, IndexSchema
 
 
-class FieldConfigurationError(Exception):
-    pass
+from whoosh_ray.state.schema import (  # noqa: E402,F401
+    FieldConfigurationError,
+)
 
 
 class UnknownFieldError(KeyError):

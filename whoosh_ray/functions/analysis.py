@@ -250,7 +250,11 @@ def analyzer_no_morph(spec: "AnalyzerSpec") -> "AnalyzerSpec":
 
 STANDARD = AnalyzerSpec()
 SIMPLE = AnalyzerSpec(stopwords=None, minsize=0)
-ID_ANALYZER = AnalyzerSpec(pattern=None, stopwords=None, minsize=0)  # whole value
+#: whole value as one term, case KEPT — the reference ID field uses
+#: IDAnalyzer() whose default is lowercase=False (analyzers.py:117,
+#: fields.py:472); mixed-case IDs index and query case-sensitively
+ID_ANALYZER = AnalyzerSpec(pattern=None, stopwords=None, minsize=0,
+                           lowercase=False)
 # StemmingAnalyzer preset (analyzers.py:197-226): Standard chain + porter
 STEMMING = AnalyzerSpec(stem=True)
 KEYWORD = AnalyzerSpec(pattern=r"[^ \t\r\n]+", lowercase=False,

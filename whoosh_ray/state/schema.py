@@ -210,6 +210,190 @@ class FieldSpec:
                 a[k] = tuplize(a[k])
         return FieldSpec(analyzer=AnalyzerSpec(**a), **d)
 
+    # ---- reference FieldType protocol (fields.py:60-455) ----
+    # FieldSpec carries the same facts the reference FieldType spreads
+    # over analyzer/format/column objects; these methods expose them
+    # under the reference names so schema-introspecting user code ports.
+
+    @property
+    def format(self):
+        """The posting Format instance this spec's flags imply
+        (reference FieldType.format; whoosh_ray.formats classes are
+        byte-compatible value codecs)."""
+        from whoosh_ray import formats as _f
+
+        if self.chars and self.token_boosts:
+            return _f.CharacterBoosts(field_boost=self.boost)
+        if self.positions and self.token_boosts:
+            return _f.PositionBoosts(field_boost=self.boost)
+        if self.chars:
+            return _f.Characters(field_boost=self.boost)
+        if self.positions:
+            return _f.Positions(field_boost=self.boost)
+        if self.fmt == "frequency":
+            return _f.Frequency(field_boost=self.boost)
+        return _f.Existence(field_boost=self.boost)
+
+    def supports(self, name: str) -> bool:
+        """Whether postings carry the named feature (reference
+        FieldType.supports -> Format.supports)."""
+        return self.format.supports(name)
+
+    def process_text(self, qstring, mode: str = "index", **kwargs):
+        """Iterator of analyzed token TEXTS for one value (reference
+        fields.py:290-297).  mode="query" applies the same clones the
+        parser uses (boolean _obj_to_bool / query-size ngrams)."""
+        import dataclasses as _dc
+
+        from whoosh_ray.functions.analysis import VectorAnalyzer
+
+        spec = self.analyzer
+        if mode == "query" and (spec.boolean or spec.ngram is not None):
+            spec = _dc.replace(spec, mode="query")
+        return iter(VectorAnalyzer(spec).token_lists([qstring])[0])
+
+    def tokenize(self, value, **kwargs):
+        """Token objects for one value (reference fields.py:283-289)."""
+        from whoosh_ray.analysis import Token
+
+        mode = kwargs.pop("mode", "index")
+        for i, text in enumerate(self.process_text(value, mode=mode)):
+            yield Token(text=text, pos=i)
+
+    def index(self, value, **kwargs):
+        """Posting tuples ("token", freq, weight, valuestring) for one
+        stored value (reference fields.py:254-270: delegates to the
+        posting format's word_values)."""
+        return self.format.word_values(value, self.analyzer,
+                                       mode="index", **kwargs)
+
+    def to_bytes(self, value) -> bytes:
+        """The indexed term bytes for a value (reference to_bytes:
+        utf-8 for text kinds; 't'/'f' for BOOLEAN; the shift-0 tiered
+        term for NUMERIC/DATETIME)."""
+        num = self.analyzer.numeric
+        if num is not None:
+            bits, _step = num
+            v = value
+            try:
+                import datetime as _dt
+
+                if isinstance(v, _dt.datetime):
+                    epoch = _dt.datetime(1970, 1, 1)
+                    v = int((v - epoch).total_seconds() * 1_000_000)
+            except Exception:
+                pass
+            u = (int(v) + (1 << (bits - 1))) % (1 << max(bits, 64))
+            return f"00:{u:x}".encode()
+        if self.analyzer.boolean:
+            # query-mode conversion == the reference's _obj_to_bool
+            toks = list(self.process_text(value, mode="query"))
+            return toks[0].encode() if toks else b"f"
+        if isinstance(value, bytes):
+            return value
+        return str(value).encode("utf-8")
+
+    def from_bytes(self, bs: bytes):
+        """Inverse of to_bytes for text kinds (reference from_bytes);
+        numeric terms don't round-trip to values here either (the
+        reference decodes sortable bytes; our tiered text keeps the
+        shift prefix) — returns the term text."""
+        return bs.decode("utf-8") if isinstance(bs, bytes) else bs
+
+    def self_parsing(self) -> bool:
+        """True when the field parses its own query text rather than
+        running the analyzer (reference: NUMERIC/DATETIME/BOOLEAN)."""
+        return self.analyzer.numeric is not None or self.analyzer.boolean
+
+    def parse_query(self, fieldname: str, qstring, boost: float = 1.0):
+        """Query for one self-parsed value (reference NUMERIC/BOOLEAN
+        parse_query): the exact-match Term on the indexed term text."""
+        from whoosh_ray.search.query import Term
+
+        q = Term(fieldname, self.to_bytes(qstring).decode())
+        if boost != 1.0:
+            q = q.with_boost(boost)
+        return q
+
+    def parse_range(self, fieldname: str, start, end,
+                    startexcl: bool = False, endexcl: bool = False,
+                    boost: float = 1.0):
+        """Range query for a self-parsed field (reference
+        NUMERIC.parse_range -> NumericRange)."""
+        from whoosh_ray.search.query import NumericRange
+
+        q = NumericRange(fieldname,
+                         None if start is None else int(start),
+                         None if end is None else int(end),
+                         startexcl=startexcl, endexcl=endexcl)
+        if boost != 1.0:
+            q = q.with_boost(boost)
+        return q
+
+    def separate_spelling(self) -> bool:
+        """True when suggestions read a separate subfield's lexicon
+        (reference fields.py:1139-1143)."""
+        return bool(self.spell_field)
+
+    def spelling_fieldname(self, fieldname: str) -> str:
+        """The field whose lexicon feeds suggest() for this field
+        (reference fields.py:1144-1147)."""
+        return self.spell_field or fieldname
+
+    def spellable_words(self, value):
+        """Words a spelling subfield would store for a value (reference
+        fields.py:303-313: the analyzed tokens, stops kept out here
+        because the engine's analyzers drop them eagerly)."""
+        return list(self.process_text(value, mode="index"))
+
+    def subfields(self):
+        """(suffix, field) pairs this field indexes under (reference
+        fields.py:320-326; the engine's spelling subfield is declared
+        as its own schema entry, so only self is yielded)."""
+        yield "", self
+
+    def sortable_terms(self, ixreader, fieldname: str):
+        """All term bytes in sorted order (reference fields.py:330-338)."""
+        for t in ixreader.lexicon(fieldname):
+            yield t.encode("utf-8") if isinstance(t, str) else t
+
+    # trivial reference attributes: schema-lifecycle no-ops and column
+    # declarations the parquet layout replaces (every stored field IS a
+    # real Arrow column — see whoosh_ray/columns.py)
+    indexed = True
+    column_type = None
+
+    def clean(self):
+        return None
+
+    def on_add(self, schema, fieldname: str):
+        return None
+
+    def on_remove(self, schema, fieldname: str):
+        return None
+
+    def set_sortable(self, sortable) -> None:
+        return None
+
+    def sortable_typecode(self):
+        return None
+
+    def default_column(self):
+        from whoosh_ray.columns import VarBytesColumn
+
+        return VarBytesColumn()
+
+    def to_column_value(self, value):
+        return value
+
+    def from_column_value(self, value):
+        return value
+
+    #: how several analyzed tokens of one query word join (reference
+    #: fields.py class attribute — a string the parser dispatches on;
+    #: the engine parser groups, i.e. "default")
+    multitoken_query = "default"
+
 
 @dataclass(frozen=True)
 class IndexSchema:
@@ -306,6 +490,120 @@ class IndexSchema:
             glob_fields=tuple((p, FieldSpec.from_json(t))
                               for p, t in d.get("glob_fields", ())),
         )
+
+    # ---- reference Schema mapping protocol (fields.py:1315-1535) ----
+
+    def __getitem__(self, name: str) -> FieldSpec:
+        """Field by name; unmatched names try the glob (dynamic)
+        templates like the reference's _dyn_fields (fields.py:1380-85)."""
+        try:
+            return self.field(name)
+        except KeyError:
+            from dataclasses import replace as _replace
+            from fnmatch import fnmatchcase
+
+            for pat, tmpl in self.glob_fields:
+                if fnmatchcase(name, pat):
+                    return _replace(tmpl, name=name)
+            raise
+
+    def __contains__(self, name) -> bool:
+        try:
+            self[name]
+            return True
+        except KeyError:
+            return False
+
+    def __iter__(self):
+        """Field objects in name order (reference fields.py:1350)."""
+        return iter(sorted(self.fields, key=lambda f: f.name))
+
+    def __len__(self) -> int:
+        return len(self.fields)
+
+    def names(self, check_names=None) -> list[str]:
+        """Sorted field names; ``check_names`` keeps only those
+        (reference fields.py:1399-1410)."""
+        out = sorted(f.name for f in self.fields)
+        if check_names is not None:
+            wanted = set(check_names)
+            out = [n for n in out if n in wanted]
+        return out
+
+    def items(self) -> list[tuple[str, FieldSpec]]:
+        return [(f.name, f) for f in
+                sorted(self.fields, key=lambda f: f.name)]
+
+    def copy(self) -> "IndexSchema":
+        return IndexSchema(fields=self.fields,
+                           stored_columns=self.stored_columns,
+                           glob_fields=self.glob_fields)
+
+    def add(self, name: str, fieldtype, glob: bool = False) -> None:
+        """Add a field in place (reference fields.py:1411-1464).
+        ``fieldtype`` is a FieldSpec, a whoosh_ray.fields factory
+        (TEXT / ID / ...) or an instance/class thereof; ``glob=True``
+        registers a dynamic-field template instead."""
+        from dataclasses import replace as _replace
+
+        spec = _as_fieldspec(name, fieldtype)
+        if glob:
+            object.__setattr__(self, "glob_fields",
+                               self.glob_fields + ((name, spec),))
+            return
+        if any(f.name == name for f in self.fields):
+            raise FieldConfigurationError(f"schema already has a field "
+                                          f"named {name!r}")
+        object.__setattr__(self, "fields",
+                           self.fields + (_replace(spec, name=name),))
+
+    def remove(self, name: str) -> None:
+        """Remove a field in place (reference fields.py:1466-1474)."""
+        if not any(f.name == name for f in self.fields):
+            raise KeyError(f"no field named {name!r}")
+        object.__setattr__(self, "fields",
+                           tuple(f for f in self.fields if f.name != name))
+
+    def has_scorable_fields(self) -> bool:
+        return any(f.scorable for f in self.fields)
+
+    def scorable_names(self) -> list[str]:
+        return sorted(f.name for f in self.fields if f.scorable)
+
+    def stored_names(self) -> list[str]:
+        """Names of stored fields — including the engine's stored
+        passthrough columns (every stored column is a real field of the
+        docs table here)."""
+        out = sorted(f.name for f in self.fields if f.stored)
+        return out + [c for c in self.stored_columns if c not in out]
+
+    def indexable_fields(self):
+        for f in sorted(self.fields, key=lambda f: f.name):
+            yield f.name, f
+
+    def clean(self) -> None:
+        # reference Schema.clean clears per-field caches; stateless here
+        return None
+
+
+class FieldConfigurationError(Exception):
+    """Invalid schema manipulation (reference fields.py:53)."""
+
+
+def _as_fieldspec(name: str, fieldtype) -> FieldSpec:
+    """Normalize Schema.add's fieldtype argument — a FieldSpec, a
+    whoosh_ray.fields declaration (TEXT(...) FieldDef, bare TEXT
+    factory, wrapper) — to one bound FieldSpec."""
+    from whoosh_ray import fields as _wf
+
+    if isinstance(fieldtype, FieldSpec) or hasattr(fieldtype, "bind"):
+        specs = _wf._bind_specs(fieldtype, name)
+        if len(specs) != 1:
+            raise FieldConfigurationError(
+                "multi-spec field declarations (separate spelling / "
+                "wrappers) must be added via Schema(**kw) construction")
+        return specs[0]
+    raise FieldConfigurationError(f"not a field type: {fieldtype!r}")
 
 
 def transcripts_schema(*, positions: bool = True) -> IndexSchema:

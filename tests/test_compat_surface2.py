@@ -134,3 +134,75 @@ def test_index_accepts_storage(tmp_path):
     st.create_index(schema, seg_size=512)
     ix = FileIndex(st)  # reference FileIndex(storage) ctor shape
     assert ix.doc_count_all() == 0
+
+
+def test_small_surface_sweep_round5():
+    """Round-5 method-sweep leftovers: JOINT constants, WeightingModel
+    .idf, Expander.add, FacetType.map, Formatter.clean, fragmenter
+    fragment_matches, analyzer morph flags."""
+    from whoosh_ray.analysis import (RegexTokenizer, StandardAnalyzer,
+                                     StemFilter, StemmingAnalyzer)
+    from whoosh_ray.query import And, DisjunctionMax, Or
+    from whoosh_ray.search.classify import Expander
+    from whoosh_ray.search.facets import Count, FieldFacet, OrderedList
+    from whoosh_ray.search.highlight import (ContextFragmenter,
+                                             HtmlFormatter,
+                                             PinpointFragmenter, Token)
+
+    assert (And.JOINT, Or.JOINT, DisjunctionMax.JOINT) == (
+        " AND ", " OR ", " dOR ")
+
+    # WeightingModel.idf == the engine's idf (log(N/(df+1))+1)
+    from whoosh_ray.scoring import BM25F
+    assert callable(BM25F().idf)
+
+    # Expander.add consumes (text, weight) forward vectors
+    class _FakeSearcher:
+        doc_count_all = 10
+
+        class manifest:
+            @staticmethod
+            def field_length(f):
+                return 100
+
+        class schema:
+            @staticmethod
+            def field(name):
+                from whoosh_ray.state.schema import FieldSpec
+
+                return FieldSpec.text("text")
+
+    e = Expander(_FakeSearcher(), "text")
+    e.add([("deploy", 2.0), ("render", 1.0)])
+    assert e.topN_weight["deploy"] == 2.0 and e.top_total == 3.0
+
+    # FacetType.map resolution order: own maptype > default > OrderedList
+    f = FieldFacet("role")
+    assert isinstance(f.map(), OrderedList)
+    assert isinstance(f.map(Count), Count)
+    f2 = FieldFacet("role", maptype=Count)
+    assert isinstance(f2.map(OrderedList), Count)
+
+    # formatter clean() resets term classes
+    hf = HtmlFormatter()
+    hf.seen["deploy"] = 3
+    hf.clean()
+    assert hf.seen == {}
+
+    # fragment_matches: pinpoint implements, context raises (reference
+    # base Fragmenter.fragment_matches raises, highlight.py:289-298)
+    pf = PinpointFragmenter()
+    frags = pf.fragment_matches("deploy the render",
+                                [Token("deploy", 0, 6),
+                                 Token("render", 11, 17)])
+    assert len(frags) == 1 and frags[0].matched_terms == {"deploy",
+                                                          "render"}
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        ContextFragmenter().fragment_matches("x", [])
+
+    # morph flags (reference acore.py:138, analyzers.py:111)
+    assert StemFilter().is_morph and StemFilter().has_morph()
+    assert StemmingAnalyzer().has_morph()
+    assert not StandardAnalyzer().has_morph()
+    assert not RegexTokenizer().has_morph()

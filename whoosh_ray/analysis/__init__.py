@@ -81,6 +81,19 @@ class Stage(tuple):
     def __getnewargs__(self):
         return (self[0], self[1])
 
+    _MORPH_KINDS = frozenset({"stem", "stemfn", "pystemmer",
+                              "dmetaphone"})
+
+    @property
+    def is_morph(self):
+        """True for stages that alter token text morphologically —
+        stemmers / metaphone (reference acore.py:138, set on
+        StemFilter/PyStemmerFilter/DoubleMetaphoneFilter)."""
+        return self[0] in self._MORPH_KINDS
+
+    def has_morph(self):
+        return self.is_morph
+
     def __or__(self, other):
         return StageChain((self,)) | other
 
@@ -96,6 +109,15 @@ class StageChain(tuple):
     tokenizer is prepended)."""
 
     __slots__ = ()
+
+    @property
+    def is_morph(self):
+        return any(Stage(st).is_morph for st in self)
+
+    def has_morph(self):
+        """Any stage is a morphological filter (reference
+        analyzers.py:111-112)."""
+        return self.is_morph
 
     def __or__(self, other):
         if isinstance(other, AnalyzerSpec):

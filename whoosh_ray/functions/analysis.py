@@ -107,6 +107,19 @@ class AnalyzerSpec:
     def compile(self) -> "VectorAnalyzer":
         return VectorAnalyzer(self)
 
+    #: a spec is never ITSELF a morph filter (reference acore.py:138)
+    is_morph = False
+
+    def has_morph(self) -> bool:
+        """Whether any component morphs token text — stemmers /
+        metaphone (reference analyzers.py:111-112)."""
+        if self.stem or self.lang:
+            return True
+        if self.chain:
+            morph = {"stem", "stemfn", "pystemmer", "dmetaphone"}
+            return any(st[0] in morph for st in self.chain)
+        return False
+
     def to_chain(self) -> tuple:
         """Materialize the vectorized flag pipeline as the equivalent
         declarative chain (functions/tokenfilters.py stage tuples) —

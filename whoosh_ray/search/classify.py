@@ -97,6 +97,16 @@ class Expander:
         self._analyzer = VectorAnalyzer(spec.analyzer)
         self._boost = spec.boost
 
+    def add(self, vector) -> None:
+        """Add one top document's (text, weight) forward vector
+        (reference classify.py:131-148 — e.g. reader.vector_as("weight",
+        docnum, fieldname))."""
+        total = 0.0
+        for word, weight in vector:
+            total += weight
+            self.topN_weight[word] += weight
+        self.top_total += total
+
     def add_text(self, text: str) -> None:
         agg = self._analyzer.aggregate([text])
         terms = agg["term_dict"][agg["term_codes"]]

@@ -144,6 +144,19 @@ class FacetType:
     def default_name(self) -> str:
         return "facet"
 
+    def map(self, default=None):
+        """The FacetMap instance results for this facet collect into
+        (reference sorting.py:52-62: the facet's maptype, else the
+        caller's default, else OrderedList)."""
+        t = self.maptype
+        if t is None:
+            t = default
+        if t is None:
+            return OrderedList()
+        if isinstance(t, type):
+            return t()
+        return t
+
     def categorizer(self, global_searcher) -> Categorizer:
         """Reference extension hook (sorting.py:74-90).  Built-in
         facets never call this; a subclass that overrides it gets the

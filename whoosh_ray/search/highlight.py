@@ -90,6 +90,12 @@ class Fragmenter:
     def fragment_tokens(self, text, tokens):
         raise NotImplementedError
 
+    def fragment_matches(self, text, matched_tokens):
+        """Fragments from matched tokens alone — the chars-payload
+        path (reference highlight.py:289-298); only span-driven
+        fragmenters implement it."""
+        raise NotImplementedError
+
 
 def tokenize_chars(text: str, pattern: str = r"\w+(?:\.?\w+)*",
                    lowercase: bool = True) -> list[Token]:
@@ -262,7 +268,7 @@ def merge_matched(tokens: list[Token]) -> list[Token]:
     return out
 
 
-class WholeFragmenter:
+class WholeFragmenter(Fragmenter):
     """The whole text is one fragment (highlight.py:301-320)."""
 
     charlimit = DEFAULT_CHARLIMIT
@@ -280,7 +286,7 @@ class WholeFragmenter:
         return [_mkfrag(text, matched, startchar=0, endchar=len(text))]
 
 
-class SentenceFragmenter:
+class SentenceFragmenter(Fragmenter):
     """Sentence-boundary fragments (highlight.py:343-417): a sentence ends
     where the char after a token is in ``sentencechars`` (runs of
     punctuation like "..." do not break); sentences with matches and
@@ -327,7 +333,7 @@ class SentenceFragmenter:
         return out
 
 
-class ContextFragmenter:
+class ContextFragmenter(Fragmenter):
     """Matched terms + surrounding context (highlight.py:418-505)."""
 
     def __init__(self, maxchars: int = 200, surround: int = 20,
@@ -390,7 +396,7 @@ class ContextFragmenter:
 NullFragmeter = WholeFragmenter
 
 
-class PinpointFragmenter:
+class PinpointFragmenter(Fragmenter):
     """Builds fragments directly from matched-term char spans without
     scanning unmatched tokens (highlight.py:506-590).  The reference
     feeds it char offsets stored in the index (Characters format); here
@@ -425,6 +431,14 @@ class PinpointFragmenter:
             endchar = max(endchar, fragment.matches[-1].endchar)
         fragment.startchar = startchar
         fragment.endchar = endchar
+
+    def fragment_matches(self, text, tokens):
+        """Chars-payload entry (reference highlight.py:556-590):
+        identical geometry — fragment_tokens only reads the matched
+        tokens anyway."""
+        for t in tokens:
+            t.matched = True
+        return self.fragment_tokens(text, tokens)
 
     def fragment_tokens(self, text, tokens):
         matched = [t for t in tokens if t.matched]
@@ -563,6 +577,11 @@ class HtmlFormatter(Formatter):
         self.attrquote = attrquote
         self.maxclasses = maxclasses
         self.seen: dict[str, int] = {}
+
+    def clean(self):
+        """Clear the term -> classname map so a reused formatter
+        restarts numbering (reference highlight.py:815-818)."""
+        self.seen = {}
 
     def _text(self, text):
         return htmlescape(text, quote=False)

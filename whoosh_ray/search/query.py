@@ -552,6 +552,8 @@ class _Compound(Query):
 
 
 class And(_Compound):
+    #: repr joiner (reference compound.py:253)
+    JOINT = " AND "
     intersect_merge = True
 
     def requires(self):
@@ -593,6 +595,8 @@ class And(_Compound):
 
 
 class Or(_Compound):
+    #: repr joiner (reference compound.py:283)
+    JOINT = " OR "
     """Union-sum scoring; ``minmatch`` is an extension (the reference
     documents it "not yet implemented", compound.py:305); ``scale``
     applies the reference's coordination bonus (CoordMatcher wrapping,
@@ -692,6 +696,9 @@ class Or(_Compound):
 
 
 class DisjunctionMax(_Compound):
+    #: repr joiner (the reference DefaultOr variant, compound.py:372)
+    JOINT = " dOR "
+
     def __init__(self, subqueries, boost: float = 1.0, tiebreak: float = 0.0):
         super().__init__(subqueries, boost)
         self.tiebreak = tiebreak

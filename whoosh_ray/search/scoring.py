@@ -40,6 +40,21 @@ class WeightingModel:
     pruned top-k paths fall back to exhaustive evaluation since score
     bounds no longer hold)."""
 
+    def idf(self, searcher, fieldname: str, text: str) -> float:
+        """Inverse document frequency of one term (reference
+        scoring.py:53-60: log(N / (df + 1)) + 1 over the parent/global
+        reader)."""
+        import math
+
+        parent = (searcher.get_parent() if hasattr(searcher, "get_parent")
+                  else searcher)
+        n = parent.doc_frequency(fieldname, text)
+        dc = parent.doc_count_all
+        if callable(dc):  # reference readers expose it as a method
+            dc = dc()
+        return math.log(dc / (n + 1)) + 1
+
+
     use_final = False
 
     def scorer(self, searcher, fieldname: str, text: str, qf: int = 1):

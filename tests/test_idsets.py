@@ -193,3 +193,77 @@ def test_mutating_an_op_result_leaves_operands_alone():
     d = dense - other
     d.discard(5)
     assert dense.to_array().tolist() == before
+
+
+def test_bitset_mutators_and_disk_roundtrip(tmp_path):
+    """In-place mutators + the byte-array disk protocol (reference
+    idsets.py:73-95,352-404), cross-checked against the reference
+    BitSet on the same operations."""
+    from tests.conftest import load_whoosh_oracle
+
+    from whoosh_ray.filedb.structfile import StructFile
+    from whoosh_ray.idsets import BitSet
+
+    load_whoosh_oracle()
+    from whoosh.idsets import BitSet as RefBitSet
+
+    a = BitSet([1, 5, 9, 63, 64, 200])
+    ra = RefBitSet([1, 5, 9, 63, 64, 200], size=256)
+
+    # update / intersection_update / difference_update / invert_update
+    for op, arg in [("update", [2, 5, 100]),
+                    ("intersection_update", [5, 9, 64, 100, 200]),
+                    ("difference_update", [9, 100])]:
+        getattr(a, op)(BitSet(arg))
+        getattr(ra, op)(RefBitSet(arg))
+        assert sorted(a.to_array().tolist()) == sorted(ra), op
+
+    # invert_update: ours contains exactly [0, size) minus members;
+    # the reference flips only its ALLOCATED byte prefix (it never
+    # grows to size) — parity holds on that prefix
+    before = set(a.to_array().tolist())
+    a.invert_update(256)
+    ra.invert_update(256)
+    assert set(a.to_array().tolist()) == set(range(256)) - before
+    prefix_bits = len(ra.bits) * 8
+    assert (sorted(x for x in a.to_array().tolist() if x < prefix_bits)
+            == sorted(ra))
+
+    # reference artifact: invert_update(size) with size SMALLER than
+    # the allocated bitmap computes a negative spill, makes the mask a
+    # float (2**negative) and crashes (idsets.py:341-345); ours inverts
+    # the [0, size) prefix cleanly
+    a2, ra2 = BitSet([1, 200]), RefBitSet([1, 200], size=256)
+    a2.invert_update(128)
+    assert sorted(a2.to_array().tolist()) == sorted(
+        set(range(128)) - {1})
+    import pytest as _pytest
+    with _pytest.raises(TypeError):
+        ra2.invert_update(128)
+
+    # clear
+    a.clear()
+    ra.clear()
+    assert len(a) == 0 and sorted(ra) == []
+
+    # disk roundtrip through our StructFile
+    b = BitSet([3, 77, 1000])
+    p = tmp_path / "bits.bin"
+    with open(p, "wb") as f:
+        n = b.to_disk(StructFile(f))
+    assert n == b.byte_count()
+    with open(p, "rb") as f:
+        back = BitSet.from_disk(StructFile(f), n)
+    assert back.to_array().tolist() == [3, 77, 1000]
+
+    # byte layout equals the reference's array("B") bitmap — ours pads
+    # to a whole uint64 word with zero bytes, the reference stops at
+    # the last occupied byte
+    # (the reference's bytes_for_bits over-allocates one trailing byte
+    # for whole-byte sizes; both tails are zero)
+    rb = RefBitSet([3, 77, 1000], size=len(b.words) * 64)
+    mine = b.to_bytes()
+    refb = bytes(rb.bits)
+    n = min(len(mine), len(refb))
+    assert mine[:n] == refb[:n]
+    assert set(mine[n:]) <= {0} and set(refb[n:]) <= {0}

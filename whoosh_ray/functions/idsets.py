@@ -327,6 +327,44 @@ class BitIdSet(DocIdSet):
         return BitIdSet(np.setdiff1d(self.to_array(),
                                      self._coerce(other)))
 
+    # in-place mutators (reference idsets.py:73-95,379-404 surface,
+    # vectorized)
+
+    def clear(self) -> None:
+        self.words[:] = 0
+
+    def update(self, other) -> None:
+        self.words = self.union(other).words
+
+    def intersection_update(self, other) -> None:
+        self.words = self.intersection(other).words
+
+    def difference_update(self, other) -> None:
+        self.words = self.difference(other).words
+
+    def invert_update(self, size: int) -> None:
+        """In place: contain exactly [0, size) minus current members
+        (reference idsets.py:87-95)."""
+        self.words = self.invert(size).words
+
+    # byte-array disk protocol (reference idsets.py:352-372; the byte
+    # layout equals the uint64-LE word dump — bit n lives at byte n>>3,
+    # bit n&7, both here and in the reference's array("B") bitmap)
+
+    def byte_count(self) -> int:
+        return len(self.words) * 8
+
+    def to_disk(self, dbfile) -> int:
+        from array import array as _array
+
+        a = _array("B", self.to_bytes())
+        dbfile.write_array(a)
+        return len(a)
+
+    @classmethod
+    def from_disk(cls, dbfile, bytecount: int) -> "BitIdSet":
+        return cls.from_bytes(bytes(dbfile.read_array("B", bytecount)))
+
     def invert(self, size: int) -> "BitIdSet":
         nwords = (size + 63) // 64
         self._grow(nwords)

@@ -21,7 +21,13 @@ class Plugin:
 
 
 def _noop(name, doc):
-    cls = type(name, (Plugin,), {"__doc__": doc})
+    # reference default-set plugins take config args (custom exprs);
+    # the engine's are always-on markers, so arguments are accepted
+    # and ignored
+    def _init(self, *args, **kwargs):
+        pass
+
+    cls = type(name, (Plugin,), {"__doc__": doc, "__init__": _init})
     return cls
 
 

@@ -174,13 +174,27 @@ class QueryParser:
 
         # boolean/ngram fields analyze query strings in query mode
         # (_obj_to_bool's bool(x) fallback; ngram tokenizers emit only
-        # min(max, len)-sized grams at query time)
-        self._analyzers = {
+        # min(max, len)-sized grams at query time).  schema=None is the
+        # reference's schema-less mode (default.py:203-247 fallback +
+        # do_fieldnames' `if parser.schema` guard): every field prefix
+        # is accepted verbatim and term text passes through UNanalyzed.
+        self._analyzers = {} if schema is None else {
             f.name: VectorAnalyzer(
                 _dc.replace(f.analyzer, mode="query")
                 if f.analyzer.boolean or f.analyzer.ngram is not None
                 else f.analyzer)
             for f in schema.fields}
+
+    def _known_field(self, name: str) -> bool:
+        """Whether a ``name:`` prefix binds as a field: aliases and
+        datefields always; any name with no schema (reference
+        do_fieldnames only strips unknown fields `if parser.schema`,
+        plugins.py:399-415); else schema membership."""
+        if name in self.aliases or name in self.datefields:
+            return True
+        if self.schema is None:
+            return True
+        return any(f.name == name for f in self.schema.fields)
 
     def add_plugin(self, pin) -> "QueryParser":
         """Enable a plugin on an existing parser (reference
@@ -872,9 +886,7 @@ class QueryParser:
             return q if q is not None else _NullQuery()
         if kind == "phrase":
             qfield, body, slop = val
-            fieldnames = {f.name for f in self.schema.fields}
-            if qfield and (qfield in fieldnames or qfield in self.aliases
-                           or qfield in self.datefields):
+            if qfield and self._known_field(qfield):
                 # fielded phrase: field:"..." (FieldsPlugin binds the
                 # following quoted node, reference plugins.py:368-447)
                 field = self.aliases.get(qfield, qfield)
@@ -895,8 +907,7 @@ class QueryParser:
             m = re.match(r'^(?:(\w+):)?r"([^"]*)"$', val)
             fname = m.group(1)
             pattern = m.group(2)
-            if fname and (fname in {f.name for f in self.schema.fields}
-                          or fname in self.aliases):
+            if fname and self._known_field(fname):
                 field = self.aliases.get(fname, fname)
             elif fname:
                 # UNKNOWN field prefix folds INTO the pattern text, like
@@ -910,9 +921,7 @@ class QueryParser:
         if kind == "range":
             rfield, raw = val
             if rfield:
-                known = ({f.name for f in self.schema.fields}
-                         | set(self.aliases) | set(self.datefields))
-                if rfield in known:
+                if self._known_field(rfield):
                     field = self.aliases.get(rfield, rfield)
                     if field in self.datefields:
                         return self._make_date(field, raw)
@@ -953,9 +962,7 @@ class QueryParser:
         if m and m.group(1) in self.pseudofields:
             q = self.pseudofields[m.group(1)](m.group(2))
             return q if q is not None else _NullQuery()
-        fieldnames = {f.name for f in self.schema.fields}
-        if m and (m.group(1) in fieldnames or m.group(1) in self.aliases
-                  or m.group(1) in self.datefields):
+        if m and self._known_field(m.group(1)):
             field = self.aliases.get(m.group(1), m.group(1))
             text = _subspan(text, m.start(2), len(text))
             if field in self.datefields:
@@ -981,8 +988,9 @@ class QueryParser:
             if fm:
                 from whoosh_ray.search.query import FuzzyTerm
 
-                words = self._analyzers[field].token_lists(
-                    [fm.group(1)])[0]
+                an = self._analyzers.get(field)
+                words = (an.token_lists([fm.group(1)])[0] if an
+                         else [str(fm.group(1))])
                 if words:
                     return FuzzyTerm(
                         field, words[0],
@@ -997,9 +1005,13 @@ class QueryParser:
             # DEFAULT field, not the unfielded Every
             return Every(field)
         if "*" in text or "?" in text:
+            # lowercasing is the schema'd analyzers' convention; the
+            # schema-less reference parser passes pattern text through
+            low = (str.lower if self.schema is not None
+                   else (lambda s: s))
             if text.endswith("*") and "*" not in text[:-1] and "?" not in text:
-                return Prefix(field, text[:-1].lower())
-            return Wildcard(field, text.lower())
+                return Prefix(field, low(text[:-1]))
+            return Wildcard(field, low(text))
         return self._make_term(field, text)
 
     def _make_sequence(self, body: str, slop: int) -> Query:
@@ -1073,7 +1085,16 @@ class QueryParser:
         return q
 
     def _term_in_field(self, field, text) -> Query | None:
-        words = self._analyzers[field].token_lists([text])[0]
+        an = self._analyzers.get(field)
+        if an is None:
+            # schema-less mode: raw text, case and all (reference
+            # term_query's no-schema fallback, default.py:244-247)
+            t = Term(field, str(text))
+            sp = getattr(text, "span", None)
+            if sp is not None:
+                t.startchar, t.endchar = sp
+            return t
+        words = an.token_lists([text])[0]
         if not words:
             return _NullQuery()
         if len(words) == 1:
@@ -1082,8 +1103,9 @@ class QueryParser:
             if chars and len(chars) == 1:
                 t.startchar, t.endchar = chars[0]
             return t
-        spec = next((f for f in self.schema.fields if f.name == field),
-                    None)
+        spec = (None if self.schema is None else
+                next((f for f in self.schema.fields if f.name == field),
+                     None))
         if spec is not None and spec.analyzer.ngram is not None:
             # NGRAM fields parse a word to And/Or of its grams, never a
             # Phrase (reference NGRAM.parse_query, fields.py:1222-1231)
@@ -1126,7 +1148,27 @@ class QueryParser:
                 for s, e in zip(tb.startchars, tb.endchars)]
 
     def _make_phrase(self, field, body, slop) -> Query | None:
-        words = self._analyzers[field].token_lists([body])[0]
+        an = self._analyzers.get(field)
+        if an is None:
+            # schema-less phrase: \S+ word split (reference
+            # PhrasePlugin.wordexpr fallback, plugins.py:679,720-726)
+            base = getattr(body, "span", (0, 0))[0]
+            words, chars = [], []
+            for wm in re.finditer(r"\S+", str(body)):
+                words.append(wm.group(0))
+                chars.append((base + wm.start(), base + wm.end()))
+            if not words:
+                return Phrase(field, [], slop=slop)
+            if len(words) == 1:
+                t = Term(field, words[0])
+                if getattr(body, "span", None) is not None:
+                    t.startchar, t.endchar = chars[0]
+                return t
+            p = Phrase(field, words, slop=slop)
+            if getattr(body, "span", None) is not None:
+                p.char_ranges = chars
+            return p
+        words = an.token_lists([body])[0]
         if not words:
             # an all-stopword PHRASE builds a real (empty) Phrase query
             # that only nullifies at normalize — unlike a stopword WORD,
@@ -1159,19 +1201,27 @@ class QueryParser:
         hi = hi.lstrip()
         if hi.startswith("'") and hi.endswith("'") and len(hi) > 1:
             hi = hi[1:-1]
-        lo = lo.lower() or None
-        hi = hi.lower() or None
+        if self.schema is not None:
+            lo, hi = lo.lower(), hi.lower()
+        lo = lo or None
+        hi = hi or None
         try:
-            spec = self.schema.field(field)
+            spec = self.schema.field(field) if self.schema else None
         except KeyError:
             spec = None
         if spec is not None and spec.kind == "numeric":
             from whoosh_ray.search.query import NumericRange
 
-            return NumericRange(field,
-                                int(lo) if lo is not None else None,
-                                int(hi) if hi is not None else None,
-                                startexcl=startexcl, endexcl=endexcl)
+            try:
+                return NumericRange(field,
+                                    int(lo) if lo is not None else None,
+                                    int(hi) if hi is not None else None,
+                                    startexcl=startexcl, endexcl=endexcl)
+            except ValueError:
+                # an unparsable end ('[40 to *]') Nulls the whole range
+                # (reference NUMERIC.parse_range -> error_query ->
+                # normalize -> NullQuery; pinned by test_numeric_range)
+                return _NullQuery()
         return TermRange(field, lo, hi, startexcl=startexcl, endexcl=endexcl)
 
 
@@ -1188,7 +1238,10 @@ class MultifieldParser(QueryParser):
         self.fieldnames = list(fieldnames)
         self.fieldboosts = dict(fieldboosts or {})
         # the sentinel "field" analyzes like the first real field
-        self._analyzers[self._SENTINEL] = self._analyzers[self.fieldnames[0]]
+        # (schema-less mode has no analyzers: raw terms throughout)
+        if self.fieldnames[0] in self._analyzers:
+            self._analyzers[self._SENTINEL] = \
+                self._analyzers[self.fieldnames[0]]
 
     def _fanout(self, per_field) -> Query:
         subs = []

@@ -463,6 +463,17 @@ class _Compound(Query):
         self.subqueries = list(subqueries)
         self.boost = boost
 
+    # sequence protocol over the subqueries (reference
+    # compound.py:69-76: q[0], len(q), iteration)
+    def __getitem__(self, i):
+        return self.subqueries[i]
+
+    def __len__(self):
+        return len(self.subqueries)
+
+    def __iter__(self):
+        return iter(self.subqueries)
+
     def terms(self):
         out = []
         for q in self.subqueries:
@@ -1855,3 +1866,107 @@ class Phrase(Query):
         if self.boost != 1.0:
             scores = scores * self.boost
         return match_ids, scores
+
+
+# ---- reference string rendering (Query.__unicode__/__str__) ----
+# Format-for-format with the reference so parsed-query dumps compare
+# (terms.py:68-81, compound.py:55-59,311-317,461-467,546-634 JOINTs,
+# ranges.py:44-50, positional.py:155-156, wrappers.py:108-109,
+# qcore.py:602,710-711).  Only classes the reference renders get a
+# __str__; everything else keeps the dataclass/default repr.
+
+def _qstr(q) -> str:
+    return str(q)
+
+
+def _term_str(self) -> str:
+    t = f"{self.fieldname}:{self.text}"
+    if self.boost != 1:
+        t += f"^{self.boost}"
+    return t
+
+
+Term.__str__ = _term_str
+Prefix.__str__ = lambda self: f"{self.fieldname}:{self.text}*"
+Wildcard.__str__ = lambda self: f"{self.fieldname}:{self.text}"
+Regex.__str__ = lambda self: f'{self.fieldname}:r"{self.text}"'
+Variations.__str__ = lambda self: f"{self.fieldname}:<{self.text}>"
+Every.__str__ = lambda self: f"{self.fieldname}:*"
+_NullQuery.__str__ = lambda self: "<_NullQuery>"
+Not.__str__ = lambda self: "NOT " + _qstr(self.subquery)
+Phrase.__str__ = lambda self: f'{self.fieldname}:"{" ".join(self.words)}"'
+
+
+def _compound_str(self) -> str:
+    return "(" + self.JOINT.join(_qstr(s) for s in self.subqueries) + ")"
+
+
+And.__str__ = _compound_str
+
+
+def _or_str(self) -> str:
+    r = "(" + self.JOINT.join(_qstr(s) for s in self.subqueries) + ")"
+    if self.minmatch:
+        r += f">{self.minmatch}"
+    return r
+
+
+Or.__str__ = _or_str
+
+
+def _dismax_str(self) -> str:
+    r = "DisMax(" + " ".join(sorted(_qstr(s)
+                                    for s in self.subqueries)) + ")"
+    if self.tiebreak:
+        r += f"~{self.tiebreak}"
+    return r
+
+
+DisjunctionMax.__str__ = _dismax_str
+
+
+def _binary_str(joint):
+    def render(self):
+        return "(" + _qstr(self.a) + joint + _qstr(self.b) + ")"
+    return render
+
+
+AndNot.__str__ = _binary_str(" ANDNOT ")
+Require.__str__ = _binary_str(" REQUIRE ")
+AndMaybe.__str__ = _binary_str(" ANDMAYBE ")
+Otherwise.__str__ = _binary_str(" OTHERWISE ")
+
+
+def _range_str(self) -> str:
+    sc = "{" if self.startexcl else "["
+    ec = "}" if self.endexcl else "]"
+    start = "" if self.start is None else self.start
+    end = "" if self.end is None else self.end
+    return f"{self.fieldname}:{sc}{start} TO {end}{ec}"
+
+
+TermRange.__str__ = _range_str
+NumericRange.__str__ = _range_str
+DateRange.__str__ = _range_str
+
+
+# sequence protocol on the binary queries (reference BinaryQuery sets
+# subqueries=(a, b) and inherits compound.py:69-76; here the pair
+# protocol is added directly — children() already walks .a/.b)
+def _bin_getitem(self, i):
+    return (self.a, self.b)[i]
+
+
+def _bin_len(self):
+    return 2
+
+
+def _bin_iter(self):
+    return iter((self.a, self.b))
+
+
+for _cls in (AndNot, Require, AndMaybe, Otherwise):
+    _cls.__getitem__ = _bin_getitem
+    _cls.__len__ = _bin_len
+    _cls.__iter__ = _bin_iter
+del _cls
